@@ -1,0 +1,546 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, WhileFix}
+import graft.functions.Scalar
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.catalog.Catalog
+
+/** The operator-inventory query surface (SURVEY.md §2): one named query per
+  * implemented operator, each expressed through the graft DSL, plus the
+  * equivalent ANSI SQL for the DuckDB oracle.
+  *
+  * Numeric determinism policy: floating sums/products are computed exactly
+  * (cast to decimal before aggregating) and only converted to double at the
+  * END — so Spark's parallel aggregation order cannot produce a different
+  * value than DuckDB's sequential one. Raw per-row double arithmetic
+  * (x*(1-d)) is IEEE-deterministic and needs no care.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): Rel =
+    Rel.parquet(s, s"$dir/$name.parquet")
+
+  private val dec182 = DecimalType(18, 2)
+  private val dec184 = DecimalType(18, 4)
+
+  // =============================================== §2.1 relational monadic
+
+  def qProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").project("s_nationkey").df
+
+  def qRename(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").rename("n_nationkey" -> "nation_id", "n_name" -> "nation_name").df
+
+  def qWhere(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_quantity") > 45 && col("l_discount") < 0.05)
+      .project("l_orderkey", "l_linenumber", "l_quantity", "l_discount").df
+
+  def qExtend(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .extend("revenue" -> col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .project("l_orderkey", "l_linenumber", "revenue").df
+
+  def qTake(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").take(100, Seq(col("o_orderkey"))).df
+
+  def qSkip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").skipTake(100, 50, Seq(col("o_orderkey"))).df
+
+  def qLift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").take(1, Seq(col("o_orderdate"), col("o_orderkey")))
+      .project("o_orderdate").df
+
+  def qCountDegree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = t(s, dir, "orders")
+    Seq((r.count(), r.degree)).toDF("n_rows", "degree")
+  }
+
+  // ================================================= §2.2 dyadic (natural)
+
+  def qJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").rename("c_nationkey" -> "nationkey")
+    val n = t(s, dir, "nation").rename("n_nationkey" -> "nationkey")
+    c.join(n).df
+  }
+
+  def qCompose(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").rename("c_nationkey" -> "nationkey")
+    val n = t(s, dir, "nation").rename("n_nationkey" -> "nationkey")
+    c.compose(n).df
+  }
+
+  def qSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").rename("c_custkey" -> "custkey")
+    val o = t(s, dir, "orders").rename("o_custkey" -> "custkey")
+    c.semijoin(o).df
+  }
+
+  def qRsemijoin(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").rename("l_suppkey" -> "suppkey")
+    val sup = t(s, dir, "supplier").rename("s_suppkey" -> "suppkey")
+    l.rsemijoin(sup).df
+  }
+
+  def qAjoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").rename("c_custkey" -> "custkey")
+    val o = t(s, dir, "orders").rename("o_custkey" -> "custkey")
+      .where(col("o_totalprice") > 400000.0)
+    c.ajoin(o).df
+  }
+
+  def qAjoinl(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").rename("c_custkey" -> "custkey")
+    val o = t(s, dir, "orders").rename("o_custkey" -> "custkey")
+      .where(col("o_totalprice") > 400000.0)
+    c.ajoinl(o).df
+  }
+
+  def qRajoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").rename("o_custkey" -> "custkey")
+      .where(col("o_totalprice") > 400000.0)
+    val c = t(s, dir, "customer").rename("c_custkey" -> "custkey")
+    o.rajoin(c).df
+  }
+
+  def qDivide(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").rename("p_partkey" -> "partkey")
+    val l = t(s, dir, "lineitem").rename("l_partkey" -> "partkey")
+    p.divide(l).df
+  }
+
+  def qRdivide(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").rename("l_partkey" -> "partkey")
+    val p = t(s, dir, "part").rename("p_partkey" -> "partkey")
+    l.rdivide(p).df
+  }
+
+  // ======================================================== §2.3 set ops
+
+  private def custNations(s: SparkSession, dir: String): Rel =
+    t(s, dir, "customer").transform("nationkey" -> col("c_nationkey"))
+  private def suppNations(s: SparkSession, dir: String): Rel =
+    t(s, dir, "supplier").transform("nationkey" -> col("s_nationkey"))
+
+  def qUnion(s: SparkSession, dir: String): DataFrame =
+    custNations(s, dir).union(suppNations(s, dir)).df
+
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    custNations(s, dir).intersect(suppNations(s, dir)).df
+
+  def qMinus(s: SparkSession, dir: String): DataFrame =
+    custNations(s, dir).minus(suppNations(s, dir)).df
+
+  def qSymdiff(s: SparkSession, dir: String): DataFrame =
+    custNations(s, dir).symdiff(suppNations(s, dir)).df
+
+  def qSub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(suppNations(s, dir).sub(custNations(s, dir))).toDF("is_sub")
+  }
+
+  def qReleq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = t(s, dir, "nation").rename("n_regionkey" -> "regionkey")
+    val r = t(s, dir, "region").rename("r_regionkey" -> "regionkey")
+    val joined = n.semijoin(r).project("n_nationkey")
+    Seq(n.project("n_nationkey").relEquals(joined)).toDF("is_eq")
+  }
+
+  // ==================================================== §2.4 aggregation
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .aggregate(Seq("l_returnflag", "l_linestatus"),
+        "sum_qty" -> sum(col("l_quantity").cast(dec182)).cast("double"),
+        "sum_base_price" -> sum(col("l_extendedprice").cast(dec182)).cast("double"),
+        "sum_disc_price" -> sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double"),
+        "avg_qty" -> (sum(col("l_quantity").cast(dec182)).cast("double") / count(lit(1))),
+        "count_order" -> count(lit(1))).df
+
+  def qAggScalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").aggregate(Nil,
+      "revenue" -> Fold.fold("+", (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double")).df
+
+  def qFoldMinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").aggregate(Seq("o_orderpriority"),
+      "min_price" -> Fold.fold("min", col("o_totalprice")),
+      "max_price" -> Fold.fold("max", col("o_totalprice")),
+      "n" -> Fold.foldCount()).df
+
+  def qFoldConcat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").aggregate(Seq("n_regionkey"),
+      "nations" -> Fold.concatFold(Seq(col("n_name")), col("n_name"), ",")).df
+
+  def qFoldProduct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").where(col("l_orderkey") <= 1000)
+      .aggregate(Seq("l_orderkey"),
+        "disc_product" -> round(Fold.fold("*", lit(1.0) + col("l_discount")), 6)).df
+
+  def qFoldUser(s: SparkSession, dir: String): DataFrame = {
+    // generic user-function fold (T,T)→T via typed Aggregator (SURVEY §2.9)
+    implicit val de: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    val foldMax = udaf(Fold.userFold[Double](Double.MinValue, math.max), de)
+    t(s, dir, "lineitem").where(col("l_orderkey") <= 1000)
+      .aggregate(Seq("l_orderkey"), "max_qty" -> foldMax(col("l_quantity"))).df
+  }
+
+  // ============================================== §2.5 ordering / window
+
+  private def orderSpec = OrderSpec(Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+
+  def qRunning(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .extend("running_total" ->
+        sum(col("o_totalprice").cast(dec182)).over(orderSpec.running).cast("double"))
+      .project("o_orderkey", "o_custkey", "running_total").df
+
+  def qLagLead(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .extend(
+        "prev_price" -> Ordered.lagD(col("o_totalprice"), 1, DoubleType, orderSpec),
+        "next_price" -> Ordered.leadD(col("o_totalprice"), 1, DoubleType, orderSpec),
+        "ordinal" -> Ordered.ord(orderSpec))
+      .project("o_orderkey", "prev_price", "next_price", "ordinal").df
+
+  def qNth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .extend("first_price" -> Ordered.nthD(col("o_totalprice"), 0, DoubleType, orderSpec))
+      .project("o_orderkey", "o_custkey", "first_price").df
+
+  def qRank(s: SparkSession, dir: String): DataFrame = {
+    val spec = OrderSpec(Seq("o_orderpriority"), Seq(col("o_totalprice").desc, col("o_orderkey")))
+    t(s, dir, "orders")
+      .extend("price_rank" -> Ordered.rank(spec))
+      .where(col("price_rank") <= 10)
+      .project("o_orderpriority", "o_orderkey", "price_rank").df
+  }
+
+  // ========================================================= §2.1 while
+
+  def qWhile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seed = Rel.distinct(Seq(1L).toDF("n"))
+    WhileFix.rel(seed, r => r.where(col("n") < 100).transform("n" -> (col("n") + 1L))).df
+  }
+
+  // ======================================================== §2.6 updates
+
+  def qUpdateInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = new Catalog(s)
+    cat.define("region", t(s, dir, "region"))
+    cat.insert("region", Rel.distinct(Seq((99, "NEWLAND")).toDF("r_regionkey", "r_name")))
+    cat.relvar("region").df
+  }
+
+  def qUpdateDelete(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.define("region", t(s, dir, "region"))
+    cat.deleteWhere("region", col("r_regionkey") === 0)
+    cat.relvar("region").df
+  }
+
+  def qUpdateSet(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.define("region", t(s, dir, "region"))
+    cat.updateWhere("region", col("r_regionkey") === 1,
+      "r_name" -> concat(lit("REGION_"), col("r_name")))
+    cat.relvar("region").df
+  }
+
+  // ================================================== §2.7 scalar library
+
+  def qScalarText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").transform(
+      "n_name" -> col("n_name"),
+      "left3" -> Scalar.left(col("n_name"), lit(3)),
+      "right12" -> Scalar.right(col("n_name"), lit(12)),
+      "fill7" -> Scalar.fill(col("n_name"), lit(7)),
+      "before_a" -> Scalar.before(col("n_name"), lit("A")),
+      "after_a" -> Scalar.after(col("n_name"), lit("A")),
+      "cat_x" -> Scalar.cat(col("n_name"), lit("_x")),
+      "lower_name" -> lower(col("n_name")),
+      "name_len" -> length(col("n_name")),
+      "is_match" -> Scalar.matches(col("n_name"), "^[A-F]")).df
+
+  def qScalarMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").transform(
+      "p_partkey" -> col("p_partkey"),
+      "div7" -> Scalar.divTrunc(col("p_partkey"), lit(7)),
+      "mod7" -> Scalar.modTrunc(col("p_partkey"), lit(7)).cast("long"),
+      "size_sq" -> Scalar.power(col("p_size"), lit(2)),
+      "neg_size" -> (-col("p_size")),
+      "max_sz" -> greatest(col("p_size"), lit(25)),
+      "min_sz" -> least(col("p_size"), lit(25))).df
+
+  def qScalarDate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").transform(
+      "o_orderkey" -> col("o_orderkey"),
+      "yr" -> Scalar.yearOf(col("o_orderdate")),
+      "mo" -> Scalar.monthOf(col("o_orderdate")),
+      "dy" -> Scalar.dayOf(col("o_orderdate")),
+      "dow" -> Scalar.dowOf(col("o_orderdate")),
+      "days_since_95" -> Scalar.daysDiff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))).df
+
+  def qIf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").transform(
+      "c_custkey" -> col("c_custkey"),
+      "balance_class" -> Scalar.iif(col("c_acctbal") < 0, lit("neg"),
+        Scalar.iif(col("c_acctbal") > 5000, lit("high"), lit("mid")))).df
+
+  // ================================================ §1.4 events / time
+
+  /** events.ts is parquet TIMESTAMP(NANOS): read as long
+    * (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros. */
+  private def events(s: SparkSession, dir: String): Rel = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val fixed =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    Rel.distinct(fixed)
+  }
+
+  def qEventsHour(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .extend("hour" -> date_trunc("hour", col("ts")))
+      .transform("hour" -> col("hour"), "event_type" -> col("event_type"),
+        "value" -> col("value"), "event_id" -> col("event_id"))
+      .aggregate(Seq("hour", "event_type"),
+        "n" -> count(lit(1)),
+        "total_value" -> sum(col("value").cast(dec184)).cast("double")).df
+
+  // ========================================================== §2.1 nest
+
+  def qNestUnnest(s: SparkSession, dir: String): DataFrame = {
+    val nested = Nest.nest(
+      t(s, dir, "customer").project("c_nationkey", "c_custkey", "c_name"),
+      "custs", Seq("c_custkey", "c_name"))
+    Nest.unnest(nested, "custs").df
+  }
+
+  def qNestCard(s: SparkSession, dir: String): DataFrame =
+    Nest.nest(t(s, dir, "customer").project("c_nationkey", "c_custkey", "c_name"),
+        "custs", Seq("c_custkey", "c_name"))
+      .extend("n_custs" -> size(col("custs")))
+      .project("c_nationkey", "n_custs").df
+
+  // ============================================= pipeline: deduplication
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents").bagDF)
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents").bagDF, threshold = 0.5)
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents").bagDF, maxDist = 3)
+
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents").bagDF, threshold = 0.7)
+
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(t(s, dir, "embeddings").bagDF, threshold = 0.4)
+
+  // ========================================== pipeline: similarity search
+
+  private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings").bagDF
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    (queries, emb)
+  }
+
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = knnInputs(s, dir)
+    Similarity.bruteForceKnn(q, c, k = 10)
+  }
+
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = knnInputs(s, dir)
+    Similarity.lshKnn(q, c, k = 10)
+  }
+
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = knnInputs(s, dir)
+    Similarity.ivfKnn(q, c, k = 10)
+  }
+
+  // ============================================ pipeline: text analysis
+
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").transform(
+      "doc_id" -> col("doc_id"),
+      "n_tokens" -> TextAnalysis.tokenCount(col("text")),
+      "n_chars" -> TextAnalysis.charCount(col("text"))).df
+
+  def qQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").transform(
+      "doc_id" -> col("doc_id"),
+      "punct_ratio" -> round(TextAnalysis.punctRatio(col("text")), 6),
+      "upper_ratio" -> round(TextAnalysis.upperRatio(col("text")), 6),
+      "mean_token_len" -> round(TextAnalysis.meanTokenLen(col("text")), 6)).df
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").transform(
+      "doc_id" -> col("doc_id"),
+      "lang_guess" -> TextAnalysis.langId(col("text"))).df
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").transform(
+      "doc_id" -> col("doc_id"),
+      "fp" -> TextAnalysis.fingerprint(col("text"))).df
+
+  // ============================================= pipeline: multimodal
+
+  def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      t(s, dir, "documents").bagDF, "doc_id", "text", "image", "documents")
+    val decoded = Multimodal.decode(assets)
+    Multimodal.resizePlan(decoded, maxSide = 256)
+      .select("asset_id", "width", "height", "channels", "target_width", "target_height")
+  }
+
+  // ================================================================ maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_project" -> qProject, "q_rename" -> qRename, "q_where" -> qWhere,
+    "q_extend" -> qExtend, "q_take" -> qTake, "q_skip" -> qSkip,
+    "q_lift" -> qLift, "q_count_degree" -> qCountDegree,
+    "q_join" -> qJoin, "q_compose" -> qCompose, "q_semijoin" -> qSemijoin,
+    "q_rsemijoin" -> qRsemijoin, "q_ajoin" -> qAjoin, "q_ajoinl" -> qAjoinl,
+    "q_rajoin" -> qRajoin, "q_divide" -> qDivide, "q_rdivide" -> qRdivide,
+    "q_union" -> qUnion, "q_intersect" -> qIntersect, "q_minus" -> qMinus,
+    "q_symdiff" -> qSymdiff, "q_sub" -> qSub, "q_releq" -> qReleq,
+    "q1_agg" -> q1Agg, "q_agg_scalar" -> qAggScalar,
+    "q_fold_minmax" -> qFoldMinMax, "q_fold_concat" -> qFoldConcat,
+    "q_fold_product" -> qFoldProduct, "q_fold_user" -> qFoldUser,
+    "q_running" -> qRunning, "q_lag_lead" -> qLagLead, "q_nth" -> qNth,
+    "q_rank" -> qRank, "q_while" -> qWhile,
+    "q_update_insert" -> qUpdateInsert, "q_update_delete" -> qUpdateDelete,
+    "q_update_set" -> qUpdateSet,
+    "q_scalar_text" -> qScalarText, "q_scalar_math" -> qScalarMath,
+    "q_scalar_date" -> qScalarDate, "q_if" -> qIf,
+    "q_events_hour" -> qEventsHour,
+    "q_nest_unnest" -> qNestUnnest, "q_nest_card" -> qNestCard,
+    "q_dedup_exact" -> qDedupExact, "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash, "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_knn_brute" -> qKnnBrute, "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf,
+    "q_token_count" -> qTokenCount, "q_quality" -> qQuality,
+    "q_langid" -> qLangId, "q_fingerprint" -> qFingerprint,
+    "q_multimodal" -> qMultimodal)
+
+  /** DuckDB oracle SQL. Omitted for LSH/ANN ops whose bucketing is not
+    * SQL-expressible — those get the driver's rows-only check. */
+  val oracleSql: Map[String, String] = Map(
+    "q_project" -> "SELECT DISTINCT s_nationkey FROM supplier",
+    "q_rename" -> "SELECT n_nationkey AS nation_id, n_name AS nation_name, n_regionkey FROM nation",
+    "q_where" -> "SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05",
+    "q_extend" -> "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem",
+    "q_take" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_skip" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+    "q_lift" -> "SELECT o_orderdate FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1",
+    "q_count_degree" -> "SELECT (SELECT count(*) FROM orders) AS n_rows, 6 AS degree",
+    "q_join" -> ("SELECT c_custkey, c_name, c_nationkey AS nationkey, c_acctbal, c_mktsegment, n_name, n_regionkey " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+    "q_compose" -> ("SELECT DISTINCT c_custkey, c_name, c_acctbal, c_mktsegment, n_name, n_regionkey " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+    "q_semijoin" -> ("SELECT c_custkey AS custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+      "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_rsemijoin" -> ("SELECT s_suppkey AS suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)"),
+    "q_ajoin" -> ("SELECT c_custkey AS custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)"),
+    "q_ajoinl" -> ("SELECT DISTINCT c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)"),
+    "q_rajoin" -> ("SELECT c_custkey AS custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)"),
+    "q_divide" -> ("SELECT DISTINCT p_name, p_brand, p_type, p_size, p_retailprice FROM part " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"),
+    "q_rdivide" -> ("SELECT DISTINCT p_name, p_brand, p_type, p_size, p_retailprice FROM part " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"),
+    "q_union" -> "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+    "q_intersect" -> "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    "q_minus" -> "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    "q_symdiff" -> ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) " +
+      "UNION SELECT nationkey FROM (SELECT s_nationkey AS nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)"),
+    "q_sub" -> ("SELECT (SELECT count(*) FROM (SELECT s_nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)) = 0 AS is_sub"),
+    "q_releq" -> ("SELECT (SELECT count(*) FROM (SELECT n_nationkey FROM nation EXCEPT " +
+      "SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey)) = 0 AND " +
+      "(SELECT count(*) FROM (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey " +
+      "EXCEPT SELECT n_nationkey FROM nation)) = 0 AS is_eq"),
+    "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+      "COUNT(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus"),
+    "q_agg_scalar" -> ("SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem"),
+    "q_fold_minmax" -> ("SELECT o_orderpriority, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
+      "COUNT(*) AS n FROM orders GROUP BY o_orderpriority"),
+    "q_fold_concat" -> "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation GROUP BY n_regionkey",
+    "q_fold_product" -> ("SELECT l_orderkey, ROUND(PRODUCT(1.0 + l_discount), 6) AS disc_product " +
+      "FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey"),
+    "q_fold_user" -> "SELECT l_orderkey, MAX(l_quantity) AS max_qty FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey",
+    "q_running" -> ("SELECT o_orderkey, o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total FROM orders"),
+    "q_lag_lead" -> ("SELECT o_orderkey, " +
+      "lag(o_totalprice, 1, 0.0) OVER w AS prev_price, " +
+      "lead(o_totalprice, 1, 0.0) OVER w AS next_price, " +
+      "CAST(row_number() OVER w AS INTEGER) AS ordinal FROM orders " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
+    "q_nth" -> ("SELECT o_orderkey, o_custkey, nth_value(o_totalprice, 1) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price FROM orders"),
+    "q_rank" -> ("SELECT o_orderpriority, o_orderkey, price_rank FROM (" +
+      "SELECT o_orderpriority, o_orderkey, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank " +
+      "FROM orders) WHERE price_rank <= 10"),
+    "q_while" -> ("WITH RECURSIVE t(n) AS (SELECT CAST(1 AS BIGINT) AS n UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT n FROM t"),
+    "q_update_insert" -> "SELECT r_regionkey, r_name FROM region UNION SELECT 99, 'NEWLAND'",
+    "q_update_delete" -> "SELECT r_regionkey, r_name FROM region WHERE NOT (r_regionkey = 0)",
+    "q_update_set" -> ("SELECT r_regionkey, CASE WHEN r_regionkey = 1 THEN 'REGION_' || r_name ELSE r_name END AS r_name FROM region"),
+    "q_scalar_text" -> ("SELECT n_name, " +
+      "CASE WHEN length(n_name) >= 3 THEN substr(n_name, 1, 3) ELSE rpad(n_name, 3, ' ') END AS left3, " +
+      "CASE WHEN length(n_name) >= 12 THEN substr(n_name, length(n_name) - 11, 12) ELSE lpad(n_name, 12, ' ') END AS right12, " +
+      "substr(repeat(n_name, CAST(ceil(7.0 / length(n_name)) AS INTEGER)), 1, 7) AS fill7, " +
+      "CASE WHEN strpos(n_name, 'A') = 0 THEN n_name ELSE substr(n_name, 1, strpos(n_name, 'A') - 1) END AS before_a, " +
+      "CASE WHEN strpos(n_name, 'A') = 0 THEN '' ELSE substr(n_name, strpos(n_name, 'A') + 1) END AS after_a, " +
+      "n_name || '_x' AS cat_x, lower(n_name) AS lower_name, CAST(length(n_name) AS INTEGER) AS name_len, " +
+      "regexp_matches(n_name, '^[A-F]') AS is_match FROM nation"),
+    "q_scalar_math" -> ("SELECT p_partkey, p_partkey // 7 AS div7, p_partkey % 7 AS mod7, " +
+      "POWER(p_size, 2) AS size_sq, -p_size AS neg_size, GREATEST(p_size, 25) AS max_sz, LEAST(p_size, 25) AS min_sz FROM part"),
+    "q_scalar_date" -> ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+      "CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS dy, " +
+      "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, " +
+      "CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_95 FROM orders"),
+    "q_if" -> ("SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal > 5000 THEN 'high' ELSE 'mid' END AS balance_class FROM customer"),
+    "q_events_hour" -> ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2"),
+    "q_nest_unnest" -> "SELECT c_nationkey, c_custkey, c_name FROM customer",
+    "q_nest_card" -> "SELECT c_nationkey, CAST(COUNT(*) AS INTEGER) AS n_custs FROM customer GROUP BY c_nationkey",
+    "q_dedup_exact" -> ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+      "min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY 1"),
+    "q_token_count" -> ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens, " +
+      "CAST(length(text) AS INTEGER) AS n_chars FROM documents"),
+    "q_quality" -> ("SELECT doc_id, " +
+      "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio, " +
+      "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS upper_ratio, " +
+      "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) END, 6) AS mean_token_len " +
+      "FROM documents"),
+    "q_fingerprint" -> ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents"),
+    "q_multimodal" -> ("SELECT doc_id AS asset_id, " +
+      "CAST(64 + (abs(octet_length(encode(text)) * 31) % 1024) AS INTEGER) AS width, " +
+      "CAST(64 + (abs(octet_length(encode(text)) * 17) % 1024) AS INTEGER) AS height, 3 AS channels, " +
+      "CAST(ceil((64 + (abs(octet_length(encode(text)) * 31) % 1024)) * LEAST(256.0 / (64 + (abs(octet_length(encode(text)) * 31) % 1024)), 256.0 / (64 + (abs(octet_length(encode(text)) * 17) % 1024)), 1.0)) AS INTEGER) AS target_width, " +
+      "CAST(ceil((64 + (abs(octet_length(encode(text)) * 17) % 1024)) * LEAST(256.0 / (64 + (abs(octet_length(encode(text)) * 31) % 1024)), 256.0 / (64 + (abs(octet_length(encode(text)) * 17) % 1024)), 1.0)) AS INTEGER) AS target_height " +
+      "FROM documents"))
+}

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is shuffle-bounded by GROUP BY / JOIN on a
+  * compact key (hash, band signature, bit-prefix bucket) — never an
+  * all-pairs comparison. Candidate generation is blocked (LSH bands /
+  * hamming prefixes / norm buckets) so the quadratic verify step only runs
+  * within buckets, which stay small under any reasonable similarity
+  * threshold. All expression work is `functions._` (codegen'd); the only
+  * shuffles are the ones the algorithm inherently needs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * One hash-shuffle; at 100 TB this is a plain groupBy on a 128-bit key. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Deterministic MinHash signature: k permutations h_i(x) = (a_i*x + b_i)
+    * mod p over xxhash64 shingle hashes (public construction, Broder '97).
+    * Coefficients come from a fixed seed so results are reproducible. */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    // 2^31-1 (Mersenne prime): keeps h*a < 2^62, no ANSI long overflow
+    val p = 2147483647L
+    val coeffs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+                                      math.abs(rnd.nextLong()) % p))
+    val hashes = transform(shingleSet, s => pmod(xxhash64(s), lit(p)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** MinHash LSH near-dup candidate pairs: band the signature, shuffle on
+    * (band index, band hash), pair up within buckets, then verify with the
+    * true shingle Jaccard. `bands` × `rowsPerBand` = signature length;
+    * P(candidate) = 1-(1-s^r)^b — 16 bands × 4 rows targets s ≈ 0.5+.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                   shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // explode to (band, bandHash, id, shingles): one shuffle on the band key
+    val banded = sig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b))).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash (Charikar '02): sum signed bit contributions of token
+    * hashes, take the sign vector. Pure column expressions. */
+  def simhash(text: Column): Column = {
+    val toks = split(lower(trim(text)), "[^a-z0-9]+")
+    val hashes = transform(filter(toks, t => length(t) > 0), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist. Blocking:
+    * split the 64-bit hash into (maxDist+1) chunks — by pigeonhole, any
+    * pair within maxDist agrees on at least one full chunk, so joining on
+    * (chunk index, chunk value) finds all such pairs without all-pairs. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val withHash = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = withHash.select(col("id"), col("sh"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftrightunsigned(col("sh"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))
+      }: _*)).as(Seq("chunk", "cv")))
+    val a = banded.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** n-gram Jaccard dedup: exact Jaccard over character n-grams, blocked by
+    * a single cheap minhash bucket to avoid all-pairs. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 5,
+                        threshold: Double = 0.7): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        TextAnalysis.charNgrams(col(textCol), n).as("g"))
+      .filter(size(col("g")) > 0)
+      // block on the min token hash — near-identical docs share it w.h.p.
+      .withColumn("bucket", array_min(transform(col("g"), g => xxhash64(g))))
+    val a = grams.select(col("bucket"), col("id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("bucket"), col("id").as("id_b"), col("g").as("g_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+         size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
+    * random-hyperplane LSH signature (sign bits). One side multi-probes its
+    * 1-bit-flipped neighbour buckets, so pairs within hamming distance 1 of
+    * signature are found too — recall at moderate thresholds without
+    * widening the shuffle by more than (planes+1)×. */
+  def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding", threshold: Double = 0.4,
+                     planes: Int = 4, seed: Long = 7L): DataFrame = {
+    val sig = Similarity.hyperplaneSig(col(vecCol), planes, seed)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+    val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
+    val a = e.select(explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `Column` combinators over `functions._` — codegen'd, no UDFs,
+  * so a 100 TB documents scan stays a single whole-stage-codegen pass with
+  * column pruning (only `text` is read when only these are selected).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for empty/blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word chunks, digits, punctuation runs counted
+    * separately (a cheap proxy for tokenizer load estimation). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character count. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+        / tokenCount(text).cast("double"))
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Uppercase ratio. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, "[A-Z]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** English stopword hit ratio: stopword tokens / tokens (quality and
+    * language signal; the classic Gopher/C4-style heuristic). */
+  val enStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val toks = split(lower(trim(text)), "[^a-z]+")
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * stopword presence (C4/Gopher-flavoured, deliberately simple+cheap). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Language ID: count stopword hits per language, take the argmax
+    * (n-gram/stopword heuristic; deterministic, SQL-expressible). Returns
+    * the language code with the most hits, "und" when all zero. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to", "that", "it", "was", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "es", "una", "por", "que", "con", "para"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+")
+    val scored = langStopwords.map { case (code, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
+             lit(code).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: hash of whitespace/case-normalized text —
+    * exact-dup key robust to trivial formatting differences. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word k-shingles (n-gram set) — the MinHash input. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "[^a-z0-9]+")
+    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Character n-grams (for n-gram Jaccard dedup). */
+  def charNgrams(text: Column, n: Int = 5): Column = {
+    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i => s.substr(i, lit(n))))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Andl's single aggregation primitive: `fold(op, expr)` inside a transform
+  * (AstFactory.Fold, Andl.Peg/AstFactory.cs:387-400; runtime
+  * Builtin.Fold, Andl.Runtime/Builtin.cs:387-395).
+  *
+  * Foldable ops are binary ops `(T,T)→T` (SymbolTable.cs:455-512):
+  * commutative ones (`+ * max min and or xor`, union/intersect on RVAs) fold
+  * in any order — these map to native Spark aggregate functions and stay
+  * inside whole-stage codegen with map-side partial aggregation.
+  * Order-dependent ones (`- / &` concat) are only deterministic under a
+  * total order — those go through [[Fold.orderedFold]], which materializes
+  * the group as a sorted array and folds it with `functions.aggregate`
+  * (still distributed: one array per group, built by a single shuffle).
+  */
+object Fold {
+
+  /** Builtin commutative folds → native Spark aggregates (codegen'd,
+    * partial-aggregation-friendly). Seeds per SymbolTable.GetSeed
+    * (SymbolTable.cs:221-256): empty group yields the seed, never NULL. */
+  def fold(op: String, c: Column): Column = op match {
+    case "+" | "sum" => sum(c)
+    case "*"         => product(c)
+    case "max"       => max(c)
+    case "min"       => min(c)
+    case "and"       => bool_and(c)
+    case "or"        => bool_or(c)
+    case "xor"       => count_if(c) % 2 === 1
+    case other => throw new IllegalArgumentException(s"not a builtin fold: $other")
+  }
+
+  /** fold(+,1) — the count idiom (Test/SetupSuite.andl:28). */
+  def foldCount(): Column = count(lit(1))
+
+  /** fold(+,x)/fold(+,1) — the average idiom (SetupSuite.andl:29). */
+  def foldAvg(c: Column): Column = avg(c)
+
+  /** Product aggregate — Spark has no product(); log-space tricks break on
+    * zero/negative, so reduce the group as an array. Groups are materialized
+    * per-key (fine: Andl folds are per-group scalars, group sizes are data-
+    * bounded); the shuffle is the same one the groupBy needed anyway. */
+  def product(c: Column): Column =
+    aggregate(collect_list(c.cast("double")), lit(1.0), (acc, x) => acc * x)
+
+  /** Order-dependent fold: sort the group by `ord`, then left-fold `value`
+    * with `f` starting from `seed`. Deterministic under the given total
+    * order (mirror of TransformOrdered, DataTableLocal.cs:589-627).
+    * Implemented as array_sort(collect_list(struct)) + functions.aggregate —
+    * no UDF, stays in codegen. */
+  def orderedFold(ord: Seq[Column], value: Column, seed: Column,
+                  f: (Column, Column) => Column): Column = {
+    val packed = struct((ord :+ value.as("__v")): _*)
+    val sorted = array_sort(collect_list(packed))
+    aggregate(sorted, seed, (acc, x) => f(acc, x.getField("__v")))
+  }
+
+  /** Ordered string-concat fold: `.order(k).select{fold(&, s)}`. */
+  def concatFold(ord: Seq[Column], value: Column, sep: String = ""): Column = {
+    val packed = struct((ord :+ value.as("__v")): _*)
+    array_join(transform(array_sort(collect_list(packed)), _.getField("__v")), sep)
+  }
+
+  /** Generic user-function fold `(T,T)→T` as a typed Aggregator
+    * (SURVEY §2.9: reference precedent is a custom SQLite aggregate,
+    * SqliteDatabase.cs:233-278). Only parallel-safe when `f` is associative
+    * and commutative — same caveat the reference's ANY flag encodes. */
+  def userFold[T](z: T, f: (T, T) => T)(implicit enc: Encoder[T]): Aggregator[T, T, T] =
+    new Aggregator[T, T, T] {
+      override def zero: T = z
+      override def reduce(b: T, a: T): T = f(b, a)
+      override def merge(b1: T, b2: T): T = f(b1, b2)
+      override def finish(r: T): T = r
+      override def bufferEncoder: Encoder[T] = enc
+      override def outputEncoder: Encoder[T] = enc
+    }
+
+  /** fold(union, rva) — set-union of relation-valued attributes across a
+    * group (used for nesting, Sample/sample3.andl:30-33). */
+  def foldUnionRva(rva: Column): Column =
+    array_sort(array_distinct(flatten(collect_list(rva))))
+}

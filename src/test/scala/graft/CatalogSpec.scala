@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.rel.Rel
+
+/** Relvar updates + persistence (SURVEY §2.6; SuiteUpdateCat mirrors). */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insert / deleteWhere / updateWhere with copy-on-write swap") {
+    val cat = new Catalog(spark)
+    cat.define("S", S)
+    cat.insert("S", Rel.distinct(Seq(("S6", "Smyth", 15, "Berlin")).toDF("S#", "SNAME", "STATUS", "CITY")))
+    assert(cat.relvar("S").count() === 6)
+    // inserting an existing tuple is a no-op (set semantics)
+    cat.insert("S", Rel.distinct(Seq(("S6", "Smyth", 15, "Berlin")).toDF("S#", "SNAME", "STATUS", "CITY")))
+    assert(cat.relvar("S").count() === 6)
+    cat.deleteWhere("S", col("CITY") === "Paris")
+    assert(cat.relvar("S").count() === 4)
+    cat.updateWhere("S", col("S#") === "S1", "STATUS" -> (col("STATUS") + 5))
+    val s1 = cat.relvar("S").where(col("S#") === "S1").df.collect()(0)
+    assert(s1.getAs[Int]("STATUS") === 25)
+    assert(cat.relvar("S").count() === 4)
+  }
+
+  test("deleteRows by value (update R minus r)") {
+    val cat = new Catalog(spark)
+    cat.define("SP", SP)
+    cat.deleteRows("SP", SP.where(col("S#") === "S1"))
+    assert(cat.relvar("SP").count() === 6)
+  }
+
+  test("persist + load roundtrip (catalog persistence, Persist.cs:16-31)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark)
+    cat.define("S", S)
+    cat.persist(dir)
+    val cat2 = new Catalog(spark)
+    val loaded = cat2.load(dir, "S")
+    assert(loaded.relEquals(S))
+  }
+
+  test("catalog introspection (andl_variable analogue)") {
+    val cat = new Catalog(spark)
+    cat.define("S", S); cat.define("SP", SP)
+    val vars = cat.variables.collect().map(_.getString(0)).toSet
+    assert(vars === Set("S", "SP"))
+  }
+}

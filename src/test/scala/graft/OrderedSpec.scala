@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.rel.{Fold, Ordered, OrderedFold, OrderSpec, Rel}
+
+/** Mirror of Test/SuiteRelOrder.andl — ordered concat folds for every
+  * asc/desc key combination, running sums, lag/lead/nth with DEFAULT (not
+  * null) boundaries, and `%`-grouped variants. */
+class OrderedSpec extends SparkSpec {
+
+  private def concatUnder(spec: OrderSpec): String =
+    ROQ5.transform("s" -> OrderedFold.concat(col("A1"), spec)).df
+      .collect()(0).getString(0)
+
+  test("ordered concat folds, all key combinations (SuiteRelOrder.andl:16-26)") {
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A1")))) === "abc-def-g-h-ijkl-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A1").desc))) === "ijkl-h-g-def-abc-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A2"), col("A1")))) === "def-g-h-abc-ijkl-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A2"), col("A1").desc))) === "h-g-def-abc-ijkl-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A2").desc, col("A1")))) === "ijkl-abc-def-g-h-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A2").desc, col("A1").desc))) === "ijkl-abc-h-g-def-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A3"), col("A1")))) === "g-abc-h-def-ijkl-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A3").desc, col("A1")))) === "ijkl-def-abc-h-g-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A3"), col("A2")))) === "g-h-abc-def-ijkl-")
+    assert(concatUnder(OrderSpec(Nil, Seq(col("A3").desc, col("A2")))) === "ijkl-def-h-abc-g-")
+  }
+
+  test("groupBy-path ascending concat fold agrees (Fold.concatFold)") {
+    val got = ROQ5.aggregate(Nil, "s" -> Fold.concatFold(Seq(col("A1")), col("A1")))
+      .df.collect()(0).getString(0)
+    assert(got === "abc-def-g-h-ijkl-")
+  }
+
+  private def nSet(spec: OrderSpec, c: org.apache.spark.sql.Column): Set[Int] =
+    ROQ5.transform("N" -> c).df.collect().map(_.getInt(0)).toSet
+
+  test("running sum (SuiteRelOrder.andl:32)") {
+    val spec = OrderSpec(Nil, Seq(col("A1")))
+    assert(nSet(spec, sum(col("A0")).over(spec.running).cast("int")) ===
+      Set(1, 3, 6, 10, 15))
+  }
+
+  test("lag/lead/nth with type-default boundaries (SuiteRelOrder.andl:35-40)") {
+    val spec = OrderSpec(Nil, Seq(col("A1")))
+    assert(nSet(spec, Ordered.lagD(col("A0"), 1, IntegerType, spec)) === Set(0, 1, 2, 3, 4))
+    assert(nSet(spec, Ordered.lagD(col("A0"), 2, IntegerType, spec)) === Set(0, 1, 2, 3))
+    assert(nSet(spec, Ordered.leadD(col("A0"), 1, IntegerType, spec)) === Set(0, 2, 3, 4, 5))
+    assert(nSet(spec, Ordered.leadD(col("A0"), 2, IntegerType, spec)) === Set(0, 3, 4, 5))
+    assert(nSet(spec, Ordered.nthD(col("A0"), 3, IntegerType, spec)) === Set(4))
+  }
+
+  test("%-grouped lag/lead/nth (SuiteRelOrder.andl:43-47)") {
+    val spec = OrderSpec(Seq("A2"), Seq(col("A1")))
+    assert(nSet(spec, Ordered.lagD(col("A0"), 1, IntegerType, spec)) === Set(0, 2, 3))
+    assert(nSet(spec, Ordered.lagD(col("A0"), 2, IntegerType, spec)) === Set(0, 2))
+    assert(nSet(spec, Ordered.leadD(col("A0"), 1, IntegerType, spec)) === Set(0, 3, 4))
+    assert(nSet(spec, Ordered.leadD(col("A0"), 2, IntegerType, spec)) === Set(0, 4))
+    assert(nSet(spec, Ordered.nthD(col("A0"), 1, IntegerType, spec)) === Set(0, 3))
+  }
+
+  test("ord/ordg/rank") {
+    val spec = OrderSpec(Nil, Seq(col("A1")))
+    assert(nSet(spec, Ordered.ord(spec)) === Set(1, 2, 3, 4, 5))
+    val gspec = OrderSpec(Seq("A2"), Seq(col("A1")))
+    assert(nSet(gspec, Ordered.rank(gspec)) === Set(1, 2, 3))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. Uses planted near-duplicates so
+  * recall is testable deterministically. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+    (3L, "completely different text about spark distributed computation engines"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (5L, "der schnelle braune fuchs springt nicht über den faulen hund und das ist gut"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 4) // 1&4 collapse
+    val dupRow = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(dupRow.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minhash LSH finds planted near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
+  }
+
+  test("simhash hamming pairs find near-dups, not unrelated docs") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine and dot on float arrays") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+                 (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val cos = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0) - 1.0) < 1e-9)
+    assert(math.abs(cos(1)) < 1e-9)
+  }
+
+  test("brute-force knn: self is nearest neighbour at cosine 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = Similarity.bruteForceKnn(q, emb, k = 3)
+    val top1 = knn.filter(col("rank") === 1)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.forall { case (a, b) => a == b })
+  }
+
+  test("lsh knn recall: self always found (same bucket by construction)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = Similarity.lshKnn(q, emb, k = 3)
+    val top1 = knn.filter(col("rank") === 1)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.forall { case (a, b) => a == b })
+  }
+
+  test("text analysis columns") {
+    val r = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("nt"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+    assert(r(0).getAs[Int]("nt") === 14)
+    assert(r(0).getAs[String]("lang") === "en")
+    assert(r(4).getAs[String]("lang") === "de")
+    assert(r(0).getAs[String]("fp") === r(3).getAs[String]("fp"))
+    assert(r(0).getAs[Double]("q") > 0.0 && r(0).getAs[Double]("q") <= 1.0)
+  }
+
+  test("multimodal: asset wrap + stub decode + resize plan, deterministic") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "image", "test")
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+    assert(shape(assets.schema) === shape(Multimodal.assetSchema))
+    val decoded = Multimodal.decode(assets)
+    val planned = Multimodal.resizePlan(decoded, maxSide = 256).collect()
+    assert(planned.length === 5)
+    planned.foreach { r =>
+      assert(r.getAs[Int]("target_width") <= 256 && r.getAs[Int]("target_height") <= 256)
+      assert(r.getAs[Seq[Float]]("feature").length === 8)
+    }
+    // determinism: same text → same decode
+    val d = decoded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d(1L) === d(4L))
+  }
+}

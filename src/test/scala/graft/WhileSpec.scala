@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.{Rel, WhileFix}
+
+/** Mirror of Test/SuiteRelWhile.andl + Sample/recursive.andl — generative
+  * and recursive fixpoints. */
+class WhileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("{{A1:=0}} while (A1<=10 → A1+1) has 11 rows (SuiteRelWhile.andl:11-14)") {
+    val seed = Rel.distinct(Seq(0).toDF("A1"))
+    val out = WhileFix.rel(seed, r => r.where(col("A1") < 10).transform("A1" -> (col("A1") + 1)))
+    assert(out.count() === 11)
+  }
+
+  test("fibonacci: fib(15) = 610 (SuiteRelWhile.andl / Sample/fibonacci.andl)") {
+    val seed = Rel.distinct(Seq((0, 0L, 1L)).toDF("N", "a", "b"))
+    val out = WhileFix.rel(seed, r => r.where(col("N") < 15).transform(
+      "N" -> (col("N") + 1), "a" -> col("b"), "b" -> (col("a") + col("b"))))
+    val fib15 = out.where(col("N") === 15).df.collect()(0).getLong(1)
+    assert(fib15 === 610L)
+  }
+
+  test("transitive closure over org chart (Sample/recursive.andl:18-23)") {
+    // alice tree: who reports (directly or transitively) to alice
+    val edges = Rel.distinct(Seq(
+      ("bob", "alice"), ("carol", "alice"), ("dave", "bob"),
+      ("eve", "bob"), ("frank", "carol"), ("grace", "dave")).toDF("name", "boss"))
+    val seed = edges.where(col("boss") === "alice").project("name")
+    // step: anyone whose boss is already in the closure
+    val closure = WhileFix.rel(seed, r =>
+      edges.semijoin(r.rename("name" -> "boss")).project("name"))
+    assert(closure.df.collect().map(_.getString(0)).toSet ===
+      Set("bob", "carol", "dave", "eve", "frank", "grace"))
+  }
+}
