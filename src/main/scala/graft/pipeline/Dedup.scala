@@ -23,16 +23,17 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** Deterministic MinHash signature: k permutations h_i(x) = (a_i*x + b_i)
-    * mod p over xxhash64 shingle hashes (public construction, Broder '97).
-    * Coefficients come from a fixed seed so results are reproducible. */
-  def minhashSignature(shingleSet: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+  /** Deterministic MinHash signature over PRE-HASHED shingles (array of
+    * 64-bit longs): k permutations h_i(x) = (a_i*x + b_i) mod p (public
+    * construction, Broder '97). Coefficients come from a fixed seed so
+    * results are reproducible across runs and engines. */
+  def minhashSignature(hashedShingles: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     // 2^31-1 (Mersenne prime): keeps h*a < 2^62, no ANSI long overflow
     val p = 2147483647L
     val coeffs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
                                       math.abs(rnd.nextLong()) % p))
-    val hashes = transform(shingleSet, s => pmod(xxhash64(s), lit(p)))
+    val hashes = transform(hashedShingles, s => pmod(s.cast("long"), lit(p)))
     array(coeffs.map { case (a, b) =>
       array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
     }: _*)
@@ -50,7 +51,7 @@ object Dedup {
                    shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
     val sig = docs
-      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"), TextAnalysis.hashedShingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
     // explode to (band, bandHash, id, shingles): one shuffle on the band key
@@ -109,7 +110,7 @@ object Dedup {
                         textCol: String = "text", n: Int = 5,
                         threshold: Double = 0.7): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
-        TextAnalysis.charNgrams(col(textCol), n).as("g"))
+        TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
       // block on the min token hash — near-identical docs share it w.h.p.
       .withColumn("bucket", array_min(transform(col("g"), g => xxhash64(g))))

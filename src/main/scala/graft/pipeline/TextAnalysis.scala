@@ -101,4 +101,16 @@ object TextAnalysis {
     val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
     array_distinct(transform(idx, i => s.substr(i, lit(n))))
   }
+
+  /** Hashed word k-shingles: 64-bit hashes instead of strings. At scale the
+    * candidate join carries these arrays through a shuffle and intersects
+    * them per pair — longs make that both ~8x smaller on the wire and far
+    * cheaper to set-intersect than variable-length strings. Collision rate
+    * at 64 bits is negligible for dedup purposes. */
+  def hashedShingles(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Hashed character n-grams (same rationale as [[hashedShingles]]). */
+  def hashedCharNgrams(text: Column, n: Int = 5): Column =
+    array_distinct(transform(charNgrams(text, n), g => xxhash64(g)))
 }
