@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line. Failures are LOUD: a crashing query is reported in
+  * an "errors" map (and to stderr) instead of masquerading as a fast
+  * timing. The JSON line is printed to stdout AND written to
+  * bench_out.json so a log-prefixing runner (sbt [info]) can't make it
+  * unparseable. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,19 +15,39 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          errors(name) = msg
+          System.err.println(s"[bench] FAILED $name: $msg")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    println(json)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

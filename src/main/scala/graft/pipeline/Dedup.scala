@@ -39,9 +39,38 @@ object Dedup {
     }: _*)
   }
 
-  /** MinHash LSH near-dup candidate pairs: band the signature, shuffle on
-    * (band index, band hash), pair up within buckets, then verify with the
-    * true shingle Jaccard. `bands` × `rowsPerBand` = signature length;
+  /** Banded-LSH candidate pairs over BARE ids: explode the signature into
+    * (band, bandHash) keys, self-join on the band key, and deduplicate the
+    * candidate id pairs BEFORE any verification. Two scale properties the
+    * naive version lacks: (a) only (long, long, long) rows ride the banded
+    * shuffle — the payload arrays (shingles) never do; (b) a pair colliding
+    * in b bands is verified once, not b times. */
+  private def bandedCandidateIds(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b))).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+  }
+
+  /** Verify candidate id pairs with exact Jaccard: join the gram arrays back
+    * once per side (shuffle on id — each array crosses the wire once). */
+  private def verifyJaccard(cands: DataFrame, grams: DataFrame,
+                            threshold: Double): DataFrame = {
+    val ga = grams.select(col("id").as("id_a"), col("g").as("g_a"))
+    val gb = grams.select(col("id").as("id_b"), col("g").as("g_b"))
+    cands.join(ga, "id_a").join(gb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+         size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature, generate deduplicated
+    * candidate id pairs, then verify each ONCE with the true shingle
+    * Jaccard. `bands` × `rowsPerBand` = signature length;
     * P(candidate) = 1-(1-s^r)^b — 16 bands × 4 rows targets s ≈ 0.5+.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
@@ -50,22 +79,11 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
                    shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs
-      .select(col(idCol).as("id"), TextAnalysis.hashedShingles(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // explode to (band, bandHash, id, shingles): one shuffle on the band key
-    val banded = sig.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b))).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    val grams = docs
+      .select(col(idCol).as("id"), TextAnalysis.hashedShingles(col(textCol), shingleK).as("g"))
+      .filter(size(col("g")) > 0)
+    val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
+    verifyJaccard(bandedCandidateIds(sig, bands, rows), grams, threshold)
   }
 
   /** 64-bit SimHash (Charikar '02): sum signed bit contributions of token
@@ -104,24 +122,24 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** n-gram Jaccard dedup: exact Jaccard over character n-grams, blocked by
-    * a single cheap minhash bucket to avoid all-pairs. */
+  /** n-gram Jaccard dedup: EXACT Jaccard over character n-grams, with
+    * banded-minhash blocking (same machinery as [[minhashPairs]], run over
+    * char n-gram hashes instead of word shingles). At threshold 0.7 the
+    * 16×4 banding has recall 1-(1-0.7^4)^16 ≈ 0.99 — versus the single-
+    * bucket array_min blocking this replaces, whose recall tops out near
+    * the Jaccard value itself AND whose one-hot-bucket-per-common-n-gram
+    * skew is quadratic at scale. Precision is exact (every emitted pair is
+    * verified against the full gram sets). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 5,
-                        threshold: Double = 0.7): DataFrame = {
+                        threshold: Double = 0.7, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
     val grams = docs.select(col(idCol).as("id"),
         TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
-      // block on the min token hash — near-identical docs share it w.h.p.
-      .withColumn("bucket", array_min(transform(col("g"), g => xxhash64(g))))
-    val a = grams.select(col("bucket"), col("id").as("id_a"), col("g").as("g_a"))
-    val b = grams.select(col("bucket"), col("id").as("id_b"), col("g").as("g_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-         size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
+    verifyJaccard(bandedCandidateIds(sig, bands, rows), grams, threshold)
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by

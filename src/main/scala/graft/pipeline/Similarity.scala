@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`):
@@ -11,6 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Dot products are `zip_with` + `aggregate` column expressions (codegen'd,
   * no UDF, vector never leaves Tungsten rows).
+  *
+  * Top-k is TWO-PHASE everywhere: a per-(query, input-partition) local
+  * top-k, then a merge of the ≤ k·numPartitions survivors per query —
+  * never a `Window.partitionBy(q_id)` over the whole scored corpus, which
+  * would send every candidate of a query to a single partition (the
+  * "fine at sf0.1, dead at 100×" pattern). Both phases are ordinary
+  * hash aggregations with map-side partial aggregation.
   */
 object Similarity {
 
@@ -46,19 +52,36 @@ object Similarity {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Distributed top-k per query over a scored candidate set
+    * (qId, cId, cosine): phase 1 takes a local top-k per (query, physical
+    * input partition) — the groupBy key includes `spark_partition_id()`, so
+    * no reducer ever holds more than one partition's candidates for one
+    * query; phase 2 merges the ≤ k·P survivors per query. Ties break by
+    * ascending cId (matches a row_number window ordered cosine desc, cId). */
+  private def topK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
+    val packed = struct((-col("cosine")).as("nc"), col(cId).as("c"))
+    val local = scored
+      .groupBy(col(qId), spark_partition_id().as("__pid"))
+      .agg(slice(sort_array(collect_list(packed)), 1, k).as("top"))
+    val merged = local.select(col(qId), explode(col("top")).as("t"))
+      .groupBy(col(qId))
+      .agg(slice(sort_array(collect_list(col("t"))), 1, k).as("top"))
+    merged.select(col(qId), posexplode(col("top")).as(Seq("__i", "t")))
+      .select(col(qId), col("t.c").as(cId), (-col("t.nc")).as("cosine"),
+        (col("__i") + 1).as("rank"))
+  }
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
-    * corpus, per-query top-k via window. The right baseline — and at
-    * cluster scale still the right plan when queries ≪ corpus, because the
-    * corpus is scanned exactly once with no shuffle (broadcast join),
-    * then one shuffle on query id for the top-k. */
+    * corpus — the corpus is scanned exactly once with no shuffle, scoring
+    * stays in whole-stage codegen, then the two-phase top-k reduces each
+    * partition to k rows per query before anything shuffles. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                     qId: String = "q_id", qVec: String = "q_vec",
                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qId), col(cId),
         round(cosine(col(qVec), col(cVec)), 6).as("cosine"))
-    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topK(scored, k, qId, cId)
   }
 
   /** LSH-bucketed approximate top-k: probe only corpus vectors whose
@@ -76,43 +99,48 @@ object Similarity {
       val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
       qSig0.withColumn("bucket", explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
     }
-    val scored = cSig.join(qSig, "bucket")
+    val scored = cSig.join(broadcast(qSig), "bucket")
       .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("cosine"))
       .dropDuplicates(qId, cId)
-    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topK(scored, k, qId, cId)
   }
 
   /** IVF (inverted file) ANN: assign every corpus vector to its nearest of
-    * `nlist` centroids (one broadcast join), then search only the
-    * `nprobe` closest lists per query. Centroids here are sampled corpus
-    * vectors (k-means init step) — good enough for a coarse quantizer and
-    * fully deterministic. */
+    * `nlist` centroids, then search only the `nprobe` closest lists per
+    * query. Centroids are a deterministic pseudo-random sample (ordered by
+    * id hash — balanced in expectation, reproducible; a k-means refinement
+    * would start from exactly this). Assignment is a broadcast crossJoin +
+    * `max_by` hash aggregation — partial-aggregatable map-side, so the
+    * nlist× candidate inflation collapses to one row per vector BEFORE the
+    * shuffle (the window-based argmax this replaces shuffled all
+    * corpus×nlist rows). */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    // deterministic "centroids": nlist corpus vectors with the smallest ids
-    val centroids = corpus.orderBy(col(cId)).limit(nlist)
+    // deterministic sampled centroids: nlist vectors with the smallest id hash
+    val centroids = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
       .select(col(cId).as("centroid_id"), col(cVec).as("centroid"))
-    // assign corpus → nearest centroid (broadcast: nlist rows)
+    // assign corpus → nearest centroid: argmax via max_by (ties → lowest id)
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("cdist", cosine(col(cVec), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(cId).orderBy(col("cdist").desc, col("centroid_id"))))
-      .filter(col("crank") === 1)
-      .select(col(cId), col(cVec), col("centroid_id"))
-    // per query: nprobe nearest centroids
+      .groupBy(col(cId))
+      .agg(
+        max_by(col("centroid_id"), struct(col("cdist"), (-col("centroid_id")).as("nid")))
+          .as("centroid_id"),
+        first(col(cVec)).as(cVec))
+    // per query: nprobe nearest centroids (nlist candidates per query —
+    // local sort_array/slice aggregation, no window)
+    val probePack = struct((-col("qdist")).as("nd"), col("centroid_id").as("c"))
     val probed = queries.crossJoin(broadcast(centroids))
       .withColumn("qdist", cosine(col(qVec), col("centroid")))
-      .withColumn("qrank", row_number().over(
-        Window.partitionBy(qId).orderBy(col("qdist").desc, col("centroid_id"))))
-      .filter(col("qrank") <= nprobe)
-      .select(col(qId), col(qVec), col("centroid_id"))
+      .groupBy(col(qId))
+      .agg(first(col(qVec)).as(qVec),
+        slice(sort_array(collect_list(probePack)), 1, nprobe).as("probes"))
+      .select(col(qId), col(qVec), explode(col("probes").getField("c")).as("centroid_id"))
     // search only the probed lists: shuffle on centroid_id, not all-pairs
     val scored = assigned.join(probed, "centroid_id")
       .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("cosine"))
-    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topK(scored, k, qId, cId)
   }
 }

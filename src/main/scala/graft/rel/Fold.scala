@@ -21,16 +21,27 @@ object Fold {
 
   /** Builtin commutative folds → native Spark aggregates (codegen'd,
     * partial-aggregation-friendly). Seeds per SymbolTable.GetSeed
-    * (SymbolTable.cs:221-256): empty group yields the seed, never NULL. */
+    * (SymbolTable.cs:221-256): an empty GLOBAL fold yields the seed, never
+    * NULL (grouped folds never see an empty group) — `+` seeds 0, `and`
+    * true, `or`/`xor` false, `*` 1. `min`/`max` seed with the TYPE default,
+    * which needs the value type: use the `(op, c, dt)` overload where an
+    * empty global fold is possible. */
   def fold(op: String, c: Column): Column = op match {
-    case "+" | "sum" => sum(c)
+    case "+" | "sum" => coalesce(sum(c), lit(0))
     case "*"         => product(c)
     case "max"       => max(c)
     case "min"       => min(c)
-    case "and"       => bool_and(c)
-    case "or"        => bool_or(c)
+    case "and"       => coalesce(bool_and(c), lit(true))
+    case "or"        => coalesce(bool_or(c), lit(false))
     case "xor"       => count_if(c) % 2 === 1
     case other => throw new IllegalArgumentException(s"not a builtin fold: $other")
+  }
+
+  /** Seed-safe fold for empty global folds over typed values: coalesces to
+    * the per-op seed (type default for min/max, Rel.defaultCol). */
+  def fold(op: String, c: Column, dt: org.apache.spark.sql.types.DataType): Column = op match {
+    case "max" | "min" => coalesce(fold(op, c), Rel.defaultCol(dt))
+    case other         => fold(other, c)
   }
 
   /** fold(+,1) — the count idiom (Test/SetupSuite.andl:28). */

@@ -53,9 +53,21 @@ object Ordered {
     * what every reference test observes since they always sort first). */
   def ord(spec: OrderSpec): Column = row_number().over(spec.window)
 
-  /** ordg(): ordinal of the first row of the group (Builtin.cs:346-350). */
-  def ordg(spec: OrderSpec): Column =
-    first(row_number().over(spec.window)).over(spec.whole)
+  /** ordg(): ordinal of the group's FIRST row under the full order
+    * (Builtin.OrdinalGroup, Builtin.cs:346-350 → DataRow.Ordinal(true),
+    * DataRow.cs:252-255 → OrderedIndex.Offset(row,0,Absolute),
+    * OrderedIndex.cs:129-147 — the reference returns the INPUT ordinal of
+    * the group's first row in its index sorted by all spec segments; we
+    * return the 1-based position under the explicit total order
+    * (groupKeys then sort), the same documented deviation as [[ord]]).
+    * Scale note: like ungrouped [[ord]], the global row_number is a
+    * single-partition window — reference semantics are inherently a total
+    * order; use only where the reference language would (presentation /
+    * small ordered transforms). */
+  def ordg(spec: OrderSpec): Column = {
+    val global = Window.orderBy(spec.groupBy.map(col) ++ spec.sort: _*)
+    first(row_number().over(global)).over(spec.whole)
+  }
 
   /** lag with NO-NULL discipline: outside the group returns the column's
     * type default, never null (DataRow.cs:242-249). */

@@ -232,7 +232,7 @@ final class Rel private (private val bag: DataFrame, val knownDistinct: Boolean)
   /** Relation value equality — both EXCEPT directions empty
     * (DataTableLocal.IsEqual:665-680). */
   def relEquals(other: Rel): Boolean =
-    sameHeading(other) && sub(other) && sup(this)
+    sameHeading(other) && sub(other) && sup(other)
 
   // ------------------------------------------------------------ aggregation
 

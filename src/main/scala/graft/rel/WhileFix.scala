@@ -27,23 +27,38 @@ import org.apache.spark.sql.functions.col
   */
 object WhileFix {
 
+  /** Checkpoint cadence: only the FRONTIER (the new tuples) is checkpointed
+    * each round — it is the only thing recomputed next round. The
+    * accumulator stays a lazy union of already-checkpointed frontiers and
+    * is compacted (one materialization) every `compactEvery` rounds, so
+    * total materialized bytes are O(result + result·rounds/compactEvery)
+    * instead of the O(result·rounds) a per-round acc checkpoint costs. */
   def apply(seed: DataFrame, step: DataFrame => DataFrame,
-            maxIter: Int = 10000, maxRows: Long = 2000000000L): DataFrame = {
+            maxIter: Int = 10000, maxRows: Long = 2000000000L,
+            compactEvery: Int = 10): DataFrame = {
     val cols = seed.columns.toSeq
     var acc = seed.dropDuplicates().localCheckpoint()
     var frontier = acc
     var total = acc.count()
     var iter = 0
+    var sinceCompact = 0
     var done = false
     while (!done && iter < maxIter) {
       val stepped = step(frontier).select(cols.map(col): _*)
+      // except = anti-join frontier-candidates vs acc (small side broadcasts
+      // under AQE since every unioned leg of acc is checkpointed with stats)
       val fresh = stepped.except(acc).localCheckpoint()
       val n = fresh.count()
       if (n == 0) done = true
       else {
-        acc = acc.union(fresh).localCheckpoint()
+        acc = acc.union(fresh) // lazy: legs are all checkpointed
         frontier = fresh
         total += n
+        sinceCompact += 1
+        if (sinceCompact >= compactEvery) {
+          acc = acc.localCheckpoint()
+          sinceCompact = 0
+        }
         require(total <= maxRows, s"while-fixpoint exceeded $maxRows rows")
       }
       iter += 1

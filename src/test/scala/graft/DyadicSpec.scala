@@ -53,6 +53,9 @@ class DyadicSpec extends SparkSpec {
     assert(paris.sep(S.where(col("CITY") === "London")))
     assert(S.relEquals(S.where(lit(true))))
     assert(!S.relEquals(paris))
+    // strict subset must NOT equal its superset in either direction
+    // (reference checks both EXCEPT directions, DataTableLocal.cs:665-680)
+    assert(!paris.relEquals(S))
   }
 
   test("join with no common attrs is cross join") {

@@ -65,6 +65,25 @@ class FoldSpec extends SparkSpec {
     assert(arr.map(_.getString(0)).toSet === Set("P1", "P2", "P3", "P4", "P5", "P6"))
   }
 
+  test("empty global fold yields the seed, never NULL (SymbolTable.GetSeed)") {
+    import org.apache.spark.sql.types.IntegerType
+    val empty = S.where(lit(false))
+    val row = empty.aggregate(Nil,
+      "total" -> Fold.fold("+", col("STATUS")),
+      "mx" -> Fold.fold("max", col("STATUS"), IntegerType),
+      "mn" -> Fold.fold("min", col("STATUS"), IntegerType),
+      "n" -> Fold.foldCount()).df.collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) === 0L)
+    assert(!row.isNullAt(1) && row.getInt(1) === 0)
+    assert(!row.isNullAt(2) && row.getInt(2) === 0)
+    assert(row.getLong(3) === 0L)
+    val b = empty.aggregate(Nil,
+      "all_v" -> Fold.fold("and", col("STATUS") > 0),
+      "any_v" -> Fold.fold("or", col("STATUS") > 0),
+      "xor_v" -> Fold.fold("xor", col("STATUS") > 0)).df.collect()(0)
+    assert(b.getBoolean(0) === true && b.getBoolean(1) === false && b.getBoolean(2) === false)
+  }
+
   test("empty-relation algebra: DEE and DUM (SuiteBasic.andl:40-49)") {
     assert(Rel.dee(spark).count() === 1)
     assert(Rel.dum(spark).count() === 0)

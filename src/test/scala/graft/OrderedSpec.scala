@@ -64,5 +64,13 @@ class OrderedSpec extends SparkSpec {
     assert(nSet(spec, Ordered.ord(spec)) === Set(1, 2, 3, 4, 5))
     val gspec = OrderSpec(Seq("A2"), Seq(col("A1")))
     assert(nSet(gspec, Ordered.rank(gspec)) === Set(1, 2, 3))
+    // ordg: first-row ordinal under the full (A2, A1) order — sorted rows
+    // are (5,def-)(5,g-)(5,h-)(6,abc-)(9,ijkl-), so groups start at 1/4/5
+    assert(nSet(gspec, Ordered.ordg(gspec).cast("int")) === Set(1, 4, 5))
+    // every row of a group shares the group's first ordinal
+    val perRow = ROQ5.transform("A0" -> col("A0"),
+        "g" -> Ordered.ordg(gspec).cast("int")).df
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(perRow === Map(1 -> 4, 2 -> 1, 3 -> 1, 4 -> 1, 5 -> 5))
   }
 }

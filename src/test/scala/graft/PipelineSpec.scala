@@ -39,10 +39,13 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("ngram jaccard pairs") {
+  test("ngram jaccard pairs: recall on planted near-dups at threshold 0.7") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(pairs.contains((1L, 2L))) // planted near-dup (one word differs)
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
   test("cosine and dot on float arrays") {
@@ -71,6 +74,29 @@ class PipelineSpec extends SparkSpec {
     val top1 = knn.filter(col("rank") === 1)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(top1.forall { case (a, b) => a == b })
+  }
+
+  test("ivf knn recall: self always found (own list is always probed)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = Similarity.ivfKnn(q, emb, k = 3)
+    val top1 = knn.filter(col("rank") === 1)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length === 3)
+    assert(top1.forall { case (a, b) => a == b })
+  }
+
+  test("two-phase top-k matches exact ranking (brute force, rank ordering)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = Similarity.bruteForceKnn(q, emb, k = 5).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(knn.length === 5)
+    val cosines = knn.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse)) // descending
+    assert(knn.head.getAs[Long]("vec_id") === 0L)        // self first
   }
 
   test("text analysis columns") {
