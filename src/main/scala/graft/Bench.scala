@@ -20,6 +20,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first timed query doesn't absorb startup
+    // cost (one trivial shuffle + one tiny parquet read; no data caching
+    // of the benchmarked tables beyond the 5-row region file)
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

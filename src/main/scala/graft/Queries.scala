@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, WhileFix}
-import graft.functions.Scalar
+import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, TupleOps, WhileFix}
+import graft.functions.{Builtins, Scalar}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.catalog.Catalog
+import graft.catalog.{Catalog, FunDef, UdtDef}
+import graft.sources.Sources
 
 /** The operator-inventory query surface (SURVEY.md §2): one named query per
   * implemented operator, each expressed through the graft DSL, plus the
@@ -408,6 +409,164 @@ object Queries {
       .select("asset_id", "width", "height", "channels", "target_width", "target_height")
   }
 
+  // ======================================== §2.2/2.3 dyadic/set leftovers
+
+  def qRminus(s: SparkSession, dir: String): DataFrame =
+    custNations(s, dir).rminus(suppNations(s, dir)).df
+
+  def qRajoinr(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").rename("o_custkey" -> "custkey")
+      .where(col("o_totalprice") > 400000.0)
+    val c = t(s, dir, "customer").rename("c_custkey" -> "custkey")
+    o.rajoinr(c).df
+  }
+
+  def qSup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(custNations(s, dir).sup(suppNations(s, dir))).toDF("is_sup")
+  }
+
+  def qSep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(custNations(s, dir).sep(suppNations(s, dir))).toDF("is_sep")
+  }
+
+  // ===================================================== §2.8 import
+
+  val csvFixture = "/root/repo/src/test/resources/fixtures/S.csv"
+  val txtFixture = "/root/repo/src/test/resources/fixtures/lines.txt"
+
+  def qImportCsv(s: SparkSession, dir: String): DataFrame =
+    Sources.csv(s, csvFixture).df
+
+  def qImportTxt(s: SparkSession, dir: String): DataFrame =
+    Sources.txt(s, txtFixture).df
+
+  // ================================= §2.5 ordered transform / subtotals
+
+  def qSubtotal(s: SparkSession, dir: String): DataFrame =
+    Ordered.transformOrdered(t(s, dir, "orders"),
+        OrderSpec(Seq("o_orderpriority"), Seq(col("o_orderkey"))),
+        Seq("o_orderpriority" -> col("o_orderpriority")),
+        Seq(("order_count", "+", lit(1L)),
+            ("total_price", "+", col("o_totalprice").cast(dec182))))
+      .transform("o_orderpriority" -> col("o_orderpriority"),
+        "order_count" -> col("order_count"),
+        "total_price" -> col("total_price").cast("double")).df
+
+  def qOrdg(s: SparkSession, dir: String): DataFrame = {
+    val spec = OrderSpec(Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+    t(s, dir, "orders")
+      .extend("g" -> Ordered.ordg(spec).cast("int"))
+      .project("o_orderkey", "g").df
+  }
+
+  // ============================================== §2.1/2.7 small builtins
+
+  def qSchema(s: SparkSession, dir: String): DataFrame =
+    Builtins.schemaOf(t(s, dir, "lineitem")).df
+
+  def qSeq(s: SparkSession, dir: String): DataFrame =
+    Builtins.seq(s, 1000).df
+
+  def qTuple(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // lift the first region tuple, transform it, merge with another tuple
+    val row = t(s, dir, "region").take(1, Seq(col("r_regionkey"))).df.collect()(0)
+    val tup = TupleOps.fromRow(row)
+    val tr = TupleOps.transform(tup,
+      "region" -> (t => t("r_name")),
+      "double_key" -> (t => t("r_regionkey").asInstanceOf[Number].longValue * 2 + 5))
+    val merged = TupleOps.union(tr, Map("region" -> "IGNORED", "extra" -> true))
+    Seq((merged("region").asInstanceOf[String],
+         merged("double_key").asInstanceOf[Long],
+         merged("extra").asInstanceOf[Boolean]))
+      .toDF("region", "double_key", "extra")
+  }
+
+  def qBinary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(length(col("text")) >= 1)
+      .extend("bin" -> encode(col("text"), "UTF-8"))
+      .transform(
+        "doc_id" -> col("doc_id"),
+        "blen" -> Builtins.blength(col("bin")),
+        "b0" -> Builtins.bget(col("bin"), lit(0)),
+        "b0_set" -> Builtins.bget(Builtins.bset(col("bin"), lit(0), lit(88)), lit(0))).df
+
+  def qConvert(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").transform(
+      "n_nationkey" -> col("n_nationkey"),
+      "txt" -> Builtins.textOf(col("n_nationkey")),
+      "fmt" -> Builtins.format("%s=%03d", col("n_name"), col("n_nationkey"))).df
+
+  // ================================================ §2.8 functions / UDTs
+
+  def qFunCall(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.defineFun(FunDef("disc_price",
+      Seq("p" -> DoubleType, "d" -> DoubleType), DoubleType, "p * (1.0 - d)"))
+    t(s, dir, "lineitem").where(col("l_orderkey") <= 1000)
+      .transform(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "net" -> cat.call("disc_price", col("l_extendedprice"), col("l_discount"))).df
+  }
+
+  def qFunFold(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.defineFun(FunDef("fcomma",
+      Seq("a" -> StringType, "b" -> StringType), StringType,
+      "CASE WHEN a = '' THEN b ELSE a || ', ' || b END"))
+    t(s, dir, "nation").aggregate(Seq("n_regionkey"),
+      "names" -> cat.fun("fcomma").fold(col("n_name"), ord = Seq(col("n_name")))).df
+  }
+
+  def qUdt(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    val point = UdtDef("point", Seq("x" -> DoubleType, "y" -> DoubleType))
+    cat.defineType(point)
+    t(s, dir, "part")
+      .extend("pos" -> point.construct(col("p_retailprice"), col("p_size")))
+      .transform(
+        "p_partkey" -> col("p_partkey"),
+        "px" -> point.get(col("pos"), "x"),
+        "py" -> point.get(col("pos"), "y")).df
+  }
+
+  def qCatalogVar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = new Catalog(s)
+    cat.set("threshold", 10)
+    val thr = cat.get("threshold").asInstanceOf[Int]
+    val below = t(s, dir, "nation").where(col("n_nationkey") < thr).count()
+    Seq((thr, below)).toDF("threshold_value", "n_below")
+  }
+
+  // ================================================== §2.4 fold leftovers
+
+  def qFoldBool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").aggregate(Seq("o_orderpriority"),
+      "all_mid" -> Fold.fold("and", col("o_totalprice") > 1000.0),
+      "any_big" -> Fold.fold("or", col("o_totalprice") > 400000.0),
+      "odd_count" -> Fold.fold("xor", col("o_orderkey") % 2 === 1)).df
+
+  def qFoldUnionRva(s: SparkSession, dir: String): DataFrame = {
+    val nested = Nest.nest(
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 1000)
+        .project("l_orderkey", "l_suppkey"),
+      "sups", Seq("l_suppkey"))
+    nested.aggregate(Nil, "u" -> Fold.foldUnionRva(col("sups")))
+      .df.select(explode(col("u")).as("s")).select(col("s.l_suppkey").as("l_suppkey"))
+  }
+
+  def qFoldOrdered(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").where(col("l_orderkey") <= 500)
+      .aggregate(Seq("l_orderkey"),
+        "neg_qty" -> round(Fold.orderedFold(Seq(col("l_linenumber")),
+          col("l_quantity"), lit(0.0), (a, b) => a - b), 6),
+        "inv_disc" -> round(Fold.orderedFold(Seq(col("l_linenumber")),
+          lit(1.0) + col("l_discount"), lit(1.0), (a, b) => a / b), 6)).df
+
   // ================================================================ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -436,7 +595,17 @@ object Queries {
     "q_knn_brute" -> qKnnBrute, "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf,
     "q_token_count" -> qTokenCount, "q_quality" -> qQuality,
     "q_langid" -> qLangId, "q_fingerprint" -> qFingerprint,
-    "q_multimodal" -> qMultimodal)
+    "q_multimodal" -> qMultimodal,
+    "q_rminus" -> qRminus, "q_rajoinr" -> qRajoinr,
+    "q_sup" -> qSup, "q_sep" -> qSep,
+    "q_import_csv" -> qImportCsv, "q_import_txt" -> qImportTxt,
+    "q_subtotal" -> qSubtotal, "q_ordg" -> qOrdg,
+    "q_schema" -> qSchema, "q_seq" -> qSeq, "q_tuple" -> qTuple,
+    "q_binary" -> qBinary, "q_convert" -> qConvert,
+    "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
+    "q_catalog_var" -> qCatalogVar,
+    "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
+    "q_fold_ordered" -> qFoldOrdered)
 
   /** DuckDB oracle SQL. Omitted for LSH/ANN ops whose bucketing is not
     * SQL-expressible — those get the driver's rows-only check. */
@@ -537,6 +706,56 @@ object Queries {
       "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) END, 6) AS mean_token_len " +
       "FROM documents"),
     "q_fingerprint" -> ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents"),
+    "q_rminus" -> "SELECT s_nationkey AS nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer",
+    "q_rajoinr" -> ("SELECT DISTINCT c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)"),
+    "q_sup" -> ("SELECT (SELECT count(*) FROM (SELECT s_nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)) = 0 AS is_sup"),
+    "q_sep" -> ("SELECT (SELECT count(*) FROM (SELECT s_nationkey FROM supplier INTERSECT SELECT c_nationkey FROM customer)) = 0 AS is_sep"),
+    "q_import_csv" -> ("SELECT DISTINCT \"S#\", SNAME, CAST(\"STATUS:number\" AS DOUBLE) AS STATUS, CITY " +
+      s"FROM read_csv('$csvFixture', header=true, all_varchar=true)"),
+    "q_import_txt" -> ("SELECT DISTINCT Line " +
+      s"FROM read_csv('$txtFixture', header=false, columns={'Line': 'VARCHAR'})"),
+    "q_subtotal" -> ("SELECT o_orderpriority, COUNT(*) AS order_count, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price FROM orders GROUP BY 1"),
+    "q_ordg" -> ("SELECT o_orderkey, CAST(first_value(rn) OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS INTEGER) AS g " +
+      "FROM (SELECT o_orderkey, o_custkey, o_orderdate, row_number() OVER (ORDER BY o_custkey, o_orderdate, o_orderkey) AS rn FROM orders)"),
+    "q_schema" -> ("SELECT * FROM (VALUES ('l_orderkey','bigint'),('l_partkey','bigint')," +
+      "('l_suppkey','bigint'),('l_linenumber','int'),('l_quantity','number')," +
+      "('l_extendedprice','number'),('l_discount','number'),('l_tax','number')," +
+      "('l_returnflag','text'),('l_linestatus','text'),('l_shipdate','time')) AS t(Name, Type)"),
+    "q_seq" -> "SELECT CAST(range AS BIGINT) AS N FROM range(1000)",
+    "q_tuple" -> ("SELECT r_name AS region, r_regionkey * 2 + 5 AS double_key, true AS extra " +
+      "FROM region WHERE r_regionkey = (SELECT min(r_regionkey) FROM region)"),
+    "q_binary" -> ("SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS blen, " +
+      "CAST('0x' || substr(hex(encode(text)), 1, 2) AS INTEGER) AS b0, " +
+      "CAST(88 AS INTEGER) AS b0_set FROM documents WHERE length(text) >= 1"),
+    "q_convert" -> ("SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) AS txt, " +
+      "printf('%s=%03d', n_name, n_nationkey) AS fmt FROM nation"),
+    "q_fun_call" -> ("SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net " +
+      "FROM lineitem WHERE l_orderkey <= 1000"),
+    "q_fun_fold" -> ("SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS names " +
+      "FROM nation GROUP BY n_regionkey"),
+    "q_udt" -> "SELECT p_partkey, p_retailprice AS px, CAST(p_size AS DOUBLE) AS py FROM part",
+    "q_catalog_var" -> ("SELECT 10 AS threshold_value, " +
+      "(SELECT count(*) FROM nation WHERE n_nationkey < 10) AS n_below"),
+    "q_fold_bool" -> ("SELECT o_orderpriority, bool_and(o_totalprice > 1000.0) AS all_mid, " +
+      "bool_or(o_totalprice > 400000.0) AS any_big, " +
+      "(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1)) % 2 = 1 AS odd_count " +
+      "FROM orders GROUP BY o_orderpriority"),
+    "q_fold_union_rva" -> "SELECT DISTINCT l_suppkey FROM lineitem WHERE l_orderkey <= 1000",
+    "q_fold_ordered" -> ("SELECT l_orderkey, ROUND(-SUM(l_quantity), 6) AS neg_qty, " +
+      "ROUND(1.0 / PRODUCT(1.0 + l_discount), 6) AS inv_disc " +
+      "FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey"),
+    "q_langid" -> ("SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN h_fr = m THEN 'fr' " +
+      "WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_guess FROM (" +
+      "SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS m, h_en, h_de, h_fr, h_es FROM (" +
+      "SELECT doc_id, " +
+      "len(list_filter(toks, t -> list_contains(['the','and','is','of','to','that','it','was','with'], t))) AS h_en, " +
+      "len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit','sich'], t))) AS h_de, " +
+      "len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans','que','pour'], t))) AS h_fr, " +
+      "len(list_filter(toks, t -> list_contains(['el','la','los','es','una','por','que','con','para'], t))) AS h_es " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+') AS toks FROM documents)))"),
     "q_multimodal" -> ("SELECT doc_id AS asset_id, " +
       "CAST(64 + (abs(octet_length(encode(text)) * 31) % 1024) AS INTEGER) AS width, " +
       "CAST(64 + (abs(octet_length(encode(text)) * 17) % 1024) AS INTEGER) AS height, 3 AS channels, " +

@@ -1,0 +1,57 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, SparkSession}
+import graft.catalog.{Catalog, FunDef, UdtDef}
+import graft.rel.Rel
+
+/** Embedding facade — the reference's Gateway surface (GatewayBase:
+  * OpenSession / GetValue / SetValue / Evaluate / Command / RunScript,
+  * Andl.Gateway/Gateway.cs:32-102) over a SparkSession + Catalog.
+  *
+  * The reference's hosts (REST server, Thrift, Workbench) all drive this
+  * one verb set; here the "script" surface is (a) a Scala function over the
+  * session — the DSL is the language — and (b) Spark SQL over the catalog's
+  * relvars exposed as temp views, which doubles as the JSON-boundary story
+  * (DataFrame JSON codecs at the edges).
+  */
+final class Session private (val spark: SparkSession, val catalog: Catalog) {
+
+  /** GetValue: read a relvar (Gateway.cs GetValue). */
+  def getValue(name: String): Rel = catalog.relvar(name)
+
+  /** SetValue: write a relvar. */
+  def setValue(name: String, r: Rel): Unit = catalog.define(name, r)
+
+  def getScalar(name: String): Any = catalog.get(name)
+  def setScalar(name: String, v: Any): Unit = catalog.set(name, v)
+
+  /** Evaluate: call a stored function as a Column expression
+    * (Gateway.cs Evaluate). */
+  def evaluate(name: String, args: Column*): Column = catalog.call(name, args: _*)
+
+  def defineFun(fd: FunDef): Unit = catalog.defineFun(fd)
+  def defineType(u: UdtDef): Unit = catalog.defineType(u)
+
+  /** RunScript, DSL form: a program is a Scala function over the session. */
+  def runScript[A](script: Session => A): A = script(this)
+
+  /** RunScript, SQL form: every relvar becomes a temp view, stored
+    * functions are already registered in the session — ANSI SQL against
+    * the catalog. */
+  def sql(query: String): Rel = {
+    catalog.names.foreach(n => catalog.relvar(n).df.createOrReplaceTempView(n))
+    Rel.bag(spark.sql(query))
+  }
+
+  /** Persist the whole catalog (relvars + scalars + functions + types). */
+  def save(dir: String): Unit = catalog.save(dir)
+}
+
+object Session {
+  /** OpenSession with an empty catalog. */
+  def open(spark: SparkSession): Session = new Session(spark, new Catalog(spark))
+
+  /** OpenSession restoring a persisted catalog (SuiteUpdateCat2 flow). */
+  def open(spark: SparkSession, dir: String): Session =
+    new Session(spark, Catalog.load(spark, dir))
+}

@@ -2,27 +2,36 @@ package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 import graft.rel.Rel
+import graft.types.AndlTypes
 import scala.collection.concurrent.TrieMap
 
-/** Named relvars, scalar vars and functions persisting across statements —
-  * the reference's Catalog (Andl.Runtime/Catalog.cs:93-128; scopes
-  * Catalog.cs:22) re-expressed for Spark.
+/** Named relvars, scalar vars, typed functions and user types persisting
+  * across statements and across SESSIONS — the reference's Catalog
+  * (Andl.Runtime/Catalog.cs:93-128; scopes Catalog.cs:22) re-expressed for
+  * Spark.
   *
   * A relvar is a catalog entry pointing at an immutable DataFrame snapshot;
   * updates build a new snapshot and atomically swap the pointer (SURVEY
   * §2.6) — the same copy-on-write discipline Delta/Iceberg use, minus the
-  * transaction log. `persist(dir)` writes each relvar as parquet so a later
-  * session can `load` it (the reference's .sandl folder persistence,
-  * Persist.cs:16-31).
+  * transaction log.
   *
-  * Introspection tables (andl_variable/andl_operator analogues,
-  * Builtin.cs:824-838) are exposed as DataFrames via [[variables]].
+  * [[save]] writes each relvar as parquet plus a `catalog.meta.json` (one
+  * JSON object per line) holding scalars, function definitions (SQL text)
+  * and user types; [[Catalog.load]] restores all of it into a fresh
+  * session, re-registering every function — the analogue of the
+  * reference's serialized-ExpressionBlock persistence (Persist.cs:16-31,
+  * tested as a two-run pair by Test/SuiteUpdateCat1/2.andl).
+  *
+  * Introspection tables (andl_variable/andl_operator/andl_member analogues,
+  * Builtin.cs:824-838) are exposed as DataFrames.
   */
 final class Catalog(val spark: SparkSession) {
   private val relvars = TrieMap.empty[String, Rel]
   private val scalars = TrieMap.empty[String, Any]
-  private val funcs   = TrieMap.empty[String, AnyRef]
+  private val funcs   = TrieMap.empty[String, Vector[RegisteredFun]]
+  private val udts    = TrieMap.empty[String, UdtDef]
 
   // ------------------------------------------------------------- relvars
 
@@ -54,28 +63,181 @@ final class Catalog(val spark: SparkSession) {
     relvars(name) = r.where(!pred).union(updated)
   }
 
-  // ------------------------------------------------- scalar vars & funcs
+  // ------------------------------------------------------------- scalars
 
   def set(name: String, v: Any): Unit = { scalars(name) = v }
   def get(name: String): Any = scalars(name)
-  def defineFun(name: String, f: AnyRef): Unit = { funcs(name) = f }
-  def fun(name: String): AnyRef = funcs(name)
+  def getOption(name: String): Option[Any] = scalars.get(name)
+
+  // ------------------------------------------------- functions (typed)
+
+  /** Register a typed function; same-name different-signature = overload
+    * (SymbolTable.AddOverload, Andl.Peg/SymbolTable.cs:345-359). The first
+    * overload owns the plain SQL name; later ones get `name__k`. */
+  def defineFun(fd: FunDef): Unit = {
+    val existing = funcs.getOrElse(fd.name, Vector.empty)
+    require(!existing.exists(_.fd.argTypes == fd.argTypes),
+      s"duplicate overload ${fd.name}(${fd.argTypes.mkString(",")})")
+    val sqlName = if (existing.isEmpty) fd.name else s"${fd.name}__${existing.size}"
+    registerFun(RegisteredFun(fd, sqlName))
+  }
+
+  private def registerFun(rf: RegisteredFun): Unit = {
+    spark.sql(rf.fd.ddl(rf.sqlName))
+    if (rf.fd.foldable) spark.sql(rf.fd.foldDdl(rf.foldSqlName))
+    funcs(rf.fd.name) = funcs.getOrElse(rf.fd.name, Vector.empty) :+ rf
+  }
+
+  /** Resolve an overload: exact arg-type match first, then unique arity
+    * match (compile-time rule, TypeSystem.CheckTypeError §3.2). */
+  def fun(name: String, argTypes: Seq[DataType] = Nil): RegisteredFun = {
+    val ov = funcs.getOrElse(name, throw new NoSuchElementException(s"function $name"))
+    if (argTypes.nonEmpty)
+      ov.find(_.fd.argTypes == argTypes)
+        .getOrElse(throw new NoSuchElementException(
+          s"no overload $name(${argTypes.mkString(",")})"))
+    else if (ov.size == 1) ov.head
+    else throw new IllegalArgumentException(
+      s"$name has ${ov.size} overloads — pass argTypes")
+  }
+
+  /** Call by name with arity-based resolution when unambiguous. */
+  def call(name: String, args: Column*): Column = {
+    val ov = funcs.getOrElse(name, throw new NoSuchElementException(s"function $name"))
+    val matching = ov.filter(_.fd.arity == args.length)
+    require(matching.size == 1,
+      s"$name: ${matching.size} overloads of arity ${args.length} — use fun(name, argTypes)")
+    matching.head(args: _*)
+  }
+
+  def functions: Seq[RegisteredFun] = funcs.values.flatten.toSeq.sortBy(_.sqlName)
+
+  // ------------------------------------------------------ user types
+
+  def defineType(u: UdtDef): Unit = {
+    require(!udts.contains(u.name), s"duplicate type ${u.name}")
+    udts(u.name) = u
+  }
+  def udt(name: String): UdtDef =
+    udts.getOrElse(name, throw new NoSuchElementException(s"type $name"))
+  def types: Seq[UdtDef] = udts.values.toSeq.sortBy(_.name)
 
   // ----------------------------------------------------------- persistence
 
-  def persist(dir: String): Unit =
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Persist everything: relvars as parquet, metadata as JSON lines. */
+  def save(dir: String): Unit = {
     relvars.foreach { case (n, r) =>
       r.df.write.mode("overwrite").parquet(s"$dir/$n.parquet") }
+    val lines = Seq.newBuilder[String]
+    relvars.keys.toSeq.sorted.foreach { n =>
+      lines += s"""{"kind":"relvar","name":${jstr(n)}}"""
+    }
+    scalars.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val (t, s) = v match {
+        case x: Int => ("int", x.toString);     case x: Long => ("long", x.toString)
+        case x: Double => ("double", x.toString); case x: Boolean => ("bool", x.toString)
+        case x => ("text", String.valueOf(x))
+      }
+      lines += s"""{"kind":"scalar","name":${jstr(n)},"vtype":${jstr(t)},"value":${jstr(s)}}"""
+    }
+    functions.foreach { rf =>
+      val an = rf.fd.args.map(a => jstr(a._1)).mkString("[", ",", "]")
+      val at = rf.fd.args.map(a => jstr(AndlTypes.ddlOf(a._2))).mkString("[", ",", "]")
+      lines += s"""{"kind":"fun","name":${jstr(rf.fd.name)},"sqlName":${jstr(rf.sqlName)},"argNames":$an,"argTypes":$at,"returns":${jstr(AndlTypes.ddlOf(rf.fd.returns))},"body":${jstr(rf.fd.body)}}"""
+    }
+    types.foreach { u =>
+      val cn = u.components.map(c => jstr(c._1)).mkString("[", ",", "]")
+      val ct = u.components.map(c => jstr(AndlTypes.ddlOf(c._2))).mkString("[", ",", "]")
+      lines += s"""{"kind":"udt","name":${jstr(u.name)},"compNames":$cn,"compTypes":$ct}"""
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/catalog.meta.json"),
+      lines.result().mkString("", "\n", "\n"))
+  }
+
+  /** Back-compat alias. */
+  def persist(dir: String): Unit = save(dir)
 
   def load(dir: String, name: String): Rel = {
     val r = Rel.parquet(spark, s"$dir/$name.parquet")
     define(name, r); r
   }
 
+  // --------------------------------------------------------- introspection
+
   /** andl_variable() analogue: the catalog as a relation. */
   def variables: DataFrame = {
     import spark.implicits._
-    relvars.toSeq.map { case (n, r) => (n, "relvar", r.degree) }
-      .toDF("name", "kind", "degree")
+    (relvars.toSeq.map { case (n, r) => (n, "relvar", r.degree) } ++
+     scalars.keys.toSeq.map(n => (n, "scalar", 1)) ++
+     udts.toSeq.map { case (n, u) => (n, "type", u.components.size) })
+      .sortBy(t => (t._1, t._2)).toDF("name", "kind", "degree")
+  }
+
+  /** andl_operator() analogue. */
+  def operators: DataFrame = {
+    import spark.implicits._
+    functions.map(rf => (rf.fd.name, rf.sqlName, rf.fd.arity,
+        AndlTypes.nameOf(rf.fd.returns), rf.fd.foldable))
+      .toDF("name", "sql_name", "arity", "returns", "foldable")
+  }
+
+  /** andl_member() analogue: components of each user type. */
+  def members: DataFrame = {
+    import spark.implicits._
+    types.flatMap(u => u.components.zipWithIndex.map { case ((c, t), i) =>
+      (u.name, c, i, AndlTypes.nameOf(t)) })
+      .toDF("type_name", "component", "ordinal", "comp_type")
+  }
+}
+
+object Catalog {
+  /** Restore a persisted catalog into a (possibly brand-new) session:
+    * relvars re-attach lazily to their parquet, functions re-register their
+    * SQL DDL, scalars and types reload from metadata. Mirrors the
+    * two-program flow of Test/SuiteUpdateCat1/2.andl. */
+  def load(spark: SparkSession, dir: String): Catalog = {
+    val cat = new Catalog(spark)
+    val metaPath = java.nio.file.Paths.get(s"$dir/catalog.meta.json")
+    if (!java.nio.file.Files.exists(metaPath)) return cat
+    val meta = spark.read.json(metaPath.toString)
+    val rows = meta.collect()
+    def opt(r: org.apache.spark.sql.Row, f: String): Option[String] =
+      if (meta.columns.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+        Some(r.getAs[Any](f).toString) else None
+    def seqOf(r: org.apache.spark.sql.Row, f: String): Seq[String] =
+      if (meta.columns.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+        r.getSeq[String](r.fieldIndex(f)).toSeq else Nil
+    rows.foreach { r =>
+      val name = r.getAs[String]("name")
+      r.getAs[String]("kind") match {
+        case "relvar" => cat.load(dir, name)
+        case "scalar" =>
+          val v = (opt(r, "vtype").getOrElse("text"), opt(r, "value").getOrElse(""))
+          cat.set(name, v match {
+            case ("int", s) => s.toInt;       case ("long", s) => s.toLong
+            case ("double", s) => s.toDouble; case ("bool", s) => s.toBoolean
+            case (_, s) => s
+          })
+        case "fun" =>
+          val args = seqOf(r, "argNames").zip(seqOf(r, "argTypes").map(AndlTypes.sparkOf))
+          val fd = FunDef(name, args,
+            AndlTypes.sparkOf(opt(r, "returns").get), opt(r, "body").get)
+          cat.registerFun(RegisteredFun(fd, opt(r, "sqlName").getOrElse(name)))
+        case "udt" =>
+          cat.defineType(UdtDef(name,
+            seqOf(r, "compNames").zip(seqOf(r, "compTypes").map(AndlTypes.sparkOf))))
+        case other => throw new IllegalStateException(s"unknown catalog kind $other")
+      }
+    }
+    cat
   }
 }

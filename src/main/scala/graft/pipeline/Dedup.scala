@@ -17,10 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Widen the partitioning of a CPU-heavy per-row stage when the input has
+    * fewer splits than cores. A small parquet file arrives as ONE partition
+    * and serializes the whole shingle/signature build onto one task; the
+    * repartition shuffle (raw text) costs far less than the lost
+    * parallelism. At real scale the input has ≥ cores splits already and
+    * this is a no-op — no shuffle is added. */
+  private[pipeline] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
     * One hash-shuffle; at 100 TB this is a plain groupBy on a 128-bit key. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    widen(docs).groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   /** Deterministic MinHash signature over PRE-HASHED shingles (array of
@@ -33,30 +44,48 @@ object Dedup {
     val p = 2147483647L
     val coeffs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
                                       math.abs(rnd.nextLong()) % p))
-    val hashes = transform(hashedShingles, s => pmod(s.cast("long"), lit(p)))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
-    }: _*)
+    // let-bind the reduced hashes: inlined, they (and the whole upstream
+    // shingle expression) would be re-evaluated once per coefficient
+    TextAnalysis.bind(transform(hashedShingles, s => pmod(s.cast("long"), lit(p)))) { hashes =>
+      array(coeffs.map { case (a, b) =>
+        array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+      }: _*)
+    }
   }
 
-  /** Banded-LSH candidate pairs over BARE ids: explode the signature into
-    * (band, bandHash) keys, self-join on the band key, and deduplicate the
-    * candidate id pairs BEFORE any verification. Two scale properties the
-    * naive version lacks: (a) only (long, long, long) rows ride the banded
-    * shuffle — the payload arrays (shingles) never do; (b) a pair colliding
-    * in b bands is verified once, not b times. */
-  private def bandedCandidateIds(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = sig.select(col("id"),
+  /** Banded-LSH candidate pairs with an in-join signature-estimate filter.
+    *
+    * The signature df MUST be materialized (the callers localCheckpoint it):
+    * it feeds both join sides, and as a live expression it would be
+    * recomputed — shingle build included — once per branch.
+    *
+    * Pipeline: explode each signature into (band, bandHash) keys → self-join
+    * on the band key (rows are id + 64-long signature, no gram payloads) →
+    * estimate Jaccard as the signature agreement fraction and drop pairs
+    * below threshold−margin BEFORE deduplicating. On a self-similar corpus
+    * banding alone passes orders of magnitude more candidates than true
+    * pairs; the estimate is O(numHashes) per collision and kills the
+    * background, so the dropDuplicates shuffle and the exact verify only
+    * see survivors. margin 0.15 ≈ 2.6σ of the estimator at s=0.7: false
+    * negatives ≲1% right AT the threshold, negligible above. */
+  private def bandedCandidateIds(sig: DataFrame, bands: Int, rows: Int,
+                                 numHashes: Int, threshold: Double,
+                                 margin: Double = 0.15): DataFrame = {
+    val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b))).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b)))
+        .as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .filter((aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= threshold - margin)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
 
-  /** Verify candidate id pairs with exact Jaccard: join the gram arrays back
-    * once per side (shuffle on id — each array crosses the wire once). */
+  /** Exact-Jaccard verification of (estimate-filtered) candidate pairs:
+    * join the gram arrays back once per side. */
   private def verifyJaccard(cands: DataFrame, grams: DataFrame,
                             threshold: Double): DataFrame = {
     val ga = grams.select(col("id").as("id_a"), col("g").as("g_a"))
@@ -79,24 +108,33 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
                    shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val grams = docs
+    // grams and signatures feed multiple plan branches (band join sides,
+    // verify sides) — materialize each ONCE; as live expressions they would
+    // be recomputed per branch. Linear in corpus size, local to executors.
+    val grams = widen(docs)
       .select(col(idCol).as("id"), TextAnalysis.hashedShingles(col(textCol), shingleK).as("g"))
       .filter(size(col("g")) > 0)
+      .localCheckpoint()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
-    verifyJaccard(bandedCandidateIds(sig, bands, rows), grams, threshold)
+      .localCheckpoint()
+    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold),
+      grams, threshold)
   }
 
   /** 64-bit SimHash (Charikar '02): sum signed bit contributions of token
-    * hashes, take the sign vector. Pure column expressions. */
+    * hashes, take the sign vector. Pure column expressions; the token-hash
+    * array is let-bound so tokenization+hashing runs once per row, not once
+    * per bit. */
   def simhash(text: Column): Column = {
     val toks = split(lower(trim(text)), "[^a-z0-9]+")
-    val hashes = transform(filter(toks, t => length(t) > 0), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    TextAnalysis.bind(transform(filter(toks, t => length(t) > 0), t => xxhash64(t))) { hashes =>
+      val bits = (0 until 64).map { i =>
+        val votes = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist. Blocking:
@@ -107,12 +145,17 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val withHash = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // feeds both self-join sides — materialize the 64-bit hashes once
+    val withHash = widen(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .localCheckpoint()
+    // let-bind sh: inlined by CollapseProject it would recompute the whole
+    // simhash once per chunk
     val banded = withHash.select(col("id"), col("sh"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftrightunsigned(col("sh"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1))
-      }: _*)).as(Seq("chunk", "cv")))
+      posexplode(TextAnalysis.bind(col("sh")) { sh =>
+        array((0 until chunks).map { c =>
+          shiftrightunsigned(sh, c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
+        }: _*)
+      }).as(Seq("chunk", "cv")))
     val a = banded.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
@@ -135,11 +178,14 @@ object Dedup {
                         threshold: Double = 0.7, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val grams = docs.select(col(idCol).as("id"),
+    val grams = widen(docs).select(col(idCol).as("id"),
         TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
+      .localCheckpoint()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
-    verifyJaccard(bandedCandidateIds(sig, bands, rows), grams, threshold)
+      .localCheckpoint()
+    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold),
+      grams, threshold)
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
@@ -151,14 +197,22 @@ object Dedup {
                      vecCol: String = "embedding", threshold: Double = 0.4,
                      planes: Int = 4, seed: Long = 7L): DataFrame = {
     val sig = Similarity.hyperplaneSig(col(vecCol), planes, seed)
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+    // norm precomputed per VECTOR (once), not per candidate pair — the
+    // pair-verify then needs a single O(dim) dot product
+    // feeds both self-join sides — materialize signature + norm once
+    val e = widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"),
+      Similarity.norm(col(vecCol)).as("n"))
+      .localCheckpoint()
     val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
-    val a = e.select(explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = e.select(explode(TextAnalysis.bind(col("bucket")) { bkt =>
+        transform(probes, m => bkt.bitwiseXOR(m))
+      }).as("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        Similarity.cosinePre(Similarity.dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

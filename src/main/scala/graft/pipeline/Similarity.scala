@@ -28,11 +28,19 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero (no NULLs). */
+  /** Cosine similarity; 0.0 when either vector is all-zero (no NULLs).
+    * NOTE: evaluates ~5 O(dim) array aggregates per call — in any per-PAIR
+    * position (join verify, scoring) precompute the norms per VECTOR before
+    * the join and use [[cosinePre]] instead. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
+
+  /** Cosine from a precomputed dot product and per-side norms: one O(dim)
+    * aggregate per pair instead of five. */
+  def cosinePre(dotAB: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(dotAB / (na * nb))
 
   /** Deterministic random hyperplanes: `planes` sign bits packed into a
     * long — the classic cosine-LSH signature (Charikar '02). Plane
@@ -78,9 +86,12 @@ object Similarity {
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                     qId: String = "q_id", qVec: String = "q_vec",
                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
+    val q = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))
+    val scored = c.crossJoin(broadcast(q))
       .select(col(qId), col(cId),
-        round(cosine(col(qVec), col(cVec)), 6).as("cosine"))
+        round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
     topK(scored, k, qId, cId)
   }
 
@@ -92,15 +103,22 @@ object Similarity {
              planes: Int = 8, multiProbe: Boolean = true,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cSig = corpus.withColumn("bucket", hyperplaneSig(col(cVec), planes))
-    val qSig0 = queries.withColumn("bucket", hyperplaneSig(col(qVec), planes))
+    val cSig = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"),
+      hyperplaneSig(col(cVec), planes).as("bucket"))
+    val qSig0 = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"),
+      hyperplaneSig(col(qVec), planes).as("bucket"))
     val qSig = if (!multiProbe) qSig0 else {
-      // probe own bucket + each 1-bit-flipped neighbour bucket
+      // probe own bucket + each 1-bit-flipped neighbour bucket (bucket
+      // let-bound: inlined it would recompute the signature per probe)
       val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
-      qSig0.withColumn("bucket", explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+      qSig0.withColumn("bucket", explode(TextAnalysis.bind(col("bucket")) { bkt =>
+        transform(probes, m => bkt.bitwiseXOR(m))
+      }))
     }
     val scored = cSig.join(broadcast(qSig), "bucket")
-      .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("cosine"))
+      .select(col(qId), col(cId),
+        round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
       .dropDuplicates(qId, cId)
     topK(scored, k, qId, cId)
   }
@@ -120,27 +138,36 @@ object Similarity {
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     // deterministic sampled centroids: nlist vectors with the smallest id hash
     val centroids = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
-      .select(col(cId).as("centroid_id"), col(cVec).as("centroid"))
+      .select(col(cId).as("centroid_id"), col(cVec).as("centroid"),
+        norm(col(cVec)).as("__kn"))
     // assign corpus → nearest centroid: argmax via max_by (ties → lowest id)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col(cVec), col("centroid")))
+    val assigned = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        cosinePre(dot(col(cVec), col("centroid")), col("__cn"), col("__kn")))
       .groupBy(col(cId))
       .agg(
         max_by(col("centroid_id"), struct(col("cdist"), (-col("centroid_id")).as("nid")))
           .as("centroid_id"),
-        first(col(cVec)).as(cVec))
+        first(col(cVec)).as(cVec),
+        first(col("__cn")).as("__cn"))
     // per query: nprobe nearest centroids (nlist candidates per query —
     // local sort_array/slice aggregation, no window)
     val probePack = struct((-col("qdist")).as("nd"), col("centroid_id").as("c"))
-    val probed = queries.crossJoin(broadcast(centroids))
-      .withColumn("qdist", cosine(col(qVec), col("centroid")))
+    val probed = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qdist",
+        cosinePre(dot(col(qVec), col("centroid")), col("__qn"), col("__kn")))
       .groupBy(col(qId))
-      .agg(first(col(qVec)).as(qVec),
+      .agg(first(col(qVec)).as(qVec), first(col("__qn")).as("__qn"),
         slice(sort_array(collect_list(probePack)), 1, nprobe).as("probes"))
-      .select(col(qId), col(qVec), explode(col("probes").getField("c")).as("centroid_id"))
+      .select(col(qId), col(qVec), col("__qn"),
+        explode(col("probes").getField("c")).as("centroid_id"))
     // search only the probed lists: shuffle on centroid_id, not all-pairs
     val scored = assigned.join(probed, "centroid_id")
-      .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("cosine"))
+      .select(col(qId), col(cId),
+        round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
     topK(scored, k, qId, cId)
   }
 }

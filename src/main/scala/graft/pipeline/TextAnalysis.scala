@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Column-level let-binding: evaluate `x` ONCE and use it many times in
+    * `body`. Without this, an expression referenced inside a lambda
+    * (`transform`/`aggregate`) is INLINED and re-evaluated per element —
+    * e.g. a regexp-normalized string recomputed once per n-gram index turns
+    * an O(n) scan into O(n²) regexp calls. `transform` evaluates its input
+    * array once per row, so wrapping x in a 1-element array and mapping
+    * over it gives a true let. */
+  private[pipeline] def bind(x: Column)(body: Column => Column): Column =
+    transform(array(x), x0 => body(x0)).getItem(0)
+
   /** Whitespace token count; 0 for empty/blank text. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
@@ -88,29 +98,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word k-shingles (n-gram set) — the MinHash input. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "[^a-z0-9]+")
-    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
-    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
+  /** Word k-shingles (n-gram set) — the MinHash input. The token array is
+    * let-bound so the split runs once per row, not once per shingle. */
+  def shingles(text: Column, k: Int = 3): Column =
+    bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
+      val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+      array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    }
 
-  /** Character n-grams (for n-gram Jaccard dedup). */
-  def charNgrams(text: Column, n: Int = 5): Column = {
-    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
-    array_distinct(transform(idx, i => s.substr(i, lit(n))))
-  }
+  /** Character n-grams (for n-gram Jaccard dedup). The normalized string is
+    * let-bound — inlining it would re-run the regexp once per index. */
+  def charNgrams(text: Column, n: Int = 5): Column =
+    bind(regexp_replace(lower(trim(text)), "\\s+", " ")) { s =>
+      val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
+      array_distinct(transform(idx, i => s.substr(i, lit(n))))
+    }
 
   /** Hashed word k-shingles: 64-bit hashes instead of strings. At scale the
     * candidate join carries these arrays through a shuffle and intersects
     * them per pair — longs make that both ~8x smaller on the wire and far
     * cheaper to set-intersect than variable-length strings. Collision rate
-    * at 64 bits is negligible for dedup purposes. */
+    * at 64 bits is negligible for dedup purposes. Built in ONE pass (hash
+    * inside the shingle lambda, single distinct over longs) rather than
+    * string-shingles → distinct → hash → distinct. */
   def hashedShingles(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+    bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
+      val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+      array_distinct(transform(idx,
+        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
+    }
 
   /** Hashed character n-grams (same rationale as [[hashedShingles]]). */
   def hashedCharNgrams(text: Column, n: Int = 5): Column =
-    array_distinct(transform(charNgrams(text, n), g => xxhash64(g)))
+    bind(regexp_replace(lower(trim(text)), "\\s+", " ")) { s =>
+      val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
+      array_distinct(transform(idx, i => xxhash64(s.substr(i, lit(n)))))
+    }
 }

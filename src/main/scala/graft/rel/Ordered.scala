@@ -38,13 +38,54 @@ final case class OrderSpec(groupBy: Seq[String], sort: Seq[Column]) {
 object Ordered {
 
   /** Running fold: fold values from the start of the group to the current
-    * row (Sample/sample5.andl:8-27 running totals). */
+    * row (Sample/sample5.andl:8-27 running totals). Order-dependent folds
+    * (`&` concat, `*`) run over the running frame too — deterministic
+    * because the frame iterates in window order. */
   def runningFold(op: String, c: Column, spec: OrderSpec): Column = op match {
     case "+" | "sum" => sum(c).over(spec.running)
     case "max"       => max(c).over(spec.running)
     case "min"       => min(c).over(spec.running)
     case "count"     => count(lit(1)).over(spec.running)
+    case "&"         => array_join(collect_list(c).over(spec.running), "")
+    case "*"         => aggregate(collect_list(c.cast("double")).over(spec.running),
+                          lit(1.0), (acc, x) => acc * x)
     case other => throw new IllegalArgumentException(s"no running fold: $other")
+  }
+
+  /** The reference's ordered TRANSFORM with group-collapse (TransformOrdered,
+    * DataTableLocal.cs:589-627): rows stream in sort order with running fold
+    * accumulators (reset at `%`-group breaks); a computed row is emitted only
+    * when the NEXT row changes some non-fold output value or the group ends
+    * — so within a run of identical non-fold values only the LAST row (the
+    * completed running fold = subtotal) survives. `.order(%CITY).select{CITY,
+    * SS:=fold(+,STATUS)}` → one subtotal row per city; with no non-fold
+    * columns and no grouping the whole relation collapses to one total row
+    * (Sample/sample5.andl:7-18; SuiteRelOrder.andl:17-26 relies on exactly
+    * this to lift ordered concat folds to scalars).
+    *
+    * Spark plan: one shuffle on the group keys, windowed running folds +
+    * a `lead` run-boundary test, then a filter — no second shuffle, no
+    * driver involvement, codegen throughout.
+    *
+    * @param nonFold (name, expr) output attributes evaluated per row
+    * @param folds   (name, op, value) running folds (op per [[runningFold]])
+    */
+  def transformOrdered(r: Rel, spec: OrderSpec,
+                       nonFold: Seq[(String, Column)],
+                       folds: Seq[(String, String, Column)]): Rel = {
+    val computed = nonFold.map { case (n, c) => (n, c) } ++
+      folds.map { case (n, op, c) => (n, runningFold(op, c, spec)) }
+    val withCols = computed.foldLeft(r.df) { case (d, (n, c)) => d.withColumn(n, c) }
+    // emit iff last row of its run: next row (window order) differs in a
+    // non-fold output, or there is no next row in the partition (group end —
+    // lead returns NULL there, and NULL is never <=>-equal to a no-NULL value)
+    val lastOfRun = nonFold
+      .map { case (n, _) => !(lead(col(n), 1).over(spec.window) <=> col(n)) }
+      .reduceOption(_ || _)
+      .getOrElse(lead(lit(1), 1).over(spec.window).isNull)
+    Rel.bag(withCols.withColumn("__emit", lastOfRun)
+      .filter(col("__emit"))
+      .select(computed.map { case (n, _) => col(n) }: _*))
   }
 
   /** ord(): 1-based ordinal of the row under the order spec

@@ -46,8 +46,10 @@ object WhileFix {
     while (!done && iter < maxIter) {
       val stepped = step(frontier).select(cols.map(col): _*)
       // except = anti-join frontier-candidates vs acc (small side broadcasts
-      // under AQE since every unioned leg of acc is checkpointed with stats)
-      val fresh = stepped.except(acc).localCheckpoint()
+      // under AQE since every unioned leg of acc is checkpointed with stats).
+      // Lazy checkpoint + count = ONE job per round (an eager checkpoint
+      // would run a separate materialization job before the count).
+      val fresh = stepped.except(acc).localCheckpoint(eager = false)
       val n = fresh.count()
       if (n == 0) done = true
       else {
@@ -56,7 +58,7 @@ object WhileFix {
         total += n
         sinceCompact += 1
         if (sinceCompact >= compactEvery) {
-          acc = acc.localCheckpoint()
+          acc = acc.localCheckpoint(eager = false) // materializes on next use
           sinceCompact = 0
         }
         require(total <= maxRows, s"while-fixpoint exceeded $maxRows rows")

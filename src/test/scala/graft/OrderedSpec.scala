@@ -59,6 +59,29 @@ class OrderedSpec extends SparkSpec {
     assert(nSet(spec, Ordered.nthD(col("A0"), 1, IntegerType, spec)) === Set(0, 3))
   }
 
+  test("ordered transform group-collapse: subtotals (sample5.andl:7-18, DataTableLocal.cs:616-624)") {
+    // S .order(%CITY) .select{CITY, SS := fold(+,STATUS)} → one row per city
+    val spec = OrderSpec(Seq("CITY"), Seq(col("SNAME")))
+    val sub = Ordered.transformOrdered(S, spec,
+      Seq("CITY" -> col("CITY")), Seq(("SS", "+", col("STATUS"))))
+    assert(sub.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("London", 40L), ("Paris", 40L), ("Athens", 30L)))
+    // ungrouped, no non-fold attr → collapses to ONE total row
+    val spec2 = OrderSpec(Nil, Seq(col("CITY"), col("SNAME")))
+    val tot = Ordered.transformOrdered(S, spec2, Nil, Seq(("SS", "+", col("STATUS"))))
+    assert(tot.df.collect().map(_.getLong(0)).toSeq === Seq(110L))
+    // ordered concat fold collapses to the full concatenation, which is what
+    // lets SuiteRelOrder.andl:17 lift it to a scalar
+    val spec3 = OrderSpec(Nil, Seq(col("A1")))
+    val cc = Ordered.transformOrdered(ROQ5, spec3, Nil, Seq(("s", "&", col("A1"))))
+    assert(cc.df.collect()(0).getString(0) === "abc-def-g-h-ijkl-")
+    // distinct non-fold value per row → nothing collapses: running sums
+    // survive for every row (SuiteRelOrder.andl:32 cum sum)
+    val cum = Ordered.transformOrdered(ROQ5, spec3,
+      Seq("A0" -> col("A0")), Seq(("N", "+", col("A0"))))
+    assert(cum.df.collect().map(_.getLong(1)).toSet === Set(1L, 3L, 6L, 10L, 15L))
+  }
+
   test("ord/ordg/rank") {
     val spec = OrderSpec(Nil, Seq(col("A1")))
     assert(nSet(spec, Ordered.ord(spec)) === Set(1, 2, 3, 4, 5))

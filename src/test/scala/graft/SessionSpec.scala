@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.Session
+import graft.catalog.{FunDef, UdtDef}
+
+/** Gateway-facade verbs (Gateway.cs:32-102) and catalog persistence across
+  * two sessions (Test/SuiteUpdateCat1/2.andl as a two-run pair). */
+class SessionSpec extends SparkSpec {
+
+  test("gateway verbs: setValue/getValue/evaluate/runScript/sql") {
+    val ses = Session.open(spark)
+    ses.setValue("S", S)
+    assert(ses.getValue("S").count() === 5)
+    ses.setScalar("limit", 20)
+    assert(ses.getScalar("limit") === 20)
+    ses.defineFun(FunDef("hi_status", Seq("n" -> IntegerType), BooleanType, "n >= 20"))
+    val hi = ses.getValue("S").where(ses.evaluate("hi_status", col("STATUS")))
+    assert(hi.count() === 4)
+    val viaScript = ses.runScript { s => s.getValue("S").project("CITY").count() }
+    assert(viaScript === 3)
+    val viaSql = ses.sql("SELECT CITY, count(*) AS n FROM S GROUP BY CITY")
+    assert(viaSql.count() === 3)
+  }
+
+  test("two-session persistence: relvars, scalars, functions, types reload (SuiteUpdateCat1/2.andl)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    // SESSION 1: define everything, mutate a relvar, save
+    val s1 = Session.open(spark)
+    s1.setValue("S", S)
+    s1.catalog.insert("S", graft.rel.Rel.distinct {
+      import spark.implicits._
+      Seq(("S6", "New", 40, "Oslo")).toDF("S#", "SNAME", "STATUS", "CITY")
+    })
+    s1.setScalar("answer", 42)
+    s1.setScalar("label", "hello")
+    s1.defineFun(FunDef("fmul", Seq("a" -> DoubleType, "b" -> DoubleType), DoubleType, "a * b"))
+    s1.defineType(UdtDef("pt", Seq("x" -> DoubleType, "y" -> DoubleType)))
+    s1.save(dir)
+
+    // SESSION 2: a FRESH SparkSession (own temp-function registry and
+    // catalog) — everything must come back from disk
+    val spark2 = spark.newSession()
+    val s2 = Session.open(spark2, dir)
+    val loaded = s2.getValue("S")
+    assert(loaded.count() === 6)
+    assert(loaded.where(col("S#") === "S6").count() === 1)
+    assert(s2.getScalar("answer") === 42)
+    assert(s2.getScalar("label") === "hello")
+    // function re-registered in the NEW session
+    val prod = loaded.aggregate(Nil,
+      "p" -> s2.evaluate("fmul", lit(6.0), lit(7.0))).df.collect()(0).getDouble(0)
+    assert(prod === 42.0)
+    assert(s2.catalog.udt("pt").components === Seq("x" -> DoubleType, "y" -> DoubleType))
+    // loaded relvar equals what session 1 held (value equality both ways)
+    assert(loaded.relEquals(s1.getValue("S")))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+/** Typed CSV / txt import (DataSourceStream.cs mirrors): `name:type` header
+  * peek, declared-heading override, no-NULL defaults at gaps, txt → Line. */
+class SourcesSpec extends SparkSpec {
+  private val fx = "src/test/resources/fixtures"
+
+  test("csv: name:type header peek types the columns (DataSourceStream.cs:81-94)") {
+    val s = Sources.csv(spark, s"$fx/S.csv")
+    assert(s.attrs === Seq("S#", "SNAME", "STATUS", "CITY"))
+    assert(s.schema("STATUS").dataType === DoubleType)
+    assert(s.schema("SNAME").dataType === StringType) // untyped → text
+    assert(s.count() === 5)
+    val total = s.aggregate(Nil, "t" -> sum(col("STATUS"))).df.collect()(0).getDouble(0)
+    assert(total === 110.0)
+  }
+
+  test("csv: declared heading overrides the file header (SetupSuite.andl S import)") {
+    val s = Sources.csv(spark, s"$fx/S.csv",
+      Seq(("SupNo", StringType), ("Name", StringType),
+          ("Status", DoubleType), ("City", StringType)))
+    assert(s.attrs === Seq("SupNo", "Name", "Status", "City"))
+    assert(s.where(col("City") === "Paris").count() === 2)
+  }
+
+  test("csv: absent values become type defaults, never NULL (DataType.cs:152-155)") {
+    val g = Sources.csv(spark, s"$fx/gaps.csv")
+    val row = g.where(col("K") === "b").df.collect()(0)
+    assert(row.getDouble(1) === 0.0)   // N gap → 0
+    assert(row.getBoolean(2) === false) // B gap → false
+    assert(row.getString(3) === "")     // T gap → ""
+    assert(g.df.collect().forall(r => !r.anyNull))
+  }
+
+  test("txt: serial file → Line relation with set semantics (DataSourceStream.cs:140-142)") {
+    val t = Sources.txt(spark, s"$fx/lines.txt")
+    assert(t.attrs === Seq("Line"))
+    assert(t.count() === 3) // 4 lines, 'beta' duplicated → 3 distinct
+  }
+}
