@@ -135,9 +135,8 @@ object Ordered {
   * frame of an ordered window iterates rows in sort order), then fold the
   * array. This is the general path for order-dependent folds (`- / &`,
   * user fns) that [[graft.rel.Fold.concatFold]]'s ascending-only
-  * array_sort cannot express. Used with transform+dedup it reproduces the
-  * reference's TransformOrdered group-collapse ("subtotal" rows,
-  * DataTableLocal.cs:616-624). */
+  * array_sort cannot express. The reference's TransformOrdered
+  * group-collapse itself is [[Ordered.transformOrdered]]. */
 object OrderedFold {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

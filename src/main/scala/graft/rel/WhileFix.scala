@@ -1,7 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** `r .while(expr)` — generative/recursive fixpoint (Builtin.Recurse,
   * Andl.Runtime/Builtin.cs:511-517; local engine scans appended rows by
@@ -45,11 +45,20 @@ object WhileFix {
     var done = false
     while (!done && iter < maxIter) {
       val stepped = step(frontier).select(cols.map(col): _*)
-      // except = anti-join frontier-candidates vs acc (small side broadcasts
-      // under AQE since every unioned leg of acc is checkpointed with stats).
+      // frontier-minus-acc: while acc is small enough to broadcast, an
+      // explicit broadcast anti-join keeps each round to one shuffle-free
+      // stage; past the broadcast threshold fall back to except (shuffled
+      // anti-join — the only correct choice once acc is cluster-sized).
       // Lazy checkpoint + count = ONE job per round (an eager checkpoint
       // would run a separate materialization job before the count).
-      val fresh = stepped.except(acc).localCheckpoint(eager = false)
+      val minus =
+        if (total <= 4000000L)
+          // small regime: coalesce(1) makes the dedup a narrow local hash
+          // (no exchange at all) and acc broadcasts — each round is a
+          // single shuffle-free stage plus a broadcast build
+          stepped.coalesce(1).dropDuplicates().join(broadcast(acc), cols, "left_anti")
+        else stepped.except(acc)
+      val fresh = minus.localCheckpoint(eager = false)
       val n = fresh.count()
       if (n == 0) done = true
       else {

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY §7.2 step 11). The reference has
+  * NO streaming (§1.4 — its only "stream" source reads one console line,
+  * DataSourceStream.cs:153-171); this is engine capability beyond the
+  * reference surface: the `events` table as an unbounded source.
+  *
+  * Design: the same declarative transforms as the batch engine —
+  * `readStream` → watermarked windowed aggregation → `writeStream` — so
+  * Catalyst plans incremental execution; custom per-key state goes through
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` (the one place
+  * imperative state is the right tool). At scale the aggregation state is
+  * partitioned by (window, event_type) across executors and the watermark
+  * bounds state size — late events beyond it are dropped, so state never
+  * grows with stream length.
+  */
+object EventStream {
+
+  /** The events table schema (TESTDATA events.parquet). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  /** File-based unbounded source: new parquet files under `dir` become
+    * stream batches (the standard file-source pattern for a table that
+    * keeps receiving partitions). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Windowed per-type aggregation with a watermark — the streaming
+    * analogue of the batch q_events_hour (hour × event_type counts and
+    * value totals). State per (hour, type) key only; watermark `late`
+    * bounds retained windows. */
+  def hourlyByType(events: DataFrame, late: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+              col("n"), col("total_value"))
+
+  /** Per-user running session state via flatMapGroupsWithState: emits one
+    * updated (user_id, n_events, total_value) row per user per batch.
+    * Custom state is the right tool ONLY where windowed aggregation can't
+    * express the semantics; state is per-key, partitioned, and scales
+    * horizontally. */
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    implicit val rowEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val stateEnc: Encoder[UserTotals] = Encoders.product[UserTotals]
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
