@@ -350,6 +350,18 @@ object Queries {
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings").bagDF, threshold = 0.4)
 
+  /** Exact all-pairs ground truth on a bounded subset — DuckDB-oracled
+    * correctness anchor for the dedup family's Jaccard/cosine math. */
+  def qNgramExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsExact(
+      t(s, dir, "documents").where(col("doc_id") < 200 && length(col("text")) >= 5).bagDF,
+      threshold = 0.5)
+
+  def qEmbedExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsExact(
+      t(s, dir, "embeddings").where(col("vec_id") < 300).bagDF,
+      threshold = 0.4)
+
   // ========================================== pipeline: similarity search
 
   private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -605,7 +617,8 @@ object Queries {
     "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
     "q_catalog_var" -> qCatalogVar,
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
-    "q_fold_ordered" -> qFoldOrdered)
+    "q_fold_ordered" -> qFoldOrdered,
+    "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact)
 
   /** DuckDB oracle SQL. Omitted for LSH/ANN ops whose bucketing is not
     * SQL-expressible — those get the driver's rows-only check. */
@@ -756,6 +769,19 @@ object Queries {
       "len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans','que','pour'], t))) AS h_fr, " +
       "len(list_filter(toks, t -> list_contains(['el','la','los','es','una','por','que','con','para'], t))) AS h_es " +
       "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+') AS toks FROM documents)))"),
+    "q_ngram_exact" -> ("WITH g AS (SELECT doc_id, list_distinct([substr(s, i, 5) " +
+      "for i in range(1, greatest(length(s) - 3, 2))]) AS gr FROM " +
+      "(SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s " +
+      "FROM documents WHERE doc_id < 200 AND length(text) >= 5)) " +
+      "SELECT id_a, id_b, jaccard FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(a.gr || b.gr)), 6) AS jaccard " +
+      "FROM g a, g b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5"),
+    "q_embed_exact" -> ("SELECT id_a, id_b, cosine FROM (" +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine " +
+      "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300) " +
+      "WHERE cosine >= 0.4"),
     "q_multimodal" -> ("SELECT doc_id AS asset_id, " +
       "CAST(64 + (abs(octet_length(encode(text)) * 31) % 1024) AS INTEGER) AS width, " +
       "CAST(64 + (abs(octet_length(encode(text)) * 17) % 1024) AS INTEGER) AS height, 3 AS channels, " +

@@ -188,6 +188,43 @@ object Dedup {
       grams, threshold)
   }
 
+  /** EXACT n-gram Jaccard pairs by all-pairs comparison — the O(n²)
+    * ground-truth baseline for [[ngramJaccardPairs]]. Only for bounded
+    * subsets (recall measurement, differential oracles); the LSH variant is
+    * the scale path. */
+  def ngramJaccardPairsExact(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", n: Int = 5,
+                             threshold: Double = 0.5): DataFrame = {
+    val grams = widen(docs).select(col(idCol).as("id"),
+        TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
+      .filter(size(col("g")) > 0)
+      .localCheckpoint()
+    val a = grams.select(col("id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("id").as("id_b"), col("g").as("g_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+              size(array_union(col("g_a"), col("g_b"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT embedding-cosine pairs by all-pairs comparison — ground-truth
+    * baseline for [[embeddingPairs]]; bounded subsets only. */
+  def embeddingPairsExact(emb: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          threshold: Double = 0.4): DataFrame = {
+    val e = widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("n"))
+      .localCheckpoint()
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosinePre(Similarity.dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
     * random-hyperplane LSH signature (sign bits). One side multi-probes its
     * 1-bit-flipped neighbour buckets, so pairs within hamming distance 1 of
