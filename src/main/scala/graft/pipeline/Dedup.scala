@@ -123,17 +123,19 @@ object Dedup {
 
   /** 64-bit SimHash (Charikar '02): sum signed bit contributions of token
     * hashes, take the sign vector. Pure column expressions; the token-hash
-    * array is let-bound so tokenization+hashing runs once per row, not once
-    * per bit. */
+    * array is let-bound (tokenization+hashing once per row), and all 64
+    * bit counters accumulate in ONE pass over the hashes (a 64-long vote
+    * array folded per token) instead of 64 separate aggregates. */
   def simhash(text: Column): Column = {
     val toks = split(lower(trim(text)), "[^a-z0-9]+")
+    // constant-folded literal array of the 64 bit masks
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     TextAnalysis.bind(transform(filter(toks, t => length(t) > 0), t => xxhash64(t))) { hashes =>
-      val bits = (0 until 64).map { i =>
-        val votes = aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
+      val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, masks,
+          (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+      aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
     }
   }
 

@@ -48,6 +48,29 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
+  test("ngram LSH recall/precision vs exact ground truth (sf0.001)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) >= 5)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccardPairsExact(real, threshold = 0.7))
+    val lsh = pairSet(Dedup.ngramJaccardPairs(real, threshold = 0.7))
+    assert(lsh.subsetOf(exact)) // precision 1.0: every emitted pair is verified
+    assert(exact.nonEmpty)
+    assert(lsh.size.toDouble / exact.size >= 0.9) // banding recall ≈0.99 at 0.7
+  }
+
+  test("embedding LSH recall/precision vs exact ground truth (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingPairsExact(emb, threshold = 0.4))
+    val lsh = pairSet(Dedup.embeddingPairs(emb, threshold = 0.4))
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(lsh.size.toDouble / exact.size >= 0.5) // 4-plane 1-bit multiprobe LSH
+  }
+
   test("cosine and dot on float arrays") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
                  (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
