@@ -93,6 +93,16 @@ object Sources {
   def txt(spark: SparkSession, path: String): Rel =
     Rel.bag(spark.read.text(path).select(col("value").as("Line")))
 
+  /** `con` source: prompt, read ONE console line, one-tuple relation with
+    * attribute `line` (DataSourceCon, DataSourceStream.cs:153-171 —
+    * "really!"). Driver-side by nature. */
+  def con(spark: SparkSession, prompt: String = ""): Rel = {
+    import spark.implicits._
+    if (prompt.nonEmpty) Console.out.println(prompt)
+    val line = Option(scala.io.StdIn.readLine()).getOrElse("")
+    Rel.distinct(Seq(line).toDF("line"))
+  }
+
   /** JDBC import (DataSourceSql, Andl.Runtime/DataSourceSql.cs:29-80):
     * the full source surface includes sql/odbc/oledb connections; on Spark
     * this is the built-in JDBC reader. No driver is shipped in this
