@@ -445,8 +445,11 @@ object Queries {
 
   // ===================================================== §2.8 import
 
-  val csvFixture = "/root/repo/src/test/resources/fixtures/S.csv"
-  val txtFixture = "/root/repo/src/test/resources/fixtures/lines.txt"
+  // Resolved against the checkout at runtime (not a hardcoded machine
+  // path); made absolute so the same string works in the DuckDB oracle SQL
+  // regardless of the oracle runner's own working directory.
+  val csvFixture = new java.io.File("src/test/resources/fixtures/S.csv").getAbsolutePath
+  val txtFixture = new java.io.File("src/test/resources/fixtures/lines.txt").getAbsolutePath
 
   def qImportCsv(s: SparkSession, dir: String): DataFrame =
     Sources.csv(s, csvFixture).df
@@ -782,6 +785,13 @@ object Queries {
       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine " +
       "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300) " +
       "WHERE cosine >= 0.4"),
+    "q_knn_brute" -> ("SELECT q_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (" +
+      "SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank " +
+      "FROM embeddings q, embeddings c WHERE q.vec_id < 5) " +
+      "WHERE rank <= 10"),
     "q_multimodal" -> ("SELECT doc_id AS asset_id, " +
       "CAST(64 + (abs(octet_length(encode(text)) * 31) % 1024) AS INTEGER) AS width, " +
       "CAST(64 + (abs(octet_length(encode(text)) * 17) % 1024) AS INTEGER) AS height, 3 AS channels, " +

@@ -124,12 +124,7 @@ final class Catalog(val spark: SparkSession) {
 
   // ----------------------------------------------------------- persistence
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.types.Json.str(s)
 
   /** Persist everything: relvars as parquet, metadata as JSON lines. */
   def save(dir: String): Unit = {

@@ -32,9 +32,15 @@ object EventStream {
 
   /** File-based unbounded source: new parquet files under `dir` become
     * stream batches (the standard file-source pattern for a table that
-    * keeps receiving partitions). */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+    * keeps receiving partitions). The testdata stores ts as parquet
+    * TIMESTAMP(NANOS): read as long (nanosAsLong) and truncate to micros,
+    * exactly like the batch events loader. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val raw = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    spark.readStream.schema(raw).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Windowed per-type aggregation with a watermark — the streaming
     * analogue of the batch q_events_hour (hour × event_type counts and

@@ -59,17 +59,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("batch and stream agree on the events table (file source smoke)") {
-    val batch = Queries.qEventsHour(spark, "/root/testdata/sf0.001")
-    assert(batch.count() > 0)
-    // the same transform applied to a bounded readStream over the parquet
-    // produces the same (hour, type) key count — run one trigger
+  test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // file-source streaming needs a directory of files; skip when the
-    // events table is a single file readable only as batch — the transform
-    // itself is covered by the MemoryStream tests above
-    assert(EventStream.eventSchema.fieldNames.toSet
-      .subsetOf(raw.schema.fieldNames.toSet ++ Set("ts")))
+    // file source wants a directory it can list; stage the single parquet
+    // file into a temp dir and stream it through the SAME transform as the
+    // batch query, then compare group keys and totals exactly
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    tmp.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(tmp.getPath, "events.parquet"))
+    val q = EventStream.hourlyByType(EventStream.fromParquetDir(spark, tmp.getPath))
+      .writeStream.format("memory").queryName("filehourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(r.fieldIndex("hour")).toString,
+         r.getString(r.fieldIndex("event_type")),
+         r.getLong(r.fieldIndex("n")))
+      val streamed = spark.table("filehourly").collect().map(key).toSet
+      val batch = Queries.qEventsHour(spark, dir).collect().map(key).toSet
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally q.stop()
   }
 }
