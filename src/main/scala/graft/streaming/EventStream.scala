@@ -55,6 +55,16 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
               col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen within the
+    * watermark horizon — the streaming analogue of Dedup.exact. State is
+    * per-key and EVICTED once the event time passes `late`, so memory is
+    * bounded by the duplicate-arrival window, not stream length (the
+    * property that makes this viable on an unbounded 100-TB/day feed). */
+  def dedupWithinWatermark(rows: DataFrame, keys: Seq[String],
+                           tsCol: String = "ts", late: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, late)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Per-user running session state via flatMapGroupsWithState: emits one
     * updated (user_id, n_events, total_value) row per user per batch.
     * Custom state is the right tool ONLY where windowed aggregation can't

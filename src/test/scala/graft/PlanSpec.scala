@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.rel.Rel
+import graft.pipeline.{Dedup, Similarity}
+
+/** Physical-plan assertions — the 100-TB design contract, checked at plan
+  * level so a regression that silently de-optimizes (a lost pushdown, a
+  * broadcast that becomes a shuffle join, an accidental cartesian) fails CI
+  * even though results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter + projection push down to the parquet scan (where/project)") {
+    val li = Rel.parquet(spark, s"$sf/lineitem.parquet")
+    val q = li.where(col("l_quantity") > 40).project("l_orderkey", "l_quantity")
+    val f = formatted(q.df)
+    // predicate reaches the scan, scan reads ONLY the projected+filtered cols
+    assert(f.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$f")
+    val readSchema = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"column pruning lost:\n$readSchema")
+  }
+
+  test("natural join of fact with small dim broadcasts (no shuffle of the dim)") {
+    val supplier = Rel.parquet(spark, s"$sf/supplier.parquet")
+      .project("s_suppkey", "s_nationkey")
+      .rename("s_nationkey" -> "n_nationkey")
+    val nation = Rel.parquet(spark, s"$sf/nation.parquet")
+      .project("n_nationkey", "n_name")
+    val j = supplier.join(nation)
+    assert(plan(j.df).contains("BroadcastHashJoin"),
+      s"dim join is not broadcast:\n${plan(j.df)}")
+  }
+
+  test("banded minhash dedup never plans a cartesian product") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashPairs(docs)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to all-pairs:\n${p.take(4000)}")
+  }
+
+  test("scalar relational path stays in whole-stage codegen (no UDFs)") {
+    val li = Rel.parquet(spark, s"$sf/lineitem.parquet")
+    val q = Queries.q1Agg(spark, sf)
+    // AQE hides codegen stages in executedPlan.toString — ask for the
+    // codegen-mode explain, which reports the WholeStageCodegen subtrees
+    val cg = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtrees"), s"no codegen span:\n${cg.take(2000)}")
+    assert(!plan(q).contains("BatchEvalPython") && !plan(li.df).contains("ScalaUDF"),
+      "UDF found in the relational hot path")
+  }
+
+  test("grouped aggregation is partial (map-side combine before the shuffle)") {
+    val q = Queries.q1Agg(spark, sf)
+    val p = plan(q)
+    // two HashAggregate phases around one Exchange = partial_merge pattern
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2 && p.contains("Exchange"), s"no partial aggregation:\n${p.take(2000)}")
+  }
+
+  test("two-phase top-k never concentrates one query's candidates in a window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = Similarity.bruteForceKnn(q, emb, k = 10)
+    val p = plan(knn)
+    assert(!p.contains("Window"), s"top-k fell back to a per-query window:\n${p.take(3000)}")
+  }
+}

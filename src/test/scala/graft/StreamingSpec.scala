@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupWithinWatermark(events, Seq("event_id"), late = "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((1L, ts(9, 0), 1L, "click", 1.0, ""),
+                 (1L, ts(9, 1), 1L, "click", 1.0, ""), // dup in same batch
+                 (2L, ts(9, 2), 2L, "view", 2.0, ""))
+      q.processAllAvailable()
+      in.addData((2L, ts(9, 10), 2L, "view", 2.0, ""), // dup across batches
+                 (3L, ts(9, 11), 3L, "click", 3.0, ""))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
