@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.rel.{Rel, WhileFix}
+
+/** Property-based relational-algebra laws over random small relations —
+  * the TTM identities the engine must preserve regardless of data shape
+  * (duplicates in the input bag, empty relations, skewed keys). Each law is
+  * checked on a handful of generated cases; Spark-job cost keeps the count
+  * deliberately small. */
+class AlgebraPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic scalacheck sampling (scalatestplus bridge not shipped):
+  // 5 cases per law, fixed seeds, size 12 — failures reproduce exactly
+  private def cases[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    cases(g).foreach(f)
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    cases(g1).zip(cases(g2, 7).drop(2)).foreach { case (a, b) => f(a, b) }
+
+  // random bag of (k, v) tuples — small domains force duplicates and
+  // overlapping keys between two generated relations
+  private val tupleGen = Gen.listOf(
+    Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))
+
+  private def rel(ts: List[(Int, Int)], a: String = "k", b: String = "v"): Rel =
+    Rel.bag(
+      if (ts.isEmpty) Seq.empty[(Int, Int)].toDF(a, b)
+      else ts.toDF(a, b))
+
+  private def set(ts: List[(Int, Int)]) = ts.toSet
+
+  test("union/intersect/minus agree with Scala set algebra") {
+    forAll(tupleGen, tupleGen) { (xs, ys) =>
+      val (r, s) = (rel(xs), rel(ys))
+      assert(r.union(s).df.collect().map(t => (t.getInt(0), t.getInt(1))).toSet
+        === (set(xs) | set(ys)))
+      assert(r.intersect(s).df.collect().map(t => (t.getInt(0), t.getInt(1))).toSet
+        === (set(xs) & set(ys)))
+      assert(r.minus(s).df.collect().map(t => (t.getInt(0), t.getInt(1))).toSet
+        === (set(xs) -- set(ys)))
+    }
+  }
+
+  test("symdiff = (r minus s) union (s minus r); rminus is the mirror") {
+    forAll(tupleGen, tupleGen) { (xs, ys) =>
+      val (r, s) = (rel(xs), rel(ys))
+      assert(r.symdiff(s).relEquals(r.minus(s).union(s.minus(r))))
+      assert(r.rminus(s).relEquals(s.minus(r)))
+    }
+  }
+
+  test("sub/sup/relEquals are consistent orderings") {
+    forAll(tupleGen, tupleGen) { (xs, ys) =>
+      val (r, s) = (rel(xs), rel(ys))
+      assert(r.sub(s) === set(xs).subsetOf(set(ys)))
+      assert(r.sup(s) === set(ys).subsetOf(set(xs)))
+      assert(r.relEquals(s) === (set(xs) == set(ys)))
+      assert(r.union(s).sup(r) && r.intersect(s).sub(r))
+    }
+  }
+
+  test("natural join on common key = Scala key-match; semijoin/ajoin partition r") {
+    forAll(tupleGen, tupleGen) { (xs, ys) =>
+      val r = rel(xs)                  // (k, v)
+      val s = rel(ys, "k", "w")        // (k, w) — join on k
+      val expected = for ((k, v) <- set(xs); (k2, w) <- set(ys) if k == k2)
+        yield (k, v, w)
+      assert(r.join(s).df.select("k", "v", "w").collect()
+        .map(t => (t.getInt(0), t.getInt(1), t.getInt(2))).toSet === expected)
+      // semijoin ∪ ajoin = r, and they are disjoint
+      assert(r.semijoin(s).union(r.ajoin(s)).relEquals(r))
+      assert(r.semijoin(s).sep(r.ajoin(s)) || r.semijoin(s).count() == 0
+        || r.ajoin(s).count() == 0)
+    }
+  }
+
+  test("project dedups; heading order never matters for equality") {
+    forAll(tupleGen) { xs =>
+      val r = rel(xs)
+      assert(r.project("k").count() === set(xs).map(_._1).size)
+      val flipped = Rel.bag(r.df.select(col("v"), col("k")))
+      assert(flipped.relEquals(r))
+    }
+  }
+
+  test("grouped fold(+) agrees with Scala groupBy-sum") {
+    forAll(tupleGen) { xs =>
+      if (xs.nonEmpty) {
+        val got = rel(xs).aggregate(Seq("k"), "s" -> sum(col("v")))
+          .df.collect().map(t => (t.getInt(0), t.getLong(1))).toMap
+        val want = set(xs).groupBy(_._1).map { case (k, ts) =>
+          (k, ts.map(_._2.toLong).sum) }
+        assert(got === want)
+      }
+    }
+  }
+
+  test("while-fixpoint equals naive iterate-to-fixpoint on random successor graphs") {
+    // step: k -> (k + d) mod 7 for a random d per relation; fixpoint =
+    // closure of repeated application, computed naively in Scala
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 6)), Gen.choose(1, 6)) { (seeds, d) =>
+      val seed = Rel.distinct(seeds.map(k => Tuple1(k)).toDF("k"))
+      val out = WhileFix.rel(seed, r => r.transform("k" -> ((col("k") + d) % 7)))
+      var want = seeds.toSet
+      var grew = true
+      while (grew) {
+        val next = want ++ want.map(k => (k + d) % 7)
+        grew = next.size > want.size
+        want = next
+      }
+      assert(out.df.collect().map(_.getInt(0)).toSet === want)
+    }
+  }
+}

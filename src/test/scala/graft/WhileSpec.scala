@@ -14,6 +14,26 @@ class WhileSpec extends SparkSpec {
     assert(out.count() === 11)
   }
 
+  test("step sizes 6 and 99: 2 rows and 1 row (SuiteRelWhile.andl:12-13)") {
+    val seed = Rel.distinct(Seq(0).toDF("A1"))
+    val by6 = WhileFix.rel(seed, r => r.where(col("A1") <= 10 - 6).transform("A1" -> (col("A1") + 6)))
+    assert(by6.count() === 2)
+    val by99 = WhileFix.rel(seed, r => r.where(col("A1") <= 10 - 99).transform("A1" -> (col("A1") + 99)))
+    assert(by99.count() === 1)
+  }
+
+  test("two-tuple step (relation-literal union): 21 rows (SuiteRelWhile.andl:14)") {
+    // {{A1:=0, A2:=0}} while ({A1+1,0} ∪ {A1+1,1} where A1<=10): 1 seed +
+    // 2 rows per A1 in 1..10 = 21
+    val seed = Rel.distinct(Seq((0, 0)).toDF("A1", "A2"))
+    val out = WhileFix.rel(seed, r => {
+      val stepped = r.where(col("A1") < 10)
+      stepped.transform("A1" -> (col("A1") + 1), "A2" -> lit(0))
+        .union(stepped.transform("A1" -> (col("A1") + 1), "A2" -> lit(1)))
+    })
+    assert(out.count() === 21)
+  }
+
   test("fibonacci: fib(15) = 610 (SuiteRelWhile.andl / Sample/fibonacci.andl)") {
     val seed = Rel.distinct(Seq((0, 0L, 1L)).toDF("N", "a", "b"))
     val out = WhileFix.rel(seed, r => r.where(col("N") < 15).transform(
