@@ -36,6 +36,37 @@ final class Catalog(val spark: SparkSession) {
   // ------------------------------------------------------------- relvars
 
   def define(name: String, r: Rel): Unit = { relvars(name) = r }
+
+  /** Define a relvar persisted as a BUCKETED (and per-bucket sorted) table:
+    * the declared-key scale path (SURVEY §7.4 hard part #1). Two relvars
+    * bucketed the same way join/aggregate on that key with NO exchange and
+    * no sort — the shuffle is paid once at write time, then reused by every
+    * downstream stage. On a cluster this is the difference between an
+    * O(data) shuffle per join and none. */
+  def defineBucketed(name: String, r: Rel, bucketCols: Seq[String],
+                     buckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketed relvar needs at least one key column")
+    // a previous JVM may have left the managed location behind while this
+    // session's in-memory metastore has no such table — clear both, like
+    // overwrite would if the table were still registered
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val fs = org.apache.hadoop.fs.FileSystem.get(loc,
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    if (fs.exists(p)) fs.delete(p, true)
+    r.df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+    // the table scan preserves r's distinctness: bucketing is a physical
+    // layout change only
+    relvars(name) =
+      if (r.knownDistinct) Rel.distinct(spark.table(name))
+      else Rel.bag(spark.table(name))
+  }
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
   def names: Seq[String] = relvars.keys.toSeq.sorted

@@ -73,6 +73,27 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2 && p.contains("Exchange"), s"no partial aggregation:\n${p.take(2000)}")
   }
 
+  test("same-key bucketed relvars join with no exchange (co-located join)") {
+    val cat = new graft.catalog.Catalog(spark)
+    val orders = Rel.parquet(spark, s"$sf/orders.parquet")
+      .project("o_orderkey", "o_custkey")
+    val lineitem = Rel.parquet(spark, s"$sf/lineitem.parquet")
+      .project("l_orderkey", "l_quantity")
+      .rename("l_orderkey" -> "o_orderkey")
+    cat.defineBucketed("b_orders", orders, Seq("o_orderkey"), 4)
+    cat.defineBucketed("b_lineitem", lineitem, Seq("o_orderkey"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = cat.relvar("b_orders").join(cat.relvar("b_lineitem"))
+      val p = plan(j.bagDF)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join:\n${p.take(2000)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("two-phase top-k never concentrates one query's candidates in a window") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
