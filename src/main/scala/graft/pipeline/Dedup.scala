@@ -38,7 +38,14 @@ object Dedup {
     * 64-bit longs): k permutations h_i(x) = (a_i*x + b_i) mod p (public
     * construction, Broder '97). Coefficients come from a fixed seed so
     * results are reproducible across runs and engines. */
-  def minhashSignature(hashedShingles: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+  def minhashSignature(hashedShingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    graft.functions.MinHashSig(hashedShingles, numHashes, seed)
+
+  /** The pre-fusion Column-combinator formulation of [[minhashSignature]] —
+    * kept as the differential oracle for the native expression (same
+    * coefficient stream, must agree value-for-value on non-empty input). */
+  def minhashSignatureReference(hashedShingles: Column, numHashes: Int = 64,
+                                seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     // 2^31-1 (Mersenne prime): keeps h*a < 2^62, no ANSI long overflow
     val p = 2147483647L

@@ -24,6 +24,28 @@ class PipelineSpec extends SparkSpec {
     assert(dupRow.getAs[Long]("dup_count") === 2L)
   }
 
+  test("native MinHashSig expression is bit-identical to the combinator formula") {
+    // checkpoint the grams exactly like minhashPairs does — it also severs
+    // the CodegenFallback shingle HOFs from the signature Project, so the
+    // fused expression's stage is codegen-eligible
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.hashedShingles(col("text")).as("g"))
+      .filter(size(col("g")) > 0)
+      .localCheckpoint()
+    val both = real.select(
+      Dedup.minhashSignature(col("g")).as("fused"),
+      Dedup.minhashSignatureReference(col("g")).as("ref"))
+    assert(both.filter(not(col("fused") === col("ref"))).count() === 0)
+    // and the fused path runs inside generated code, not CodegenFallback
+    // (checked on a fused-only plan: the reference formula's higher-order
+    // functions would force any shared Project out of codegen)
+    val fusedOnly = real.select(Dedup.minhashSignature(col("g")).as("fused"))
+    val cg = fusedOnly.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("minhash_sig") || cg.contains("MinHashSig"),
+      s"fused expression not in generated code:\n${cg.take(1500)}")
+  }
+
   test("minhash LSH finds planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
