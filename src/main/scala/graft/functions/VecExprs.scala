@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native codegen'd float-vector dot product (accumulated in double).
+  * Replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — two interpreted
+  * higher-order passes plus an intermediate array per call — with one
+  * generated multiply-accumulate loop. Dots are the inner loop of every
+  * similarity operator (scoring is O(corpus·queries·dim)), so this is the
+  * hottest scalar in the engine at 100 TB. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs two array<float>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  def apply(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      FloatVecDot(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+}
+
+/** Native codegen'd 64-bit SimHash from an array of token hashes
+  * (Charikar '02): one pass accumulating 64 signed bit votes in a local
+  * long[64], then the sign vector. Replaces the interpreted
+  * aggregate-of-zip_with vote fold (O(tokens·64) lambda evaluations and an
+  * intermediate 64-long array per token). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1L else votes(j) -= 1L
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $votes = new long[64];
+         |final int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) != 0L) ? 1L : -1L;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(hashes: Column): Column =
+    GraftExprBridge.column(SimHash64(GraftExprBridge.expression(hashes)))
+}

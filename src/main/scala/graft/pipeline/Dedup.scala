@@ -133,7 +133,14 @@ object Dedup {
     * array is let-bound (tokenization+hashing once per row), and all 64
     * bit counters accumulate in ONE pass over the hashes (a 64-long vote
     * array folded per token) instead of 64 separate aggregates. */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64(
+      transform(filter(split(lower(trim(text)), "[^a-z0-9]+"),
+        t => length(t) > 0), t => xxhash64(t)))
+
+  /** Pre-fusion combinator formulation of [[simhash]] — differential oracle
+    * for the native expression. */
+  def simhashReference(text: Column): Column = {
     val toks = split(lower(trim(text)), "[^a-z0-9]+")
     // constant-folded literal array of the 64 bit masks
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)

@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, computed in double — a native
+    * codegen'd expression ([[graft.functions.FloatVecDot]]): scoring is
+    * O(corpus·queries·dim), the engine's hottest inner loop. */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVecDot(a, b)
+
+  /** Pre-fusion combinator formulation of [[dot]] — differential oracle for
+    * the native expression. */
+  def dotReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

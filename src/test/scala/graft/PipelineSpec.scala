@@ -93,6 +93,19 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size >= 0.5) // 4-plane 1-bit multiprobe LSH
   }
 
+  test("native vec_dot and simhash64 are bit-identical to the combinator formulas") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("a"))
+    val shifted = emb.withColumn("b", reverse(col("a")))
+    assert(shifted.filter(
+      not(Similarity.dot(col("a"), col("b")) === Similarity.dotReference(col("a"), col("b")))
+    ).count() === 0)
+    val txt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(txt.filter(
+      not(Dedup.simhash(col("text")) === Dedup.simhashReference(col("text")))
+    ).count() === 0)
+  }
+
   test("cosine and dot on float arrays") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
                  (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
