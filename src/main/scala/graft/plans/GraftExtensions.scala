@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{FloatVecDot, MinHashSig, SimHash64}
+
+/** Session extension (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * exposes the engine's native codegen expressions as SQL functions
+  * (`vec_dot`, `simhash64`, `minhash_sig`) so `spark.sql(...)` users get
+  * the fused fast paths too.
+  *
+  * Deliberately NO custom optimizer rule: redundant-dedup elimination —
+  * the one candidate — is already covered twice over, by the Rel wrapper's
+  * distinctness bit at the API layer and by Catalyst natively below it
+  * (ReplaceDeduplicateWithAggregate + RemoveRedundantAggregates with
+  * distinct-keys propagation; verified empirically on dedup-over-aggregate
+  * and nested-dedup plans, which optimize to a single Aggregate with or
+  * without any injected rule). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b)")
+        FloatVecDot(args(0), args(1))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(hashes)")
+        SimHash64(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => MinHashSig(h, 64, 42L)
+        case Seq(h, n) => MinHashSig(h, intArg(n, "numHashes"), 42L)
+        case Seq(h, n, s) =>
+          MinHashSig(h, intArg(n, "numHashes"), longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(hashes[, numHashes[, seed]])")
+      }))
+  }
+}
