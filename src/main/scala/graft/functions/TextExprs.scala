@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingle/n-gram hashers. The Column-combinator formulations
+  * (`array_distinct(transform(sequence(...), i => xxhash64(array_join(
+  * slice(...)))))`) evaluate four nested higher-order/collection expressions
+  * PER SHINGLE, allocating an intermediate array each; these do one pass per
+  * row. Eval-only ([[CodegenFallback]]): the win is per-element fusion, and
+  * a single interpreted call per row costs nothing next to it. Hashes are
+  * bit-identical to `xxhash64` (XXH64, seed 42) so all planted-pair tests
+  * and recall measurements are unchanged. */
+
+/** Word k-shingles from a token array → distinct xxhash64 values, in first-
+  * occurrence order. Matches: shingle_i = tokens[i..i+k-1] joined by " "
+  * for i in 0..max(size-k, 0) (short arrays yield one whole-array shingle,
+  * like slice's clamping). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val last = math.max(n - k, 0)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= last) {
+      val parts = new Array[UTF8String](math.min(k, n - i))
+      var j = 0
+      while (j < parts.length) {
+        parts(j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(space, parts: _*)
+      out.add(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(tokens: Column, k: Int): Column =
+    GraftExprBridge.column(ShingleHashes(GraftExprBridge.expression(tokens), k))
+}
+
+/** Character n-grams of a string → distinct xxhash64 values, first-
+  * occurrence order. Matches: gram_i = substr(s, i, n) (SQL 1-based,
+  * clamped) for i in 1..max(len-n+1, 1) — one whole-string gram for short
+  * strings. */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_hashes needs string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val last = math.max(len - n + 1, 1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 1
+    while (i <= last) {
+      val g = s.substringSQL(i, n)
+      out.add(XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+object CharNgramHashes {
+  def apply(s: Column, n: Int): Column =
+    GraftExprBridge.column(CharNgramHashes(GraftExprBridge.expression(s), n))
+}

@@ -122,6 +122,11 @@ object TextAnalysis {
     * inside the shingle lambda, single distinct over longs) rather than
     * string-shingles → distinct → hash → distinct. */
   def hashedShingles(text: Column, k: Int = 3): Column =
+    graft.functions.ShingleHashes(split(lower(trim(text)), "[^a-z0-9]+"), k)
+
+  /** Pre-fusion combinator formulation of [[hashedShingles]] — differential
+    * oracle for the native expression. */
+  def hashedShinglesReference(text: Column, k: Int = 3): Column =
     bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
       val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
       array_distinct(transform(idx,
@@ -130,6 +135,10 @@ object TextAnalysis {
 
   /** Hashed character n-grams (same rationale as [[hashedShingles]]). */
   def hashedCharNgrams(text: Column, n: Int = 5): Column =
+    graft.functions.CharNgramHashes(regexp_replace(lower(trim(text)), "\\s+", " "), n)
+
+  /** Pre-fusion combinator formulation of [[hashedCharNgrams]]. */
+  def hashedCharNgramsReference(text: Column, n: Int = 5): Column =
     bind(regexp_replace(lower(trim(text)), "\\s+", " ")) { s =>
       val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
       array_distinct(transform(idx, i => xxhash64(s.substr(i, lit(n)))))

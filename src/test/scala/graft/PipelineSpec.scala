@@ -93,6 +93,24 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size >= 0.5) // 4-plane 1-bit multiprobe LSH
   }
 
+  test("native shingle/ngram hashers are bit-identical to the combinator formulas") {
+    val txt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(txt.filter(not(
+      TextAnalysis.hashedShingles(col("text")) ===
+        TextAnalysis.hashedShinglesReference(col("text")))).count() === 0)
+    assert(txt.filter(not(
+      TextAnalysis.hashedCharNgrams(col("text")) ===
+        TextAnalysis.hashedCharNgramsReference(col("text")))).count() === 0)
+    // degenerate inputs: shorter than k/n, empty string
+    val edge = Seq("", "ab", "one two", "   ").toDF("text")
+    assert(edge.filter(not(
+      TextAnalysis.hashedShingles(col("text")) ===
+        TextAnalysis.hashedShinglesReference(col("text")))).count() === 0)
+    assert(edge.filter(not(
+      TextAnalysis.hashedCharNgrams(col("text")) ===
+        TextAnalysis.hashedCharNgramsReference(col("text")))).count() === 0)
+  }
+
   test("native vec_dot and simhash64 are bit-identical to the combinator formulas") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("embedding").as("a"))
