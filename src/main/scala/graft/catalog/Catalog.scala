@@ -61,11 +61,9 @@ final class Catalog(val spark: SparkSession) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(name)
-    // the table scan preserves r's distinctness: bucketing is a physical
-    // layout change only
-    relvars(name) =
-      if (r.knownDistinct) Rel.distinct(spark.table(name))
-      else Rel.bag(spark.table(name))
+    // r.df deduplicates on write when the source wasn't known distinct, so
+    // the stored table is distinct by construction either way
+    relvars(name) = Rel.distinct(spark.table(name))
   }
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))

@@ -13,9 +13,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * higher-order passes plus an intermediate array per call — with one
   * generated multiply-accumulate loop. Dots are the inner loop of every
   * similarity operator (scoring is O(corpus·queries·dim)), so this is the
-  * hottest scalar in the engine at 100 TB. */
+  * hottest scalar in the engine at 100 TB.
+  *
+  * NULL semantics match the combinator it replaces: mismatched lengths or
+  * a null element yield NULL (zip_with pads with nulls, null poisons the
+  * sum) — a ragged/corrupt embedding stays a detectable data error, never
+  * a fabricated partial score. */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -30,10 +37,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -46,12 +55,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -35,7 +35,7 @@ class PipelineSpec extends SparkSpec {
     val both = real.select(
       Dedup.minhashSignature(col("g")).as("fused"),
       Dedup.minhashSignatureReference(col("g")).as("ref"))
-    assert(both.filter(not(col("fused") === col("ref"))).count() === 0)
+    assert(both.filter(!(col("fused") <=> col("ref"))).count() === 0)
     // and the fused path runs inside generated code, not CodegenFallback
     // (checked on a fused-only plan: the reference formula's higher-order
     // functions would force any shared Project out of codegen)
@@ -95,19 +95,19 @@ class PipelineSpec extends SparkSpec {
 
   test("native shingle/ngram hashers are bit-identical to the combinator formulas") {
     val txt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    assert(txt.filter(not(
-      TextAnalysis.hashedShingles(col("text")) ===
+    assert(txt.filter(!(
+      TextAnalysis.hashedShingles(col("text")) <=>
         TextAnalysis.hashedShinglesReference(col("text")))).count() === 0)
-    assert(txt.filter(not(
-      TextAnalysis.hashedCharNgrams(col("text")) ===
+    assert(txt.filter(!(
+      TextAnalysis.hashedCharNgrams(col("text")) <=>
         TextAnalysis.hashedCharNgramsReference(col("text")))).count() === 0)
     // degenerate inputs: shorter than k/n, empty string
     val edge = Seq("", "ab", "one two", "   ").toDF("text")
-    assert(edge.filter(not(
-      TextAnalysis.hashedShingles(col("text")) ===
+    assert(edge.filter(!(
+      TextAnalysis.hashedShingles(col("text")) <=>
         TextAnalysis.hashedShinglesReference(col("text")))).count() === 0)
-    assert(edge.filter(not(
-      TextAnalysis.hashedCharNgrams(col("text")) ===
+    assert(edge.filter(!(
+      TextAnalysis.hashedCharNgrams(col("text")) <=>
         TextAnalysis.hashedCharNgramsReference(col("text")))).count() === 0)
   }
 
@@ -116,11 +116,11 @@ class PipelineSpec extends SparkSpec {
       .select(col("embedding").as("a"))
     val shifted = emb.withColumn("b", reverse(col("a")))
     assert(shifted.filter(
-      not(Similarity.dot(col("a"), col("b")) === Similarity.dotReference(col("a"), col("b")))
+      !(Similarity.dot(col("a"), col("b")) <=> Similarity.dotReference(col("a"), col("b")))
     ).count() === 0)
     val txt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert(txt.filter(
-      not(Dedup.simhash(col("text")) === Dedup.simhashReference(col("text")))
+      !(Dedup.simhash(col("text")) <=> Dedup.simhashReference(col("text")))
     ).count() === 0)
   }
 
@@ -130,6 +130,9 @@ class PipelineSpec extends SparkSpec {
     val cos = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
     assert(math.abs(cos(0) - 1.0) < 1e-9)
     assert(math.abs(cos(1)) < 1e-9)
+    // ragged vectors are a data error: NULL, never a partial score
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f))).toDF("a", "b")
+    assert(ragged.select(Similarity.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
   test("brute-force knn: self is nearest neighbour at cosine 1") {
