@@ -151,3 +151,82 @@ object SimHash64 {
   def apply(hashes: Column): Column =
     GraftExprBridge.column(SimHash64(GraftExprBridge.expression(hashes)))
 }
+
+/** Fused cosine-LSH hyperplane signature (Charikar '02): all `planes` sign
+  * bits in ONE pass over the vector, with the per-(plane, index)
+  * pseudo-random components memoized across rows (they depend only on the
+  * position, not the data — the combinator version rehashed every component
+  * for every row). Bit-identical to the combinator formulation: component =
+  * pmod(xxhash64(i, a_p), 2000001)/1e6 - 1, accumulated in index order.
+  * Eval-only ([[CodegenFallback]]): per-element fusion is the win. */
+case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig needs array<float>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  @transient private lazy val planeSeeds: Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(rnd.nextLong())
+  }
+  // components[p] grows on demand to the widest vector seen by this task
+  @transient private lazy val components =
+    Array.fill(planes)(scala.collection.mutable.ArrayBuffer.empty[Double])
+
+  private def component(p: Int, i: Int): Double = {
+    val buf = components(p)
+    while (buf.size <= i) {
+      val idx = buf.size
+      // xxhash64(idx: int, a_p: long) with Spark's default seed 42, chained
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+        planeSeeds(p),
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(idx, 42L))
+      val m = ((h % 2000001L) + 2000001L) % 2000001L
+      buf += m.toDouble / 1000000.0 - 1.0
+    }
+    buf(i)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    // combinator edge semantics: an empty vector or any null element makes
+    // every plane's projection NULL, and `when(null >= 0, bit)` takes the
+    // otherwise-0 branch — signature 0
+    if (n == 0) return 0L
+    val proj = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return 0L
+      val x = vec.getFloat(i).toDouble
+      var p = 0
+      while (p < planes) {
+        proj(p) += x * component(p, i)
+        p += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      if (proj(p) >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def apply(vec: Column, planes: Int, seed: Long): Column =
+    GraftExprBridge.column(
+      HyperplaneSig(GraftExprBridge.expression(vec), planes, seed))
+}

@@ -49,9 +49,15 @@ object Similarity {
     when(na * nb === 0.0, lit(0.0)).otherwise(dotAB / (na * nb))
 
   /** Deterministic random hyperplanes: `planes` sign bits packed into a
-    * long — the classic cosine-LSH signature (Charikar '02). Plane
-    * components are seeded pseudo-randoms fixed at plan time. */
-  def hyperplaneSig(vec: Column, planes: Int = 8, seed: Long = 7L): Column = {
+    * long — the classic cosine-LSH signature (Charikar '02). Fused native
+    * expression ([[graft.functions.HyperplaneSig]]): one pass per vector
+    * with components memoized across rows. */
+  def hyperplaneSig(vec: Column, planes: Int = 8, seed: Long = 7L): Column =
+    graft.functions.HyperplaneSig(vec, planes, seed)
+
+  /** Pre-fusion combinator formulation of [[hyperplaneSig]] — differential
+    * oracle for the native expression. */
+  def hyperplaneSigReference(vec: Column, planes: Int = 8, seed: Long = 7L): Column = {
     val rnd = new scala.util.Random(seed)
     val bits = (0 until planes).map { p =>
       // per-plane pseudo-random component for index i: hash(seed, p, i) → [-1,1]

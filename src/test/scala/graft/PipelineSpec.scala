@@ -122,6 +122,11 @@ class PipelineSpec extends SparkSpec {
     assert(txt.filter(
       !(Dedup.simhash(col("text")) <=> Dedup.simhashReference(col("text")))
     ).count() === 0)
+    val sigs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(sigs.filter(
+      !(Similarity.hyperplaneSig(col("embedding")) <=>
+        Similarity.hyperplaneSigReference(col("embedding")))
+    ).count() === 0)
   }
 
   test("cosine and dot on float arrays") {
