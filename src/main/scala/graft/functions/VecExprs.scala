@@ -175,20 +175,34 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
     val rnd = new scala.util.Random(seed)
     Array.fill(planes)(rnd.nextLong())
   }
-  // components[p] grows on demand to the widest vector seen by this task
-  @transient private lazy val components =
-    Array.fill(planes)(scala.collection.mutable.ArrayBuffer.empty[Double])
+  // components[p][i] memo, grown on demand to the widest vector seen.
+  // Tasks normally deserialize their own expression copy, but growth is
+  // synchronized (and the buffer swapped atomically) in case an instance
+  // is ever shared across threads.
+  @transient private lazy val components: Array[java.util.concurrent.atomic.AtomicReference[Array[Double]]] =
+    Array.fill(planes)(new java.util.concurrent.atomic.AtomicReference(Array.empty[Double]))
 
   private def component(p: Int, i: Int): Double = {
-    val buf = components(p)
-    while (buf.size <= i) {
-      val idx = buf.size
-      // xxhash64(idx: int, a_p: long) with Spark's default seed 42, chained
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
-        planeSeeds(p),
-        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(idx, 42L))
-      val m = ((h % 2000001L) + 2000001L) % 2000001L
-      buf += m.toDouble / 1000000.0 - 1.0
+    var buf = components(p).get()
+    if (i >= buf.length) {
+      components(p).synchronized {
+        buf = components(p).get()
+        if (i >= buf.length) {
+          val grown = java.util.Arrays.copyOf(buf, i + 1)
+          var idx = buf.length
+          while (idx <= i) {
+            // xxhash64(idx: int, a_p: long), Spark's default seed 42, chained
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+              planeSeeds(p),
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(idx, 42L))
+            val m = ((h % 2000001L) + 2000001L) % 2000001L
+            grown(idx) = m.toDouble / 1000000.0 - 1.0
+            idx += 1
+          }
+          components(p).set(grown)
+          buf = grown
+        }
+      }
     }
     buf(i)
   }
