@@ -91,6 +91,21 @@ class AlgebraPropSpec extends SparkSpec {
     }
   }
 
+  test("divide and compose agree with Scala-set definitions") {
+    forAll(tupleGen, tupleGen) { (xs, ys) =>
+      val r = rel(xs)                  // (k, v)
+      val s = rel(ys, "k", "w")        // (k, w)
+      val sKeys = set(ys).map(_._1)
+      // divide (Andl joinl): {v | ∃k: (k,v) ∈ r ∧ k matches s}
+      val wantDiv = set(xs).collect { case (k, v) if sKeys(k) => v }
+      assert(r.divide(s).df.collect().map(_.getInt(0)).toSet === wantDiv)
+      // compose: {(v,w) | ∃k: (k,v) ∈ r ∧ (k,w) ∈ s}
+      val wantComp = for ((k, v) <- set(xs); (k2, w) <- set(ys) if k == k2) yield (v, w)
+      assert(r.compose(s).df.select("v", "w").collect()
+        .map(t => (t.getInt(0), t.getInt(1))).toSet === wantComp)
+    }
+  }
+
   test("grouped fold(+) agrees with Scala groupBy-sum") {
     forAll(tupleGen) { xs =>
       if (xs.nonEmpty) {
