@@ -14,6 +14,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for LSH/ANN ops (rows-only check). */
+    * the same parquet tables — every key is oracle-gated. */
   def oracleSql: Map[String, String] = Queries.oracleSql
+
+  /** Everything [[Bench]] times: the gated surface plus the raw
+    * approximate ops (kept under their round-1/2 names for timing
+    * comparability; correctness for those lives in the *_check rows). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries ++ Queries.benchExtra
 }

@@ -113,7 +113,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-                   shingleK: Int = 3): DataFrame = {
+                   shingleK: Int = 3, margin: Double = 0.15): DataFrame = {
     val rows = numHashes / bands
     // grams and signatures feed multiple plan branches (band join sides,
     // verify sides) — materialize each ONCE; as live expressions they would
@@ -124,7 +124,7 @@ object Dedup {
       .localCheckpoint()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
       .localCheckpoint()
-    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold),
+    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold, margin),
       grams, threshold)
   }
 
@@ -192,7 +192,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 5,
                         threshold: Double = 0.7, numHashes: Int = 64,
-                        bands: Int = 16): DataFrame = {
+                        bands: Int = 16, margin: Double = 0.15): DataFrame = {
     val rows = numHashes / bands
     val grams = widen(docs).select(col(idCol).as("id"),
         TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
@@ -200,7 +200,7 @@ object Dedup {
       .localCheckpoint()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
       .localCheckpoint()
-    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold),
+    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold, margin),
       grams, threshold)
   }
 
@@ -245,24 +245,42 @@ object Dedup {
     * random-hyperplane LSH signature (sign bits). One side multi-probes its
     * 1-bit-flipped neighbour buckets, so pairs within hamming distance 1 of
     * signature are found too — recall at moderate thresholds without
-    * widening the shuffle by more than (planes+1)×. */
+    * widening the shuffle by more than (planes+1)×.
+    *
+    * `tables` adds classic LSH amplification: `planes*tables` sign bits are
+    * computed in ONE fused pass ([[Similarity.hyperplaneSig]]) and banded
+    * into `tables` independent `planes`-bit hash tables; a pair is a
+    * candidate if it collides in ANY table (after multi-probe), so recall
+    * amplifies as 1-(1-p_table)^tables at a cost of ≤ tables× candidate
+    * inflation — the knob to turn when the target threshold is a weak
+    * similarity (hyperplane collision odds decay with arccos). */
   def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding", threshold: Double = 0.4,
-                     planes: Int = 4, seed: Long = 7L): DataFrame = {
-    val sig = Similarity.hyperplaneSig(col(vecCol), planes, seed)
+                     planes: Int = 4, seed: Long = 7L, tables: Int = 1): DataFrame = {
+    val sig = Similarity.hyperplaneSig(col(vecCol), planes * tables, seed)
     // norm precomputed per VECTOR (once), not per candidate pair — the
     // pair-verify then needs a single O(dim) dot product
     // feeds both self-join sides — materialize signature + norm once
-    val e = widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"),
+    val e = widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"),
       Similarity.norm(col(vecCol)).as("n"))
       .localCheckpoint()
+    // per-table band values: bits [t*planes, (t+1)*planes) of the signature
+    // (sig let-bound: inlined it would recompute the signature per table)
+    val mask = lit((1L << planes) - 1)
+    def bands(sigc: Column): Column = TextAnalysis.bind(sigc) { sg =>
+      array((0 until tables).map(t =>
+        shiftrightunsigned(sg, t * planes).bitwiseAND(mask)): _*)
+    }
     val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
-    val a = e.select(explode(TextAnalysis.bind(col("bucket")) { bkt =>
-        transform(probes, m => bkt.bitwiseXOR(m))
-      }).as("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
-    val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
+        posexplode(bands(col("sig"))).as(Seq("t", "b0")))
+      .select(col("id_a"), col("v_a"), col("n_a"), col("t"),
+        explode(TextAnalysis.bind(col("b0")) { b0 =>
+          transform(probes, m => b0.bitwiseXOR(m))
+        }).as("b"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"),
+      posexplode(bands(col("sig"))).as(Seq("t", "b")))
+    a.join(b, Seq("t", "b")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosinePre(Similarity.dot(col("v_a"), col("v_b")),
           col("n_a"), col("n_b")).as("cosine"))

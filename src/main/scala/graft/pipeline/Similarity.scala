@@ -78,7 +78,11 @@ object Similarity {
     * no reducer ever holds more than one partition's candidates for one
     * query; phase 2 merges the ≤ k·P survivors per query. Ties break by
     * ascending cId (matches a row_number window ordered cosine desc, cId). */
-  private def topK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
+  private def topK(scored0: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
+    // a null cosine (ragged/corrupt embedding — FloatVecDot yields NULL by
+    // design) must surface as an absent row, not rank FIRST via the packed
+    // struct's null `nc` sorting ahead of every real score
+    val scored = scored0.filter(col("cosine").isNotNull)
     val packed = struct((-col("cosine")).as("nc"), col(cId).as("c"))
     val local = scored
       .groupBy(col(qId), spark_partition_id().as("__pid"))
@@ -109,16 +113,24 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: probe only corpus vectors whose
     * hyperplane signature matches the query's. Recall < 1 by construction;
-    * multi-probe (flip one bit) raises it. At 100 TB the bucket join is a
-    * shuffle on an 8-bit key instead of a full crossJoin. */
+    * multi-probe (flip one bit) raises it, and `tables` independent
+    * `planes`-bit hash tables (banded from ONE fused `planes*tables`-bit
+    * signature pass) amplify it as 1-(1-p)^tables — the standard LSH
+    * recall/cost knob. At 100 TB the bucket join is a shuffle on a
+    * (table, band) key instead of a full crossJoin. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             planes: Int = 8, multiProbe: Boolean = true,
+             planes: Int = 8, multiProbe: Boolean = true, tables: Int = 1,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val mask = lit((1L << planes) - 1)
+    def bands(sigc: Column): Column = TextAnalysis.bind(sigc) { sg =>
+      array((0 until tables).map(t =>
+        shiftrightunsigned(sg, t * planes).bitwiseAND(mask)): _*)
+    }
     val cSig = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"),
-      hyperplaneSig(col(cVec), planes).as("bucket"))
+      posexplode(bands(hyperplaneSig(col(cVec), planes * tables))).as(Seq("t", "bucket")))
     val qSig0 = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"),
-      hyperplaneSig(col(qVec), planes).as("bucket"))
+      posexplode(bands(hyperplaneSig(col(qVec), planes * tables))).as(Seq("t", "bucket")))
     val qSig = if (!multiProbe) qSig0 else {
       // probe own bucket + each 1-bit-flipped neighbour bucket (bucket
       // let-bound: inlined it would recompute the signature per probe)
@@ -127,7 +139,7 @@ object Similarity {
         transform(probes, m => bkt.bitwiseXOR(m))
       }))
     }
-    val scored = cSig.join(broadcast(qSig), "bucket")
+    val scored = cSig.join(broadcast(qSig), Seq("t", "bucket"))
       .select(col(qId), col(cId),
         round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
           .as("cosine"))
