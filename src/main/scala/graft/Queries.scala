@@ -298,16 +298,10 @@ object Queries {
 
   // ================================================ §1.4 events / time
 
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long
-    * (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros. */
-  private def events(s: SparkSession, dir: String): Rel = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val fixed =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    Rel.distinct(fixed)
-  }
+  /** events.ts is parquet TIMESTAMP(NANOS): shared nanos→micros coercion
+    * ([[Sources.nanosTsToMicros]] — same helper the streaming source uses). */
+  private def events(s: SparkSession, dir: String): Rel =
+    Rel.distinct(Sources.nanosTsToMicros(s.read.parquet(s"$dir/events.parquet")))
 
   def qEventsHour(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -513,11 +507,14 @@ object Queries {
 
   // ===================================================== §2.8 import
 
-  // Resolved against the checkout at runtime (not a hardcoded machine
-  // path); made absolute so the same string works in the DuckDB oracle SQL
-  // regardless of the oracle runner's own working directory.
-  val csvFixture = new java.io.File("src/test/resources/fixtures/S.csv").getAbsolutePath
-  val txtFixture = new java.io.File("src/test/resources/fixtures/lines.txt").getAbsolutePath
+  // Resolved against SPARK_GRAFT_FIXTURES when set, else the JVM working
+  // directory (Verify/Bench are run from the repo root); made absolute so
+  // the same string works in the DuckDB oracle SQL regardless of the
+  // oracle runner's own working directory.
+  private val fixtureBase = sys.env.getOrElse("SPARK_GRAFT_FIXTURES",
+    new java.io.File("src/test/resources/fixtures").getAbsolutePath)
+  val csvFixture = s"$fixtureBase/S.csv"
+  val txtFixture = s"$fixtureBase/lines.txt"
 
   def qImportCsv(s: SparkSession, dir: String): DataFrame =
     Sources.csv(s, csvFixture).df
@@ -539,9 +536,8 @@ object Queries {
 
   def qOrdg(s: SparkSession, dir: String): DataFrame = {
     val spec = OrderSpec(Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
-    t(s, dir, "orders")
-      .extend("g" -> Ordered.ordg(spec).cast("int"))
-      .project("o_orderkey", "g").df
+    Ordered.withOrdg(t(s, dir, "orders").df, spec, "g")
+      .select(col("o_orderkey"), col("g").cast("int").as("g"))
   }
 
   // ============================================== §2.1/2.7 small builtins

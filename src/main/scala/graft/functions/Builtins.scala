@@ -81,11 +81,14 @@ object Builtins {
       .cast(IntegerType)
 
   /** bset(b, i, v): copy with byte i replaced
-    * (Builtin.BinarySet, Builtin.cs:893-899). */
+    * (Builtin.BinarySet, Builtin.cs:893-899). v is masked to its low byte
+    * like the reference's cast-to-byte — without the mask, lpad(hex(v))
+    * would keep the LEFTMOST hex digits of an out-of-range v (300 → 0x12)
+    * and any negative v would store 0xFF. */
   def bset(b: Column, i: Column, v: Column): Column =
     unhex(concat(
       substring(hex(b), lit(1), (i * 2).cast(IntegerType)),
-      lpad(hex(v.cast(LongType)), 2, "0"),
+      lpad(hex(v.cast(LongType).bitwiseAND(lit(0xFFL))), 2, "0"),
       substring(hex(b), (i * 2 + 3).cast(IntegerType), (length(b) * 2).cast(IntegerType))))
 
   // -------------------------------------------------------- IO / control

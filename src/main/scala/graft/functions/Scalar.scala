@@ -56,10 +56,11 @@ object Scalar {
   // ------------------------------------------------------------------ math
 
   /** div: integer division truncating toward zero (C# semantics,
-    * Builtin.cs:685-687). Spark's `div` on integral types truncates toward
-    * zero already for longs. */
+    * Builtin.cs:685-687). Uses Spark's integral `div` operator directly —
+    * it truncates toward zero on longs and, unlike the (a - a%b)/b double
+    * formulation this replaces, is exact for |a| > 2^53. */
   def divTrunc(a: Column, b: Column): Column =
-    ((a.cast("long") - (a.cast("long") % b.cast("long"))) / b.cast("long")).cast("long")
+    call_function("div", a.cast("long"), b.cast("long"))
 
   /** mod: remainder with sign of dividend (C# and Spark agree). */
   def modTrunc(a: Column, b: Column): Column = a % b

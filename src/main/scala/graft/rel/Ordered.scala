@@ -91,23 +91,54 @@ object Ordered {
   /** ord(): 1-based ordinal of the row under the order spec
     * (Builtin.Ordinal, Builtin.cs:339-343 — reference returns the INPUT
     * ordinal; we return the ordinal under the explicit total order, which is
-    * what every reference test observes since they always sort first). */
+    * what every reference test observes since they always sort first).
+    * With empty groupBy this is a single-partition window — for a GLOBAL
+    * ordinal at scale use [[withGlobalOrdinal]] instead. */
   def ord(spec: OrderSpec): Column = row_number().over(spec.window)
 
-  /** ordg(): ordinal of the group's FIRST row under the full order
-    * (Builtin.OrdinalGroup, Builtin.cs:346-350 → DataRow.Ordinal(true),
-    * DataRow.cs:252-255 → OrderedIndex.Offset(row,0,Absolute),
-    * OrderedIndex.cs:129-147 — the reference returns the INPUT ordinal of
-    * the group's first row in its index sorted by all spec segments; we
-    * return the 1-based position under the explicit total order
-    * (groupKeys then sort), the same documented deviation as [[ord]]).
-    * Scale note: like ungrouped [[ord]], the global row_number is a
-    * single-partition window — reference semantics are inherently a total
-    * order; use only where the reference language would (presentation /
-    * small ordered transforms). */
-  def ordg(spec: OrderSpec): Column = {
-    val global = Window.orderBy(spec.groupBy.map(col) ++ spec.sort: _*)
-    first(row_number().over(global)).over(spec.whole)
+  /** Scale-safe 1-based GLOBAL ordinal under a total order — the two-pass
+    * zipWithIndex pattern, never a single-partition window: range-partition
+    * by the sort keys (global order across partitions), sort within each,
+    * number rows per physical partition with a PARTITIONED window, then add
+    * the exclusive prefix-sum of per-partition counts. The count pass is
+    * O(numPartitions) driver work (bounded by cluster size, not data size).
+    * The ranged frame is localCheckpointed so the count pass and the
+    * numbering pass see the SAME physical partitioning (range-boundary
+    * sampling is not deterministic across separate executions). */
+  def withGlobalOrdinal(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+    require(sort.nonEmpty, "global ordinal needs a total order")
+    val ranged = df.repartitionByRange(sort: _*).sortWithinPartitions(sort: _*)
+      .withColumn("__go_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("__go_pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = counts.map(_._1).zip(offsets).toSeq.toDF("__go_pid", "__go_off")
+    val w = Window.partitionBy("__go_pid").orderBy(sort: _*)
+    ranged.join(broadcast(offDf), Seq("__go_pid"), "left")
+      .withColumn(out, row_number().over(w).cast("long") +
+        coalesce(col("__go_off"), lit(0L)))
+      .drop("__go_pid", "__go_off")
+  }
+
+  /** ordg(): every row gets the GLOBAL ordinal of its group's FIRST row
+    * under the full order (Builtin.OrdinalGroup, Builtin.cs:346-350 →
+    * DataRow.Ordinal(true), DataRow.cs:252-255 → OrderedIndex.Offset(row,
+    * 0,Absolute), OrderedIndex.cs:129-147 — the reference returns the INPUT
+    * ordinal of the group's first row in its index sorted by all spec
+    * segments; we return the 1-based position under the explicit total
+    * order (groupKeys then sort), the same documented deviation as
+    * [[ord]]). Built on [[withGlobalOrdinal]] + a per-GROUP min window —
+    * no single-partition window anywhere, so it survives any scale. */
+  def withOrdg(df: DataFrame, spec: OrderSpec, out: String): DataFrame = {
+    if (spec.groupBy.isEmpty)
+      return df.withColumn(out, lit(1L)) // one group: its first row is row 1
+    val tmp = "__go_ordg"
+    withGlobalOrdinal(df, spec.groupBy.map(col) ++ spec.sort, tmp)
+      .withColumn(out, min(col(tmp)).over(Window.partitionBy(spec.groupBy.map(col): _*)))
+      .drop(tmp)
   }
 
   /** lag with NO-NULL discipline: outside the group returns the column's

@@ -95,19 +95,30 @@ object Sources {
 
   /** `con` source: prompt, read ONE console line, one-tuple relation with
     * attribute `line` (DataSourceCon, DataSourceStream.cs:153-171 —
-    * "really!"). Driver-side by nature. */
-  def con(spark: SparkSession, prompt: String = ""): Rel = {
+    * "really!"). Driver-side by nature; the reader is injectable so the
+    * console dependency is testable headless. */
+  def con(spark: SparkSession, prompt: String = "",
+          in: java.io.BufferedReader = Console.in): Rel = {
     import spark.implicits._
     if (prompt.nonEmpty) Console.out.println(prompt)
-    val line = Option(scala.io.StdIn.readLine()).getOrElse("")
+    val line = Option(in.readLine()).getOrElse("")
     Rel.distinct(Seq(line).toDF("line"))
   }
 
   /** JDBC import (DataSourceSql, Andl.Runtime/DataSourceSql.cs:29-80):
     * the full source surface includes sql/odbc/oledb connections; on Spark
-    * this is the built-in JDBC reader. No driver is shipped in this
-    * sandbox, so this is plumbing-only (exercised nowhere in tests). */
+    * this is the built-in JDBC reader (exercised in SourcesSpec against an
+    * embedded Derby database — the same engine Spark's metastore uses). */
   def jdbc(spark: SparkSession, url: String, table: String,
            props: java.util.Properties = new java.util.Properties()): Rel =
     Rel.bag(spark.read.jdbc(url, table, props))
+
+  /** parquet TIMESTAMP(NANOS) columns surface as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; truncate to micros and
+    * rebuild the timestamp. ONE shared coercion for the batch events loader
+    * and the streaming source, so the two cannot drift. */
+  def nanosTsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    if (df.schema(tsCol).dataType == LongType)
+      df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+    else df
 }

@@ -38,8 +38,7 @@ object EventStream {
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     val raw = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = LongType) else f))
-    spark.readStream.schema(raw).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Sources.nanosTsToMicros(spark.readStream.schema(raw).parquet(dir))
   }
 
   /** Windowed per-type aggregation with a watermark — the streaming

@@ -60,6 +60,20 @@ class BuiltinsSpec extends SparkSpec {
     assert(row.getAs[Int]("setlen") === 3) // length preserved
   }
 
+  test("bset masks v to its low byte like C# cast-to-byte (Builtin.cs:893-899)") {
+    import spark.implicits._
+    val b = graft.rel.Rel.distinct(Seq("AbC").toDF("s"))
+      .extend("bin" -> encode(col("s"), "UTF-8"))
+    val row = b.extend(
+      "over" -> Builtins.bget(Builtins.bset(col("bin"), lit(0), lit(300)), lit(0)),
+      "neg" -> Builtins.bget(Builtins.bset(col("bin"), lit(0), lit(-1)), lit(0)),
+      "neg2" -> Builtins.bget(Builtins.bset(col("bin"), lit(0), lit(-2)), lit(0)))
+      .df.collect()(0)
+    assert(row.getAs[Int]("over") === 300 % 256) // (byte)300 = 44, not 0x12
+    assert(row.getAs[Int]("neg") === 255)        // (byte)-1 = 0xFF
+    assert(row.getAs[Int]("neg2") === 254)
+  }
+
   test("now()/time(d) (Builtin.cs:968-971,1050-1055)") {
     val t = spark.range(1).select(Builtins.now().cast("long")).collect()(0).getLong(0)
     assert(math.abs(t - System.currentTimeMillis() / 1000) < 300)

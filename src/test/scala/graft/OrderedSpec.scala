@@ -88,12 +88,29 @@ class OrderedSpec extends SparkSpec {
     val gspec = OrderSpec(Seq("A2"), Seq(col("A1")))
     assert(nSet(gspec, Ordered.rank(gspec)) === Set(1, 2, 3))
     // ordg: first-row ordinal under the full (A2, A1) order — sorted rows
-    // are (5,def-)(5,g-)(5,h-)(6,abc-)(9,ijkl-), so groups start at 1/4/5
-    assert(nSet(gspec, Ordered.ordg(gspec).cast("int")) === Set(1, 4, 5))
+    // are (5,def-)(5,g-)(5,h-)(6,abc-)(9,ijkl-), so groups start at 1/4/5;
     // every row of a group shares the group's first ordinal
-    val perRow = ROQ5.transform("A0" -> col("A0"),
-        "g" -> Ordered.ordg(gspec).cast("int")).df
+    val perRow = Ordered.withOrdg(ROQ5.df, gspec, "g")
+      .select(col("A0"), col("g").cast("int").as("g"))
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(perRow === Map(1 -> 4, 2 -> 1, 3 -> 1, 4 -> 1, 5 -> 5))
+    // ungrouped ordg: the whole relation is one group → all 1
+    assert(Ordered.withOrdg(ROQ5.df, OrderSpec(Nil, Seq(col("A1"))), "g")
+      .select(col("g")).collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("withGlobalOrdinal: dense 1..N, no single-partition window (two-pass prefix-sum)") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", pmod(col("id") * 37, lit(1000)))
+      .repartition(7) // force multiple input partitions
+    val got = Ordered.withGlobalOrdinal(df, Seq(col("k")), "n")
+    // ordinal is exactly the rank of k in 0..999 (+1, k values are a permutation)
+    assert(got.select(col("k"), col("n")).collect()
+      .forall(r => r.getLong(1) === r.getLong(0) + 1))
+    // plan-level: every Window in the plan has a non-empty partition spec
+    val wins = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 }

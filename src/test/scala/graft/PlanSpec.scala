@@ -94,6 +94,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("ordg plans no single-partition window (two-pass global ordinal)") {
+    val q = Queries.qOrdg(spark, sf)
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned Window in ordg plan:\n${plan(q).take(3000)}")
+  }
+
   test("two-phase top-k never concentrates one query's candidates in a window") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)

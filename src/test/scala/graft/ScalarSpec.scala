@@ -41,6 +41,11 @@ class ScalarSpec extends SparkSpec {
     assert(eval1(Scalar.divTrunc(lit(7), lit(2))) === 3L)
     assert(eval1(Scalar.divTrunc(lit(-7), lit(2))) === -3L)
     assert(eval1(Scalar.modTrunc(lit(-7), lit(2)).cast("long")) === -1L)
+    // exact past 2^53: the double formulation this replaced loses ulps here
+    val big = (1L << 53) + 3L
+    assert(eval1(Scalar.divTrunc(lit(big), lit(2))) === big / 2)
+    assert(eval1(Scalar.divTrunc(lit(-big), lit(3))) === -big / 3)
+    assert(eval1(Scalar.divTrunc(lit(Long.MaxValue - 1), lit(7))) === (Long.MaxValue - 1) / 7)
   }
 
   test("iif lazy branches") {

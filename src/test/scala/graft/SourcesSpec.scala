@@ -41,4 +41,31 @@ class SourcesSpec extends SparkSpec {
     assert(t.attrs === Seq("Line"))
     assert(t.count() === 3) // 4 lines, 'beta' duplicated → 3 distinct
   }
+
+  test("con: one console line → one-tuple {line} relation (DataSourceStream.cs:153-171)") {
+    val in = new java.io.BufferedReader(new java.io.StringReader("hello graft\nignored"))
+    val r = Sources.con(spark, in = in)
+    assert(r.attrs === Seq("line"))
+    assert(r.df.collect().map(_.getString(0)).toSeq === Seq("hello graft"))
+    // EOF → "" (no-NULL discipline)
+    val eof = new java.io.BufferedReader(new java.io.StringReader(""))
+    assert(Sources.con(spark, in = eof).df.collect()(0).getString(0) === "")
+  }
+
+  test("jdbc: embedded-Derby round-trip (DataSourceSql.cs:29-80)") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE SUP (SNO VARCHAR(8), STATUS INT)")
+      st.execute("INSERT INTO SUP VALUES ('S1', 20), ('S2', 10), ('S3', 30)")
+      st.close()
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val r = Sources.jdbc(spark, url, "SUP", props)
+      assert(r.attrs === Seq("SNO", "STATUS"))
+      assert(r.count() === 3)
+      assert(r.aggregate(Nil, "t" -> sum(col("STATUS"))).df.collect()(0).get(0) === 60)
+    } finally conn.close()
+  }
 }
