@@ -29,9 +29,12 @@ object Dedup {
   }
 
   /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
-    * One hash-shuffle; at 100 TB this is a plain groupBy on a 128-bit key. */
+    * One hash-shuffle; at 100 TB this is a plain groupBy on a 128-bit key.
+    * No widen(): the single aggregation IS the whole query — a pre-shuffle
+    * of raw text to gain map-side parallelism costs more than the md5 it
+    * parallelizes (the round-2 bench regression). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    widen(docs).groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   /** Deterministic MinHash signature over PRE-HASHED shingles (array of
@@ -75,16 +78,48 @@ object Dedup {
     * background, so the dropDuplicates shuffle and the exact verify only
     * see survivors. margin 0.15 ≈ 2.6σ of the estimator at s=0.7: false
     * negatives ≲1% right AT the threshold, negligible above. */
+  /** Hot-bucket hardening for the LSH self-joins: count bucket populations
+    * (map-side-combinable; only OVERSIZED buckets survive the filter, so
+    * the result is tiny and broadcasts) and grid-salt buckets above `cap`
+    * into g = ceil(n/cap) groups. Each row's group is gx = hash(id) mod g;
+    * the probe leg keys on (__i = own gx, __j = 0..g-1 exploded), the
+    * build leg on (__i = 0..g-1 exploded, __j = own gx) — every pair
+    * still meets EXACTLY once, at (gx_a, gx_b), but no reducer handles
+    * more than ~cap² candidate pairs, so a degenerate self-similar corpus
+    * (one giant bucket) spreads over g² tasks instead of dying in one.
+    * Normal buckets get g = 1 → zero inflation. AQE's skew-split only
+    * repartitions sort-merge joins after the fact; this bounds the key
+    * itself, for any join strategy. */
+  private def oversizedBuckets(built: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    built.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+      .select(keys.map(col) :+
+        ceil(col("__bn").cast("double") / cap).cast("int").as("__g"): _*)
+
+  private def withResplit(df: DataFrame, big: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(broadcast(big), keys, "left")
+      .withColumn("__g", coalesce(col("__g"), lit(1)))
+
+  private def saltOwn(idCol: Column): Column =
+    pmod(xxhash64(idCol), col("__g").cast("long")).cast("int")
+
+  private def saltAll: Column = explode(sequence(lit(0), col("__g") - 1))
+
   private def bandedCandidateIds(sig: DataFrame, bands: Int, rows: Int,
                                  numHashes: Int, threshold: Double,
-                                 margin: Double = 0.15): DataFrame = {
+                                 margin: Double = 0.15,
+                                 bucketCap: Int = 2048): DataFrame = {
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b)))
         .as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+    val keys = Seq("band", "bh")
+    val split = withResplit(banded, oversizedBuckets(banded, keys, bucketCap), keys)
+    val a = split.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("sig").as("sig_a"), saltOwn(col("id")).as("__i"), saltAll.as("__j"))
+    val b = split.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("sig").as("sig_b"), saltAll.as("__i"), saltOwn(col("id")).as("__j"))
+    a.join(b, Seq("band", "bh", "__i", "__j")).filter(col("id_a") < col("id_b"))
       .filter((aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= threshold - margin)
@@ -113,7 +148,8 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-                   shingleK: Int = 3, margin: Double = 0.15): DataFrame = {
+                   shingleK: Int = 3, margin: Double = 0.15,
+                   bucketCap: Int = 2048): DataFrame = {
     val rows = numHashes / bands
     // grams and signatures feed multiple plan branches (band join sides,
     // verify sides) — materialize each ONCE; as live expressions they would
@@ -124,7 +160,8 @@ object Dedup {
       .localCheckpoint()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
       .localCheckpoint()
-    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold, margin),
+    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold,
+        margin, bucketCap),
       grams, threshold)
   }
 
@@ -158,7 +195,7 @@ object Dedup {
     * pair within maxDist agrees on at least one full chunk, so joining on
     * (chunk index, chunk value) finds all such pairs without all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, bucketCap: Int = 8192): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // feeds both self-join sides — materialize the 64-bit hashes once
@@ -172,9 +209,13 @@ object Dedup {
           shiftrightunsigned(sh, c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
         }: _*)
       }).as(Seq("chunk", "cv")))
-    val a = banded.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
+    val keys = Seq("chunk", "cv")
+    val split = withResplit(banded, oversizedBuckets(banded, keys, bucketCap), keys)
+    val a = split.select(col("chunk"), col("cv"), col("id").as("id_a"),
+      col("sh").as("sh_a"), saltOwn(col("id")).as("__i"), saltAll.as("__j"))
+    val b = split.select(col("chunk"), col("cv"), col("id").as("id_b"),
+      col("sh").as("sh_b"), saltAll.as("__i"), saltOwn(col("id")).as("__j"))
+    a.join(b, Seq("chunk", "cv", "__i", "__j")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -192,7 +233,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 5,
                         threshold: Double = 0.7, numHashes: Int = 64,
-                        bands: Int = 16, margin: Double = 0.15): DataFrame = {
+                        bands: Int = 16, margin: Double = 0.15,
+                        bucketCap: Int = 2048): DataFrame = {
     val rows = numHashes / bands
     val grams = widen(docs).select(col(idCol).as("id"),
         TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
@@ -200,7 +242,8 @@ object Dedup {
       .localCheckpoint()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
       .localCheckpoint()
-    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold, margin),
+    verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold,
+        margin, bucketCap),
       grams, threshold)
   }
 
@@ -256,7 +299,8 @@ object Dedup {
     * similarity (hyperplane collision odds decay with arccos). */
   def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding", threshold: Double = 0.4,
-                     planes: Int = 4, seed: Long = 7L, tables: Int = 1): DataFrame = {
+                     planes: Int = 4, seed: Long = 7L, tables: Int = 1,
+                     bucketCap: Int = 2048): DataFrame = {
     val sig = Similarity.hyperplaneSig(col(vecCol), planes * tables, seed)
     // norm precomputed per VECTOR (once), not per candidate pair — the
     // pair-verify then needs a single O(dim) dot product
@@ -272,15 +316,25 @@ object Dedup {
         shiftrightunsigned(sg, t * planes).bitwiseAND(mask)): _*)
     }
     val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
-    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
+    // bucket populations measured on the UNPROBED build side; the probe
+    // side looks up its probed (t, b) keys against the same oversized map,
+    // so probes into a hot bucket are salted too
+    val bandedB = e.select(col("id"), col("v"), col("n"),
+      posexplode(bands(col("sig"))).as(Seq("t", "b")))
+    val big = oversizedBuckets(bandedB, Seq("t", "b"), bucketCap)
+    val probed = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
         posexplode(bands(col("sig"))).as(Seq("t", "b0")))
       .select(col("id_a"), col("v_a"), col("n_a"), col("t"),
         explode(TextAnalysis.bind(col("b0")) { b0 =>
           transform(probes, m => b0.bitwiseXOR(m))
         }).as("b"))
-    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"),
-      posexplode(bands(col("sig"))).as(Seq("t", "b")))
-    a.join(b, Seq("t", "b")).filter(col("id_a") < col("id_b"))
+    val a = withResplit(probed, big, Seq("t", "b"))
+      .select(col("t"), col("b"), col("id_a"), col("v_a"), col("n_a"),
+        saltOwn(col("id_a")).as("__i"), saltAll.as("__j"))
+    val b = withResplit(bandedB, big, Seq("t", "b"))
+      .select(col("t"), col("b"), col("id").as("id_b"), col("v").as("v_b"),
+        col("n").as("n_b"), saltAll.as("__i"), saltOwn(col("id")).as("__j"))
+    a.join(b, Seq("t", "b", "__i", "__j")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosinePre(Similarity.dot(col("v_a"), col("v_b")),
           col("n_a"), col("n_b")).as("cosine"))

@@ -93,6 +93,36 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size >= 0.5) // 4-plane 1-bit multiprobe LSH
   }
 
+  test("hot-bucket grid salting is pair-complete (salted == unsalted pair sets)") {
+    // a tiny bucketCap forces g > 1 on every real bucket — every pair must
+    // still meet exactly once, so the pair set cannot change
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) >= 5)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.minhashPairs(real, threshold = 0.5, bucketCap = 3)) ===
+      pairSet(Dedup.minhashPairs(real, threshold = 0.5)))
+    assert(pairSet(Dedup.simhashPairs(real, maxDist = 3, bucketCap = 3)) ===
+      pairSet(Dedup.simhashPairs(real, maxDist = 3)))
+    assert(pairSet(Dedup.embeddingPairs(emb, threshold = 0.4, bucketCap = 3)) ===
+      pairSet(Dedup.embeddingPairs(emb, threshold = 0.4)))
+  }
+
+  test("degenerate all-identical corpus: hot bucket resplits, bounded tasks, no cartesian") {
+    // 300 identical docs → ONE bucket per band holding every doc. With
+    // cap=50 the bucket grid-splits into 6×6 salt groups; output must be
+    // the complete quadratic pair set (it IS the correct answer) and the
+    // plan must stay a hash join on the salted key, never a cartesian.
+    val n = 300
+    val same = (1 to n).map(i => (i.toLong, "identical text repeated for the degenerate corpus case"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(same, threshold = 0.5, bucketCap = 50)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+  }
+
   test("native shingle/ngram hashers are bit-identical to the combinator formulas") {
     val txt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert(txt.filter(!(
