@@ -265,7 +265,9 @@ final class AndlParser(toks: Vector[Tok]) {
     val ln = peek().line
     val e = peek() match {
       case TIdent("not") => next(); EUnop("not", primary())
-      case TOp("-") => next(); EUnop("-", primary())
+      // unary minus binds at precedence 8, below `**` at 9
+      // (SymbolTable.cs:456-457): -2**2 parses as -(2**2).
+      case TOp("-") => next(); EUnop("-", binopRight(8))
       case _ => postfixed()
     }
     e.line = ln
