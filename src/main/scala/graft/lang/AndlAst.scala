@@ -10,8 +10,10 @@ object AndlAst {
   case class SExpr(e: Expr) extends Stmt
   /** `name := expr` (optionally `var name := expr`). */
   case class SAssign(name: String, e: Expr) extends Stmt
-  /** `name => expr` — argless deferred; `def name[:type](params) => body`. */
-  case class SDef(name: String, params: Seq[Param], body: Expr) extends Stmt
+  /** `name => expr` — argless deferred (`defer=true`, re-evaluated at every
+    * reference); `def name[:type](params) => body` (`defer=false`). */
+  case class SDef(name: String, params: Seq[Param], body: Expr,
+                  defer: Boolean = false) extends Stmt
   /** `type name(fields)`. */
   case class STypeDef(name: String, fields: Seq[(String, TypeRef)]) extends Stmt
   /** `var name:typeref` / `var name:heading(source)`. */
@@ -61,6 +63,9 @@ object AndlAst {
   case class ERelOf(tuples: Seq[Expr]) extends Expr
   /** Postfix chain: recv .op .op … */
   case class EPostfix(recv: Expr, ops: Seq[PostOp]) extends Expr
+  /** Function literal `def(a:'') => body` — a funval (grammar FunvalBody;
+    * tested by SuiteDefer.andl funvals section). */
+  case class EFunDef(params: Seq[Param], body: Expr) extends Expr
 
   // --------------------------------------------------------- postfix ops
   sealed trait PostOp
@@ -83,4 +88,7 @@ object AndlAst {
   case class TRename(name: String, old: String) extends Term
   case class TExtend(name: String, e: Expr) extends Term
   case class TLift(e: Expr) extends Term
+  /** `{*}` inside a tuple row: copy every attribute of the current tuple
+    * (SuiteRelWhile.andl fibonacci2's `{{*}}` step). */
+  case object TStar extends Term
 }

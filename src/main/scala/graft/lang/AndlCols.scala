@@ -1,0 +1,383 @@
+package graft.lang
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.types.DataType
+
+import AndlAst._
+import AndlValues._
+import graft.rel.{Fold, Ordered, OrderedFold, OrderSpec, Rel}
+import graft.functions.{Builtins, Scalar}
+
+/** Compiles Andl expressions that appear INSIDE relational operators —
+  * `.where` predicates, `.select` terms, `.while` steps — to Spark
+  * `Column`s, so the surface language executes on the engine's Catalyst
+  * plans instead of row-at-a-time like the reference's evaluator
+  * (Andl.Runtime/Evaluator.cs:238+ walks a postfix expression VM per row;
+  * we emit one declarative expression per transform and let codegen run it).
+  *
+  * User functions are inlined at compile time (their bodies are pure
+  * expressions — the reference stores them as compiled expression blocks,
+  * Catalog.cs:93-128), so a call in a predicate costs nothing at runtime
+  * and stays inside whole-stage codegen. Free variables from enclosing
+  * scopes are evaluated driver-side and embedded as literals — the same
+  * binding-time the reference gives them (closures capture values).
+  */
+final class AndlCols(interp: AndlInterp) {
+  import AndlInterp.Env
+
+  /** Where fold() calls are allowed and how they lower. */
+  sealed trait FoldMode
+  /** Plain row context (where, extend) — fold is an error. */
+  case object NoFold extends FoldMode
+  /** Global/grouped aggregation: fold → Spark aggregate function. */
+  case object AggFold extends FoldMode
+  /** Ordered transform: fold → running window aggregate. */
+  final case class RunFold(spec: OrderSpec) extends FoldMode
+  /** Ordered lift: fold → whole-frame window aggregate. */
+  final case class WholeFold(spec: OrderSpec) extends FoldMode
+
+  /** A compiled expression: the Column plus its inferred Andl type. */
+  final case class CExpr(col: Column, t: AType)
+
+  /** Compile context. `binds` holds inlined function parameters and
+    * do-block locals (they shadow attributes, which shadow the env). */
+  final case class Ctx(heading: Map[String, AType], binds: Map[String, CExpr],
+                       env: Env, spec: Option[OrderSpec], mode: FoldMode,
+                       depth: Int = 0) {
+    def bound(more: Seq[(String, CExpr)]): Ctx = copy(binds = binds ++ more)
+  }
+
+  // ---------------------------------------------------------------- probe
+
+  /** Does `e` contain a fold() once user functions are inlined? Decides
+    * whether a transform term is an aggregate or a per-row value. */
+  def containsFold(e: Expr, env: Env,
+                   seen: Set[Long] = Set.empty): Boolean = e match {
+    case _: EFold => true
+    case EBinop(_, l, r) => containsFold(l, env, seen) || containsFold(r, env, seen)
+    case EUnop(_, x) => containsFold(x, env, seen)
+    case EIf(c, a, b) =>
+      containsFold(c, env, seen) || containsFold(a, env, seen) || containsFold(b, env, seen)
+    case ECall(name, args) =>
+      args.exists(containsFold(_, env, seen)) || (env.lookup(name) match {
+        case Some(FunsV(_, ovs)) =>
+          ovs.exists(f => !seen(f.uid) && containsFold(f.body, f.closure, seen + f.uid))
+        case Some(f: FunV) =>
+          !seen(f.uid) && containsFold(f.body, f.closure, seen + f.uid)
+        case _ => false
+      })
+    case EDo(stmts) => stmts.exists {
+      case SExpr(x) => containsFold(x, env, seen)
+      case SAssign(_, x) => containsFold(x, env, seen)
+      case SDef(_, _, b, _) => containsFold(b, env, seen)
+      case _ => false
+    }
+    case EPostfix(recv, ops) =>
+      containsFold(recv, env, seen) || ops.exists {
+        case PDot(_, Some(args)) => args.exists(containsFold(_, env, seen))
+        case PCall(args) => args.exists(containsFold(_, env, seen))
+        case PWhere(p) => containsFold(p, env, seen)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  // -------------------------------------------------------------- compile
+
+  def compile(e: Expr, ctx: Ctx): CExpr = e match {
+    case ENum(v)     => CExpr(F.lit(v), TNum)
+    case EText(s)    => CExpr(F.lit(s), TText)
+    case EBool(b)    => CExpr(F.lit(b), TBool)
+    case ETimeLit(s) => CExpr(F.lit(parseTime(s)), TTime)
+    case EBinLit(h)  => CExpr(F.lit(parseBinary(h)), TBin)
+
+    case EVar(n) =>
+      ctx.binds.get(n)
+        .orElse(ctx.heading.get(n).map(t => CExpr(F.col(n), t)))
+        .getOrElse(litOf(interp.evalVar(n, ctx.env, e.line)))
+
+    case EUnop("not", x) =>
+      val c = compile(x, ctx); CExpr(!c.col, TBool)
+    case EUnop("-", x) =>
+      val c = compile(x, ctx); CExpr(-c.col, TNum)
+    case EUnop(op, _) => sys.error(s"unknown unary $op")
+
+    case EBinop(op, l, r) => binop(op, compile(l, ctx), compile(r, ctx))
+
+    case EIf(c, a, b) =>
+      val cc = compile(c, ctx); val ca = compile(a, ctx); val cb = compile(b, ctx)
+      CExpr(F.when(cc.col, ca.col).otherwise(cb.col), ca.t)
+
+    case EFold(op, v) => foldCol(op, v, ctx)
+
+    case ECall(name, args) => call(name, args, ctx, e.line)
+
+    case EDo(stmts) =>
+      var binds = ctx.binds
+      var last: Option[CExpr] = None
+      stmts.foreach {
+        case SAssign(n, x) => binds += n -> compile(x, ctx.copy(binds = binds))
+        case SDef(n, Nil, b, _) => binds += n -> compile(b, ctx.copy(binds = binds))
+        case SExpr(x) => last = Some(compile(x, ctx.copy(binds = binds)))
+        case other => sys.error(s"statement not supported in relational context: $other")
+      }
+      last.getOrElse(sys.error("do-block with no result expression in relational context"))
+
+    case EPostfix(recv, ops) =>
+      ops.foldLeft(compile(recv, ctx)) { (c, op) =>
+        op match {
+          case PDot(n, argsOpt) => dotOp(c, n, argsOpt.getOrElse(Nil), ctx)
+          case other => sys.error(s"postfix $other not supported in relational context")
+        }
+      }
+
+    case other =>
+      sys.error(s"expression not supported in relational context: ${other.getClass.getSimpleName}")
+  }
+
+  /** Embed a driver value as a literal Column. */
+  def litOf(v: Value): CExpr = v match {
+    case TextV(s) => CExpr(F.lit(s), TText)
+    case NumV(d)  => CExpr(F.lit(d), TNum)
+    case BoolV(b) => CExpr(F.lit(b), TBool)
+    case TimeV(t) => CExpr(F.lit(t), TTime)
+    case BinV(b)  => CExpr(F.lit(b), TBin)
+    case t: TupV  => CExpr(structLit(t.fields), typeOf(t))
+    case u: UdtV  => CExpr(structLit(u.fields), typeOf(u))
+    case other => sys.error(s"cannot embed ${other.getClass.getSimpleName} in a relational expression")
+  }
+
+  private def structLit(fields: Seq[(String, Value)]): Column =
+    F.struct(fields.map { case (n, x) => litOf(x).col.as(n) }: _*)
+
+  // ----------------------------------------------------------------- ops
+
+  private def binop(op: String, l: CExpr, r: CExpr): CExpr = op match {
+    case "+"   => CExpr(l.col + r.col, TNum)
+    case "-"   => CExpr(l.col - r.col, TNum)
+    case "*"   => CExpr(l.col * r.col, TNum)
+    case "/"   => CExpr(l.col / r.col, TNum)
+    case "**"  => CExpr(Scalar.power(l.col, r.col), TNum)
+    case "div" => CExpr(Scalar.divTrunc(l.col, r.col).cast("double"), TNum)
+    case "mod" => CExpr(Scalar.modTrunc(l.col.cast("long"), r.col.cast("long")).cast("double"), TNum)
+    case "&"   => CExpr(F.concat(textCol(l), textCol(r)), TText)
+    case "="   => CExpr(l.col === r.col, TBool)
+    case "<>"  => CExpr(l.col =!= r.col, TBool)
+    case "<"   => CExpr(l.col < r.col, TBool)
+    case "<="  => CExpr(l.col <= r.col, TBool)
+    case ">"   => CExpr(l.col > r.col, TBool)
+    case ">="  => CExpr(l.col >= r.col, TBool)
+    case "=~"  => CExpr(F.regexp_like(l.col, r.col), TBool)
+    case "and" => (l.t, r.t) match {
+      case (TBool, _) => CExpr(l.col && r.col, TBool)
+      case _ => CExpr(l.col.cast("long").bitwiseAND(r.col.cast("long")).cast("double"), TNum)
+    }
+    case "or" => (l.t, r.t) match {
+      case (TBool, _) => CExpr(l.col || r.col, TBool)
+      case _ => CExpr(l.col.cast("long").bitwiseOR(r.col.cast("long")).cast("double"), TNum)
+    }
+    case "xor" => (l.t, r.t) match {
+      case (TBool, _) => CExpr(l.col =!= r.col, TBool)
+      case _ => CExpr(l.col.cast("long").bitwiseXOR(r.col.cast("long")).cast("double"), TNum)
+    }
+    case other => sys.error(s"operator $other not supported in relational context")
+  }
+
+  /** Text conversion with the reference's rendering (numbers print without
+    * trailing `.0`, bools as true/false) — the Column mirror of
+    * [[AndlValues.render]]. */
+  def textCol(c: CExpr): Column = c.t match {
+    case TText => c.col
+    case TNum =>
+      F.when(c.col === F.round(c.col) && F.abs(c.col) < 1e15,
+        c.col.cast("long").cast("string")).otherwise(c.col.cast("string"))
+    case TBool => F.when(c.col, "true").otherwise("false")
+    case TTime => F.when(
+        F.date_format(c.col, "HH:mm:ss.SSS") === "00:00:00.000",
+        F.date_format(c.col, "d/MM/yyyy"))
+      .otherwise(F.concat(F.date_format(c.col, "d/MM/yyyy H:mm:ss"),
+        F.when(F.date_format(c.col, "SSS") === "000", F.lit(""))
+          .otherwise(F.concat(F.lit("."), F.date_format(c.col, "SSS")))))
+    case TBin => F.lower(F.hex(c.col))
+    case other => c.col.cast("string")
+  }
+
+  // --------------------------------------------------------------- calls
+
+  private def call(name: String, args: Seq[Expr], ctx: Ctx, line: Int): CExpr = {
+    // window offset functions need the order spec and a literal offset
+    def spec: OrderSpec = ctx.spec.getOrElse(ctx.mode match {
+      case RunFold(s) => s
+      case WholeFold(s) => s
+      case _ => sys.error(s"$name needs an ordered context (.order before .select) at line $line")
+    })
+    def litArg(i: Int): Int = interp.eval(args(i), ctx.env) match {
+      case NumV(d) => d.toInt
+      case other => sys.error(s"$name expects a literal number, got $other")
+    }
+    name match {
+      case "lag" | "lead" | "nth" =>
+        val c = compile(args(0), ctx)
+        val dt = sparkType(c.t)
+        val n = litArg(1)
+        val col = name match {
+          case "lag"  => Ordered.lagD(c.col, n, dt, spec)
+          case "lead" => Ordered.leadD(c.col, n, dt, spec)
+          case "nth"  => Ordered.nthD(c.col, n, dt, spec)
+        }
+        CExpr(col, c.t)
+      case "ord"  => CExpr(Ordered.ord(spec).cast("double"), TNum)
+      case "rank" => CExpr(Ordered.rank(spec).cast("double"), TNum)
+      case _ =>
+        val cargs = args.map(compile(_, ctx))
+        scalarBuiltin(name, cargs).getOrElse {
+          interp.lookupFun(name, cargs.map(_.t), ctx.env) match {
+            case Some(f) => inlineCall(f, cargs, ctx, line)
+            case None =>
+              // user type constructor?
+              ctx.env.lookup(name) match {
+                case Some(TypeV(TUdt(un, fields))) =>
+                  require(cargs.length == fields.length, s"$un expects ${fields.length} args")
+                  CExpr(F.struct(cargs.zip(fields).map { case (c, (fn, ft)) =>
+                    c.col.cast(sparkType(ft)).as(fn) }: _*), TUdt(un, fields))
+                case _ => sys.error(s"unknown function $name at line $line")
+              }
+          }
+        }
+    }
+  }
+
+  /** Builtin scalar functions as Columns (no UDFs — SURVEY §2.9). */
+  def scalarBuiltin(name: String, a: Seq[CExpr]): Option[CExpr] = (name, a) match {
+    case ("length", Seq(s))       => Some(CExpr(F.length(s.col).cast("double"), TNum))
+    case ("trim", Seq(s))         => Some(CExpr(F.trim(s.col), TText))
+    case ("toupper", Seq(s))      => Some(CExpr(F.upper(s.col), TText))
+    case ("tolower", Seq(s))      => Some(CExpr(F.lower(s.col), TText))
+    case ("left", Seq(s, n))      => Some(CExpr(Scalar.left(s.col, n.col.cast("int")), TText))
+    case ("right", Seq(s, n))     => Some(CExpr(Scalar.right(s.col, n.col.cast("int")), TText))
+    case ("fill", Seq(s, n))      => Some(CExpr(Scalar.fill(s.col, n.col.cast("int")), TText))
+    case ("before", Seq(s, t))    => Some(CExpr(Scalar.before(s.col, t.col), TText))
+    case ("after", Seq(s, t))     => Some(CExpr(Scalar.after(s.col, t.col), TText))
+    case ("max", Seq(x, y))       => Some(CExpr(F.greatest(x.col, y.col), x.t))
+    case ("min", Seq(x, y))       => Some(CExpr(F.least(x.col, y.col), x.t))
+    case ("abs", Seq(x))          => Some(CExpr(F.abs(x.col), TNum))
+    case ("number", Seq(s))       => Some(CExpr(s.col.cast("double"), TNum))
+    case ("text", Seq(x))         => Some(CExpr(textCol(x), TText))
+    case ("format", Seq(x))       => Some(CExpr(textCol(x), TText))
+    case ("pp", Seq(x))           => Some(CExpr(textCol(x), TText))
+    case ("now", Seq())           => Some(CExpr(F.current_timestamp(), TTime))
+    case ("blength", Seq(b))      => Some(CExpr(Builtins.blength(b.col).cast("double"), TNum))
+    case ("bget", Seq(b, i))      => Some(CExpr(Builtins.bget(b.col, i.col.cast("int")).cast("double"), TNum))
+    case ("bset", Seq(b, i, v))   => Some(CExpr(Builtins.bset(b.col, i.col.cast("int"), v.col), TBin))
+    case _ => None
+  }
+
+  /** Inline a user function call: bind params to the argument Columns and
+    * compile the body in the function's defining env. */
+  def inlineCall(f: FunV, args: Seq[CExpr], ctx: Ctx, line: Int): CExpr = {
+    require(ctx.depth < 64,
+      s"recursive function ${f.name} cannot run inside a relational expression (line $line)")
+    require(f.params.length == args.length,
+      s"${f.name} expects ${f.params.length} args, got ${args.length} at line $line")
+    val binds = f.params.map(_._1).zip(args)
+    compile(f.body, ctx.copy(binds = ctx.binds ++ binds, env = f.closure,
+      depth = ctx.depth + 1))
+  }
+
+  /** Dot ops on columns: struct component access or unary builtin. */
+  private def dotOp(recv: CExpr, name: String, args: Seq[Expr], ctx: Ctx): CExpr =
+    recv.t match {
+      case TTup(fields) if fields.exists(_._1 == name) =>
+        CExpr(recv.col.getField(name), fields.find(_._1 == name).get._2)
+      case TUdt(_, fields) if fields.exists(_._1 == name) =>
+        CExpr(recv.col.getField(name), fields.find(_._1 == name).get._2)
+      case _ =>
+        val cargs = recv +: args.map(compile(_, ctx))
+        scalarBuiltin(name, cargs).getOrElse {
+          interp.lookupFun(name, cargs.map(_.t), ctx.env) match {
+            case Some(f) => inlineCall(f, cargs, ctx, 0)
+            case None => sys.error(s"unknown method .$name in relational context")
+          }
+        }
+    }
+
+  // ---------------------------------------------------------------- fold
+
+  /** Seed for a fold: per-op seeds from the reference's SymbolTable.GetSeed
+    * (SymbolTable.cs:221-256); user functions seed with the type default. */
+  private def seedFor(op: String, t: AType): Column = op match {
+    case "+" | "-" => F.lit(0.0)
+    case "*" | "/" => F.lit(1.0)
+    case "&" => F.lit("")
+    case "and" => F.lit(true)
+    case "or" | "xor" => F.lit(false)
+    case _ => Rel.defaultCol(sparkType(t))
+  }
+
+  /** Left-step of a fold as a Column binary function. */
+  private def stepFor(op: String, t: AType, ctx: Ctx): (Column, Column) => Column =
+    op match {
+      case "+" => _ + _
+      case "-" => _ - _
+      case "*" => _ * _
+      case "/" => _ / _
+      case "&" => (acc, x) => F.concat(acc, x)
+      case "max" => F.greatest(_, _)
+      case "min" => F.least(_, _)
+      case "and" => if (t == TBool) (a, x) => a && x
+        else (a, x) => a.cast("long").bitwiseAND(x.cast("long")).cast("double")
+      case "or" => if (t == TBool) (a, x) => a || x
+        else (a, x) => a.cast("long").bitwiseOR(x.cast("long")).cast("double")
+      case "xor" => if (t == TBool) (a, x) => a =!= x
+        else (a, x) => a.cast("long").bitwiseXOR(x.cast("long")).cast("double")
+      case userFn =>
+        val f = interp.lookupFun(userFn, Seq(t, t), ctx.env)
+          .getOrElse(sys.error(s"not a foldable operator: $userFn"))
+        (a, x) => inlineCall(f, Seq(CExpr(a, t), CExpr(x, t)), ctx, 0).col
+    }
+
+  private val commutative = Set("+", "*", "max", "min", "and", "or", "xor")
+
+  /** Lower fold(op, v) for the current mode. `&` values are rendered to
+    * text first (the reference's concat converts operands). */
+  private def foldCol(op: String, v: Expr, ctx: Ctx): CExpr = {
+    val inner0 = compile(v, ctx.copy(mode = NoFold))
+    val inner = if (op == "&") CExpr(textCol(inner0), TText) else inner0
+    val outT = op match {
+      case "&" => TText
+      case "and" | "or" | "xor" if inner.t == TBool => TBool
+      case _ => inner.t
+    }
+    ctx.mode match {
+      case NoFold => sys.error("fold() is only allowed inside a transform")
+      case AggFold =>
+        if (commutative.contains(op) && (inner.t == TBool || inner.t == TNum ||
+            inner.t == TText || inner.t == TTime))
+          op match {
+            case "and" | "or" | "xor" if inner.t != TBool =>
+              // bitwise fold over numbers — reduce the collected group
+              CExpr(F.aggregate(F.collect_list(inner.col),
+                seedFor(op, inner.t), stepFor(op, inner.t, ctx)), outT)
+            case _ => CExpr(Fold.fold(op, inner.col, sparkType(inner.t)), outT)
+          }
+        else
+          // order-dependent or user fold: left-fold the group in input order
+          // (the reference folds stored order; local plans preserve it)
+          CExpr(F.aggregate(F.collect_list(inner.col),
+            seedFor(op, outT), stepFor(op, outT, ctx)), outT)
+      case RunFold(spec) =>
+        op match {
+          case "+" | "max" | "min" => CExpr(Ordered.runningFold(op, inner.col, spec), outT)
+          case "&" => CExpr(Ordered.runningFold("&", inner.col, spec), TText)
+          case _ => CExpr(F.aggregate(F.collect_list(inner.col).over(spec.running),
+            seedFor(op, outT), stepFor(op, outT, ctx)), outT)
+        }
+      case WholeFold(spec) =>
+        op match {
+          case "&" => CExpr(OrderedFold.concat(inner.col, spec), TText)
+          case _ => CExpr(F.aggregate(F.collect_list(inner.col).over(spec.whole),
+            seedFor(op, outT), stepFor(op, outT, ctx)), outT)
+        }
+    }
+  }
+}

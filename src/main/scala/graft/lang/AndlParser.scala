@@ -33,6 +33,14 @@ final class AndlParser(toks: Vector[Tok]) {
   private def skipNl(): Unit = while (peek().isInstanceOf[TNewline]) next()
   private def atNl: Boolean = peek().isInstanceOf[TNewline] || peek().isInstanceOf[TEof]
 
+  /** First non-newline token at or after offset k (newlines are transparent
+    * inside braces — grammar WSC). */
+  private def peekThroughNl(k: Int): Tok = {
+    var i = p + k
+    while (i < toks.length - 1 && toks(i).isInstanceOf[TNewline]) i += 1
+    toks(math.min(i, toks.length - 1))
+  }
+
   // ---------------------------------------------------------------- script
 
   def parseScript(): Seq[Stmt] = {
@@ -65,7 +73,7 @@ final class AndlParser(toks: Vector[Tok]) {
         case TOp("=>") => true; case _ => false
       }) =>
         val name = eatIdent(); eat("=>"); skipNl()
-        SDef(name, Nil, expression())
+        SDef(name, Nil, expression(), defer = true)
       case _ => SExpr(expression())
     }
     s.line = ln
@@ -119,7 +127,9 @@ final class AndlParser(toks: Vector[Tok]) {
 
   private def deffun(): Stmt = {
     val name = eatIdent()
-    if (at(":")) { eat(":"); typeRef() } // recursion type hint — inference elsewhere
+    // recursion type hint `def fact:0(...)`: a SINGLE literal or name token
+    // (a full typeRef would swallow the parameter list as a call)
+    if (at(":")) { eat(":"); next() }
     val params = Seq.newBuilder[Param]
     eat("(")
     skipNl()
@@ -179,14 +189,38 @@ final class AndlParser(toks: Vector[Tok]) {
       next()
       if (at("(")) { eat("("); val t = typeRef(); eat(")"); t }
       else TRTupHeading(Nil)
-    case TOp("{") if peek(1) == TOp("{") || (peek(1) match {
+    case TOp("{") if (peekThroughNl(1) match {
       case TOp("{") => true; case _ => false
-    }) =>
-      eat("{"); val h = heading(); eat("}"); TRRelHeading(h)
+    }) => // {{a:0, …}} relation heading
+      eat("{"); skipNl(); eat("{")
+      val h = heading()
+      eat("}"); skipNl(); eat("}")
+      TRRelHeading(h)
     case TOp("{") => TRTupHeading(headingBraced())
+    case TIdent("def") if (peek(1) match {
+      case TOp("(") => true; case _ => false
+    }) => TRExample(funLiteral()) // function-typed component (SuiteDefer tfnv)
     case TIdent(n) if AndlParser.typeNames(n) => next(); TRName(n)
     case TIdent(n) => next(); TRName(n) // user type or variable example
     case _ => TRExample(expression()) // literal example: 0, '', false, t'…'
+  }
+
+  /** `def(params) => body` funval literal (the `def` token not yet eaten). */
+  private def funLiteral(): Expr = {
+    next() // def
+    val params = Seq.newBuilder[Param]
+    eat("(")
+    skipNl()
+    while (!at(")")) {
+      val pn = eatIdent()
+      val tr = if (at(":")) { eat(":"); Some(typeRef()) } else None
+      params += Param(pn, tr)
+      if (at(",")) { eat(","); skipNl() }
+    }
+    eat(")")
+    eat("=>")
+    skipNl()
+    EFunDef(params.result(), expression())
   }
 
   /** `{a:0, b}`-style heading including the braces. */
@@ -382,6 +416,9 @@ final class AndlParser(toks: Vector[Tok]) {
       case TBin(h) => next(); EBinLit(h)
       case TIdent("true") => next(); EBool(true)
       case TIdent("false") => next(); EBool(false)
+      case TIdent("def") if (peek(1) match {
+        case TOp("(") => true; case _ => false
+      }) => funLiteral()
       case TIdent("do") if peek(1) == TOp("{") || (peek(1) match {
         case TOp("{") => true; case _: TNewline => true; case _ => false
       }) => next(); doBlock()
@@ -431,7 +468,7 @@ final class AndlParser(toks: Vector[Tok]) {
         val terms = rowTerms(")")
         eat(")")
         ETuple(terms)
-      case TOp("{") if peek(1) == TOp("{") || (peek(1) match {
+      case TOp("{") if (peekThroughNl(1) match {
         case TOp("{") => true; case _ => false
       }) => tableLiteral()
       case TOp("{") =>
@@ -498,7 +535,8 @@ final class AndlParser(toks: Vector[Tok]) {
           case t => sys.error(s"row expected at line ${t.line}")
         }
         skipNl()
-        if (at(",")) { eat(","); skipNl() } else go = false
+        if (at(",")) { eat(","); skipNl(); if (at("}")) go = false } // trailing comma
+        else go = false
       }
       skipNl()
       eat("}")
@@ -531,6 +569,7 @@ final class AndlParser(toks: Vector[Tok]) {
     val terms = Seq.newBuilder[Term]
     while (!at(close)) {
       peek() match {
+        case TOp("*") => next(); terms += TStar
         case TIdent(n) if (peek(1) match {
           case TOp(":=") => true; case _ => false
         }) =>

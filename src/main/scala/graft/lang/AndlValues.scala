@@ -33,6 +33,8 @@ object AndlValues {
   case class TTup(fields: Seq[(String, AType)]) extends AType // sorted by name
   case class TRel(fields: Seq[(String, AType)]) extends AType // sorted by name
   case class TUdt(name: String, fields: Seq[(String, AType)]) extends AType // declared order
+  /** Function type (funvals, SuiteDefer.andl); loose — arity only. */
+  case class TFun(arity: Int) extends AType
 
   def sortFields(fields: Seq[(String, AType)]): Seq[(String, AType)] =
     fields.sortBy(_._1)
@@ -46,6 +48,7 @@ object AndlValues {
     case _: TTup => "tuple"
     case _: TRel => "relation"
     case TUdt(n, _) => n
+    case _: TFun => "function"
   }
 
   def defaultValue(t: AType): Value = t match {
@@ -55,12 +58,15 @@ object AndlValues {
     case TTime => TimeV(java.sql.Timestamp.valueOf("0001-01-01 00:00:00"))
     case TBin => BinV(Array.empty)
     case TTup(f) => TupV(f.map { case (n, ft) => (n, defaultValue(ft)) })
-    case TRel(f) => sys.error("no default for relation type")
+    case TRel(f) => LRelV(f, Vector.empty) // empty relation of that heading
     case TUdt(n, f) => UdtV(n, f.map { case (fn, ft) => (fn, defaultValue(ft)) })
+    case _: TFun => sys.error("no default for function type")
   }
 
   // --------------------------------------------------------------- values
   sealed trait Value
+  /** The void result of statements/IO builtins (`write`, `wait`, `do{}`). */
+  case object NoneV extends Value
   case class TextV(s: String) extends Value
   case class NumV(d: Double) extends Value
   case class BoolV(b: Boolean) extends Value
@@ -85,9 +91,43 @@ object AndlValues {
     }
     override def hashCode: Int = heading.map(_._1).hashCode
   }
-  /** Function value / deferred expression (closure over the defining env). */
+  /** Driver-local relation: tuples kept in insertion order (duplicate-free).
+    * Used for (a) literal relations before an operator lowers them to the
+    * engine, (b) nested relation-valued attributes lifted off Spark rows,
+    * and (c) relations whose attributes hold function values (which cannot
+    * live in a DataFrame). Set equality ignores the stored order. */
+  case class LRelV(heading: Seq[(String, AType)], rows: Vector[TupV]) extends Value {
+    override def equals(o: Any): Boolean = o match {
+      case r2: LRelV => heading.map(f => (f._1, typeName(f._2))) ==
+        r2.heading.map(f => (f._1, typeName(f._2))) && rows.toSet == r2.rows.toSet
+      case _ => false
+    }
+    override def hashCode: Int = heading.map(_._1).hashCode
+  }
+  /** Function value / deferred expression (closure over the defining env).
+    * Equality is IDENTITY (`uid`): two structurally identical literals are
+    * distinct values (SuiteDefer.andl funvals section). `defer` marks
+    * argless `name => expr` bindings, re-evaluated at every reference. */
   case class FunV(name: String, params: Seq[(String, Option[AType])],
-                  body: AndlAst.Expr, closure: AndlInterp.Env) extends Value
+                  body: AndlAst.Expr, closure: AndlInterp.Env,
+                  defer: Boolean = false,
+                  uid: Long = FunV.nextUid()) extends Value {
+    override def equals(o: Any): Boolean = o match {
+      case f2: FunV => uid == f2.uid
+      case _ => false
+    }
+    override def hashCode: Int = uid.hashCode
+  }
+  object FunV {
+    private val ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def nextUid(): Long = ctr.incrementAndGet()
+  }
+  /** Overload set for `def`-declared functions (SymbolTable.AddOverload,
+    * Andl.Peg/SymbolTable.cs:345-359). */
+  case class FunsV(name: String,
+                   overloads: scala.collection.mutable.ArrayBuffer[FunV]) extends Value
+  /** A declared type (UDT) bound in the environment. */
+  case class TypeV(t: AType) extends Value
 
   def typeOf(v: Value): AType = v match {
     case _: TextV => TText
@@ -98,7 +138,9 @@ object AndlValues {
     case TupV(f) => TTup(f.map { case (n, x) => (n, typeOf(x)) })
     case UdtV(n, f) => TUdt(n, f.map { case (fn, x) => (fn, typeOf(x)) })
     case RelV(h, _) => TRel(h)
-    case _: FunV => sys.error("function value has no data type")
+    case LRelV(h, _) => TRel(h)
+    case f: FunV => TFun(f.params.length)
+    case other => sys.error(s"value has no data type: ${other.getClass.getSimpleName}")
   }
 
   // ------------------------------------------------- Spark schema mapping
@@ -115,6 +157,7 @@ object AndlValues {
       StructField(n, sparkType(ft), nullable = false) })
     case TRel(f) => ArrayType(StructType(f.map { case (n, ft) =>
       StructField(n, sparkType(ft), nullable = false) }), containsNull = false)
+    case _: TFun => sys.error("function values have no Spark type")
   }
 
   def sparkSchema(heading: Seq[(String, AType)]): StructType =
@@ -134,7 +177,13 @@ object AndlValues {
     case RelV(h, rel) =>
       val rows = rel.df.collect().toSeq.map(r => rowToValue(r, h))
       rows.map(t => toSpark(t)).sortBy(_.toString)
+    case LRelV(h, rows) =>
+      rows.distinct.map { t =>
+        val m = t.fields.toMap
+        toSpark(TupV(h.map { case (n, _) => (n, m(n)) }))
+      }.sortBy(_.toString)
     case _: FunV => sys.error("cannot store a function in a relation")
+    case other => sys.error(s"cannot store $other in a relation")
   }
 
   /** Spark row + heading → TupV. */
@@ -157,7 +206,18 @@ object AndlValues {
       val r = x.asInstanceOf[Row]
       UdtV(un, f.zipWithIndex.map { case ((n, ft), i) => (n, fromSpark(r.get(i), ft)) })
     case TRel(f) =>
-      sys.error("relation-valued attribute lift is not supported here")
+      // RVA: array of structs → driver-local relation (SuiteRelNest lift)
+      val rows = (x match {
+        case s: scala.collection.Seq[_] => s.toSeq
+        case a: Array[_] => a.toSeq
+        case other => sys.error(s"RVA expected array, got $other")
+      }).map {
+        case r: Row => TupV(f.zipWithIndex.map { case ((n, ft), i) =>
+          (n, fromSpark(r.get(i), ft)) })
+        case other => sys.error(s"RVA row expected struct, got $other")
+      }
+      LRelV(f, rows.toVector.distinct)
+    case _: TFun => sys.error("function values cannot come from Spark rows")
   }
 
   /** Build an engine relation from driver-side tuple values. */
@@ -170,15 +230,17 @@ object AndlValues {
       return RelV(Nil, rel)
     }
     val schema = sparkSchema(h)
-    val rows = tuples.map {
+    val rows = tuples.distinct.map {
       case TupV(f) =>
         val m = f.toMap
         Row(h.map { case (n, ft) => toSpark(m(n)) }: _*)
       case other => sys.error(s"tuple expected in relation literal, got $other")
     }
     import scala.jdk.CollectionConverters._
+    // driver-side distinct above → knownDistinct, so no dedup shuffle ever
+    // reorders these rows (take/skip and input-order folds observe them)
     val df = spark.createDataFrame(rows.asJava, schema)
-    RelV(h, Rel.bag(df))
+    RelV(h, Rel.distinct(df))
   }
 
   // ------------------------------------------------------------- equality
@@ -209,6 +271,7 @@ object AndlValues {
 
   def valueEquals(a: Value, b: Value): Boolean = (a, b) match {
     case (x: RelV, y: RelV) => relEquals(x, y)
+    case (x: LRelV, y: LRelV) => x == y
     case (TupV(f1), TupV(f2)) =>
       f1.map(_._1) == f2.map(_._1) &&
         f1.zip(f2).forall { case ((_, v1), (_, v2)) => valueEquals(v1, v2) }
@@ -235,6 +298,7 @@ object AndlValues {
   /** Text conversion for `&` and write(): numbers print like the
     * reference's decimals (no trailing zeros, no scientific notation). */
   def render(v: Value): String = v match {
+    case NoneV => ""
     case TextV(s) => s
     case NumV(d) =>
       if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
@@ -248,7 +312,7 @@ object AndlValues {
         val frac = if (ldt.getNano != 0) f".${ldt.getNano / 1000000}%03d" else ""
         f"$date ${ldt.getHour}%d:${ldt.getMinute}%02d:${ldt.getSecond}%02d$frac"
       }
-    case BinV(b) => "b'" + b.map(x => f"$x%02x").mkString + "'"
+    case BinV(b) => b.map(x => f"$x%02x").mkString // hex, as `&` renders it
     case TupV(f) =>
       f.map { case (n, x) => s"$n := ${render(x)}" }.mkString("{", ", ", "}")
     case UdtV(n, f) =>
@@ -256,7 +320,11 @@ object AndlValues {
     case RelV(h, rel) =>
       if (h.isEmpty) s"rel:{}(${rel.count()} rows)"
       else graft.functions.Builtins.pp(rel)
-    case FunV(n, _, _, _) => s"def $n(…)"
+    case LRelV(h, rows) =>
+      rows.map(render).mkString("{", ", ", "}")
+    case f: FunV => s"def ${f.name}(…)"
+    case FunsV(n, _) => s"def $n(…)"
+    case TypeV(t) => s"type ${typeName(t)}"
   }
 
   /** Time literal parse: y/m/d when the first component is 4 digits, else
