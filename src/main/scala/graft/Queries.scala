@@ -646,6 +646,46 @@ object Queries {
         "inv_disc" -> round(Fold.orderedFold(Seq(col("l_linenumber")),
           lit(1.0) + col("l_discount"), lit(1.0), (a, b) => a / b), 6)).df
 
+  // ================================== §3 Andl language front end (graft.lang)
+
+  /** Run an Andl script with the named parquet tables bound as relvars and
+    * return its `result` relation — the Gateway RunScript flow
+    * (Andl.Gateway/Gateway.cs:32-102) through lexer → parser → interpreter
+    * → Spark engine. */
+  private def runLang(s: SparkSession, dir: String, tables: Seq[String],
+                      script: String): DataFrame = {
+    val interp = new graft.lang.AndlInterp(s, dir)
+    tables.foreach(n => interp.defineRelvar(n, s.read.parquet(s"$dir/$n.parquet")))
+    interp.run(script, "q_lang")
+    interp.relvar("result")
+  }
+
+  /** Restriction + transform through the language surface. */
+  def qLangBasic(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Seq("nation"),
+      "result := nation .where(n_regionkey = 2) .{ n_name, key2 := n_nationkey * 2 + 1 }")
+
+  /** Natural join after a rename, in the language. */
+  def qLangJoin(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Seq("nation", "supplier"),
+      """ns := nation .{ s_nationkey := n_nationkey, n_name }
+        |result := (supplier join ns) .{ s_name, n_name }""".stripMargin)
+
+  /** Grouped fold with implicit keys (fold(+,1) is the count idiom). */
+  def qLangFold(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Seq("orders"),
+      "result := orders .{ o_custkey, total := fold(+, o_orderkey), cnt := fold(+, 1) }")
+
+  /** Ordered transform: running fold over a total order. */
+  def qLangOrder(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Seq("nation"),
+      "result := nation .order(n_nationkey) .{ n_nationkey, run := fold(+, n_nationkey) }")
+
+  /** The while fixpoint through the language (SuiteRelWhile.andl shape). */
+  def qLangWhile(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Nil,
+      "result := {{ A1 := 0 }} .while({{ A1 := A1 + 1 }} .where(A1 <= 100))")
+
   // ================================================================ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -686,7 +726,10 @@ object Queries {
     "q_catalog_var" -> qCatalogVar,
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
     "q_fold_ordered" -> qFoldOrdered,
-    "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact)
+    "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact,
+    "q_lang_basic" -> qLangBasic, "q_lang_join" -> qLangJoin,
+    "q_lang_fold" -> qLangFold, "q_lang_order" -> qLangOrder,
+    "q_lang_while" -> qLangWhile)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -900,5 +943,20 @@ object Queries {
       "CAST(64 + (abs(octet_length(encode(text)) * 17) % 1024) AS INTEGER) AS height, 3 AS channels, " +
       "CAST(ceil((64 + (abs(octet_length(encode(text)) * 31) % 1024)) * LEAST(256.0 / (64 + (abs(octet_length(encode(text)) * 31) % 1024)), 256.0 / (64 + (abs(octet_length(encode(text)) * 17) % 1024)), 1.0)) AS INTEGER) AS target_width, " +
       "CAST(ceil((64 + (abs(octet_length(encode(text)) * 17) % 1024)) * LEAST(256.0 / (64 + (abs(octet_length(encode(text)) * 31) % 1024)), 256.0 / (64 + (abs(octet_length(encode(text)) * 17) % 1024)), 1.0)) AS INTEGER) AS target_height " +
-      "FROM documents"))
+      "FROM documents"),
+
+    // ---- Andl language front end: scripts vs the same algebra in SQL.
+    // Numeric relvars widen to double at the language boundary (SURVEY
+    // §1.2), hence the CASTs; integer-valued double sums are exact.
+    "q_lang_basic" -> ("SELECT DISTINCT n_name, CAST(n_nationkey * 2 + 1 AS DOUBLE) AS key2 " +
+      "FROM nation WHERE n_regionkey = 2"),
+    "q_lang_join" -> ("SELECT DISTINCT s_name, n_name FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey"),
+    "q_lang_fold" -> ("SELECT CAST(o_custkey AS DOUBLE) AS o_custkey, " +
+      "CAST(SUM(o_orderkey) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS cnt " +
+      "FROM orders GROUP BY o_custkey"),
+    "q_lang_order" -> ("SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, " +
+      "CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS DOUBLE) AS run FROM nation"),
+    "q_lang_while" -> ("WITH RECURSIVE t(A1) AS (SELECT CAST(0 AS DOUBLE) " +
+      "UNION ALL SELECT A1 + 1 FROM t WHERE A1 <= 99) SELECT A1 FROM t"))
 }

@@ -44,6 +44,33 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
 
   // ---------------------------------------------------------------- script
 
+  /** Gateway SetValue (Andl.Gateway/Gateway.cs:32-102): expose an engine
+    * DataFrame to scripts as a relvar. Numeric columns widen to double and
+    * dates to timestamp — the language's scalar domain (SURVEY §1.2). */
+  def defineRelvar(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val colsAndTypes = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case StringType => (F.col(f.name), TText)
+        case _: NumericType => (F.col(f.name).cast(DoubleType).as(f.name), TNum)
+        case BooleanType => (F.col(f.name), TBool)
+        case TimestampType => (F.col(f.name), TTime)
+        case _: TimestampNTZType | _: DateType =>
+          (F.col(f.name).cast(TimestampType).as(f.name), TTime)
+        case BinaryType => (F.col(f.name), TBin)
+        case other => sys.error(s"relvar $name: unsupported column type $other")
+      }
+    }
+    val heading = sortFields(df.schema.fields.toSeq.map(_.name)
+      .zip(colsAndTypes.map(_._2)))
+    global.define(name,
+      RelV(heading, Rel.distinct(df.select(colsAndTypes.map(_._1): _*))))
+  }
+
+  /** Gateway GetValue: a script-bound relation as a DataFrame. */
+  def relvar(name: String): DataFrame =
+    toSparkRel(global.lookup(name).getOrElse(sys.error(s"unknown relvar $name"))).rel.df
+
   def run(src: String, filename: String): Unit = {
     val stmts = AndlParser.parse(src, filename)
     stmts.foreach { s =>
