@@ -16,6 +16,8 @@ object AndlAst {
                   defer: Boolean = false) extends Stmt
   /** `type name(fields)`. */
   case class STypeDef(name: String, fields: Seq[(String, TypeRef)]) extends Stmt
+  /** Several statements from one source statement (`type a(…), b(…)`). */
+  case class SMulti(stmts: Seq[Stmt]) extends Stmt
   /** `var name:typeref` / `var name:heading(source)`. */
   case class SVarDecl(name: String, tref: Option[TypeRef], source: Option[String]) extends Stmt
   /** `#directive args` — catalog/noisy/etc. */

@@ -125,14 +125,48 @@ final class AndlCols(interp: AndlInterp) {
 
     case EPostfix(recv, ops) =>
       ops.foldLeft(compile(recv, ctx)) { (c, op) =>
-        op match {
-          case PDot(n, argsOpt) => dotOp(c, n, argsOpt.getOrElse(Nil), ctx)
-          case other => sys.error(s"postfix $other not supported in relational context")
+        (op, c.t) match {
+          case (PDot(n, argsOpt), _) => dotOp(c, n, argsOpt.getOrElse(Nil), ctx)
+          case (PSelect(_, Seq(TLift(e))), TRel(fields)) => nestedLift(c, fields, e, ctx)
+          case (other, _) => sys.error(s"postfix $other not supported in relational context")
         }
       }
 
+    case ETuple(terms) =>
+      // {*} / {a := e, …}: current tuple (or parts of it) as a struct
+      val fields = tupleTermCols(terms, ctx)
+      CExpr(F.struct(fields.map { case (n, c) => c.col.as(n) }: _*),
+        TTup(fields.map { case (n, c) => (n, c.t) }))
+
+    case ERelRows(rows) =>
+      // {{*}} / {{a := e}, …}: tuple rows as a (canonically sorted) RVA
+      val structs = rows.map {
+        case ETuple(terms) =>
+          val fields = tupleTermCols(terms, ctx)
+          (F.struct(fields.map { case (n, c) => c.col.as(n) }: _*),
+            TTup(fields.map { case (n, c) => (n, c.t) }))
+        case other => sys.error(s"relation row must be a tuple literal, got $other")
+      }
+      CExpr(F.array_sort(F.array_distinct(F.array(structs.map(_._1): _*))),
+        TRel(structs.head._2.fields))
+
     case other =>
       sys.error(s"expression not supported in relational context: ${other.getClass.getSimpleName}")
+  }
+
+  /** Tuple-literal terms (sorted canonically) as named Columns. */
+  private def tupleTermCols(terms: Seq[Term], ctx: Ctx): Seq[(String, CExpr)] = {
+    val raw = terms.flatMap {
+      case TStar => ctx.heading.toSeq.map { case (n, t) => (n, CExpr(F.col(n), t)) }
+      case TProj(n) => Seq((n, compile(EVar(n), ctx)))
+      case TRename(n, o) => Seq((n, compile(EVar(o), ctx)))
+      case TExtend(n, e) => Seq((n, compile(e, ctx)))
+      case other => sys.error(s"bad tuple term $other")
+    }
+    // later terms replace earlier ones of the same name ({* a := e})
+    val m = scala.collection.mutable.LinkedHashMap[String, CExpr]()
+    raw.foreach { case (n, c) => m(n) = c }
+    m.toSeq.sortBy(_._1)
   }
 
   /** Embed a driver value as a literal Column. */
@@ -226,7 +260,15 @@ final class AndlCols(interp: AndlInterp) {
           case "nth"  => Ordered.nthD(c.col, n, dt, spec)
         }
         CExpr(col, c.t)
+      case "ord" if ctx.spec.isEmpty && !ctx.mode.isInstanceOf[RunFold] &&
+          !ctx.mode.isInstanceOf[WholeFold] =>
+        // unordered ord(): the reference's input ordinal. Consecutive only
+        // within one partition (literals/CSV load as one) — ordered use
+        // sites should .order first, like every reference test does.
+        CExpr((F.monotonically_increasing_id() + 1).cast("double"), TNum)
       case "ord"  => CExpr(Ordered.ord(spec).cast("double"), TNum)
+      case "ordg" => ctx.binds.getOrElse("__ordg__",
+        sys.error(s"ordg() needs an ordered context at line $line"))
       case "rank" => CExpr(Ordered.rank(spec).cast("double"), TNum)
       case _ =>
         val cargs = args.map(compile(_, ctx))
@@ -258,6 +300,8 @@ final class AndlCols(interp: AndlInterp) {
     case ("fill", Seq(s, n))      => Some(CExpr(Scalar.fill(s.col, n.col.cast("int")), TText))
     case ("before", Seq(s, t))    => Some(CExpr(Scalar.before(s.col, t.col), TText))
     case ("after", Seq(s, t))     => Some(CExpr(Scalar.after(s.col, t.col), TText))
+    case ("mod", Seq(a, b))       => Some(binop("mod", a, b))
+    case ("div", Seq(a, b))       => Some(binop("div", a, b))
     case ("max", Seq(x, y))       => Some(CExpr(F.greatest(x.col, y.col), x.t))
     case ("min", Seq(x, y))       => Some(CExpr(F.least(x.col, y.col), x.t))
     case ("abs", Seq(x))          => Some(CExpr(F.abs(x.col), TNum))
@@ -284,13 +328,50 @@ final class AndlCols(interp: AndlInterp) {
       depth = ctx.depth + 1))
   }
 
-  /** Dot ops on columns: struct component access or unary builtin. */
+  /** Lift-with-fold over a NESTED relation column: `rva .select{ sum(X) }`
+    * (Sample/sample3.andl's image-relation report) → `functions.aggregate`
+    * over the array — the fold runs inside codegen, per row, no join. */
+  private def nestedLift(recv: CExpr, fields: Seq[(String, AType)], e: Expr,
+                         ctx: Ctx): CExpr = {
+    def unwrap(x: Expr): Expr = x match {
+      case EDo(stmts) => stmts.collect { case SExpr(y) => y }.lastOption
+        .getOrElse(sys.error("empty do-block in nested lift"))
+      case other => other
+    }
+    val (op, innerE) = unwrap(e) match {
+      case EFold(o, v) => (o, v)
+      case ECall(fn, Seq(arg)) =>
+        (ctx.env.lookup(fn) match {
+          case Some(FunsV(_, ovs)) => ovs.find(_.params.length == 1)
+          case Some(f: FunV) if f.params.length == 1 => Some(f)
+          case _ => None
+        }).map(f => unwrap(f.body)) match {
+          case Some(EFold(o, EVar(_))) => (o, arg)
+          case other => sys.error(s"nested lift needs a fold, got $other")
+        }
+      case other => sys.error(s"nested lift needs a fold, got $other")
+    }
+    def bindsOf(x: Column) = fields.map { case (n, t) => n -> CExpr(x.getField(n), t) }
+    val t = compile(innerE, ctx.bound(bindsOf(F.lit(null))).copy(mode = NoFold)).t
+    val step = stepFor(op, t, ctx)
+    val col = F.aggregate(recv.col, seedFor(op, t), (acc, x) =>
+      step(acc, compile(innerE, ctx.bound(bindsOf(x)).copy(mode = NoFold)).col))
+    CExpr(col, if (op == "&") TText else t)
+  }
+
+  /** Dot ops on columns: struct component access, nested-relation
+    * cardinality, or unary builtin. */
   private def dotOp(recv: CExpr, name: String, args: Seq[Expr], ctx: Ctx): CExpr =
     recv.t match {
       case TTup(fields) if fields.exists(_._1 == name) =>
         CExpr(recv.col.getField(name), fields.find(_._1 == name).get._2)
       case TUdt(_, fields) if fields.exists(_._1 == name) =>
         CExpr(recv.col.getField(name), fields.find(_._1 == name).get._2)
+      case TRel(fields) => name match {
+        case "count" => CExpr(F.size(recv.col).cast("double"), TNum)
+        case "degree" => CExpr(F.lit(fields.length.toDouble), TNum)
+        case other => sys.error(s"unknown method .$other on a nested relation")
+      }
       case _ =>
         val cargs = recv +: args.map(compile(_, ctx))
         scalarBuiltin(name, cargs).getOrElse {
@@ -341,6 +422,18 @@ final class AndlCols(interp: AndlInterp) {
   /** Lower fold(op, v) for the current mode. `&` values are rendered to
     * text first (the reference's concat converts operands). */
   private def foldCol(op: String, v: Expr, ctx: Ctx): CExpr = {
+    if (op == "union" || op == "intersect") {
+      // RVA folds (Sample/sample3.andl:14-35): set-combine nested relations
+      val inner = compile(v, ctx.copy(mode = NoFold))
+      require(inner.t.isInstanceOf[TRel], s"fold($op,…) needs a relation-valued attribute")
+      val agg = op match {
+        case "union" => Fold.foldUnionRva(inner.col)
+        case "intersect" => F.aggregate(F.collect_list(inner.col),
+          F.element_at(F.collect_list(inner.col), 1),
+          (acc, x) => F.array_intersect(acc, x))
+      }
+      return CExpr(agg, inner.t)
+    }
     val inner0 = compile(v, ctx.copy(mode = NoFold))
     val inner = if (op == "&") CExpr(textCol(inner0), TText) else inner0
     val outT = op match {

@@ -71,10 +71,14 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   def relvar(name: String): DataFrame =
     toSparkRel(global.lookup(name).getOrElse(sys.error(s"unknown relvar $name"))).rel.df
 
+  /** Set by the `#stop` directive — the rest of the script is skipped. */
+  private var stopped = false
+
   def run(src: String, filename: String): Unit = {
+    stopped = false
     val stmts = AndlParser.parse(src, filename)
     stmts.foreach { s =>
-      execStmt(s, global) match {
+      if (!stopped) execStmt(s, global) match {
         case Some(v) if noisy > 0 && v != NoneV =>
           output.append(render(v)).append('\n')
         case _ => ()
@@ -104,10 +108,12 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     case SDirective(name, args) =>
       name match {
         case "noisy" => noisy = args.headOption.map(_.toInt).getOrElse(1)
+        case "stop" => stopped = true
         case _ => () // #catalog etc — catalog persistence is the shared Env
       }
       None
     case SUpdate(name, action) => execUpdate(name, action, env); None
+    case SMulti(stmts) => stmts.foreach(execStmt(_, env)); None
   }
 
   /** Do-block body: child scope, value = last free expression. */
@@ -125,16 +131,25 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   private def varDecl(name: String, tref: Option[TypeRef],
                       source: Option[String], env: Env): Unit = source match {
     case Some("csv") =>
-      val fields = tref match {
-        case Some(TRRelHeading(fs)) => fs
-        case Some(TRTupHeading(fs)) => fs
+      val path = s"$sourceDir/$name.csv"
+      val heading: Seq[(String, AType)] = tref match {
+        case Some(TRRelHeading(fs)) => fs.map { case (n, tr) =>
+          (n, tr.map(resolveTypeRef(_, env)).getOrElse(TText)) }
+        case Some(TRTupHeading(fs)) => fs.map { case (n, tr) =>
+          (n, tr.map(resolveTypeRef(_, env)).getOrElse(TText)) }
+        case None => // heading-less `var x(csv)`: the header's name:type pairs
+          Sources.peekCsvHeading(spark, path).map { case (n, dt) =>
+            (n, dt match {
+              case org.apache.spark.sql.types.DoubleType => TNum
+              case org.apache.spark.sql.types.TimestampType => TTime
+              case org.apache.spark.sql.types.BooleanType => TBool
+              case org.apache.spark.sql.types.BinaryType => TBin
+              case _ => TText
+            })
+          }
         case other => sys.error(s"csv var $name needs a heading, got $other")
       }
-      val heading = fields.map { case (n, tr) =>
-        (n, tr.map(resolveTypeRef(_, env)).getOrElse(TText))
-      }
       val sparkHeading = heading.map { case (n, t) => (n, sparkType(t)) }
-      val path = s"$sourceDir/$name.csv"
       // small source files are collected in FILE ORDER — the reference's
       // stored order, observed by take/skip and input-order folds; large
       // files stay in the engine (order-dependent ops then need .order)
@@ -261,10 +276,15 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       sys.error(s"fold($op,…) is only allowed inside a transform (line ${e.line})")
     case EDo(stmts) => execBlock(stmts, env.child())
     case ETuple(terms) =>
-      TupV(sortFields2(terms.map {
-        case TExtend(n, x) => (n, eval(x, env))
-        case TProj(n) => (n, evalVar(n, env, e.line))
-        case TRename(n, old) => (n, evalVar(old, env, e.line))
+      TupV(sortFields2(terms.flatMap {
+        case TExtend(n, x) => Seq((n, eval(x, env)))
+        case TProj(n) => Seq((n, evalVar(n, env, e.line)))
+        case TRename(n, old) => Seq((n, evalVar(old, env, e.line)))
+        case TStar => env.lookup("__tuple__") match {
+          // {*}: the current tuple, in row scopes (correlated queries)
+          case Some(TupV(fields)) => fields
+          case _ => sys.error(s"{*} is only valid in a row scope (line ${e.line})")
+        }
         case other => sys.error(s"bad tuple term $other")
       }))
     case ERelRows(rows) =>
@@ -430,16 +450,35 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       val i = s.indexOf(t); Some(TextV(if (i < 0) s else s.substring(0, i)))
     case ("after", Seq(TextV(s), TextV(t))) =>
       val i = s.indexOf(t); Some(TextV(if (i < 0) "" else s.substring(i + t.length)))
+    case ("mod", Seq(a: NumV, b: NumV)) => Some(scalarBinop("mod", a, b))
+    case ("div", Seq(a: NumV, b: NumV)) => Some(scalarBinop("div", a, b))
     case ("max", Seq(x, y)) => Some(if (compare(x, y) >= 0) x else y)
     case ("min", Seq(x, y)) => Some(if (compare(x, y) <= 0) x else y)
     case ("abs", Seq(NumV(d)))    => Some(NumV(math.abs(d)))
     case ("number", Seq(TextV(s))) => Some(NumV(s.trim.toDouble))
     case ("number", Seq(NumV(d)))  => Some(NumV(d))
     case ("text", Seq(x))   => Some(TextV(render(x)))
+    case ("type", Seq(x))   => Some(TextV(typeName(typeOf(x))))
     case ("format", Seq(x)) => Some(TextV(render(x)))
     case ("pp", Seq(x))     => Some(TextV(render(x)))
     case ("now", Seq()) =>
       Some(TimeV(new java.sql.Timestamp(System.currentTimeMillis())))
+    // `date` subtype of time (Builtin.cs:1022-1068): dates are midnight
+    // times; dow is C# DayOfWeek+1 (Sunday=1..Saturday=7)
+    case ("date", Seq(TimeV(t))) =>
+      Some(TimeV(java.sql.Timestamp.valueOf(t.toLocalDateTime.toLocalDate.atStartOfDay)))
+    case ("dateymd", Seq(NumV(y), NumV(m), NumV(d))) =>
+      Some(TimeV(java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).atStartOfDay)))
+    case ("time", Seq(t: TimeV)) => Some(t)
+    case ("year", Seq(TimeV(t)))  => Some(NumV(t.toLocalDateTime.getYear.toDouble))
+    case ("month", Seq(TimeV(t))) => Some(NumV(t.toLocalDateTime.getMonthValue.toDouble))
+    case ("day", Seq(TimeV(t)))   => Some(NumV(t.toLocalDateTime.getDayOfMonth.toDouble))
+    case ("dow", Seq(TimeV(t))) =>
+      Some(NumV((t.toLocalDateTime.getDayOfWeek.getValue % 7 + 1).toDouble))
+    case ("daysdiff", Seq(TimeV(a), TimeV(b))) =>
+      Some(NumV(java.time.temporal.ChronoUnit.DAYS.between(
+        b.toLocalDateTime.toLocalDate, a.toLocalDateTime.toLocalDate).toDouble))
     case ("write", Seq(x)) =>
       output.append(x match { case TextV(s) => s; case v => render(v) }).append('\n')
       Some(NoneV)
@@ -617,10 +656,31 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
 
   // ----------------------------------------------------- relational postfix
 
-  private def relWhere(v: Value, pred: Expr, env: Env): Value = {
-    val r = toSparkRel(v)
-    val ctx = cols.Ctx(r.heading.toMap, Map.empty, env, None, cols.NoFold)
-    RelV(r.heading, r.rel.where(cols.compile(pred, ctx).col))
+  private def relWhere(v: Value, pred: Expr, env: Env): Value =
+    try {
+      val r = toSparkRel(v)
+      val ctx = cols.Ctx(r.heading.toMap, Map.empty, env, None, cols.NoFold)
+      RelV(r.heading, r.rel.where(cols.compile(pred, ctx).col))
+    } catch {
+      case e: Exception =>
+        // correlated predicates Catalyst can't express as one Column
+        // (`{{*}} join R`-style membership, SPPsample1.andl Q1/Q3/Q4):
+        // bounded row-at-a-time fallback, the reference's own strategy
+        collectRows(v, collectLimit) match {
+          case Some(rows) =>
+            val h = relHeading(v)
+            val kept = rows.filter { tup => rowEval(tup, pred, env) == BoolV(true) }
+            LRelV(h, kept)
+          case None => throw e
+        }
+    }
+
+  /** Evaluate an expression in a row scope (attributes + `{*}` bound). */
+  private def rowEval(tup: TupV, e: Expr, env: Env): Value = {
+    val rowEnv = env.child()
+    tup.fields.foreach { case (n, fv) => rowEnv.define(n, fv) }
+    rowEnv.define("__tuple__", tup)
+    eval(e, rowEnv)
   }
 
   private def relTake(v: Value, n: Int): Value = v match {
@@ -680,7 +740,8 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       if (star) {
         val removed = terms.collect { case TProj(n) => n }.toSet
         val renamedOld = terms.collect { case TRename(_, o) => o }.toSet
-        attrs.map(_._1).filterNot(n => removed(n) || renamedOld(n))
+        val replaced = terms.collect { case TExtend(n, _) => n }.toSet // {* a := e} replaces a
+        attrs.map(_._1).filterNot(n => removed(n) || renamedOld(n) || replaced(n))
           .map(n => n -> Left(n)) ++
           terms.collect {
             case TRename(n, o) => n -> Left(o)
@@ -698,7 +759,28 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       case (_, Right(x)) => cols.containsFold(x, env)
       case _ => false
     }
-    val rowCtx = cols.Ctx(headingMap, Map.empty, env, specOpt, cols.NoFold)
+    // ordg() needs the scale-safe two-pass global ordinal precomputed as a
+    // column (Ordered.withOrdg — never a single-partition window)
+    def mentionsOrdg(x: Expr): Boolean = x match {
+      case ECall("ordg", _) => true
+      case EBinop(_, a, b) => mentionsOrdg(a) || mentionsOrdg(b)
+      case EUnop(_, a) => mentionsOrdg(a)
+      case EIf(a, b, c) => mentionsOrdg(a) || mentionsOrdg(b) || mentionsOrdg(c)
+      case ECall(_, as) => as.exists(mentionsOrdg)
+      case EFold(_, a) => mentionsOrdg(a)
+      case _ => false
+    }
+    val needOrdg = specOpt.isDefined && out.exists {
+      case (_, Right(x)) => mentionsOrdg(x)
+      case _ => false
+    }
+    val baseDf0 =
+      if (needOrdg) graft.rel.Ordered.withOrdg(r.rel.df, specOpt.get, "__ordg")
+      else r.rel.df
+    val ordgBind: Map[String, cols.CExpr] =
+      if (needOrdg) Map("__ordg__" -> cols.CExpr(F.col("__ordg").cast("double"), TNum))
+      else Map.empty
+    val rowCtx = cols.Ctx(headingMap, ordgBind, env, specOpt, cols.NoFold)
     def compileRow(t: (String, Either[String, Expr])): (String, cols.CExpr) = t match {
       case (n, Left(a)) => n -> cols.CExpr(F.col(a),
         headingMap.getOrElse(a, sys.error(s"unknown attribute $a")))
@@ -706,10 +788,49 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     }
 
     if (!foldFlag.exists(identity)) {
-      // plain transform (window offset fns compile against specOpt)
-      val compiled = out.map(compileRow)
-      val rel = r.rel.transform(compiled.map { case (n, c) => (n, c.col) }: _*)
-      RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), rel)
+      // correlated image-relation terms `p := ({{*}} rdivide R)` extend each
+      // tuple with its partition of R (Sample/sample3.andl ES3): lowered to
+      // nest(R) + ONE left broadcast-able join, not a per-tuple query
+      def isStarSingleton(x: Expr) = x match {
+        case ERelRows(Seq(ETuple(Seq(TStar)))) => true
+        case _ => false
+      }
+      var df = baseDf0
+      var corrIdx = 0
+      val corr = mutable.Map[String, cols.CExpr]()
+      val out2 = out.map {
+        case (n, Right(EBinop("rdivide", sr, rhsE))) if isStarSingleton(sr) =>
+          val rhs = toSparkRel(eval(rhsE, env))
+          val commonSet = attrs.map(_._1).toSet
+          val common = rhs.heading.map(_._1).filter(commonSet)
+          val rOnly = rhs.heading.filterNot(f => commonSet(f._1))
+          val rvaCol = s"__corr_$corrIdx"; corrIdx += 1
+          val nested = graft.rel.Nest.nest(rhs.rel, rvaCol, rOnly.map(_._1)).df
+          df = df.join(nested, common, "left")
+          val t = TRel(rOnly)
+          corr(n) = cols.CExpr(
+            F.coalesce(F.col(rvaCol), F.array().cast(sparkType(t))), t)
+          (n, Left(n)) // placeholder; resolved via corr below
+        case other => other
+      }
+      val compiled =
+        try out2.map {
+          case (n, _) if corr.contains(n) => n -> corr(n)
+          case t => compileRow(t)
+        } catch {
+          case e: Exception if corr.isEmpty && specOpt.isEmpty =>
+            // terms Catalyst cannot express (e.g. per-row RECURSIVE user
+            // functions, Sample/fibonacci.andl) fall back to the
+            // reference's row-at-a-time evaluation — bounded by the
+            // driver collect limit, never a scale path
+            collectRows(v, collectLimit) match {
+              case Some(rows) =>
+                return localSelect(LRelV(attrs, rows), star, terms, env)
+              case None => throw e
+            }
+        }
+      val res = df.select(compiled.map { case (n, c) => c.col.as(n) }: _*)
+      RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res))
     } else specOpt match {
       case None =>
         // grouped aggregation: non-fold terms are the implicit group keys
@@ -736,7 +857,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
           case _ => sys.error("unreachable")
         }
         val nonFoldNames = out.zip(foldFlag).collect { case ((n, _), false) => n }
-        val withCols = compiled.foldLeft(r.rel.df) { case (d, (n, c)) =>
+        val withCols = compiled.foldLeft(baseDf0) { case (d, (n, c)) =>
           d.withColumn(n, c.col) }
         val lastOfRun = nonFoldNames
           .map(n => !(F.lead(F.col(n), 1).over(spec.window) <=> F.col(n)))
@@ -766,11 +887,12 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
           d.take(1).headOption.map(r => rowToValue(r, h))
       }
       first match {
-        case Some(tup) =>
-          val rowEnv = env.child()
-          tup.fields.foreach { case (n, fv) => rowEnv.define(n, fv) }
-          eval(e, rowEnv)
-        case None => sys.error("lift of an empty relation")
+        case Some(tup) => rowEval(tup, e, env)
+        case None =>
+          // lift of an empty relation yields the TYPE DEFAULT
+          // (Builtin.Lift, Builtin.cs:407-410; Sample/sample2.andl)
+          val ctx = cols.Ctx(h.toMap, Map.empty, env, None, cols.NoFold)
+          defaultValue(cols.compile(e, ctx).t)
       }
     } else {
       val r = toSparkRel(v)
@@ -809,11 +931,13 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
                           env: Env): Value = {
     val rowEnv = env.child()
     tup.fields.foreach { case (n, fv) => rowEnv.define(n, fv) }
+    rowEnv.define("__tuple__", tup)
     val fields: Seq[(String, Value)] =
       if (star) {
         val removed = terms.collect { case TProj(n) => n }.toSet
         val renamedOld = terms.collect { case TRename(_, o) => o }.toSet
-        tup.fields.filterNot(f => removed(f._1) || renamedOld(f._1)) ++
+        val replaced = terms.collect { case TExtend(n, _) => n }.toSet
+        tup.fields.filterNot(f => removed(f._1) || renamedOld(f._1) || replaced(f._1)) ++
           terms.collect {
             case TRename(n, o) => (n, tup.fields.find(_._1 == o).get._2)
             case TExtend(n, x) => (n, eval(x, rowEnv))
@@ -872,6 +996,23 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
           case other => sys.error(s"while step row must be a tuple literal, got $other")
         }.reduce(_ unionByName _)
       case ETuple(terms) => df => selectTerms(df, terms)
+      case EBinop(op, l, rhsE) =>
+        // step composed with a stored relation (Sample/recursive.andl:
+        // `{{ boss := name, … }} compose orgchart`) — engine dyadic per round
+        val rhs = toSparkRel(eval(rhsE, env)).rel
+        df => {
+          val lrel = Rel.bag(go(l)(df))
+          (op match {
+            case "compose" => lrel.compose(rhs)
+            case "join" => lrel.join(rhs)
+            case "semijoin" | "matching" => lrel.semijoin(rhs)
+            case "ajoin" | "notmatching" => lrel.ajoin(rhs)
+            case "union" => lrel.union(rhs)
+            case "minus" => lrel.minus(rhs)
+            case "intersect" => lrel.intersect(rhs)
+            case other => sys.error(s"while step does not support $other")
+          }).bagDF
+        }
       case other =>
         sys.error(s"while step not supported: ${other.getClass.getSimpleName}")
     }

@@ -73,7 +73,9 @@ final class AndlParser(toks: Vector[Tok]) {
         case TOp("=>") => true; case _ => false
       }) =>
         val name = eatIdent(); eat("=>"); skipNl()
-        SDef(name, Nil, expression(), defer = true)
+        // a defer body may be an update statement (sample3's up1/up2/up3)
+        if (atIdent("update")) { next(); SDef(name, Nil, EDo(Seq(update())), defer = true) }
+        else SDef(name, Nil, expression(), defer = true)
       case _ => SExpr(expression())
     }
     s.line = ln
@@ -94,18 +96,28 @@ final class AndlParser(toks: Vector[Tok]) {
   }
 
   private def typedef(): Stmt = {
-    val name = eatIdent()
-    eat("(")
-    skipNl()
-    val fields = Seq.newBuilder[(String, TypeRef)]
-    while (!at(")")) {
-      val fn = eatIdent()
-      val tr = if (at(":")) { eat(":"); typeRef() } else TRName("text")
-      fields += ((fn, tr))
-      if (at(",")) { eat(","); skipNl() }
+    def one(): Stmt = {
+      val name = eatIdent()
+      eat("(")
+      skipNl()
+      val fields = Seq.newBuilder[(String, TypeRef)]
+      while (!at(")")) {
+        val fn = eatIdent()
+        val tr = if (at(":")) { eat(":"); typeRef() } else TRName("text")
+        fields += ((fn, tr))
+        if (at(",")) { eat(","); skipNl() }
+      }
+      eat(")")
+      STypeDef(name, fields.result())
     }
-    eat(")")
-    STypeDef(name, fields.result())
+    val first = one()
+    if (!at(",")) first
+    else {
+      val all = Seq.newBuilder[Stmt]
+      all += first
+      while (at(",")) { eat(","); skipNl(); all += one() } // type a(…), b(…)
+      SMulti(all.result())
+    }
   }
 
   private def vardecl(): Stmt = {

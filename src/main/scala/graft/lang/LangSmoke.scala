@@ -16,10 +16,25 @@ object LangSmoke {
     val dir = sys.env.getOrElse("ANDL_TEST_DIR", "/root/reference/Test")
     val files = if (args.nonEmpty) args.toSeq else Seq("SuiteBasic.andl")
     try {
-      val results = AndlScript.runSuites(spark, dir, files)
-      results.foreach { r =>
-        println(s"== ${r.file}: tests=${r.tests} errors=${r.errors}")
-        if (r.output.nonEmpty) println(r.output)
+      if (files.exists(_.contains("Sample"))) {
+        // samples expect the setup.andl catalog (S/P/SP/J/SPJ CSVs live in
+        // the Sample dir itself)
+        val sdir = new java.io.File(s"$dir/../Sample").getCanonicalPath
+        val interp = new AndlInterp(spark, sdir)
+        interp.noisy = 1
+        interp.runFile(s"$sdir/setup.andl")
+        files.foreach { f =>
+          println(s"== running $f")
+          interp.runFile(s"$dir/$f")
+          println(interp.output.toString)
+          interp.output.clear()
+        }
+      } else {
+        val results = AndlScript.runSuites(spark, dir, files)
+        results.foreach { r =>
+          println(s"== ${r.file}: tests=${r.tests} errors=${r.errors}")
+          if (r.output.nonEmpty) println(r.output)
+        }
       }
     } finally spark.stop()
   }
