@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity}
+
+/** One-off scale check for the dedup family (VERDICT r3 task 8): replicate
+  * the sf0.1 corpus N× with shifted ids (a LOAD multiplier — correctness
+  * stays gated on the real driver data) and confirm the hot-bucket salting
+  * and banding costs amortize: per-row cost must not grow with corpus
+  * size. Prints one JSON line per operator with total seconds at 1× and N×.
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxDoc = docs1.agg(max("doc_id")).head.getLong(0) + 1
+    val maxVec = emb1.agg(max("vec_id")).head.getLong(0) + 1
+    def scaleDocs(n: Int): DataFrame =
+      (0 until n).map(i => docs1.withColumn("doc_id", col("doc_id") + lit(i * maxDoc)))
+        .reduce(_ unionByName _)
+    def scaleEmb(n: Int): DataFrame =
+      (0 until n).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionByName _)
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); val n = f; val s = (System.nanoTime() - t0) / 1e9
+      require(n >= 0); s
+    }
+    def run(name: String, at1: => Long, atN: => Long): Unit = {
+      val s1 = time(at1); val sN = time(atN)
+      println(s"""{"op":"$name","sec_1x":${f"$s1%.2f"},"sec_${mult}x":${f"$sN%.2f"},"ratio":${f"${sN / s1}%.2f"},"mult":$mult}""")
+    }
+
+    def docsFiltered(df: DataFrame) = df.where(length(col("text")) >= 5)
+    run("dedup_minhash",
+      Dedup.minhashPairs(docsFiltered(docs1), threshold = 0.5).count(),
+      Dedup.minhashPairs(docsFiltered(scaleDocs(mult)), threshold = 0.5).count())
+    run("dedup_simhash",
+      Dedup.simhashPairs(docs1, maxDist = 3).count(),
+      Dedup.simhashPairs(scaleDocs(mult), maxDist = 3).count())
+    run("dedup_ngram",
+      Dedup.ngramJaccardPairs(docs1).count(),
+      Dedup.ngramJaccardPairs(scaleDocs(mult)).count())
+    run("dedup_embed",
+      Dedup.embeddingPairs(emb1).count(),
+      Dedup.embeddingPairs(scaleEmb(mult)).count())
+    spark.stop()
+  }
+}

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.rel.Checkpoint.PinOps
 
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -157,9 +158,9 @@ object Dedup {
     val grams = widen(docs)
       .select(col(idCol).as("id"), TextAnalysis.hashedShingles(col(textCol), shingleK).as("g"))
       .filter(size(col("g")) > 0)
-      .localCheckpoint()
+      .pin()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
-      .localCheckpoint()
+      .pin()
     verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold,
         margin, bucketCap),
       grams, threshold)
@@ -200,7 +201,7 @@ object Dedup {
     val bitsPer = 64 / chunks
     // feeds both self-join sides — materialize the 64-bit hashes once
     val withHash = widen(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-      .localCheckpoint()
+      .pin()
     // let-bind sh: inlined by CollapseProject it would recompute the whole
     // simhash once per chunk
     val banded = withHash.select(col("id"), col("sh"),
@@ -239,9 +240,9 @@ object Dedup {
     val grams = widen(docs).select(col(idCol).as("id"),
         TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
-      .localCheckpoint()
+      .pin()
     val sig = grams.select(col("id"), minhashSignature(col("g"), numHashes).as("sig"))
-      .localCheckpoint()
+      .pin()
     verifyJaccard(bandedCandidateIds(sig, bands, rows, numHashes, threshold,
         margin, bucketCap),
       grams, threshold)
@@ -257,7 +258,7 @@ object Dedup {
     val grams = widen(docs).select(col(idCol).as("id"),
         TextAnalysis.hashedCharNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
-      .localCheckpoint()
+      .pin()
     val a = grams.select(col("id").as("id_a"), col("g").as("g_a"))
     val b = grams.select(col("id").as("id_b"), col("g").as("g_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -274,7 +275,7 @@ object Dedup {
                           threshold: Double = 0.4): DataFrame = {
     val e = widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("n"))
-      .localCheckpoint()
+      .pin()
     val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -307,7 +308,7 @@ object Dedup {
     // feeds both self-join sides — materialize signature + norm once
     val e = widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"),
       Similarity.norm(col(vecCol)).as("n"))
-      .localCheckpoint()
+      .pin()
     // per-table band values: bits [t*planes, (t+1)*planes) of the signature
     // (sig let-bound: inlined it would recompute the signature per table)
     val mask = lit((1L << planes) - 1)

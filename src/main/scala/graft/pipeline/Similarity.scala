@@ -78,7 +78,7 @@ object Similarity {
     * no reducer ever holds more than one partition's candidates for one
     * query; phase 2 merges the ≤ k·P survivors per query. Ties break by
     * ascending cId (matches a row_number window ordered cosine desc, cId). */
-  private def topK(scored0: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
+  private[graft] def topK(scored0: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
     // a null cosine (ragged/corrupt embedding — FloatVecDot yields NULL by
     // design) must surface as an absent row, not rank FIRST via the packed
     // struct's null `nc` sorting ahead of every real score

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
+import graft.rel.Checkpoint.PinOps
 
 /** `.order(%G, -A, B)` ordered transforms: running aggregates, per-group
   * subtotals, and window offset functions (SURVEY §2.5; reference
@@ -109,7 +110,7 @@ object Ordered {
     require(sort.nonEmpty, "global ordinal needs a total order")
     val ranged = df.repartitionByRange(sort: _*).sortWithinPartitions(sort: _*)
       .withColumn("__go_pid", spark_partition_id())
-      .localCheckpoint()
+      .pin()
     val counts = ranged.groupBy("__go_pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init

@@ -111,4 +111,30 @@ class PlanSpec extends SparkSpec {
     val p = plan(knn)
     assert(!p.contains("Window"), s"top-k fell back to a per-query window:\n${p.take(3000)}")
   }
+
+  test("top-k phase-1 bounds the merge fan-in to k rows per (query, partition) under skew") {
+    import spark.implicits._
+    // worst case: ONE query owns every candidate — a per-query window (or a
+    // naive groupBy(query)) would buffer all 40k rows in one reducer; the
+    // two-phase shape must hand phase 2 at most k·numPartitions rows
+    val k = 10
+    val scored = (0 until 40000).map(i => (1L, i.toLong, 1.0 / (i + 1)))
+      .toDF("q_id", "vec_id", "cosine")
+      .repartition(8) // distinct physical input partitions
+    val nPart = scored.rdd.getNumPartitions
+    val out = Similarity.topK(scored, k, "q_id", "vec_id").collect()
+    assert(out.length == k)
+    // exact answer despite the skew: global best survives local pruning
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == (0L until k.toLong).toSet)
+    // the invariant that bounds phase-2 buffers: phase 1 emits ≤ k per
+    // (query, partition), so the merge sees ≤ k·P rows for the hot query
+    val phase1 = scored.filter(col("cosine").isNotNull)
+      .groupBy(col("q_id"), spark_partition_id().as("__pid"))
+      .agg(slice(sort_array(collect_list(struct((-col("cosine")).as("nc"),
+        col("vec_id").as("c")))), 1, k).as("top"))
+      .select(col("q_id"), explode(col("top")))
+      .groupBy("q_id").count().collect()
+    assert(phase1.forall(_.getAs[Long]("count") <= k.toLong * nPart),
+      s"phase-2 fan-in exceeded k*P: ${phase1.mkString(",")}")
+  }
 }

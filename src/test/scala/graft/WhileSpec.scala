@@ -54,4 +54,25 @@ class WhileSpec extends SparkSpec {
     assert(closure.df.collect().map(_.getString(0)).toSet ===
       Set("bob", "carol", "dave", "eve", "frank", "grace"))
   }
+
+  test("reliable-checkpoint knob: same fixpoint through directory checkpoints") {
+    // spark.graft.reliableCheckpoint=true routes every Checkpoint.pin
+    // through a DFS directory checkpoint (survives executor loss on a
+    // cluster) — results must be identical to the local-pin default
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val seed = Rel.distinct(Seq(0).toDF("A1"))
+      val out = WhileFix.rel(seed,
+        r => r.where(col("A1") < 10).transform("A1" -> (col("A1") + 1)),
+        // tinyRows=0 via apply: use the distributed regime so pins happen
+        maxIter = 100)
+      assert(out.count() === 11)
+      val ckpt = new java.io.File(dir)
+      assert(ckpt.exists)
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+    }
+  }
 }
