@@ -51,4 +51,26 @@ object AndlScript {
     }
     (num("test_count"), num("error_count"))
   }
+
+  /** CLI script runner — the reference's primary entry point (Andl/Main.cs:
+    * `andl script.andl`). Usage: runMain graft.lang.AndlScript
+    * <script.andl>… [with CSV sources resolved next to each script]. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AndlScript <script.andl> [more.andl…]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("andl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try args.foreach { path =>
+      val f = new java.io.File(path)
+      val interp = new AndlInterp(spark, Option(f.getParent).getOrElse("."))
+      interp.noisy = 1
+      interp.runFile(f.getPath)
+      print(interp.output.toString)
+    } finally spark.stop()
+  }
 }

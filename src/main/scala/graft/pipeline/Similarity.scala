@@ -160,7 +160,10 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    // deterministic sampled centroids: nlist vectors with the smallest id hash
+    // deterministic sampled centroids: nlist vectors with the smallest id
+    // hash. orderBy+limit here is a distributed TakeOrderedAndProject —
+    // each partition keeps its local nlist best, the driver merges P·nlist
+    // rows — i.e. already the RDD.takeOrdered shape, never a global sort.
     val centroids = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
       .select(col(cId).as("centroid_id"), col(cVec).as("centroid"),
         norm(col(cVec)).as("__kn"))
