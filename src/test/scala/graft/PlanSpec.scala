@@ -112,6 +112,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"top-k fell back to a per-query window:\n${p.take(3000)}")
   }
 
+  test("language front end lowers to the same engine plans: script join broadcasts") {
+    // a script's natural join must produce the plan the DSL produces —
+    // broadcast of the dim side, no cartesian, filters at the scan
+    val df = Queries.qLangJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"script join did not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"script join went cartesian:\n${p.take(2000)}")
+    val f = formatted(Queries.qLangBasic(spark, sf))
+    val pushed = f.linesIterator.find(_.trim.startsWith("PushedFilters")).getOrElse("")
+    assert(pushed.contains("n_regionkey"), s"script where not pushed to scan: $pushed")
+  }
+
   test("top-k phase-1 bounds the merge fan-in to k rows per (query, partition) under skew") {
     import spark.implicits._
     // worst case: ONE query owns every candidate — a per-query window (or a
