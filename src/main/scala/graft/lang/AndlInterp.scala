@@ -493,6 +493,53 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       val r = Rel.distinct(spark.range(n.toLong)
         .select(F.col("id").cast("double").as("N")))
       Some(RelV(Seq("N" -> TNum), r))
+    // catalog introspection tables (Catalog.cs:101-105 headings;
+    // Builtin.cs:824-838): Members holds the tuple/UDT unique name or ""
+    case ("andl_variable", Seq()) =>
+      val rows = global.names.distinct.flatMap { nm =>
+        global.lookup(nm) match {
+          case Some(_: FunsV) | Some(_: TypeV) | None => None
+          case Some(v) =>
+            val t = typeOf(v)
+            Some(TupV(sortFields2(Seq("Name" -> TextV(nm),
+              "Type" -> TextV(typeName(t)),
+              "Members" -> TextV(t match {
+                case TUdt(n, _) => n
+                case _: TTup | _: TRel => typeName(t)
+                case _ => ""
+              })))))
+        }
+      }
+      Some(LRelV(sortFields(Seq("Name" -> TText, "Type" -> TText,
+        "Members" -> TText)), rows.toVector.distinct))
+    case ("andl_operator", Seq()) =>
+      val rows = global.names.distinct.flatMap { nm =>
+        global.lookup(nm) match {
+          case Some(FunsV(_, ovs)) => ovs.map { f =>
+            TupV(sortFields2(Seq("Name" -> TextV(nm),
+              "Type" -> TextV("code"), "Members" -> TextV(""),
+              "Arguments" -> TextV(f.params.map(_._1).mkString(",")))))
+          }
+          case _ => Nil
+        }
+      }
+      Some(LRelV(sortFields(Seq("Name" -> TText, "Type" -> TText,
+        "Members" -> TText, "Arguments" -> TText)), rows.toVector.distinct))
+    case ("andl_member", Seq()) =>
+      val rows = global.names.distinct.flatMap { nm =>
+        global.lookup(nm) match {
+          case Some(TypeV(TUdt(un, fields))) => fields.zipWithIndex.map {
+            case ((fn, ft), i) =>
+              TupV(sortFields2(Seq("MemberOf" -> TextV(un),
+                "Index" -> NumV(i + 1), "Name" -> TextV(fn),
+                "Type" -> TextV(typeName(ft)), "Members" -> TextV(""))))
+          }
+          case _ => Nil
+        }
+      }
+      Some(LRelV(sortFields(Seq("MemberOf" -> TText, "Index" -> TNum,
+        "Name" -> TText, "Type" -> TText, "Members" -> TText)),
+        rows.toVector.distinct))
     case ("count", Seq(r @ (_: RelV | _: LRelV)))  => Some(NumV(relCount(r).toDouble))
     case ("degree", Seq(r @ (_: RelV | _: LRelV))) => Some(NumV(relHeading(r).length.toDouble))
     case ("schema", Seq(r @ (_: RelV | _: LRelV))) => Some(schemaVal(relHeading(r)))

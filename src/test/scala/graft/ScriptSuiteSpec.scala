@@ -43,6 +43,24 @@ class ScriptSuiteSpec extends SparkSpec {
     assert(total >= 400, s"expected the full 424-assertion corpus, got $total")
   }
 
+  test("catalog introspection tables (andl_variable/operator/member)") {
+    val i = new graft.lang.AndlInterp(spark, dir)
+    i.run(
+      """v1 := 42
+        |type ut(C1:0, C2:'')
+        |def f(a:0, b:'') => a & b
+        |vars := andl_variable()
+        |ops := andl_operator()
+        |mems := andl_member()
+        |okv := vars .where(Name = 'v1') .select{ (Type) }
+        |oko := ops .where(Name = 'f') .select{ (Arguments) }
+        |okm := mems .where(MemberOf = 'ut') .count""".stripMargin, "introspect")
+    import graft.lang.AndlValues._
+    assert(i.global.lookup("okv").contains(TextV("number")))
+    assert(i.global.lookup("oko").contains(TextV("a,b")))
+    assert(i.global.lookup("okm").contains(NumV(2)))
+  }
+
   test("sample1.andl executes headless") {
     assume(new java.io.File(s"$dir/../Sample/sample1.andl").isFile)
     val interp = new graft.lang.AndlInterp(spark, dir)
