@@ -1060,6 +1060,12 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
             case other => sys.error(s"while step does not support $other")
           }).bagDF
         }
+      case ed: EDo =>
+        // row-independent do-block step (Sample/sudoku.andl): the reference
+        // evaluates the block against static relvars for every appended row
+        // (DataTableLocal.Recurse, DataTableLocal.cs:631-646) — same
+        // constant batch each round, so evaluate once per round
+        df => toSparkRel(eval(ed, env.child())).rel.df
       case other =>
         sys.error(s"while step not supported: ${other.getClass.getSimpleName}")
     }
