@@ -154,7 +154,10 @@ final class AndlParser(toks: Vector[Tok]) {
     eat(")")
     eat("=>")
     skipNl()
-    SDef(name, params.result(), expression())
+    // a function body may be an update statement (setup-workbench.andl's
+    // addsuppliers)
+    if (atIdent("update")) { next(); SDef(name, params.result(), EDo(Seq(update()))) }
+    else SDef(name, params.result(), expression())
   }
 
   private def update(): Stmt = {

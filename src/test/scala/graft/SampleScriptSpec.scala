@@ -83,6 +83,22 @@ class SampleScriptSpec extends SparkSpec {
     assert(org.length > 1)
   }
 
+  test("workbench catalog + workbench.andl (update-bodied functions, regex where)") {
+    assume(available)
+    val i = new AndlInterp(spark, dir)
+    i.runFile(s"$dir/setup-workbench.andl")
+    i.noisy = 1
+    i.runFile(s"$dir/workbench.andl")
+    val out = i.output.toString
+    assert(out.contains("610")) // fib(15) through the catalog function
+    assert(out.contains("Adams")) // suppliersbyname('a') regex match
+    // addsuppliers is an update-bodied function: call it, S grows
+    i.run("addsuppliers(VR)", "probe")
+    val ids = rel(i, "S").map(t => t.fields.toMap.apply("S#"))
+      .collect { case TextV(x) => x }.toSet
+    assert(ids.contains("S99"))
+  }
+
   test("99bottles: ordered fold lyric generation") {
     assume(available)
     val i = fresh()
