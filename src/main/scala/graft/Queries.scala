@@ -400,6 +400,102 @@ object Queries {
       t(s, dir, "embeddings").where(col("vec_id") < 300).bagDF,
       threshold = 0.4)
 
+  /** Near-dup CLUSTERING: connected components over the minhash pair set
+    * (pointer-doubling min-label propagation — Cluster.scala), emitting
+    * each clustered doc with its component representative and component
+    * size. The DuckDB oracle recomputes the same components via a
+    * recursive-CTE transitive closure over the identical pair set, so a
+    * green row certifies the distributed CC algorithm end to end. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(
+      t(s, dir, "documents").where(length(col("text")) >= 5).bagDF,
+      threshold = 0.5).select("id_a", "id_b")
+    graft.pipeline.Cluster.assign(pairs)
+      .select(col("id").as("doc_id"), col("rep"), col("csize"))
+  }
+
+  /** Sketch-family contract row: each approximate summary checked against
+    * its exact counterpart within the sketch's published error bound (with
+    * ≥2× slack so the row trips on regressions, not estimator noise). All
+    * sketches are seeded/hash-deterministic, so green is stable.
+    *  - HLL++ distinct count of l_partkey within 5% of exact (rsd 2%);
+    *  - approx median of o_totalprice within rank 0.48..0.52 of exact CDF;
+    *  - Count-Min point estimates: ≥ true count (structural guarantee) and
+    *    ≤ true + 2·eps·N for every nation key;
+    *  - Bloom filter: zero false negatives over all present keys
+    *    (structural guarantee). */
+  def qSketchCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").bagDF
+    val ord = t(s, dir, "orders").bagDF
+    // HLL vs exact
+    val hll = li.agg(
+      graft.functions.Sketches.approxDistinct(col("l_partkey")).as("apx"),
+      countDistinct(col("l_partkey")).as("ext")).collect()(0)
+    val hllOk = math.abs(hll.getLong(0).toDouble / hll.getLong(1) - 1.0) <= 0.05
+    // approximate median rank accuracy
+    val apxMed = ord.agg(graft.functions.Sketches
+      .approxQuantile(col("o_totalprice"), 0.5).as("m")).collect()(0).getDouble(0)
+    val nOrd = ord.count()
+    val below = ord.filter(col("o_totalprice") <= apxMed).count()
+    val qOk = below.toDouble / nOrd >= 0.48 && below.toDouble / nOrd <= 0.52
+    // Count-Min point queries vs exact per-key counts
+    val cms = graft.functions.Sketches.countMin(li, "l_suppkey", eps = 0.001)
+    val truth = li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nLi = truth.map(_._2).sum
+    val cmsOk = truth.forall { case (k, n) =>
+      val est = cms.estimateCount(k); est >= n && est <= n + (2 * 0.001 * nLi).toLong
+    }
+    // Bloom: no false negatives over present keys
+    val bf = graft.functions.Sketches.bloom(ord, "o_custkey", 20000L)
+    val bloomOk = ord.select("o_custkey").distinct().collect()
+      .forall(r => bf.mightContain(r.getLong(0)))
+    Seq((hllOk, qOk, cmsOk, bloomOk))
+      .toDF("hll_ok", "quantile_ok", "cms_ok", "bloom_ok")
+  }
+
+  /** End-to-end corpus cleaning — the composed shape a real training-data
+    * pipeline runs: enrich (language ID, token counts, punctuation ratio)
+    * → filter low-quality docs → exact-dedup survivors keeping the lowest
+    * doc_id per fingerprint. One scan + one aggregation; every stage is
+    * the already-oracled primitive, composed. */
+  def qPipelineClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").bagDF
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+      .filter(col("n_tokens") >= 3 && col("punct_ratio") <= 0.5)
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           count(lit(1)).as("dup_count"),
+           min(col("lang_guess")).as("lang_guess"),
+           min(col("n_tokens")).as("n_tokens"))
+      .drop("fp")
+
+  // ===================================================== §7.2 streaming
+
+  /** Structured Streaming, oracle-gated: the events parquet replayed
+    * through the file source (readStream) → watermark → windowed
+    * aggregation → memory sink, Trigger.AvailableNow, complete mode. The
+    * final table equals the batch q_events_hour, and the DuckDB oracle
+    * checks it — a green row proves the streaming plan computes the same
+    * relation as the batch plan over the same data. */
+  def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
+    val name = "q_stream_window_sink"
+    val query = graft.streaming.EventStream.hourlyByTypeExact(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val out = s.table(name).localCheckpoint()
+    query.stop()
+    out
+  }
+
   // ========================================== pipeline: similarity search
 
   private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -729,7 +825,9 @@ object Queries {
     "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact,
     "q_lang_basic" -> qLangBasic, "q_lang_join" -> qLangJoin,
     "q_lang_fold" -> qLangFold, "q_lang_order" -> qLangOrder,
-    "q_lang_while" -> qLangWhile)
+    "q_lang_while" -> qLangWhile,
+    "q_dedup_cluster" -> qDedupCluster, "q_sketch_check" -> qSketchCheck,
+    "q_pipeline_clean" -> qPipelineClean, "q_stream_window" -> qStreamWindow)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -958,5 +1056,45 @@ object Queries {
     "q_lang_order" -> ("SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, " +
       "CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS DOUBLE) AS run FROM nation"),
     "q_lang_while" -> ("WITH RECURSIVE t(A1) AS (SELECT CAST(0 AS DOUBLE) " +
-      "UNION ALL SELECT A1 + 1 FROM t WHERE A1 <= 99) SELECT A1 FROM t"))
+      "UNION ALL SELECT A1 + 1 FROM t WHERE A1 <= 99) SELECT A1 FROM t"),
+
+    // ---- round 6: clustering / sketches / composed pipeline / streaming
+    // Connected components via recursive-CTE transitive closure over the
+    // SAME pair set the engine clusters (unrounded jaccard filter, exactly
+    // like Dedup.verifyJaccard).
+    "q_dedup_cluster" -> ("WITH RECURSIVE g AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents WHERE length(text) >= 5)), " +
+      "pairs AS (SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(a.gr || b.gr)) AS jaccard " +
+      "FROM g a, g b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a), " +
+      "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a) " +
+      "SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM comp"),
+    "q_sketch_check" -> ("SELECT true AS hll_ok, true AS quantile_ok, " +
+      "true AS cms_ok, true AS bloom_ok"),
+    "q_pipeline_clean" -> ("WITH lang AS (" +
+      "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN h_fr = m THEN 'fr' " +
+      "WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_guess FROM (" +
+      "SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS m, h_en, h_de, h_fr, h_es FROM (" +
+      "SELECT doc_id, " +
+      "len(list_filter(toks, t -> list_contains(['the','and','is','of','to','that','it','was','with'], t))) AS h_en, " +
+      "len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit','sich'], t))) AS h_de, " +
+      "len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans','que','pour'], t))) AS h_fr, " +
+      "len(list_filter(toks, t -> list_contains(['el','la','los','es','una','por','que','con','para'], t))) AS h_es " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+') AS toks FROM documents)))), " +
+      "enr AS (SELECT d.doc_id, d.text, l.lang_guess, " +
+      "CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INTEGER) END AS n_tokens, " +
+      "CASE WHEN length(d.text) = 0 THEN 0.0 ELSE CAST(length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(d.text) END AS punct_ratio " +
+      "FROM documents d JOIN lang l USING (doc_id)) " +
+      "SELECT min(doc_id) AS doc_id, count(*) AS dup_count, " +
+      "min(lang_guess) AS lang_guess, min(n_tokens) AS n_tokens " +
+      "FROM enr WHERE n_tokens >= 3 AND punct_ratio <= 0.5 " +
+      "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"),
+    "q_stream_window" -> ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2"))
 }

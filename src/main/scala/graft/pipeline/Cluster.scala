@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.rel.Checkpoint.PinOps
+
+/** Duplicate clustering: connected components over a near-dup pair set, and
+  * representative selection — the step that turns pairwise dedup output
+  * (Dedup.minhashPairs / simhashPairs / embeddingPairs) into the per-cluster
+  * keep/drop decision a training-data pipeline actually applies.
+  *
+  * Scale design: min-label propagation with POINTER DOUBLING. Each round
+  * does (a) a neighbor-min pass over the edge set and (b) a label→label
+  * jump (label(u) := label(label(u))), so labels race down chains
+  * geometrically and convergence takes O(log diameter) rounds — a path
+  * graph of 1M nodes converges in ~20 rounds, not 1M (the known fix for
+  * plain label propagation's O(diameter) behavior on MapReduce-style
+  * engines; cf. Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14). Every pass is a hash join + partial aggregation on
+  * the id key — no all-pairs, no driver materialization; per-round state
+  * (one label per node) is pinned so lineage stays flat.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given by `pairs`
+    * (columns `aCol`, `bCol`). Returns one row per node: (id, rep) where
+    * rep = min node id in the component — deterministic, engine-agnostic.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // symmetrized edge list; each undirected pair appears in both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .pin()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .pin()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // (a) neighbor-min: the smallest label adjacent to each node. The
+      // groupBy is map-side combinable; the join key is the node id.
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // (b) pointer doubling: follow the label one hop (labels are node
+      // ids, so lbl always resolves). Cuts chain length in half per round.
+      val jump = stepped.alias("x")
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")).alias("y"),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      val next = jump.pinLazy()
+      changed = next.alias("n")
+        .join(labels.select(col("id"), col("lbl").as("old")).alias("o"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("rep"))
+  }
+
+  /** Cluster assignment for near-dup pairs: every node that appears in at
+    * least one pair, with its component representative (min id) and the
+    * component size. Singleton documents (no pair) are implicitly their own
+    * cluster and are not emitted. */
+  def assign(pairs: DataFrame, aCol: String = "id_a",
+             bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val sizes = comp.groupBy("rep").agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "rep").select(col("id"), col("rep"), col("csize"))
+  }
+
+  /** The keep/drop decision: representatives survive, other cluster members
+    * drop. Input `docs` joined against the near-dup components; docs not in
+    * any pair survive untouched. At 100 TB this is one broadcast-or-hash
+    * join of the corpus against the (much smaller) component map. */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -38,7 +38,13 @@ object EventStream {
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     val raw = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = LongType) else f))
-    graft.sources.Sources.nanosTsToMicros(spark.readStream.schema(raw).parquet(dir))
+    // A single-file path works too (replay one table file as the stream).
+    // The file source derives basePath from a NON-glob path directly — for
+    // a file that trips "basePath must be a directory" — so present the
+    // file as a one-entry brace glob; glob paths anchor to the parent dir.
+    val f = new java.io.File(dir)
+    val path = if (f.isFile) s"${f.getParent}/{${f.getName}}" else dir
+    graft.sources.Sources.nanosTsToMicros(spark.readStream.schema(raw).parquet(path))
   }
 
   /** Windowed per-type aggregation with a watermark — the streaming
@@ -51,6 +57,20 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+              col("n"), col("total_value"))
+
+  /** [[hourlyByType]] with the batch engine's numeric-determinism policy
+    * (sum in decimal, convert to double at the end — Queries.scala header):
+    * the variant the oracle-gated q_stream_window runs, so the streaming
+    * result hash-matches the DuckDB batch oracle exactly. */
+  def hourlyByTypeExact(events: DataFrame, late: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+             .cast("double").as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"),
               col("n"), col("total_value"))
 

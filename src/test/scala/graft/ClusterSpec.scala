@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Cluster
+
+/** Connected-components clustering (Cluster.scala) vs a driver-side
+  * union-find reference, across graph shapes that stress the algorithm
+  * differently: long chains (pointer-doubling path), stars, disjoint
+  * cliques, and random graphs. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver union-find ground truth: map each node to min id of component. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Cluster.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ufComponents(edges))
+  }
+
+  test("chain graph (worst case for plain label propagation)") {
+    check((1L until 64L).map(i => (i, i + 1)))
+  }
+
+  test("chain given in descending order") {
+    check((1L until 64L).map(i => (i + 1, i)).reverse)
+  }
+
+  test("star + disjoint cliques + isolated pair") {
+    val star = (2L to 20L).map(i => (1L, i))
+    val clique = for (a <- 30L to 35L; b <- (a + 1) to 35L) yield (a, b)
+    check(star ++ clique ++ Seq((100L, 101L)))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      check(edges)
+    }
+  }
+
+  test("assign reports component sizes; survivors keep reps and singletons") {
+    // components {1,2,3} and {10,11}; doc 5 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val assigned = Cluster.assign(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(assigned.toSet === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+    val docs = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id")
+    val kept = Cluster.survivors(docs, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L, 10L))
+  }
+}
