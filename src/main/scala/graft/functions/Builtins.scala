@@ -50,16 +50,29 @@ object Builtins {
   /** pp(r): render a relation to text (Builtin.PrettyPrint,
     * Builtin.cs:769-781 → DataSinkStream.OutputTable). Driver-side
     * presentation op — rows capped, sorted for determinism. */
-  def pp(r: Rel, maxRows: Int = 100): String = {
+  def pp(r: Rel, maxRows: Int = 100, sortBy: Seq[Column] = Nil): String = {
     val cols = r.attrs
     // Sort BEFORE the cap (distributed TakeOrderedAndProject -- never a
     // full collect), so the row subset shown is deterministic, not
     // whichever partitions answered first. String sort order is the
-    // presentation contract, matching the reference's text rendering.
+    // presentation contract, matching the reference's text rendering —
+    // unless the relation carries a stored `.order` (sortBy), which the
+    // reference's pp would show.
+    val sortCols =
+      if (sortBy.nonEmpty) sortBy
+      else cols.map(c => col(c).cast(StringType))
+    // numbers render like the reference's decimals (no trailing ".0")
+    def show(v: Any): String = v match {
+      case d: java.lang.Double =>
+        val dd = d.doubleValue
+        if (dd == math.rint(dd) && math.abs(dd) < 1e15) dd.toLong.toString
+        else java.math.BigDecimal.valueOf(dd).stripTrailingZeros.toPlainString
+      case other => String.valueOf(other)
+    }
     val rows = r.df
-      .orderBy(cols.map(c => col(c).cast(StringType)): _*)
+      .orderBy(sortCols: _*)
       .limit(maxRows).collect()
-      .map(row => cols.indices.map(i => String.valueOf(row.get(i))))
+      .map(row => cols.indices.map(i => show(row.get(i))))
     val widths = cols.indices.map(i =>
       (cols(i).length +: rows.map(_(i).length)).max)
     def line(vals: Seq[String]) = vals.zip(widths)

@@ -2,7 +2,7 @@ package graft.lang
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 import AndlAst._
@@ -351,7 +351,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     var cur = eval(recv, env)
     var pending: Option[Seq[OrderTerm]] = None
     ops.foreach {
-      case POrder(terms) => pending = Some(terms)
+      case POrder(terms) => cur = attachOrder(cur, terms); pending = Some(terms)
       case PWhere(pred) => cur = relWhere(cur, pred, env); pending = None
       case PSelect(star, terms) =>
         cur = applySelect(cur, star, terms, pending, env); pending = None
@@ -632,9 +632,15 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   /** Driver rows of a relation if it is small (≤ limit); heading order. */
   private def collectRows(v: Value, limit: Int): Option[Vector[TupV]] = v match {
     case LRelV(_, rows) => Some(rows)
-    case RelV(h, rel) =>
+    case r @ RelV(h, rel) =>
       if (h.isEmpty) return Some(if (rel.count() > 0) Vector(TupV(Nil)) else Vector.empty)
-      val rows = rel.df.select(h.map(f => F.col(f._1)): _*).take(limit + 1)
+      // honor a stored `.order` so driver-local fallbacks see the same
+      // physical order the reference's stored table would have
+      val df0 = r.storedOrder match {
+        case Some(terms) => rel.df.orderBy(sortColsOf(terms): _*)
+        case None => rel.df
+      }
+      val rows = df0.select(h.map(f => F.col(f._1)): _*).take(limit + 1)
       if (rows.length > limit) None
       else Some(rows.toVector.map(r => rowToValue(r, h)).distinct)
     case _ => None
@@ -703,24 +709,28 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
 
   // ----------------------------------------------------- relational postfix
 
-  private def relWhere(v: Value, pred: Expr, env: Env): Value =
-    try {
-      val r = toSparkRel(v)
-      val ctx = cols.Ctx(r.heading.toMap, Map.empty, env, None, cols.NoFold)
-      RelV(r.heading, r.rel.where(cols.compile(pred, ctx).col))
-    } catch {
-      case e: Exception =>
-        // correlated predicates Catalyst can't express as one Column
-        // (`{{*}} join R`-style membership, SPPsample1.andl Q1/Q3/Q4):
-        // bounded row-at-a-time fallback, the reference's own strategy
-        collectRows(v, collectLimit) match {
-          case Some(rows) =>
-            val h = relHeading(v)
-            val kept = rows.filter { tup => rowEval(tup, pred, env) == BoolV(true) }
-            LRelV(h, kept)
-          case None => throw e
-        }
-    }
+  private def relWhere(v: Value, pred: Expr, env: Env): Value = {
+    val res =
+      try {
+        val r = toSparkRel(v)
+        val ctx = cols.Ctx(r.heading.toMap, Map.empty, env, None, cols.NoFold)
+        RelV(r.heading, r.rel.where(cols.compile(pred, ctx).col))
+      } catch {
+        case e: Exception =>
+          // correlated predicates Catalyst can't express as one Column
+          // (`{{*}} join R`-style membership, SPPsample1.andl Q1/Q3/Q4):
+          // bounded row-at-a-time fallback, the reference's own strategy
+          collectRows(v, collectLimit) match {
+            case Some(rows) =>
+              val h = relHeading(v)
+              val kept = rows.filter { tup => rowEval(tup, pred, env) == BoolV(true) }
+              LRelV(h, kept)
+            case None => throw e
+          }
+      }
+    // Restrict preserves stored physical order (DataTableLocal.Restrict)
+    withStoredOrder(res, storedOrderOf(v))
+  }
 
   /** Evaluate an expression in a row scope (attributes + `{*}` bound). */
   private def rowEval(tup: TupV, e: Expr, env: Env): Value = {
@@ -731,14 +741,28 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   }
 
   private def relTake(v: Value, n: Int): Value = v match {
-    case LRelV(h, rows) => LRelV(h, rows.take(n)) // stored order, like the reference
-    case RelV(h, rel) => RelV(h, Rel.distinct(rel.df.limit(n)))
+    case lr @ LRelV(h, rows) => // stored order, like the reference
+      withStoredOrder(LRelV(h, rows.take(n)), lr.storedOrder)
+    case r @ RelV(h, rel) =>
+      // an ordered relation takes its FIRST n under the stored sort
+      // (TakeOrderedAndProject — distributed, never a full collect)
+      val df = r.storedOrder match {
+        case Some(terms) => rel.df.orderBy(sortColsOf(terms): _*).limit(n)
+        case None => rel.df.limit(n)
+      }
+      withStoredOrder(RelV(h, Rel.distinct(df)), r.storedOrder)
     case other => sys.error(s"take on $other")
   }
 
   private def relSkip(v: Value, n: Int): Value = v match {
-    case LRelV(h, rows) => LRelV(h, rows.drop(n))
-    case RelV(h, rel) => RelV(h, Rel.distinct(rel.df.offset(n)))
+    case lr @ LRelV(h, rows) =>
+      withStoredOrder(LRelV(h, rows.drop(n)), lr.storedOrder)
+    case r @ RelV(h, rel) =>
+      val df = r.storedOrder match {
+        case Some(terms) => rel.df.orderBy(sortColsOf(terms): _*).offset(n)
+        case None => rel.df.offset(n)
+      }
+      withStoredOrder(RelV(h, Rel.distinct(df)), r.storedOrder)
     case other => sys.error(s"skip on $other")
   }
 
@@ -756,6 +780,53 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     OrderSpec(groupBy, sort)
   }
 
+  /** Sort columns of a stored order: ALL terms in sequence (a grouped `%`
+    * segment is still a physical sort segment in the reference's
+    * OrderedIndex). */
+  private def sortColsOf(terms: Seq[OrderTerm]): Seq[Column] =
+    terms.map(t => if (t.desc) F.col(t.field).desc else F.col(t.field).asc)
+
+  def storedOrderOf(v: Value): Option[Seq[OrderTerm]] = v match {
+    case r: RelV => r.storedOrder
+    case l: LRelV => l.storedOrder
+    case _ => None
+  }
+
+  private def withStoredOrder(v: Value, terms: Option[Seq[OrderTerm]]): Value = {
+    terms.foreach { t =>
+      v match {
+        case r: RelV => r.storedOrder = Some(t)
+        case l: LRelV => l.storedOrder = Some(t)
+        case _ => ()
+      }
+    }
+    v
+  }
+
+  /** Trailing `.order`: the reference physically sorts the stored table
+    * (DataTableLocal via OrderedIndex.cs:74+); later input-order folds,
+    * take/skip, lift and pp observe that order. Local rows sort eagerly;
+    * engine relations record the spec (consumers sort on demand — an eager
+    * Spark sort feeding a shuffle would be thrown away anyway). */
+  private def attachOrder(v: Value, terms: Seq[OrderTerm]): Value = v match {
+    case RelV(h, rel) =>
+      val r = RelV(h, rel); r.storedOrder = Some(terms); r
+    case LRelV(h, rows) =>
+      val sorted = rows.sortWith { (a, b) =>
+        val am = a.fields.toMap; val bm = b.fields.toMap
+        var r = 0
+        terms.iterator
+          .find { t =>
+            r = compare(am(t.field), bm(t.field))
+            if (t.desc) r = -r
+            r != 0
+          }
+        r < 0
+      }
+      val l = LRelV(h, sorted); l.storedOrder = Some(terms); l
+    case other => sys.error(s".order on ${other.getClass.getSimpleName}")
+  }
+
   // ---------------------------------------------------------------- select
 
   /** `.select{…}` / `.{…}` — the Andl transform: projection, rename,
@@ -771,10 +842,16 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       case t: TupV => return tupleSelect(t, star, terms, env)
       case _ => ()
     }
+    // stored physical order from a trailing `.order` on the receiver (only
+    // when no explicit .order is in this chain) — input-order folds, lift
+    // and the output's presentation order observe it, like the reference's
+    // sorted DataTableLocal
+    val stored = if (order.isEmpty) storedOrderOf(v) else None
+
     val lifts = terms.collect { case TLift(x) => x }
     if (lifts.nonEmpty) {
       require(terms.length == 1, "lift must be the only transform term")
-      return lift(v, lifts.head, order, env)
+      return lift(v, lifts.head, order.orElse(stored), env)
     }
 
     val r = toSparkRel(v)
@@ -877,43 +954,68 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
             }
         }
       val res = df.select(compiled.map { case (n, c) => c.col.as(n) }: _*)
-      RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res))
-    } else specOpt match {
-      case None =>
-        // grouped aggregation: non-fold terms are the implicit group keys
-        // (DataTableSql.GroupColumns, DataTableSql.cs:491-497)
-        val aggCtx = rowCtx.copy(mode = cols.AggFold)
-        val keys = out.zip(foldFlag).collect { case ((n, t), false) => compileRow((n, t)) }
-        val aggs = out.zip(foldFlag).collect { case ((n, Right(x)), true) =>
-          n -> cols.compile(x, aggCtx) }
-        val df = r.rel.df // set semantics before aggregation
-        val aggCols = aggs.map { case (n, c) => c.col.as(n) }
-        val res =
-          if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-          else df.groupBy(keys.map { case (n, c) => c.col.as(n) }: _*)
-            .agg(aggCols.head, aggCols.tail: _*)
-        RelV(sortFields((keys ++ aggs).map { case (n, c) => (n, c.t) }),
-          Rel.distinct(res))
-      case Some(spec) =>
-        // ordered transform with running folds and group-collapse
-        // (TransformOrdered: emit only the last row of each run)
-        val runCtx = rowCtx.copy(mode = cols.RunFold(spec))
-        val compiled = out.zip(foldFlag).map {
-          case ((n, t), false) => compileRow((n, t))
-          case ((n, Right(x)), true) => n -> cols.compile(x, runCtx)
-          case _ => sys.error("unreachable")
-        }
-        val nonFoldNames = out.zip(foldFlag).collect { case ((n, _), false) => n }
-        val withCols = compiled.foldLeft(baseDf0) { case (d, (n, c)) =>
-          d.withColumn(n, c.col) }
-        val lastOfRun = nonFoldNames
-          .map(n => !(F.lead(F.col(n), 1).over(spec.window) <=> F.col(n)))
-          .reduceOption(_ || _)
-          .getOrElse(F.lead(F.lit(1), 1).over(spec.window).isNull)
-        val res = withCols.withColumn("__emit", lastOfRun)
-          .filter(F.col("__emit"))
-          .select(compiled.map { case (n, _) => F.col(n) }: _*)
-        RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res))
+      val passthrough = out.collect { case (n, Left(a)) if n == a => n }.toSet
+      withStoredOrder(
+        RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res)),
+        order.orElse(stored)
+          .map(_.takeWhile(t => passthrough(t.field))).filter(_.nonEmpty))
+    } else {
+      // stored-order fold: the reference's PLAIN grouped aggregation
+      // accumulates each group in the table's stored physical order
+      // (DataTableLocal.TransformAggregate iterates _rows, which a trailing
+      // `.order` sorted). Lower to the ordered-transform machinery with the
+      // implicit group keys as the window partition: folds then reset per
+      // group and accumulate in stored order — unlike an in-chain `.order
+      // .select` (TransformOrdered), which only breaks on `%` groups.
+      val keyTerms = out.zip(foldFlag).collect { case ((n, t), false) => (n, t) }
+      val storedSpec: Option[OrderSpec] = stored match {
+        case Some(sterms)
+            if keyTerms.forall { case (n, Left(a)) => n == a; case _ => false } &&
+              sterms.forall(t => headingMap.contains(t.field)) =>
+          Some(OrderSpec(keyTerms.map(_._1), sortColsOf(sterms)))
+        case _ => None
+      }
+      specOpt.orElse(storedSpec) match {
+        case None =>
+          // grouped aggregation: non-fold terms are the implicit group keys
+          // (DataTableSql.GroupColumns, DataTableSql.cs:491-497)
+          val aggCtx = rowCtx.copy(mode = cols.AggFold)
+          val keys = out.zip(foldFlag).collect { case ((n, t), false) => compileRow((n, t)) }
+          val aggs = out.zip(foldFlag).collect { case ((n, Right(x)), true) =>
+            n -> cols.compile(x, aggCtx) }
+          val df = r.rel.df // set semantics before aggregation
+          val aggCols = aggs.map { case (n, c) => c.col.as(n) }
+          val res =
+            if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+            else df.groupBy(keys.map { case (n, c) => c.col.as(n) }: _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+          RelV(sortFields((keys ++ aggs).map { case (n, c) => (n, c.t) }),
+            Rel.distinct(res))
+        case Some(spec) =>
+          // ordered transform with running folds and group-collapse
+          // (TransformOrdered: emit only the last row of each run)
+          val runCtx = rowCtx.copy(mode = cols.RunFold(spec))
+          val compiled = out.zip(foldFlag).map {
+            case ((n, t), false) => compileRow((n, t))
+            case ((n, Right(x)), true) => n -> cols.compile(x, runCtx)
+            case _ => sys.error("unreachable")
+          }
+          val nonFoldNames = out.zip(foldFlag).collect { case ((n, _), false) => n }
+          val withCols = compiled.foldLeft(baseDf0) { case (d, (n, c)) =>
+            d.withColumn(n, c.col) }
+          val lastOfRun = nonFoldNames
+            .map(n => !(F.lead(F.col(n), 1).over(spec.window) <=> F.col(n)))
+            .reduceOption(_ || _)
+            .getOrElse(F.lead(F.lit(1), 1).over(spec.window).isNull)
+          val res = withCols.withColumn("__emit", lastOfRun)
+            .filter(F.col("__emit"))
+            .select(compiled.map { case (n, _) => F.col(n) }: _*)
+          val outNames = compiled.map(_._1).toSet
+          withStoredOrder(
+            RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res)),
+            order.orElse(stored)
+              .map(_.takeWhile(t => outNames(t.field))).filter(_.nonEmpty))
+      }
     }
   }
 

@@ -85,6 +85,13 @@ object AndlValues {
   case class UdtV(tname: String, fields: Seq[(String, Value)]) extends Value
   /** Relation backed by the engine. Heading sorted by name. */
   case class RelV(heading: Seq[(String, AType)], rel: Rel) extends Value {
+    /** Physical stored order from a trailing `.order` — the reference keeps
+      * the sorted rows in the stored DataTableLocal (OrderedIndex.cs:74+),
+      * and later input-order folds / take / lift / pp observe it. Engine
+      * relations record the spec instead of eagerly sorting (a Spark sort
+      * whose output feeds a shuffle would be wasted work); consumers sort
+      * on demand. Not part of value equality (relations are sets). */
+    var storedOrder: Option[Seq[AndlAst.OrderTerm]] = None
     override def equals(o: Any): Boolean = o match {
       case r2: RelV => relEquals(this, r2)
       case _ => false
@@ -97,6 +104,9 @@ object AndlValues {
     * and (c) relations whose attributes hold function values (which cannot
     * live in a DataFrame). Set equality ignores the stored order. */
   case class LRelV(heading: Seq[(String, AType)], rows: Vector[TupV]) extends Value {
+    /** See [[RelV.storedOrder]]; local rows are ALSO physically sorted when
+      * this is set (mirroring the reference exactly). */
+    var storedOrder: Option[Seq[AndlAst.OrderTerm]] = None
     override def equals(o: Any): Boolean = o match {
       case r2: LRelV => heading.map(f => (f._1, typeName(f._2))) ==
         r2.heading.map(f => (f._1, typeName(f._2))) && rows.toSet == r2.rows.toSet
@@ -317,9 +327,13 @@ object AndlValues {
       f.map { case (n, x) => s"$n := ${render(x)}" }.mkString("{", ", ", "}")
     case UdtV(n, f) =>
       f.map { case (_, x) => render(x) }.mkString(s"$n(", ", ", ")")
-    case RelV(h, rel) =>
+    case r @ RelV(h, rel) =>
       if (h.isEmpty) s"rel:{}(${rel.count()} rows)"
-      else graft.functions.Builtins.pp(rel)
+      else graft.functions.Builtins.pp(rel,
+        sortBy = r.storedOrder.getOrElse(Nil).map { t =>
+          val c = org.apache.spark.sql.functions.col(t.field)
+          if (t.desc) c.desc else c.asc
+        })
     case LRelV(h, rows) =>
       rows.map(render).mkString("{", ", ", "}")
     case f: FunV => s"def ${f.name}(…)"

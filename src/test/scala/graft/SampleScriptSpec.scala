@@ -108,4 +108,94 @@ class SampleScriptSpec extends SparkSpec {
     assert(out.contains("99 bottles of beer on the wall, 99 bottles of beer."))
     assert(out.linesIterator.size > 150, s"song too short:\n${out.take(500)}")
   }
+
+  test("100doors: xor fold over seq, stored-order pp") {
+    assume(available)
+    val i = new AndlInterp(spark, dir)
+    i.noisy = 1
+    i.runFile(s"$dir/100doors.andl")
+    val open = rel(i, "doors").map(_.fields.toMap)
+      .filter(_("open") == BoolV(true))
+      .collect { case m => m("N") }.collect { case NumV(n) => n.toInt }.toSet
+    assert(open == (1 to 10).map(n => n * n).toSet) // the perfect squares
+    // the trailing `.order(N)` renders numerically, not text-sorted
+    val lines = i.output.toString.linesIterator.filter(_.startsWith("|")).toVector
+    assert(lines.drop(2).take(3).map(_.replaceAll("[| ]", "")) == Vector("1", "4", "9"))
+  }
+
+  test("mandelbrot: stored .order drives later grouped concat folds") {
+    assume(available)
+    val i = new AndlInterp(spark, dir)
+    i.runFile(s"$dir/mandelbrot.andl")
+    val rows = rel(i, "a").map(_.fields.toMap)
+    assert(rows.length == 22) // yaxis -1.0 .. 1.1 step 0.1 (fp accumulation)
+    val byCy = rows.map(m => (m("cy").asInstanceOf[NumV].d, m("t").asInstanceOf[TextV].s))
+    // every scanline concatenates exactly the 64 xaxis cells, in cx order
+    assert(byCy.forall(_._2.length == 64))
+    // the fractal shape: sparse at the top scanline, dense at cy≈0
+    assert(byCy.minBy(_._1)._2.trim == "....#")
+    val mid = byCy.minBy { case (cy, _) => math.abs(cy) }._2
+    assert(mid.contains("#######################"), s"cy~0 line wrong: '$mid'")
+  }
+
+  test("sudoku: constraint propagation via row-independent do-block while") {
+    assume(available)
+    val i = new AndlInterp(spark, dir)
+    i.noisy = 0
+    i.runFile(s"$dir/sudoku.andl")
+    val knowns = rel(i, "knowns").toSet
+    val solution = rel(i, "solution").toSet
+    assert(knowns.size == 30)
+    // one full propagation round over static relvars — exactly the
+    // reference's Recurse semantics (DataTableLocal.cs:631-646); the
+    // script itself notes "after this need to guess"
+    assert(solution.size == 46, s"got ${solution.size}")
+    assert(knowns.subsetOf(solution))
+  }
+
+  test("sample2: relation literals, builtins, basic operations") {
+    assume(available)
+    val i = fresh()
+    i.noisy = 1
+    i.runFile(s"$dir/sample2.andl")
+    val out = i.output.toString
+    assert(out.nonEmpty)
+    // r1: three-tuple literal relation survives round-trips
+    val r1 = rel(i, "r1").map(_.fields.toMap)
+    assert(r1.map(_("name")).collect { case TextV(s) => s }.toSet ==
+      Set("Smith", "Jones", "Frankenstein"))
+  }
+
+  test("sample6: date subtype functions (deterministic slice)") {
+    assume(available)
+    val i = fresh()
+    i.noisy = 1
+    i.runFile(s"$dir/sample6.andl")
+    val out = i.output.toString
+    assert(out.contains("31/01/2015"))
+    assert(out.contains("Year:2015 month:1 day:31 dow:7"))
+  }
+
+  test("family_tree: recursive transitive-closure function over UDT arg") {
+    assume(available)
+    val i = new AndlInterp(spark, dir)
+    i.noisy = 1
+    i.runFile(s"$dir/family_tree.andl")
+    val out = i.output.toString
+    // Chess reaches Karl through Charly and Carl (male line, depth 3)
+    assert(out.contains("Chess"))
+    assert(out.contains("Karl"))
+    assert(out.contains("male ancestor"))
+    assert(out.contains("female ancestor"))
+  }
+
+  test("test.andl: the reference's scratch script") {
+    assume(available)
+    val i = new AndlInterp(spark, dir)
+    i.noisy = 1
+    i.runFile(s"$dir/test.andl")
+    val out = i.output.toString
+    assert(out.contains("Hello world!"))
+    assert(out.contains("12")) // v1.length
+  }
 }
