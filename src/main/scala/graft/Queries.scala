@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, TupleOps, WhileFix}
 import graft.functions.{Builtins, Scalar}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.catalog.{Catalog, FunDef, UdtDef}
 import graft.sources.Sources
 
@@ -474,6 +474,29 @@ object Queries {
            min(col("n_tokens")).as("n_tokens"))
       .drop("fp")
 
+  /** Deterministic stratified sampling — the corpus-mix step of a training
+    * run ("keep 100% of src0, 50% of src1, 25% of src2, 10% of src3, drop
+    * the rest"), content-hash based so membership is stable across
+    * partitioning/cluster size/engine (Sampling.scala). The DuckDB oracle
+    * recomputes the identical md5-bucket predicate. */
+  def qSampleStrat(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(
+      t(s, dir, "documents").bagDF,
+      stratum = col("source"), key = col("doc_id"),
+      rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      .select("doc_id", "source")
+
+  /** TF-IDF term weights (tf ≥ 2) over the documents corpus — emitted as
+    * scored (doc, term) rows, no argmax (bit-robust across engines). */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(t(s, dir, "documents").bagDF)
+
+  /** Gap-based sessionization of the events table (Spark native
+    * session_window, 30-minute gap) vs a DuckDB gaps-and-islands oracle:
+    * same break rule (gap ≥ 30 min starts a new session). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionize(events(s, dir).bagDF)
+
   // ===================================================== §7.2 streaming
 
   /** Structured Streaming, oracle-gated: the events parquet replayed
@@ -827,7 +850,9 @@ object Queries {
     "q_lang_fold" -> qLangFold, "q_lang_order" -> qLangOrder,
     "q_lang_while" -> qLangWhile,
     "q_dedup_cluster" -> qDedupCluster, "q_sketch_check" -> qSketchCheck,
-    "q_pipeline_clean" -> qPipelineClean, "q_stream_window" -> qStreamWindow)
+    "q_pipeline_clean" -> qPipelineClean, "q_stream_window" -> qStreamWindow,
+    "q_sample_strat" -> qSampleStrat, "q_tfidf" -> qTfidf,
+    "q_sessionize" -> qSessionize)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1096,5 +1121,32 @@ object Queries {
       "FROM enr WHERE n_tokens >= 3 AND punct_ratio <= 0.5 " +
       "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"),
     "q_stream_window" -> ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
-      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2"))
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2"),
+
+    // ---- round 6: sampling / tf-idf / sessionization
+    // Identical md5-bucket predicate recomputed in SQL (content-hash
+    // sampling is engine-portable by construction).
+    "q_sample_strat" -> ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+      "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
+      "CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 " +
+      "WHEN 'src3' THEN 10 ELSE 0 END AS keep FROM documents) WHERE b < keep"),
+    "q_tfidf" -> ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(" +
+      "lower(trim(text)), '[^a-z0-9]+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE length(term) > 0 " +
+      "GROUP BY doc_id, term), " +
+      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+      "n AS (SELECT COUNT(*) AS n FROM documents) " +
+      "SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, " +
+      "tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf " +
+      "FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE tf.tf >= 2"),
+    // Gaps-and-islands with the same break rule as session_window:
+    // a gap >= 30 minutes starts a new session.
+    "q_sessionize" -> ("WITH x AS (SELECT user_id, ts, CASE WHEN " +
+      "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS brk FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+      "y AS (SELECT user_id, ts, SUM(brk) OVER " +
+      "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+      "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, " +
+      "COUNT(*) AS n_events FROM y GROUP BY user_id, sid"))
 }

@@ -28,17 +28,29 @@ object Cluster {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
-    // symmetrized edge list; each undirected pair appears in both directions
+    // symmetrized edge list; each undirected pair appears in both
+    // directions. Pre-partitioned on the per-round join key (src) ONCE, so
+    // every round's big join reuses the pinned partitioning instead of
+    // re-shuffling the edge set (the dominant cost at scale).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .pin()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .pin()
-    var changed = 1L
+    // Min-label propagation is MONOTONE: a node's label never increases.
+    // So convergence ⇔ sum(lbl) unchanged between rounds — one map-side-
+    // combinable aggregate per round, replacing a join-with-previous +
+    // count. Exact decimal sum (no fp loss on 64-bit ids at any scale).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // (a) neighbor-min: the smallest label adjacent to each node. The
       // groupBy is map-side combinable; the join key is the node id.
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -52,13 +64,13 @@ object Cluster {
           Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
       val next = jump.pinLazy()
-      changed = next.alias("n")
-        .join(labels.select(col("id"), col("lbl").as("old")).alias("o"), "id")
-        .filter(col("lbl") =!= col("old")).count()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("lbl").as("rep"))
   }
 

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. `df.sample()` is
+  * seed-stable only for a FIXED partitioning — repartition the corpus (or
+  * rerun at another scale) and the kept set changes, which breaks
+  * train/test splits, A/B corpus freezes, and any downstream cache. These
+  * samplers hash row CONTENT instead, so membership is a pure function of
+  * the row: stable across partitioning, cluster size, engine version, and
+  * even engines (the oracle recomputes it in SQL).
+  *
+  * The hash is the first 4 bytes of md5 — uniform enough for rate control,
+  * available identically everywhere, and cheap (one codegen'd expression;
+  * no shuffle, no UDF: sampling stays a narrow map over the scan at any
+  * scale).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from row content. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int") % buckets
+
+  /** Keep ~rate of rows, deterministically by `key` content. The same key
+    * is kept or dropped identically in every run — a train/test split is a
+    * pair of these with complementary predicates. */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+                 buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(key, buckets) < math.round(rate * buckets).toInt)
+
+  /** Per-stratum rates: keep ~rates(stratum) of each group. Strata missing
+    * from the map are dropped — a corpus-mix recipe ("3% of web, 40% of
+    * books") is exactly this call. Broadcast map lookup, still a narrow
+    * map: no shuffle at any scale. */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+                           rates: Map[String, Double],
+                           buckets: Int = 100): DataFrame = {
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, buckets) < round(rateCol * buckets).cast("int"))
+  }
+}

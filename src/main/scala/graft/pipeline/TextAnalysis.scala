@@ -143,4 +143,29 @@ object TextAnalysis {
       val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
       array_distinct(transform(idx, i => xxhash64(s.substr(i, lit(n)))))
     }
+
+  /** TF-IDF term weights over a corpus: one row per (doc, term) with term
+    * frequency, document frequency and tf·ln(N/df), for terms with
+    * tf ≥ minTf. df (one row per distinct term) joins back to tf on the
+    * term key — both sides hash-partition on term, and AQE upgrades it to
+    * a broadcast when the vocabulary is small (at web scale a vocabulary
+    * can be billions of terms, so it must NOT be unconditionally
+    * broadcast). The full-corpus shuffles are the two term aggregations,
+    * both map-side combinable. No per-doc ranking window: downstream
+    * consumers pick their own top-k (scores are emitted, not argmaxed, so
+    * results stay bit-robust across engines). */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", minTf: Int = 2): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "[^a-z0-9]+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("tf") >= minTf)
+      .join(dfreq, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+  }
 }

@@ -84,6 +84,26 @@ object EventStream {
     rows.withWatermark(tsCol, late)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Gap-based sessionization via Spark's native session_window: a user's
+    * events merge into one session while each gap is < `gap`; a gap ≥ `gap`
+    * starts a new session. One shuffle on user_id; session merging happens
+    * inside the aggregation (streaming keeps per-open-session state only,
+    * bounded by the watermark). The same plan shape runs batch (this) and
+    * streaming ([[sessionizeStream]]). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"))
+
+  /** Streaming [[sessionize]]: watermarked, append-mode (sessions emit once
+    * finalized — i.e. once the watermark passes session_end + gap). */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       late: String = "1 hour"): DataFrame =
+    sessionize(events.withWatermark("ts", late), gap)
+
   /** Per-user running session state via flatMapGroupsWithState: emits one
     * updated (user_id, n_events, total_value) row per user per batch.
     * Custom state is the right tool ONLY where windowed aggregation can't

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Sampling, TextAnalysis}
+
+/** Content-hash sampling: membership must be a pure function of the row —
+  * invariant under partitioning and stable run-to-run — and the stratified
+  * variant must honor per-stratum rates. Plus tf-idf on a hand-checked
+  * corpus. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample is invariant under repartitioning (pure function of content)") {
+    val a = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(3).sort(desc("doc_id")),
+        col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("complementary predicates partition the corpus (train/test split)") {
+    val total = docs.count()
+    val kept = Sampling.hashSample(docs, col("doc_id"), 0.3).count()
+    val rest = docs.filter(Sampling.hashBucket(col("doc_id")) >= 30).count()
+    assert(kept + rest == total)
+  }
+
+  test("rate lands near the target on uniform keys") {
+    val n = 10000
+    val keys = spark.range(n).toDF("k")
+    val kept = Sampling.hashSample(keys, col("k"), 0.25).count()
+    assert(math.abs(kept.toDouble / n - 0.25) < 0.03, s"kept $kept of $n")
+  }
+
+  test("stratified rates: full keep, fractional keep, and drop") {
+    val df = Seq.tabulate(300)(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.stratifiedHashSample(df, col("source"), col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 100)           // rate 1.0 keeps everything
+    assert(bySrc.getOrElse("src2", 0L) == 0L) // unlisted stratum drops
+    val frac = bySrc.getOrElse("src1", 0L).toDouble / 100
+    assert(frac > 0.25 && frac < 0.75, s"src1 kept $frac")
+  }
+
+  test("tfidf matches a hand-computed corpus") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry banana cherry"),
+      (3L, "apple apple apple date")).toDF("doc_id", "text")
+    // round away the 1-ulp gap between Spark's StrictMath.log and math.log
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val got = TextAnalysis.tfidf(corpus, minTf = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r12(r.getDouble(4)))).toSet
+    // df: apple=2 docs, banana=2, cherry=1; N=3
+    val ln32 = math.log(3.0 / 2)
+    val ln31 = math.log(3.0 / 1)
+    assert(got === Set(
+      (1L, "apple", 2L, 2L, r12(2 * ln32)),
+      (2L, "banana", 2L, 2L, r12(2 * ln32)),
+      (2L, "cherry", 2L, 1L, r12(2 * ln31)),
+      (3L, "apple", 3L, 2L, r12(3 * ln32))))
+  }
+}

@@ -78,6 +78,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: stream (append, watermarked) finalizes the same sessions as batch") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.sessionizeStream(events, gap = "30 minutes", late = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two sessions (9:00-9:10, then 10:00); user 2: one session
+      in.addData((1L, ts(9, 0), 1L, "click", 1.0, ""),
+                 (2L, ts(9, 10), 1L, "click", 1.0, ""),
+                 (3L, ts(9, 5), 2L, "view", 1.0, ""),
+                 (4L, ts(10, 0), 1L, "click", 1.0, ""))
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every session
+      in.addData((99L, ts(23, 0), 9L, "click", 1.0, ""))
+      q.processAllAvailable()
+      val got = spark.table("sessions").collect().map(r =>
+        (r.getLong(r.fieldIndex("user_id")),
+         r.getTimestamp(r.fieldIndex("session_start")).toString,
+         r.getTimestamp(r.fieldIndex("session_end")).toString,
+         r.getLong(r.fieldIndex("n_events")))).toSet
+      assert(got === Set(
+        (1L, "2024-01-01 09:00:00.0", "2024-01-01 09:10:00.0", 2L),
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L),
+        (2L, "2024-01-01 09:05:00.0", "2024-01-01 09:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
