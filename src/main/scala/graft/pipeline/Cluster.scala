@@ -26,8 +26,18 @@ object Cluster {
     * (columns `aCol`, `bCol`). Returns one row per node: (id, rep) where
     * rep = min node id in the component — deterministic, engine-agnostic.
     */
+  /** Edge-count cap for the driver tier: below this, union-find on the
+    * driver beats the distributed loop's per-round overhead (same regime
+    * tiering as WhileFix). ~4M edges ≈ 64 MB of longs — comfortably
+    * driver-sized; above it, the distributed pointer-doubling loop runs.
+    * On a 100-TB corpus the near-dup PAIR set is orders of magnitude
+    * smaller than the corpus, but can still exceed any driver, hence the
+    * tier, not a collect. */
+  val defaultDriverEdgeCap = 4000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 50,
+                          driverEdgeCap: Long = defaultDriverEdgeCap): DataFrame = {
     // symmetrized edge list; each undirected pair appears in both
     // directions. Pre-partitioned on the per-round join key (src) ONCE, so
     // every round's big join reuses the pinned partitioning instead of
@@ -37,6 +47,18 @@ object Cluster {
       .distinct()
       .repartition(col("src"))
       .pin()
+
+    // tiny regime: the pinned edge set fits on the driver — union-find is
+    // exact, O(E α(E)), and skips ~log(diameter) Spark rounds of overhead.
+    // Only for integral ids (the driver tier packs them into longs).
+    val integralIds = edges.schema("src").dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralIds && edges.count() <= driverEdgeCap)
+      return driverComponents(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .pin()
@@ -72,6 +94,33 @@ object Cluster {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("lbl").as("rep"))
+  }
+
+  /** Driver-tier union-find over a collected edge list (path compression +
+    * min-id union): identical (id, rep) output to the distributed loop —
+    * ClusterSpec checks both tiers against each other. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // iterative find with path compression (recursion would blow the stack
+    // on a multi-million-node chain)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+      var y = x0
+      while (parent(y) != x) { val next = parent(y); parent(y) = x; y = next }
+      x
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    val rows = parent.keys.toSeq.map(k => (k, find(k)))
+    import spark.implicits._
+    rows.toDF("id", "rep")
+      .select(col("id").cast(idType).as("id"), col("rep").cast(idType).as("rep"))
   }
 
   /** Cluster assignment for near-dup pairs: every node that appears in at

@@ -24,11 +24,18 @@ class ClusterSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Both execution tiers must produce the union-find ground truth: the
+    * driver tier (default cap) and the distributed pointer-doubling loop
+    * (cap 0 forces it). */
   private def check(edges: Seq[(Long, Long)]): Unit = {
     val pairs = edges.toDF("id_a", "id_b")
-    val got = Cluster.connectedComponents(pairs).collect()
+    val expect = ufComponents(edges)
+    val driver = Cluster.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === ufComponents(edges))
+    assert(driver === expect)
+    val distributed = Cluster.connectedComponents(pairs, driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === expect)
   }
 
   test("chain graph (worst case for plain label propagation)") {
