@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Cluster, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** One-off scale check for the dedup family (VERDICT r3 task 8): replicate
   * the sf0.1 corpus N× with shifted ids (a LOAD multiplier — correctness
@@ -57,6 +57,18 @@ object BenchScale {
     run("dedup_embed",
       Dedup.embeddingPairs(emb1).count(),
       Dedup.embeddingPairs(scaleEmb(mult)).count())
+    def cluster(df: DataFrame): Long =
+      Cluster.assign(Dedup.minhashPairs(docsFiltered(df), threshold = 0.5)
+        .select("id_a", "id_b")).count()
+    run("dedup_cluster", cluster(docs1), cluster(scaleDocs(mult)))
+    run("tfidf",
+      TextAnalysis.tfidf(docs1).count(),
+      TextAnalysis.tfidf(scaleDocs(mult)).count())
+    run("sample_strat",
+      Sampling.stratifiedHashSample(docs1, col("source"), col("doc_id"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)).count(),
+      Sampling.stratifiedHashSample(scaleDocs(mult), col("source"), col("doc_id"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)).count())
     spark.stop()
   }
 }

@@ -451,8 +451,18 @@ object Queries {
     val bf = graft.functions.Sketches.bloom(ord, "o_custkey", 20000L)
     val bloomOk = ord.select("o_custkey").distinct().collect()
       .forall(r => bf.mightContain(r.getLong(0)))
-    Seq((hllOk, qOk, cmsOk, bloomOk))
-      .toDF("hll_ok", "quantile_ok", "cms_ok", "bloom_ok")
+    // mergeable HLL STATE: per-source sketches unioned == whole-corpus
+    // estimate within 5% of exact (the incremental-profiling pattern)
+    val docs = t(s, dir, "documents").bagDF
+    val mergedEst = docs
+      .groupBy("source").agg(graft.functions.Sketches.hllState(col("doc_id"), 12).as("sk"))
+      .agg(graft.functions.Sketches.hllEstimate(
+        graft.functions.Sketches.hllMerge(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val exactDocs = docs.agg(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val hllMergeOk = math.abs(mergedEst.toDouble / exactDocs - 1.0) <= 0.05
+    Seq((hllOk, qOk, cmsOk, bloomOk, hllMergeOk))
+      .toDF("hll_ok", "quantile_ok", "cms_ok", "bloom_ok", "hll_merge_ok")
   }
 
   /** End-to-end corpus cleaning — the composed shape a real training-data
@@ -1101,7 +1111,7 @@ object Queries {
       "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a) " +
       "SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM comp"),
     "q_sketch_check" -> ("SELECT true AS hll_ok, true AS quantile_ok, " +
-      "true AS cms_ok, true AS bloom_ok"),
+      "true AS cms_ok, true AS bloom_ok, true AS hll_merge_ok"),
     "q_pipeline_clean" -> ("WITH lang AS (" +
       "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN h_fr = m THEN 'fr' " +
       "WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_guess FROM (" +

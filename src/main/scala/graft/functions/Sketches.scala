@@ -45,4 +45,20 @@ object Sketches {
   def bloom(df: DataFrame, colName: String, expectedItems: Long,
             fpp: Double = 0.01): BloomFilter =
     df.stat.bloomFilter(colName, expectedItems, fpp)
+
+  // ------------------------------------------------- mergeable HLL state
+
+  /** HLL sketch STATE as a binary column (Apache DataSketches HllSketch).
+    * Unlike [[approxDistinct]] (which collapses to a number), the state is
+    * persistable and MERGEABLE: build one sketch per partition/day/source,
+    * store the KB-sized bytes, and union later — the pattern that lets a
+    * 100-TB pipeline maintain distinct counts incrementally instead of
+    * rescanning history on every question. */
+  def hllState(c: Column, lgK: Int = 12): Column = hll_sketch_agg(c, lit(lgK))
+
+  /** Merge previously-built sketch states (associative, loss-free). */
+  def hllMerge(state: Column): Column = hll_union_agg(state)
+
+  /** Distinct-count estimate from a sketch state. */
+  def hllEstimate(state: Column): Column = hll_sketch_estimate(state)
 }

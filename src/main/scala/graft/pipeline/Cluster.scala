@@ -38,12 +38,16 @@ object Cluster {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50,
                           driverEdgeCap: Long = defaultDriverEdgeCap): DataFrame = {
+    // Pin the pair set FIRST: it appears on both sides of the symmetrizing
+    // union, and as a live plan the (possibly expensive — LSH verify) pair
+    // computation would run once per branch.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).pin()
     // symmetrized edge list; each undirected pair appears in both
     // directions. Pre-partitioned on the per-round join key (src) ONCE, so
     // every round's big join reuses the pinned partitioning instead of
     // re-shuffling the edge set (the dominant cost at scale).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .repartition(col("src"))
       .pin()

@@ -41,4 +41,19 @@ class SketchSpec extends SparkSpec {
     val fps = (10000L until 20000L).count(bf.mightContain)
     assert(fps <= 10000 * 0.05) // 5x slack over the 1% target
   }
+
+  test("HLL sketch state merges loss-free across groups") {
+    // per-group sketch states unioned == one estimate over the whole set;
+    // groups overlap (k % 700 repeats across g), so merge must dedupe
+    val grouped = (1L to 5000L).map(i => (i % 7, i % 700)).toDF("g", "k")
+    val merged = grouped.groupBy("g").agg(Sketches.hllState(col("k")).as("sk"))
+      .agg(Sketches.hllEstimate(Sketches.hllMerge(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(math.abs(merged.toDouble / 700 - 1.0) <= 0.05, s"merged=$merged")
+    // and lands within the same bound as the single-pass sketch (the union
+    // re-encodes the sketch, so exact equality is NOT guaranteed)
+    val direct = grouped.agg(Sketches.hllEstimate(
+      Sketches.hllState(col("k"))).as("est")).collect()(0).getLong(0)
+    assert(math.abs(direct.toDouble / 700 - 1.0) <= 0.05, s"direct=$direct")
+  }
 }
