@@ -574,7 +574,10 @@ object Queries {
       (q, c) => Similarity.lshKnn(q, c, k = 10, planes = 4, tables = 6))
 
   def qKnnIvfCheck(s: SparkSession, dir: String): DataFrame =
-    knnRecallCheck(s, dir, 0.3,
+    // bound raised 0.3 → 0.4 in round 6: Lloyd-refined centroids
+    // (Similarity.lloydRefine) lifted worst observed per-query recall to
+    // 0.5 at both driver SFs
+    knnRecallCheck(s, dir, 0.4,
       (q, c) => Similarity.ivfKnn(q, c, k = 10, nlist = 16, nprobe = 8))
 
   // ============================================ pipeline: text analysis

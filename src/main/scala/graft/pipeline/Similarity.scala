@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.rel.Checkpoint.PinOps
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, and two scale paths —
@@ -159,14 +160,16 @@ object Similarity {
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
              qId: String = "q_id", qVec: String = "q_vec",
-             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+             cId: String = "vec_id", cVec: String = "embedding",
+             lloydIters: Int = 2): DataFrame = {
     // deterministic sampled centroids: nlist vectors with the smallest id
     // hash. orderBy+limit here is a distributed TakeOrderedAndProject —
     // each partition keeps its local nlist best, the driver merges P·nlist
     // rows — i.e. already the RDD.takeOrdered shape, never a global sort.
-    val centroids = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
+    val seeds = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
       .select(col(cId).as("centroid_id"), col(cVec).as("centroid"),
         norm(col(cVec)).as("__kn"))
+    val centroids = lloydRefine(corpus, seeds, lloydIters, cId, cVec)
     // assign corpus → nearest centroid: argmax via max_by (ties → lowest id)
     val assigned = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
       .crossJoin(broadcast(centroids))
@@ -196,5 +199,45 @@ object Similarity {
         round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
           .as("cosine"))
     topK(scored, k, qId, cId)
+  }
+
+  /** Lloyd (k-means) refinement of IVF centroids: `iters` rounds of
+    * assign-to-nearest (broadcast centroids, map-side max_by argmax) then
+    * element-wise mean per cluster. The mean is computed by posexplode →
+    * per-(cluster, dim) avg → reassemble — two map-side-combinable
+    * aggregations; NO collect_list of whole vectors in one buffer, so the
+    * largest aggregation state is one double per (cluster, dim) no matter
+    * how many vectors a cluster holds. Empty clusters keep their previous
+    * centroid (left join + coalesce), so nlist never shrinks. */
+  private[pipeline] def lloydRefine(corpus: DataFrame, seeds: DataFrame,
+                                    iters: Int, cId: String, cVec: String): DataFrame = {
+    val base = Dedup.widen(corpus)
+      .select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
+      .pin()
+    var cents = seeds
+    (0 until iters).foreach { _ =>
+      val nearest = base.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          cosinePre(dot(col(cVec), col("centroid")), col("__cn"), col("__kn")))
+        .groupBy(col(cId))
+        .agg(max_by(col("centroid_id"),
+            struct(col("cdist"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+          first(col(cVec)).as(cVec))
+      val means = nearest
+        .select(col("centroid_id"), posexplode(col(cVec)).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("centroid"))
+        .withColumn("__kn", norm(col("centroid")))
+      cents = cents.select(col("centroid_id"),
+          col("centroid").as("__prev"), col("__kn").as("__pn"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"),
+          coalesce(col("__kn"), col("__pn")).as("__kn"))
+        .pin()
+    }
+    cents
   }
 }
