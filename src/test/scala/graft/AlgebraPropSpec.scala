@@ -118,6 +118,37 @@ class AlgebraPropSpec extends SparkSpec {
     }
   }
 
+  test("stored .order drives later grouped concat folds (language semantics)") {
+    // r2 := r .order(k, v) stored, THEN a separate statement folds — the
+    // concat must come out per-k in (k, v) order regardless of the bag's
+    // generation order (the reference's sorted-stored-table semantics)
+    import graft.lang.AndlInterp
+    import graft.lang.AndlValues._
+    forAll(tupleGen) { xs0 =>
+      val xs = xs0.map { case (k, v) => (k, ('a' + v).toChar.toString) }
+      if (xs.nonEmpty) {
+        val lits = xs.map { case (k, v) => s"{k := $k, v := '$v'}" }
+        val i = new AndlInterp(spark, ".")
+        i.run(
+          s"r := {${lits.mkString(",")}}\n" +
+            "r2 := r .order(k, v)\n" +
+            "a := r2 .select{ k, t := fold(&, v) }", "prop")
+        val got: Map[Int, String] = i.global.lookup("a") match {
+          case Some(RelV(_, rel)) => rel.df.select("k", "t").collect()
+            .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+          case Some(LRelV(_, rows)) => rows.map { t =>
+            val m = t.fields.toMap
+            (m("k").asInstanceOf[NumV].d.toInt, m("t").asInstanceOf[TextV].s)
+          }.toMap
+          case other => fail(s"a is $other")
+        }
+        val want = xs.distinct.sorted.groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).mkString }
+        assert(got === want, s"input $xs")
+      }
+    }
+  }
+
   test("while-fixpoint equals naive iterate-to-fixpoint on random successor graphs") {
     // step: k -> (k + d) mod 7 for a random d per relation; fixpoint =
     // closure of repeated application, computed naively in Scala

@@ -125,6 +125,35 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("n_regionkey"), s"script where not pushed to scan: $pushed")
   }
 
+  test("content-hash sampling is a narrow map: no exchange, filter over the scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sampled = graft.pipeline.Sampling.stratifiedHashSample(docs,
+      col("source"), col("doc_id"), Map("src0" -> 1.0, "src1" -> 0.5))
+    val p = plan(sampled)
+    assert(!p.contains("Exchange"), s"sampling shuffled:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"sampling planned a join:\n${p.take(3000)}")
+  }
+
+  test("tfidf: no cartesian, no per-doc window; both aggregations partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.tfidf(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"tfidf plan wrong:\n${p.take(3000)}")
+    // tf and df aggregations must both be partial (map-side combine)
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"tfidf aggregations not partial:\n${p.take(3000)}")
+  }
+
+  test("sessionize: one shuffle on user_id, no window over the event stream") {
+    val ev = graft.sources.Sources.nanosTsToMicros(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val p = plan(graft.streaming.EventStream.sessionize(ev))
+    assert(p.contains("MergingSessions") || p.contains("session_window"),
+      s"no native session window:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"sessionize went cartesian:\n${p.take(3000)}")
+  }
+
   test("top-k phase-1 bounds the merge fan-in to k rows per (query, partition) under skew") {
     import spark.implicits._
     // worst case: ONE query owns every candidate — a per-query window (or a
