@@ -24,7 +24,7 @@ object Dedup {
     * repartition shuffle (raw text) costs far less than the lost
     * parallelism. At real scale the input has ≥ cores splits already and
     * this is a no-op — no shuffle is added. */
-  private[pipeline] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

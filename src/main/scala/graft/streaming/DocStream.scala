@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextAnalysis}
+import graft.rel.Checkpoint.PinOps
+
+/** Incremental near-dup detection: documents arriving on a stream are
+  * LSH-matched against a historical corpus index and exact-Jaccard
+  * verified — the streaming face of the batch MinHash dedup
+  * (Dedup.minhashPairs), sharing its expressions so batch and stream agree
+  * bit-for-bit.
+  *
+  * Production shape (the standard Spark pattern for this): the index is
+  * built ONCE from history (at 100 TB: persisted parquet, band index
+  * bucketed by (band, bh) so each micro-batch's join co-locates without
+  * reshuffling history), and each micro-batch runs [[matchAgainst]] inside
+  * `foreachBatch` — a batch DataFrame function, so the per-pair dedup and
+  * verify join stay stateless from streaming's point of view and state
+  * never accumulates in the stream engine. Matched docs can then be
+  * dropped, quarantined, or merged by the batch body.
+  */
+object DocStream {
+
+  /** The two halves of the historical index: the banded signature index
+    * (one row per (band, bh, id) — the join side) and the hashed-shingle
+    * store (one row per id — joined once per verified candidate). Split so
+    * the hot join side stays narrow; gram arrays travel only for
+    * candidates that survive the signature estimate filter. */
+  final case class NearDupIndex(bandIndex: DataFrame, grams: DataFrame,
+                                numHashes: Int, bands: Int, shingleK: Int)
+
+  /** Build the index from the historical corpus (batch, once). */
+  def buildIndex(history: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", numHashes: Int = 64,
+                 bands: Int = 16, shingleK: Int = 3): NearDupIndex = {
+    val rows = numHashes / bands
+    val grams = Dedup.widen(history)
+      .select(col(idCol).as("id"),
+        TextAnalysis.hashedShingles(col(textCol), shingleK).as("g"))
+      .filter(size(col("g")) > 0)
+      .pin()
+    val sig = grams.select(col("id"),
+      Dedup.minhashSignature(col("g"), numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b)))
+        .as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("id"), col("sig"))
+      .pin()
+    NearDupIndex(banded, grams.select(col("id"), col("g")), numHashes, bands, shingleK)
+  }
+
+  /** Match a batch of NEW documents against the index: banded candidate
+    * join on (band, bh) → signature estimate filter → exact-Jaccard verify
+    * → (new_id, dup_id, jaccard) for pairs ≥ threshold. Asymmetric version
+    * of Dedup.minhashPairs (new × history, never history × history) —
+    * usable directly on a batch DataFrame or per micro-batch inside
+    * `foreachBatch`. */
+  def matchAgainst(newDocs: DataFrame, index: NearDupIndex,
+                   threshold: Double = 0.5, idCol: String = "doc_id",
+                   textCol: String = "text", margin: Double = 0.15): DataFrame = {
+    val rows = index.numHashes / index.bands
+    val g = newDocs
+      .select(col(idCol).as("new_id"),
+        TextAnalysis.hashedShingles(col(textCol), index.shingleK).as("g_new"))
+      .filter(size(col("g_new")) > 0)
+      .pin() // feeds the band join AND the verify join — compute once
+    val nb = g.select(col("new_id"), col("g_new"),
+        Dedup.minhashSignature(col("g_new"), index.numHashes).as("sig_new"))
+      .select(col("new_id"), col("g_new"), col("sig_new"),
+        posexplode(transform(sequence(lit(0), lit(index.bands - 1)),
+          b => xxhash64(slice(col("sig_new"), b * lit(rows) + 1, lit(rows)), b)))
+          .as(Seq("band", "bh")))
+    val cands = nb.join(index.bandIndex.withColumnRenamed("id", "dup_id")
+        .withColumnRenamed("sig", "sig_hist"), Seq("band", "bh"))
+      .filter(col("new_id") =!= col("dup_id"))
+      .filter((aggregate(zip_with(col("sig_new"), col("sig_hist"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / index.numHashes)
+        >= threshold - margin)
+      .select(col("new_id"), col("g_new"), col("dup_id"))
+      .dropDuplicates("new_id", "dup_id")
+    cands.join(index.grams.select(col("id").as("dup_id"), col("g").as("g_hist")), "dup_id")
+      .select(col("new_id"), col("dup_id"),
+        (size(array_intersect(col("g_new"), col("g_hist"))).cast("double") /
+         size(array_union(col("g_new"), col("g_hist"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Wire a document stream to the index via foreachBatch, delivering each
+    * micro-batch's matches to `sink`. Returns the started query. */
+  def start(stream: DataFrame, index: NearDupIndex, sink: DataFrame => Unit,
+            threshold: Double = 0.5, idCol: String = "doc_id",
+            textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(matchAgainst(batch, index, threshold, idCol, textCol))
+      }
+      .start()
+}

@@ -106,6 +106,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental near-dup: streamed docs match the historical index like batch") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 30 && length(col("text")) >= 5)
+    val hist = history.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val index = DocStream.buildIndex(history)
+    // planted: exact copy of doc 0, near copy of doc 1, and noise
+    val newDocs = Seq(
+      (1000L, hist(0L)),
+      (1001L, hist(1L) + " extra trailing tokens here"),
+      (1002L, "completely unrelated text about nothing in particular at all"))
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.start(in.toDF.toDF("doc_id", "text"), index,
+      b => got.synchronized {
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    try {
+      in.addData(newDocs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(newDocs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // identical result to the batch path over the same docs
+    val batch = DocStream.matchAgainst(newDocs.toDF("doc_id", "text"), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === batch)
+    // the planted dups are found; the noise doc matches nothing
+    assert(got.contains((1000L, 0L)), s"exact copy missed: $got")
+    assert(got.contains((1001L, 1L)), s"near copy missed: $got")
+    assert(!got.exists(_._1 == 1002L), s"noise matched: $got")
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
