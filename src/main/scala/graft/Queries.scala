@@ -507,6 +507,34 @@ object Queries {
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionize(events(s, dir).bagDF)
 
+  /** Privacy scrub over the corpus with DETERMINISTICALLY PLANTED pii (the
+    * synthetic texts contain none) — every 7th doc gains an email, every
+    * 7th+1 a URL, so the masking path is actually exercised and the DuckDB
+    * oracle replays the identical plant + scrub. */
+  def qScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").bagDF.select(col("doc_id"),
+      TextAnalysis.scrub(concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" contact bob@example.com now"))
+          .when(col("doc_id") % 7 === 1, lit(" see https://example.com/a?b=c please"))
+          .otherwise(lit("")))).as("text"))
+
+  /** Gopher-style quality rules + repetition signal, per document: named
+    * boolean rule columns, the top-token ratio, and the composed keep
+    * decision — the "why was this dropped" form of corpus filtering. */
+  def qQualityRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val rules = TextAnalysis.gopherRules(col("text"))
+    val flags = docs.select(
+      (col("doc_id") +: rules.map { case (n, c) => c.as(n) }): _*)
+    flags.join(TextAnalysis.topTokenRatio(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("ok_tokens"), col("ok_tok_len"), col("ok_punct"), col("ok_stopwords"),
+        round(coalesce(col("top_token_ratio"), lit(0.0)), 6).as("top_token_ratio"),
+        (col("ok_tokens") && col("ok_tok_len") && col("ok_punct") &&
+          col("ok_stopwords") &&
+          coalesce(col("top_token_ratio"), lit(0.0)) <= 0.3).as("keep"))
+  }
+
   // ===================================================== §7.2 streaming
 
   /** Structured Streaming, oracle-gated: the events parquet replayed
@@ -865,7 +893,8 @@ object Queries {
     "q_dedup_cluster" -> qDedupCluster, "q_sketch_check" -> qSketchCheck,
     "q_pipeline_clean" -> qPipelineClean, "q_stream_window" -> qStreamWindow,
     "q_sample_strat" -> qSampleStrat, "q_tfidf" -> qTfidf,
-    "q_sessionize" -> qSessionize)
+    "q_sessionize" -> qSessionize,
+    "q_scrub" -> qScrub, "q_quality_rules" -> qQualityRules)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1154,6 +1183,37 @@ object Queries {
       "FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE tf.tf >= 2"),
     // Gaps-and-islands with the same break rule as session_window:
     // a gap >= 30 minutes starts a new session.
+    // Identical plant + scrub replayed in RE2-compatible regex.
+    "q_scrub" -> ("SELECT doc_id, regexp_replace(regexp_replace(" +
+      "text || CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now' " +
+      "WHEN doc_id % 7 = 1 THEN ' see https://example.com/a?b=c please' ELSE '' END, " +
+      "'https?://\\S+', '<URL>', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text " +
+      "FROM documents"),
+    "q_quality_rules" -> ("WITH base AS (SELECT doc_id, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+      "ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / " +
+      "len(string_split_regex(trim(text), '\\s+')) END AS mean_tok, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 " +
+      "ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct, " +
+      "len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), " +
+      "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS stop_hits " +
+      "FROM documents), " +
+      "rep AS (SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS r FROM (" +
+      "SELECT doc_id, tok, COUNT(*) AS n FROM (" +
+      "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS tok " +
+      "FROM documents) WHERE length(tok) > 0 GROUP BY doc_id, tok) GROUP BY doc_id) " +
+      "SELECT b.doc_id, " +
+      "b.n_tokens BETWEEN 5 AND 10000 AS ok_tokens, " +
+      "b.mean_tok BETWEEN 2.0 AND 12.0 AS ok_tok_len, " +
+      "b.punct <= 0.2 AS ok_punct, " +
+      "b.stop_hits > 0 AS ok_stopwords, " +
+      "round(COALESCE(rep.r, 0.0), 6) AS top_token_ratio, " +
+      "(b.n_tokens BETWEEN 5 AND 10000) AND (b.mean_tok BETWEEN 2.0 AND 12.0) " +
+      "AND b.punct <= 0.2 AND b.stop_hits > 0 AND COALESCE(rep.r, 0.0) <= 0.3 AS keep " +
+      "FROM base b LEFT JOIN rep USING (doc_id)"),
     "q_sessionize" -> ("WITH x AS (SELECT user_id, ts, CASE WHEN " +
       "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE " +
       "THEN 1 ELSE 0 END AS brk FROM events " +

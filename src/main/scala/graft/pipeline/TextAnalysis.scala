@@ -144,6 +144,42 @@ object TextAnalysis {
       array_distinct(transform(idx, i => xxhash64(s.substr(i, lit(n)))))
     }
 
+  /** Privacy scrub: mask URLs then emails — a codegen'd regexp chain, no
+    * UDF, narrow map (no shuffle at any scale). Patterns stay inside the
+    * RE2-compatible subset so the DuckDB oracle replays them verbatim. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://\\S+", "<URL>"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+
+  /** Repetition signal (Gopher-style): frequency share of the most common
+    * token per document. explode → (doc, token) counts → per-doc max/sum —
+    * both aggregations map-side combinable; no windows, no per-doc token
+    * lists in one buffer. */
+  def topTokenRatio(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "[^a-z0-9]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg((max(col("n")).cast("double") / sum(col("n")))
+        .as("top_token_ratio"))
+  }
+
+  /** Gopher/C4-style quality-rule battery as named boolean columns — the
+    * composable form of [[qualityScore]] for pipelines that need to know
+    * WHY a document was dropped. All int/int double ratios, so the flags
+    * are bit-deterministic across engines. */
+  def gopherRules(text: Column, minTokens: Int = 5, maxTokens: Int = 10000,
+                  minMeanTok: Double = 2.0, maxMeanTok: Double = 12.0,
+                  maxPunct: Double = 0.2): Seq[(String, Column)] = Seq(
+    "ok_tokens" -> tokenCount(text).between(minTokens, maxTokens),
+    "ok_tok_len" -> meanTokenLen(text).between(minMeanTok, maxMeanTok),
+    "ok_punct" -> (punctRatio(text) <= maxPunct),
+    "ok_stopwords" -> (stopwordRatio(text) > 0.0))
+
   /** TF-IDF term weights over a corpus: one row per (doc, term) with term
     * frequency, document frequency and tf·ln(N/df), for terms with
     * tf ≥ minTf. df (one row per distinct term) joins back to tf on the

@@ -50,6 +50,28 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.25 && frac < 0.75, s"src1 kept $frac")
   }
 
+  test("scrub masks urls and emails, leaves clean text untouched") {
+    val rows = Seq(
+      (1L, "mail me at alice.smith+x@sub.example.org or bob@ex.co thanks"),
+      (2L, "docs at https://ex.com/a?b=c#d and http://plain.io/x rest"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TextAnalysis.scrub(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(got(2L) === "docs at <URL> and <URL> rest")
+    assert(got(3L) === "no pii here at all")
+  }
+
+  test("topTokenRatio: repetition share of the dominant token") {
+    val rows = Seq(
+      (1L, "spam spam spam eggs"),             // 3/4
+      (2L, "all words unique here")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTokenRatio(rows).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.75)
+    assert(got(2L) === 0.25)
+  }
+
   test("tfidf matches a hand-computed corpus") {
     val corpus = Seq(
       (1L, "apple banana apple"),
