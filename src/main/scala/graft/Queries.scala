@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, TupleOps, WhileFix}
 import graft.functions.{Builtins, Scalar}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.catalog.{Catalog, FunDef, UdtDef}
 import graft.sources.Sources
 
@@ -535,6 +535,64 @@ object Queries {
           coalesce(col("top_token_ratio"), lit(0.0)) <= 0.3).as("keep"))
   }
 
+  /** Chunk-level (C4-style line) dedup: 10-token chunks, first global
+    * occurrence wins. The synthetic corpus's small vocabulary makes real
+    * cross-doc duplicate chunks, so `kept=false` rows genuinely appear. */
+  def qChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(t(s, dir, "documents").bagDF, chunkTokens = 10)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("kept"))
+
+  /** Train/eval decontamination: eval snippets are deterministic slices of
+    * every 17th doc's normalized text; the result is the EXACT set of
+    * (training doc, eval snippet) containment pairs — window-hash equi-join
+    * candidates, contains-verified. The corpus's near-dup structure makes
+    * genuine cross-doc hits (doc 0's snippet appears in its near-dups). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    Decontaminate.contaminated(docs, Decontaminate.evalSnippets(docs))
+  }
+
+  /** As-of join: every purchase event matched to the user's most recent
+    * click at-or-before it (one shuffle, running-last — no range join).
+    * The DuckDB oracle is a native ASOF LEFT JOIN, so a green row checks
+    * our lowering against a reference implementation of the operator. */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).bagDF
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.rel.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+      rightPayload = Seq("value"), prefix = "click_")
+  }
+
+  /** Int8-quantized kNN with exact rescore: per-query recall vs the exact
+    * brute force must clear 0.8 (observed 1.0 at both driver SFs — int8
+    * error almost never reorders a true neighbour out of 4k candidates). */
+  def qKnnQ8Check(s: SparkSession, dir: String): DataFrame =
+    knnRecallCheck(s, dir, 0.8,
+      (q, c) => Similarity.quantizedKnn(q, c, k = 10, overFetch = 4))
+
+  /** URL/domain analysis over deterministically planted URLs (the synthetic
+    * corpus has none): extract every URL host, per-domain URL and document
+    * counts — the blocklist/per-domain-quality primitive. */
+  def qDomains(s: SparkSession, dir: String): DataFrame = {
+    val hosts = array(lit("alpha.example"), lit("beta.example"),
+      lit("gamma.example"), lit("delta.test"))
+    val planted = concat(col("text"),
+      lit(" see https://"), element_at(hosts, (col("doc_id") % 4 + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, lit(" and http://mirror.example/x"))
+        .otherwise(lit("")))
+    t(s, dir, "documents").bagDF
+      .select(col("doc_id"),
+        explode(regexp_extract_all(planted,
+          lit("https?://([^/\\s]+)"), lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   // ===================================================== §7.2 streaming
 
   /** Structured Streaming, oracle-gated: the events parquet replayed
@@ -894,7 +952,10 @@ object Queries {
     "q_pipeline_clean" -> qPipelineClean, "q_stream_window" -> qStreamWindow,
     "q_sample_strat" -> qSampleStrat, "q_tfidf" -> qTfidf,
     "q_sessionize" -> qSessionize,
-    "q_scrub" -> qScrub, "q_quality_rules" -> qQualityRules)
+    "q_scrub" -> qScrub, "q_quality_rules" -> qQualityRules,
+    "q_chunk_dedup" -> qChunkDedup, "q_decontaminate" -> qDecontaminate,
+    "q_asof" -> qAsof, "q_knn_q8_check" -> qKnnQ8Check,
+    "q_domains" -> qDomains)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1221,5 +1282,41 @@ object Queries {
       "y AS (SELECT user_id, ts, SUM(brk) OVER " +
       "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
       "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, " +
-      "COUNT(*) AS n_events FROM y GROUP BY user_id, sid"))
+      "COUNT(*) AS n_events FROM y GROUP BY user_id, sid"),
+
+    "q_chunk_dedup" -> ("WITH chunks AS (SELECT d.doc_id, " +
+      "CAST(i AS INTEGER) AS chunk_idx, " +
+      "array_to_string(list_slice(string_split_regex(lower(trim(d.text)), '\\s+'), " +
+      "(i-1)*10+1, i*10), ' ') AS chunk, d.doc_id*1000000 + i AS pos " +
+      "FROM documents d, unnest(generate_series(1, CAST(ceil(" +
+      "len(string_split_regex(lower(trim(d.text)), '\\s+'))/10.0) AS BIGINT))) AS t(i)) " +
+      "SELECT doc_id, chunk_idx, chunk, " +
+      "pos = min(pos) OVER (PARTITION BY md5(chunk)) AS kept FROM chunks"),
+
+    "q_decontaminate" -> ("WITH n AS (SELECT doc_id, " +
+      "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM documents), " +
+      "ev AS (SELECT doc_id AS eval_id, substr(nt, 11, 40) AS snippet FROM n " +
+      "WHERE doc_id % 17 = 0 AND length(nt) >= 50) " +
+      "SELECT d.doc_id, ev.eval_id FROM n d, ev " +
+      "WHERE position(ev.snippet IN d.nt) > 0"),
+
+    "q_asof" -> ("WITH l AS (SELECT event_id, user_id, ts, value AS purchase_value " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+      "SELECT l.event_id, l.user_id, l.ts, l.purchase_value, " +
+      "r.ts AS click_ts, r.value AS click_value " +
+      "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+
+    "q_knn_q8_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 5"),
+
+    "q_domains" -> ("WITH p AS (SELECT doc_id, text || ' see https://' || " +
+      "['alpha.example','beta.example','gamma.example','delta.test']" +
+      "[CAST(doc_id % 4 + 1 AS INTEGER)] || '/p/' || CAST(doc_id AS VARCHAR) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' and http://mirror.example/x' ELSE '' END AS t " +
+      "FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([^/\\s]+)', 1)) " +
+      "AS domain FROM p) " +
+      "SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs " +
+      "FROM u GROUP BY domain"))
 }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: find training documents that contain a
+  * benchmark/eval snippet verbatim — the standard hygiene pass before an
+  * LLM training run (eval answers leaking into the corpus inflate scores).
+  *
+  * Scale path (the whole point): the naive check is an O(docs × snippets)
+  * `contains` cross-scan — dead at 100 TB × a few million eval snippets.
+  * Instead this is a Rabin–Karp-shaped HASH EQUI-JOIN:
+  *   1. every `width`-char window of every normalized document is hashed in
+  *      one fused pass per row ([[graft.functions.CharNgramHashes]] — the
+  *      same native expression the n-gram dedup uses, already
+  *      differential-tested against `xxhash64(substr(...))`);
+  *   2. each snippet hashes once (`xxhash64`, same seed/algorithm);
+  *   3. candidates come from an equi-join on the 64-bit window hash — a
+  *      plain shuffle (or broadcast, AQE's choice when the eval side is
+  *      small), never a nested-loop scan;
+  *   4. hash collisions are killed by an exact `contains` verify against
+  *      the (rare) candidate pairs, so the result is EXACT — identical to
+  *      the brute-force cross-scan.
+  *
+  * The candidate join carries only (doc_id, hash) — the document text joins
+  * back in only for the verify step, so the wide column never rides the big
+  * shuffle.
+  */
+object Decontaminate {
+
+  /** Normalization both sides share: lowercase, whitespace collapsed to a
+    * single space. Containment is checked over THIS form, so formatting
+    * differences don't hide contamination. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** A deterministic eval set derived from the corpus itself (testing aid;
+    * in production the snippets come from the real benchmark table): docs
+    * with `doc_id % modulus == 0` contribute the `width`-char slice of
+    * their normalized text starting at 1-based `off`. */
+  def evalSnippets(docs: DataFrame, modulus: Int = 17, off: Int = 11,
+                   width: Int = 40, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("eval_id"), normText(col(textCol)).as("__n"))
+      .filter(col("eval_id") % modulus === 0 &&
+        length(col("__n")) >= off + width - 1)
+      .select(col("eval_id"), col("__n").substr(lit(off), lit(width)).as("snippet"))
+
+  /** Exact (doc_id, eval_id) contamination pairs: documents whose
+    * normalized text contains the snippet as a substring. `snippets` must
+    * carry (eval_id, snippet) with every snippet exactly `width` chars
+    * (others are ignored — a window hash can only equal a full-width
+    * snippet hash). */
+  def contaminated(docs: DataFrame, snippets: DataFrame, width: Int = 40,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = docs.select(col(idCol), normText(col(textCol)).as("__n"))
+    // (doc_id, window-hash) only — the text stays out of the big shuffle
+    val windows = norm.select(col(idCol),
+      explode(graft.functions.CharNgramHashes(col("__n"), width)).as("__wh"))
+    val sn = snippets
+      .filter(length(col("snippet")) === width)
+      .select(col("eval_id"), col("snippet"), xxhash64(col("snippet")).as("__sh"))
+    val candidates = windows
+      .join(sn, col("__wh") === col("__sh"))
+      .select(col(idCol), col("eval_id"), col("snippet"))
+      .distinct()
+    candidates
+      .join(norm, idCol)
+      .filter(col("__n").contains(col("snippet")))
+      .select(col(idCol), col("eval_id"))
+      .distinct()
+  }
+}

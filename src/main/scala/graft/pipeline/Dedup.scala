@@ -342,4 +342,37 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Chunk-level dedup (C4's "line-level" pass, generalized to fixed
+    * `chunkTokens`-token chunks for corpora without line structure): every
+    * document splits into non-overlapping chunks, each chunk fingerprints,
+    * and only the globally FIRST occurrence — lowest (doc_id, chunk_idx) —
+    * of each distinct chunk is `kept`. Downstream, a doc rebuilds from its
+    * kept chunks, removing boilerplate repeated across the corpus.
+    *
+    * Scale shape: one `groupBy(fp)` with map-side partial `min` (a
+    * hyper-common chunk — the 100 TB boilerplate case — collapses to one
+    * row per map task before the shuffle), then an fp equi-join of the
+    * owner table back to the chunk stream; that probe side's skew is AQE
+    * skew-join territory, never a window over a hot fingerprint partition.
+    * Output: (doc_id, chunk_idx 1-based, chunk, kept). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ck = lit(chunkTokens)
+    val chunkArr = TextAnalysis.bind(split(lower(trim(col(textCol))), "\\s+")) { ts =>
+      transform(
+        sequence(lit(1), ceil(size(ts).cast("double") / chunkTokens).cast("int")),
+        i => array_join(slice(ts, (i - 1) * ck + 1, ck), " "))
+    }
+    val chunks = docs
+      .select(col(idCol), posexplode(chunkArr).as(Seq("__i", "chunk")))
+      .select(col(idCol), (col("__i") + 1).as("chunk_idx"), col("chunk"),
+        md5(col("chunk")).as("__fp"),
+        // packed global position; chunk_idx < 1e6 for any sane chunk size
+        (col(idCol) * 1000000L + col("__i") + 1).as("__pos"))
+    val owners = chunks.groupBy("__fp").agg(min(col("__pos")).as("__first"))
+    chunks.join(owners, "__fp")
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        (col("__pos") === col("__first")).as("kept"))
+  }
 }

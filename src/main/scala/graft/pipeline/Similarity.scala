@@ -240,4 +240,68 @@ object Similarity {
     }
     cents
   }
+
+  // ------------------------------------------------- int8 scalar quantization
+
+  /** Per-vector int8 scalar quantization: q_i = round(x_i / scale) with
+    * scale = max|x| / 127 — the standard memory/bandwidth lever for
+    * billion-vector search (4× smaller than float32; at 100 TB of
+    * embeddings the quantized corpus is what stays cache- and
+    * shuffle-resident, the float originals are only touched to rescore a
+    * few candidates). Returns struct(q: array<tinyint>, scale: float);
+    * all-zero vectors get scale 0 and an all-zero q. */
+  def quantizeI8(vec: Column): Column =
+    TextAnalysis.bind(array_max(transform(vec, x => abs(x))) / 127.0) { s =>
+      struct(
+        transform(vec, x =>
+          when(s === 0.0, lit(0)).otherwise(round(x / s)).cast("byte")).as("q"),
+        s.cast("float").as("scale"))
+    }
+
+  /** Approximate dot product of two quantized vectors:
+    * (Σ qa_i·qb_i) · scale_a · scale_b — integer multiply-adds over byte
+    * arrays; the int accumulator is exact (dim·127² ≪ 2³¹). */
+  def dotI8(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.getField("q"), b.getField("q"),
+        (x, y) => x.cast("int") * y.cast("int")),
+      lit(0), (acc, v) => acc + v)
+      .cast("double") * a.getField("scale") * b.getField("scale")
+
+  /** Quantized kNN with exact rescoring: score the whole corpus with the
+    * int8 approximate dot (cheap pass over the SMALL representation), keep
+    * `overFetch`·k candidates per query, then rescore ONLY those with the
+    * exact float dot and keep the true top-k of the candidate set. Same
+    * two-phase top-k as everywhere else — no windows, map-side partial
+    * aggregation both phases. Recall < 1 only when quantization error
+    * reorders a true top-k neighbour out of the top overFetch·k — rare,
+    * and the overFetch knob buys it back. */
+  def quantizedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                   overFetch: Int = 4,
+                   qId: String = "q_id", qVec: String = "q_vec",
+                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c = Dedup.widen(corpus)
+      .select(col(cId), col(cVec),
+        quantizeI8(col(cVec)).as("__cq"), norm(col(cVec)).as("__cn"))
+    val q = queries.select(col(qId), col(qVec),
+      quantizeI8(col(qVec)).as("__qq"), norm(col(qVec)).as("__qn"))
+    // phase A: approximate candidates from the quantized representation —
+    // ranked by approximate COSINE (normalized by the true float norms,
+    // precomputed once per vector) so the candidate order matches the
+    // exact metric it stands in for
+    val approx = c.select(col(cId), col("__cq"), col("__cn"))
+      .crossJoin(broadcast(q.select(col(qId), col("__qq"), col("__qn"))))
+      .select(col(qId), col(cId),
+        cosinePre(dotI8(col("__qq"), col("__cq")), col("__qn"), col("__cn"))
+          .as("cosine"))
+    val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
+    // phase B: exact rescore of the few surviving candidates
+    val rescored = cand
+      .join(c.select(col(cId), col(cVec), norm(col(cVec)).as("__cn")), cId)
+      .join(broadcast(q.select(col(qId), col(qVec), col("__qn"))), qId)
+      .select(col(qId), col(cId),
+        round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
+    topK(rescored, k, qId, cId)
+  }
 }
