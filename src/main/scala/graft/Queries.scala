@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, TupleOps, WhileFix}
 import graft.functions.{Builtins, Scalar}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Sampling, Similarity, TextAnalysis}
 import graft.catalog.{Catalog, FunDef, UdtDef}
 import graft.sources.Sources
 
@@ -552,6 +552,36 @@ object Queries {
     Decontaminate.contaminated(docs, Decontaminate.evalSnippets(docs))
   }
 
+  /** Context-window chunking: every document split into 40-token chunks
+    * with 10-token overlap — the "make rows fit the model's context" step.
+    * Pure narrow map (no shuffle); the DuckDB oracle recomputes the same
+    * slicing with list functions. */
+  def qChunkSplit(s: SparkSession, dir: String): DataFrame =
+    Pack.chunkSplit(t(s, dir, "documents").bagDF, chunkTokens = 40, overlap = 10)
+
+  /** Greedy token-budget sequence packing, sharded by doc_id % 8: the
+    * DuckDB oracle replays the identical greedy walk as a recursive CTE,
+    * so every (doc → pack) assignment is hash-checked. */
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    Pack.packGreedy(t(s, dir, "documents").bagDF, budget = 256, buckets = 8)
+
+  /** Corpus-mix report: per-source document/token counts, token share of
+    * the whole corpus, mean document length — the "what is this corpus
+    * made of" table every mixing recipe starts from. The per-source
+    * aggregation is map-side combinable; the grand total joins back onto
+    * the (tiny, one-row-per-source) aggregate, never onto the corpus. */
+  def qCorpusMix(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents").bagDF
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("token_share"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_doc_tokens"))
+  }
+
   /** As-of join: every purchase event matched to the user's most recent
     * click at-or-before it (one shuffle, running-last — no range join).
     * The DuckDB oracle is a native ASOF LEFT JOIN, so a green row checks
@@ -658,6 +688,19 @@ object Queries {
   def qKnnLshCheck(s: SparkSession, dir: String): DataFrame =
     knnRecallCheck(s, dir, 0.6,
       (q, c) => Similarity.lshKnn(q, c, k = 10, planes = 4, tables = 6))
+
+  def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = knnInputs(s, dir)
+    Similarity.pqKnn(q, c, k = 10)
+  }
+
+  /** Product-quantization kNN (ADC + exact rescore) recall contract: the
+    * 8-byte-code representation with 8× overfetch must recover ≥0.5 of
+    * every query's true top-10 (observed ≥0.9 at both driver SFs — the
+    * bound has ≥1.8× slack). */
+  def qKnnPqCheck(s: SparkSession, dir: String): DataFrame =
+    knnRecallCheck(s, dir, 0.5,
+      (q, c) => Similarity.pqKnn(q, c, k = 10))
 
   def qKnnIvfCheck(s: SparkSession, dir: String): DataFrame =
     // bound raised 0.3 → 0.4 in round 6: Lloyd-refined centroids
@@ -955,7 +998,9 @@ object Queries {
     "q_scrub" -> qScrub, "q_quality_rules" -> qQualityRules,
     "q_chunk_dedup" -> qChunkDedup, "q_decontaminate" -> qDecontaminate,
     "q_asof" -> qAsof, "q_knn_q8_check" -> qKnnQ8Check,
-    "q_domains" -> qDomains)
+    "q_domains" -> qDomains,
+    "q_chunk_split" -> qChunkSplit, "q_pack" -> qPack,
+    "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -965,7 +1010,7 @@ object Queries {
     * [[Bench]] runs `queries ++ benchExtra`. */
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf)
+    "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq)
 
   /** DuckDB oracle SQL — one entry per [[queries]] key (the driver's
     * correctness gate is rows+schema+hash vs these). */
@@ -1310,6 +1355,9 @@ object Queries {
     "q_knn_q8_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
 
+    "q_knn_pq_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 5"),
+
     "q_domains" -> ("WITH p AS (SELECT doc_id, text || ' see https://' || " +
       "['alpha.example','beta.example','gamma.example','delta.test']" +
       "[CAST(doc_id % 4 + 1 AS INTEGER)] || '/p/' || CAST(doc_id AS VARCHAR) || " +
@@ -1318,5 +1366,45 @@ object Queries {
       "u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([^/\\s]+)', 1)) " +
       "AS domain FROM p) " +
       "SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs " +
-      "FROM u GROUP BY domain"))
+      "FROM u GROUP BY domain"),
+
+    // chunk i covers tokens [i*30+1, i*30+40] (1-based); n_chunks =
+    // max(ceil((n_tok - 10)/30), 1); blank docs yield no chunks
+    "q_chunk_split" -> ("WITH tok AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS toks FROM documents " +
+      "WHERE length(trim(text)) > 0), " +
+      "n AS (SELECT doc_id, toks, " +
+      "CAST(greatest(ceil((len(toks) - 10) / 30.0), 1) AS INTEGER) AS nc FROM tok), " +
+      "c AS (SELECT doc_id, toks, " +
+      "CAST(unnest(range(nc)) AS INTEGER) AS chunk_idx FROM n) " +
+      "SELECT doc_id, chunk_idx, " +
+      "array_to_string(toks[chunk_idx*30+1 : chunk_idx*30+40], ' ') AS chunk, " +
+      "CAST(len(toks[chunk_idx*30+1 : chunk_idx*30+40]) AS INTEGER) AS n_tokens " +
+      "FROM c"),
+
+    // the identical greedy first-fit walk, replayed as a recursive CTE in
+    // per-bucket row_number order
+    "q_pack" -> ("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS bucket, " +
+      "CAST(least(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END, 256) AS INTEGER) AS tok, " +
+      "CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS rn " +
+      "FROM documents), " +
+      "r AS (SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack_id, tok AS acc " +
+      "FROM d WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT d.bucket, d.rn, d.doc_id, d.tok, " +
+      "CASE WHEN r.acc + d.tok > 256 THEN r.pack_id + 1 ELSE r.pack_id END, " +
+      "CASE WHEN r.acc + d.tok > 256 THEN d.tok ELSE r.acc + d.tok END " +
+      "FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1) " +
+      "SELECT doc_id, bucket, pack_id, tok AS n_tokens FROM r"),
+
+    "q_corpus_mix" -> ("WITH t AS (SELECT source, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok FROM documents), " +
+      "g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens " +
+      "FROM t GROUP BY source) " +
+      "SELECT source, n_docs, n_tokens, " +
+      "ROUND(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) " +
+      "AS token_share, " +
+      "ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens FROM g"))
 }

@@ -201,6 +201,35 @@ class PipelineSpec extends SparkSpec {
     assert(top1.forall { case (a, b) => a == b })
   }
 
+  test("pq encode: 8 one-byte codes per vector, codes dense in [0, 16)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, m = 8, codes = 16, lloydIters = 1)
+    val enc = Similarity.pqEncode(emb, cb, m = 8)
+    // the stored representation really is 8 tinyints (+ one float norm)
+    val codesType = enc.schema("codes").dataType
+    assert(codesType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false) ||
+      codesType.simpleString.startsWith("array<tinyint>"))
+    val rows = enc.collect()
+    assert(rows.length === emb.count())
+    assert(rows.forall { r =>
+      val cs = r.getSeq[Byte](r.fieldIndex("codes"))
+      cs.length == 8 && cs.forall(c => c >= 0 && c < 16)
+    })
+  }
+
+  test("pq knn (ADC + rescore): recall vs brute force ≥ 0.8, self found") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceKnn(q, emb, k = 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqKnn(q, emb, k = 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.count(brute.contains).toDouble / brute.size >= 0.8)
+    assert((0L until 5L).forall(i => pq.contains((i, i)))) // self in top-k
+  }
+
   test("two-phase top-k matches exact ranking (brute force, rank ordering)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)
