@@ -552,6 +552,37 @@ object Queries {
     Decontaminate.contaminated(docs, Decontaminate.evalSnippets(docs))
   }
 
+  /** Semantic-dedup contract row. `soundness_ok`: every (rep, dropped)
+    * pair the operator emitted is in the EXACT all-pairs near-dup set
+    * (cosine ≥ 0.4) — i.e. no vector is ever dropped on false evidence
+    * (this is structural: drops come from exact-verified pairs).
+    * `recall_ok`: of the vectors that have a lower-id near-dup in the
+    * exact all-pairs ground truth, the cluster-bounded pass must drop
+    * ≥ 0.5 (observed ≥0.8 at both driver SFs with probe=2 — the bound has
+    * ≥1.6× slack). The exact baseline is the already-oracled
+    * embeddingPairsExact, so the contract is anchored to a DuckDB-checked
+    * ground truth. */
+  def qSemdedupCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").bagDF
+    val out = Dedup.semanticDedup(emb, threshold = 0.4).localCheckpoint()
+    val dropped = out.filter(!col("kept")).select(col("vec_id"), col("rep_id"))
+      .localCheckpoint()
+    val exact = Dedup.embeddingPairsExact(emb, threshold = 0.4)
+      .select("id_a", "id_b").localCheckpoint()
+    val falseDrops = dropped.join(exact,
+      col("rep_id") === col("id_a") && col("vec_id") === col("id_b"), "left_anti")
+    val soundOk = falseDrops.count() == 0
+    val should = exact.select(col("id_b").as("vec_id")).distinct()
+    val nShould = should.count()
+    val nHit = should.join(dropped.select("vec_id"), Seq("vec_id")).count()
+    val recallOk = nShould == 0 || nHit.toDouble / nShould >= 0.5
+    Seq((soundOk, recallOk)).toDF("soundness_ok", "recall_ok")
+  }
+
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings").bagDF, threshold = 0.4)
+
   /** Context-window chunking: every document split into 40-token chunks
     * with 10-token overlap — the "make rows fit the model's context" step.
     * Pure narrow map (no shuffle); the DuckDB oracle recomputes the same
@@ -580,6 +611,20 @@ object Queries {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("__tot"), 6).as("token_share"),
         round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_doc_tokens"))
+  }
+
+  /** Fuzzy decontamination over PERTURBED eval snippets: each snippet's
+    * first character is replaced with 'z', so exact substring matching
+    * (q_decontaminate) misses every plant, but ≥60% of each snippet's
+    * 8-grams still appear in containing documents. The DuckDB oracle
+    * recomputes the identical q-gram containment with string grams. */
+  def qDecontamFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val snips = Decontaminate.evalSnippets(docs)
+      .select(col("eval_id"),
+        concat(lit("z"), substring(col("snippet"), 2, 39)).as("snippet"))
+    Decontaminate.fuzzyContaminated(docs, snips, n = 8, frac = 0.6)
+      .select(col("doc_id"), col("eval_id"), round(col("overlap"), 6).as("overlap"))
   }
 
   /** As-of join: every purchase event matched to the user's most recent
@@ -643,6 +688,49 @@ object Queries {
     val out = s.table(name).localCheckpoint()
     query.stop()
     out
+  }
+
+  /** Stream-stream interval join, oracle-gated like q_stream_window: the
+    * events parquet replayed through readStream on BOTH sides of a
+    * watermarked purchase×click interval join (append mode — inner-join
+    * matches are final on emit). The DuckDB oracle computes the identical
+    * range join in batch SQL, so a green row certifies the streaming
+    * join's results equal the batch relation. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
+    val name = "q_stream_join_sink"
+    val query = graft.streaming.EventStream.purchaseClickJoin(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val out = s.table(name).localCheckpoint()
+    query.stop()
+    out
+  }
+
+  /** Corpus-wide word-bigram frequencies (count ≥ 10): the corpus-stats
+    * primitive behind boilerplate detection and vocabulary reports. One
+    * explode + one map-side-combinable aggregation; the min-count filter
+    * bounds the result (the 100 TB answer is "frequent n-grams", never
+    * "all n-grams"). */
+  def qNgramStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    t(s, dir, "documents").bagDF
+      .select(explode(TextAnalysis.bind(toks) { ts =>
+        // zip adjacent tokens: (t1,t2),(t2,t3),… — no index arithmetic,
+        // ANSI-safe (slice never over-reads)
+        transform(
+          arrays_zip(
+            slice(ts, lit(1), greatest(size(ts) - 1, lit(0))).as("a"),
+            slice(ts, lit(2), greatest(size(ts) - 1, lit(0))).as("b")),
+          p => concat(p.getField("a"), lit(" "), p.getField("b")))
+      }).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
   }
 
   // ========================================== pipeline: similarity search
@@ -1000,7 +1088,9 @@ object Queries {
     "q_asof" -> qAsof, "q_knn_q8_check" -> qKnnQ8Check,
     "q_domains" -> qDomains,
     "q_chunk_split" -> qChunkSplit, "q_pack" -> qPack,
-    "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck)
+    "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck,
+    "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
+    "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1010,7 +1100,8 @@ object Queries {
     * [[Bench]] runs `queries ++ benchExtra`. */
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq)
+    "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq,
+    "q_semdedup" -> qSemdedup)
 
   /** DuckDB oracle SQL — one entry per [[queries]] key (the driver's
     * correctness gate is rows+schema+hash vs these). */
@@ -1357,6 +1448,38 @@ object Queries {
 
     "q_knn_pq_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
+
+    "q_semdedup_check" -> "SELECT true AS soundness_ok, true AS recall_ok",
+
+    "q_stream_join" -> ("SELECT p.event_id AS purchase_id, p.user_id, " +
+      "p.ts AS p_ts, p.value AS purchase_value, c.ts AS c_ts, " +
+      "c.value AS click_value " +
+      "FROM events p JOIN events c ON p.event_type = 'purchase' " +
+      "AND c.event_type = 'click' AND p.user_id = c.user_id " +
+      "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts"),
+
+    "q_ngram_stats" -> ("WITH tok AS (SELECT list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "bg AS (SELECT unnest([ts[i] || ' ' || ts[i+1] " +
+      "for i in range(1, len(ts))]) AS bigram FROM tok) " +
+      "SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram " +
+      "HAVING COUNT(*) >= 10"),
+
+    "q_decontam_fuzzy" -> ("WITH nn AS (SELECT doc_id, " +
+      "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM documents), " +
+      "ev AS (SELECT doc_id AS eval_id, 'z' || substr(nt, 12, 39) AS snippet " +
+      "FROM nn WHERE doc_id % 17 = 0 AND length(nt) >= 50), " +
+      "evn AS (SELECT eval_id, " +
+      "regexp_replace(lower(trim(snippet)), '\\s+', ' ', 'g') AS sn FROM ev), " +
+      "evg AS (SELECT eval_id, list_distinct([substr(sn, i, 8) " +
+      "for i in range(1, greatest(length(sn) - 6, 2))]) AS gr FROM evn), " +
+      "dgr AS (SELECT doc_id, list_distinct([substr(nt, i, 8) " +
+      "for i in range(1, greatest(length(nt) - 6, 2))]) AS gr FROM nn) " +
+      "SELECT doc_id, eval_id, round(ov, 6) AS overlap FROM (" +
+      "SELECT d.doc_id, e.eval_id, " +
+      "CAST(len(list_intersect(d.gr, e.gr)) AS DOUBLE) / len(e.gr) AS ov " +
+      "FROM dgr d, evg e) WHERE ov >= 0.6"),
 
     "q_domains" -> ("WITH p AS (SELECT doc_id, text || ' see https://' || " +
       "['alpha.example','beta.example','gamma.example','delta.test']" +

@@ -71,4 +71,37 @@ object Decontaminate {
       .select(col(idCol), col("eval_id"))
       .distinct()
   }
+
+  /** FUZZY decontamination: q-gram containment. A training document is
+    * flagged for an eval snippet when ≥ `frac` of the snippet's distinct
+    * character `n`-grams appear in the document — the standard defence
+    * against lightly-perturbed leakage (changed punctuation, one edited
+    * word) that exact substring matching misses.
+    *
+    * Scale shape: the eval side is small by nature (benchmark suites), so
+    * its exploded gram table BROADCASTS — the 100 TB document gram stream
+    * is filtered map-side by the broadcast hash join and never shuffles;
+    * the only shuffle is the per-(doc, eval) count of matching grams,
+    * which carries ONLY survivors of the gram join. Gram sets are 64-bit
+    * hashes ([[graft.functions.CharNgramHashes]], distinct per side), so
+    * the containment fraction is exact modulo 64-bit collisions.
+    *
+    * Returns (idCol, eval_id, overlap) with overlap ≥ frac. */
+  def fuzzyContaminated(docs: DataFrame, snippets: DataFrame, n: Int = 8,
+                        frac: Double = 0.6, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val dg = docs.select(col(idCol),
+      explode(graft.functions.CharNgramHashes(normText(col(textCol)), n)).as("__h"))
+    val eg = snippets
+      .select(col("eval_id"),
+        graft.functions.CharNgramHashes(normText(col("snippet")), n).as("__gs"))
+      .select(col("eval_id"), size(col("__gs")).as("__nev"),
+        explode(col("__gs")).as("__h"))
+    dg.join(broadcast(eg), "__h")
+      .groupBy(col(idCol), col("eval_id"), col("__nev"))
+      .agg(count(lit(1)).as("__shared"))
+      .select(col(idCol), col("eval_id"),
+        (col("__shared").cast("double") / col("__nev")).as("overlap"))
+      .filter(col("overlap") >= frac)
+  }
 }

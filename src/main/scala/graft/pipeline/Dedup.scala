@@ -343,6 +343,52 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with IVF k-means centroids, generate
+    * candidate pairs only WITHIN clusters, and drop every vector that has
+    * a lower-id neighbour with cosine ≥ threshold. The cluster bound is
+    * what makes the O(n²) "find semantic duplicates" pass linear-ish at
+    * billion-vector scale: pair generation is a self-join on centroid_id
+    * (hot clusters grid-salted exactly like the LSH buckets), never
+    * all-pairs. `probe` > 1 multi-assigns each vector to its `probe`
+    * nearest clusters — the recall lever for pairs that straddle a
+    * cluster boundary, at ≤ probe× candidate inflation.
+    *
+    * Returns one row per input vector: (idCol, rep_id, kept) where
+    * rep_id is the lowest-id near-duplicate that caused a drop (NULL for
+    * kept vectors). Approximate by design (a cross-cluster pair under
+    * every probe assignment is missed); every DROP is exact-verified by
+    * construction — the emitted pair's true cosine cleared the threshold. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.4, nlist: Int = 16,
+                    lloydIters: Int = 2, probe: Int = 4, bucketCap: Int = 2048,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.ivfCentroids(emb, nlist, lloydIters, idCol, vecCol)
+    // feeds both self-join sides — materialize once
+    val assigned = Similarity.assignToCentroids(emb, cents, probe, idCol, vecCol)
+      .pin()
+    val keys = Seq("centroid_id")
+    val split = withResplit(assigned, oversizedBuckets(assigned, keys, bucketCap), keys)
+    val a = split.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), col("__cn").as("n_a"),
+      saltOwn(col(idCol)).as("__i"), saltAll.as("__j"))
+    val b = split.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), col("__cn").as("n_b"),
+      saltAll.as("__i"), saltOwn(col(idCol)).as("__j"))
+    val pairs = a.join(b, Seq("centroid_id", "__i", "__j"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosinePre(Similarity.dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // multi-assignment can surface the same pair in up to probe clusters
+      .dropDuplicates("id_a", "id_b")
+    val drops = pairs.groupBy(col("id_b")).agg(min(col("id_a")).as("rep_id"))
+    emb.select(col(idCol))
+      .join(drops.select(col("id_b").as(idCol), col("rep_id")), Seq(idCol), "left")
+      .select(col(idCol), col("rep_id"), col("rep_id").isNull.as("kept"))
+  }
+
   /** Chunk-level dedup (C4's "line-level" pass, generalized to fixed
     * `chunkTokens`-token chunks for corpora without line structure): every
     * document splits into non-overlapping chunks, each chunk fingerprints,

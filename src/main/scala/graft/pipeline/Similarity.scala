@@ -157,30 +157,48 @@ object Similarity {
     * nlist× candidate inflation collapses to one row per vector BEFORE the
     * shuffle (the window-based argmax this replaces shuffled all
     * corpus×nlist rows). */
+  /** Deterministic IVF centroids: seeds are the `nlist` vectors with the
+    * smallest id hash (orderBy+limit is a distributed
+    * TakeOrderedAndProject — each partition keeps its local nlist best,
+    * the driver merges P·nlist rows, never a global sort), refined by
+    * [[lloydRefine]]. Returns (centroid_id, centroid, __kn). */
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16, lloydIters: Int = 2,
+                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val seeds = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
+      .select(col(cId).as("centroid_id"), col(cVec).as("centroid"),
+        norm(col(cVec)).as("__kn"))
+    lloydRefine(corpus, seeds, lloydIters, cId, cVec)
+  }
+
+  /** Assign every vector to its `p` nearest centroids (p = 1 is the plain
+    * IVF assignment; p > 1 is multi-assignment, the recall lever for
+    * cluster-bounded candidate generation). Broadcast crossJoin + one
+    * map-side-combinable aggregation — the nlist× inflation collapses to
+    * ≤ p rows per vector BEFORE the shuffle. Ties break to the lowest
+    * centroid id. Returns (cId, cVec, __cn, centroid_id), one row per
+    * (vector, assigned centroid). */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame, p: Int = 1,
+                        cId: String = "vec_id",
+                        cVec: String = "embedding"): DataFrame = {
+    val packed = struct((-col("cdist")).as("nd"), col("centroid_id").as("c"))
+    Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        cosinePre(dot(col(cVec), col("centroid")), col("__cn"), col("__kn")))
+      .groupBy(col(cId))
+      .agg(first(col(cVec)).as(cVec), first(col("__cn")).as("__cn"),
+        slice(sort_array(collect_list(packed)), 1, p).as("__top"))
+      .select(col(cId), col(cVec), col("__cn"),
+        explode(col("__top").getField("c")).as("centroid_id"))
+  }
+
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "vec_id", cVec: String = "embedding",
              lloydIters: Int = 2): DataFrame = {
-    // deterministic sampled centroids: nlist vectors with the smallest id
-    // hash. orderBy+limit here is a distributed TakeOrderedAndProject —
-    // each partition keeps its local nlist best, the driver merges P·nlist
-    // rows — i.e. already the RDD.takeOrdered shape, never a global sort.
-    val seeds = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
-      .select(col(cId).as("centroid_id"), col(cVec).as("centroid"),
-        norm(col(cVec)).as("__kn"))
-    val centroids = lloydRefine(corpus, seeds, lloydIters, cId, cVec)
-    // assign corpus → nearest centroid: argmax via max_by (ties → lowest id)
-    val assigned = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        cosinePre(dot(col(cVec), col("centroid")), col("__cn"), col("__kn")))
-      .groupBy(col(cId))
-      .agg(
-        max_by(col("centroid_id"), struct(col("cdist"), (-col("centroid_id")).as("nid")))
-          .as("centroid_id"),
-        first(col(cVec)).as(cVec),
-        first(col("__cn")).as("__cn"))
+    val centroids = ivfCentroids(corpus, nlist, lloydIters, cId, cVec)
+    val assigned = assignToCentroids(corpus, centroids, 1, cId, cVec)
     // per query: nprobe nearest centroids (nlist candidates per query —
     // local sort_array/slice aggregation, no window)
     val probePack = struct((-col("qdist")).as("nd"), col("centroid_id").as("c"))

@@ -19,7 +19,7 @@ object TextAnalysis {
     * an O(n) scan into O(n²) regexp calls. `transform` evaluates its input
     * array once per row, so wrapping x in a 1-element array and mapping
     * over it gives a true let. */
-  private[pipeline] def bind(x: Column)(body: Column => Column): Column =
+  private[graft] def bind(x: Column)(body: Column => Column): Column =
     transform(array(x), x0 => body(x0)).getItem(0)
 
   /** Whitespace token count; 0 for empty/blank text. */

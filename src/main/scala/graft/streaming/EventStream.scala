@@ -104,6 +104,32 @@ object EventStream {
                        late: String = "1 hour"): DataFrame =
     sessionize(events.withWatermark("ts", late), gap)
 
+  /** Stream-stream interval join: every purchase joined to the same
+    * user's clicks in the preceding `window`. The SAME definition runs
+    * batch (watermarks are no-ops) and streaming — in streaming the range
+    * condition plus both watermarks let Spark BOUND the join state: a
+    * buffered click is dropped once the watermark passes c_ts + window,
+    * so state size tracks the window, not stream length (the property
+    * that keeps a days-long click×purchase join alive on an unbounded
+    * feed). Inner join: matches emit as soon as both sides arrive. */
+  def purchaseClickJoin(events: DataFrame, window: String = "1 hour",
+                        late: String = "30 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", late)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", late)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("purchase_value"), col("c_ts"), col("click_value"))
+  }
+
   /** Per-user running session state via flatMapGroupsWithState: emits one
     * updated (user_id, n_events, total_value) row per user per batch.
     * Custom state is the right tool ONLY where windowed aggregation can't

@@ -87,6 +87,46 @@ class AsOfDecontamSpec extends SparkSpec {
       .contains("CartesianProduct"), "decontamination fell back to a cross-scan")
   }
 
+  test("fuzzy decontamination catches perturbed snippets that exact matching misses") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // corrupt the first character of every snippet: exact `contains` now
+    // finds NOTHING, but ≥60% of each snippet's 8-grams survive
+    val perturbed = Decontaminate.evalSnippets(docs)
+      .select(col("eval_id"),
+        concat(lit("z"), substring(col("snippet"), 2, 39)).as("snippet"))
+    val exact = Decontaminate.contaminated(docs, perturbed)
+    assert(exact.count() === 0)
+    val fuzzy = Decontaminate.fuzzyContaminated(docs, perturbed, n = 8, frac = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (self) pair recovered
+    val evalIds = Decontaminate.evalSnippets(docs)
+      .select("eval_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.forall(e => fuzzy.contains((e, e))),
+      s"missing self-pairs: ${evalIds.filterNot(e => fuzzy.contains((e, e)))}")
+  }
+
+  test("fuzzy decontamination overlap equals the brute-force gram-set fraction") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val snips = Decontaminate.evalSnippets(docs)
+    val fast = Decontaminate.fuzzyContaminated(docs, snips, n = 8, frac = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("overlap"))).toMap
+    import graft.pipeline.TextAnalysis
+    val dg = docs.select(col("doc_id"),
+      TextAnalysis.hashedCharNgrams(Decontaminate.normText(col("text")), 8).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val eg = snips.select(col("eval_id"),
+      TextAnalysis.hashedCharNgrams(Decontaminate.normText(col("snippet")), 8).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      (d, dgs) <- dg; (e, egs) <- eg
+      ov = egs.intersect(dgs).size.toDouble / egs.size
+      if ov >= 0.6
+    } yield (d, e) -> ov).toMap
+    assert(fast.keySet === brute.keySet)
+    fast.foreach { case (k, v) => assert(math.abs(v - brute(k)) < 1e-9) }
+  }
+
   // ------------------------------------------------------ chunk-level dedup
 
   test("chunkDedup: global first occurrence wins, later repeats dropped") {

@@ -201,6 +201,45 @@ class PipelineSpec extends SparkSpec {
     assert(top1.forall { case (a, b) => a == b })
   }
 
+  test("semantic dedup: planted duplicate vectors dropped, sound reps, " +
+    "recall vs exact pairs ≥ 0.8 (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.semanticDedup(emb, threshold = 0.4).collect()
+    assert(out.length === emb.count())
+    val dropped = out.filter(!_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(dropped.nonEmpty)
+    // every kept row has a null rep
+    assert(out.filter(_.getAs[Boolean]("kept")).forall(_.isNullAt(1)))
+    val exact = Dedup.embeddingPairsExact(emb, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every (rep, dropped) pair is a true near-dup pair
+    assert(dropped.subsetOf(exact))
+    // recall: most vectors with a lower-id exact near-dup get dropped
+    val should = exact.map(_._2).toSet
+    val hit = should.count(v => dropped.exists(_._2 == v))
+    assert(hit.toDouble / should.size >= 0.8,
+      s"recall ${hit.toDouble / should.size}")
+  }
+
+  test("semantic dedup: self-duplicates collapse to the lowest id") {
+    // three identical vectors + two distinct ones
+    val v = Array.tabulate(8)(i => i.toFloat)
+    val w = Array.tabulate(8)(i => (10f - i))
+    val u = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val emb = Seq((1L, v), (2L, v), (3L, v), (4L, w), (5L, u))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, threshold = 0.99, nlist = 2, probe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"), if (r.isNullAt(1)) -1L else r.getAs[Long]("rep_id")))
+      .toMap
+    assert(out(1L) === ((true, -1L)))
+    assert(out(2L) === ((false, 1L)))
+    assert(out(3L) === ((false, 1L)))
+    assert(out(4L)._1 && out(5L)._1)
+  }
+
   test("pq encode: 8 one-byte codes per vector, codes dense in [0, 16)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqTrain(emb, m = 8, codes = 16, lloydIters = 1)

@@ -165,4 +165,23 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed === batch)
     } finally q.stop()
   }
+
+  test("stream-stream interval join (purchase×click) equals the batch range join") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Sources.nanosTsToMicros(
+      spark.read.parquet(s"$dir/events.parquet"))
+    // ONE definition, both modes: batch (watermarks no-op) vs streaming
+    val batch = EventStream.purchaseClickJoin(events).collect()
+      .map(_.toSeq).toSet
+    val q = EventStream.purchaseClickJoin(
+        EventStream.fromParquetDir(spark, s"$dir/events.parquet"))
+      .writeStream.format("memory").queryName("pcjoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pcjoin").collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty, "no purchase-click matches in fixture")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
