@@ -69,6 +69,22 @@ object BenchScale {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)).count(),
       Sampling.stratifiedHashSample(scaleDocs(mult), col("source"), col("doc_id"),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)).count())
+    run("semdedup",
+      Dedup.semanticDedup(emb1).count(),
+      Dedup.semanticDedup(scaleEmb(mult)).count())
+    run("pack",
+      graft.pipeline.Pack.packGreedy(docs1, budget = 256, buckets = 64).count(),
+      graft.pipeline.Pack.packGreedy(scaleDocs(mult), budget = 256, buckets = 64).count())
+    def fuzzy(df: DataFrame): Long =
+      graft.pipeline.Decontaminate.fuzzyContaminated(df,
+        graft.pipeline.Decontaminate.evalSnippets(df)).count()
+    run("decontam_fuzzy", fuzzy(docs1), fuzzy(scaleDocs(mult)))
+    def pq(df: DataFrame): Long = {
+      val q = df.orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqKnn(q, df, k = 10).count()
+    }
+    run("knn_pq", pq(emb1), pq(scaleEmb(mult)))
     spark.stop()
   }
 }

@@ -542,6 +542,23 @@ object Queries {
     Dedup.chunkDedup(t(s, dir, "documents").bagDF, chunkTokens = 10)
       .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("kept"))
 
+  /** Intra-document repetition removal with DETERMINISTICALLY PLANTED
+    * repeats (the corpus has no natural within-doc chunk repeats): every
+    * 5th doc is rewritten as its own first 10 tokens repeated 3× — the
+    * "same paragraph pasted repeatedly" shape — so kept=false rows
+    * genuinely appear and the drop path is oracle-exercised. The oracle
+    * replays the identical plant and recomputes first-occurrence with a
+    * per-(doc, chunk) window min. */
+  def qIntraDedup(s: SparkSession, dir: String): DataFrame = {
+    val t10 = array_join(
+      slice(split(lower(trim(col("text"))), "\\s+"), 1, 10), " ")
+    val planted = when(col("doc_id") % 5 === 0,
+      concat_ws(" ", t10, t10, t10)).otherwise(col("text"))
+    Dedup.intraDocDedup(
+      t(s, dir, "documents").bagDF.withColumn("text", planted),
+      chunkTokens = 10)
+  }
+
   /** Train/eval decontamination: eval snippets are deterministic slices of
     * every 17th doc's normalized text; the result is the EXACT set of
     * (training doc, eval snippet) containment pairs — window-hash equi-join
@@ -1090,7 +1107,8 @@ object Queries {
     "q_chunk_split" -> qChunkSplit, "q_pack" -> qPack,
     "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck,
     "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
-    "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats)
+    "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
+    "q_intra_dedup" -> qIntraDedup)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1450,6 +1468,20 @@ object Queries {
       "FROM embeddings WHERE vec_id < 5"),
 
     "q_semdedup_check" -> "SELECT true AS soundness_ok, true AS recall_ok",
+
+    "q_intra_dedup" -> ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+      "THEN concat_ws(' ', t10, t10, t10) ELSE text END AS text FROM (" +
+      "SELECT doc_id, text, array_to_string(list_slice(" +
+      "string_split_regex(lower(trim(text)), '\\s+'), 1, 10), ' ') AS t10 " +
+      "FROM documents)), " +
+      "c AS (SELECT d.doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
+      "array_to_string(list_slice(string_split_regex(lower(trim(d.text)), '\\s+'), " +
+      "(i-1)*10+1, i*10), ' ') AS chunk " +
+      "FROM p d, unnest(generate_series(1, CAST(ceil(" +
+      "len(string_split_regex(lower(trim(d.text)), '\\s+'))/10.0) AS BIGINT))) AS t(i)) " +
+      "SELECT doc_id, chunk_idx, chunk, " +
+      "chunk_idx = CAST(min(chunk_idx) OVER (PARTITION BY doc_id, chunk) AS INTEGER) " +
+      "AS kept FROM c"),
 
     "q_stream_join" -> ("SELECT p.event_id AS purchase_id, p.user_id, " +
       "p.ts AS p_ts, p.value AS purchase_value, c.ts AS c_ts, " +

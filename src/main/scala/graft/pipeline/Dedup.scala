@@ -421,4 +421,28 @@ object Dedup {
       .select(col(idCol), col("chunk_idx"), col("chunk"),
         (col("__pos") === col("__first")).as("kept"))
   }
+
+  /** INTRA-document repetition removal: within each document, only the
+    * first occurrence of a repeated `chunkTokens`-token chunk is kept —
+    * the "same paragraph pasted five times" cleanup that runs BEFORE
+    * cross-corpus dedup. Unlike [[chunkDedup]] (global first occurrence —
+    * one corpus-wide shuffle), this is per-document state only: a pure
+    * narrow map over the scan (the first-occurrence test is
+    * `array_position` against the doc's own chunk array), ZERO shuffles at
+    * any scale. Output: (doc_id, chunk_idx 1-based, chunk, kept). */
+  def intraDocDedup(docs: DataFrame, chunkTokens: Int = 10,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ck = lit(chunkTokens)
+    val chunkArr = TextAnalysis.bind(split(lower(trim(col(textCol))), "\\s+")) { ts =>
+      transform(
+        sequence(lit(1), ceil(size(ts).cast("double") / chunkTokens).cast("int")),
+        i => array_join(slice(ts, (i - 1) * ck + 1, ck), " "))
+    }
+    docs.select(col(idCol), chunkArr.as("__chunks"))
+      .select(col(idCol), col("__chunks"),
+        posexplode(col("__chunks")).as(Seq("__i", "chunk")))
+      .select(col(idCol), (col("__i") + 1).as("chunk_idx"), col("chunk"),
+        (array_position(col("__chunks"), col("chunk")) === col("__i") + 1)
+          .as("kept"))
+  }
 }

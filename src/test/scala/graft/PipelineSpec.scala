@@ -201,6 +201,17 @@ class PipelineSpec extends SparkSpec {
     assert(top1.forall { case (a, b) => a == b })
   }
 
+  test("intraDocDedup: first occurrence kept within a doc, repeats dropped") {
+    val rep = ("alpha beta gamma delta eps zeta eta theta iota kappa " * 3).trim
+    val d = Seq((1L, rep), (2L, "unique words only here now")).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(d, chunkTokens = 10).collect()
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getAs[Int]("chunk_idx"))
+    assert(d1.length === 3)
+    assert(d1.head.getAs[Boolean]("kept"))
+    assert(d1.tail.forall(!_.getAs[Boolean]("kept")))
+    assert(out.filter(_.getLong(0) == 2L).forall(_.getAs[Boolean]("kept")))
+  }
+
   test("semantic dedup: planted duplicate vectors dropped, sound reps, " +
     "recall vs exact pairs ≥ 0.8 (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -135,6 +135,49 @@ class PlanSpec extends SparkSpec {
       s"sampling planned a join:\n${p.take(3000)}")
   }
 
+  test("chunkSplit and intraDocDedup are narrow maps: zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = plan(graft.pipeline.Pack.chunkSplit(docs))
+    assert(!p1.contains("Exchange"), s"chunkSplit shuffled:\n${p1.take(3000)}")
+    val p2 = plan(Dedup.intraDocDedup(docs))
+    assert(!p2.contains("Exchange"), s"intraDocDedup shuffled:\n${p2.take(3000)}")
+    assert(!p2.contains("Window"), s"intraDocDedup planned a window:\n${p2.take(3000)}")
+  }
+
+  test("packGreedy: exactly one exchange (the shard repartition), slim rows only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Pack.packGreedy(docs))
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"packGreedy should shuffle exactly once:\n${p.take(3000)}")
+    // the text column must not ride the shuffle — only (id, bucket, tokens)
+    val exchangeLine = p.linesIterator.find(_.trim.startsWith("+- Exchange"))
+      .orElse(p.linesIterator.find(_.contains("Exchange"))).get
+    assert(!exchangeLine.contains("text"), s"text rides the shuffle:\n$exchangeLine")
+  }
+
+  test("fuzzy decontamination: eval gram table broadcasts, doc grams never shuffle before the join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val snips = graft.pipeline.Decontaminate.evalSnippets(docs)
+    val p = plan(graft.pipeline.Decontaminate.fuzzyContaminated(docs, snips))
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram join is not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy decontamination went cartesian:\n${p.take(3000)}")
+  }
+
+  test("semantic dedup: cluster pair join is an equi-join, never all-pairs on the corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Dedup.semanticDedup(emb))
+    // the only nested-loop join allowed is the broadcast of the tiny
+    // centroid table (nlist rows); the vector-pair join must key on
+    // centroid_id (+ salt), i.e. a hash-partitioned equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"semanticDedup planned a cartesian:\n${p.take(4000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join found for the pair stage:\n${p.take(4000)}")
+  }
+
   test("tfidf: no cartesian, no per-doc window; both aggregations partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.tfidf(docs))
