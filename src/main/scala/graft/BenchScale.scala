@@ -75,9 +75,11 @@ object BenchScale {
     run("pack",
       graft.pipeline.Pack.packGreedy(docs1, budget = 256, buckets = 64).count(),
       graft.pipeline.Pack.packGreedy(scaleDocs(mult), budget = 256, buckets = 64).count())
+    // eval suite FIXED while the corpus scales (benchmarks don't grow with
+    // training data) — measures the doc-side cost, which is the 100 TB axis
+    val evalFixed = graft.pipeline.Decontaminate.evalSnippets(docs1).localCheckpoint()
     def fuzzy(df: DataFrame): Long =
-      graft.pipeline.Decontaminate.fuzzyContaminated(df,
-        graft.pipeline.Decontaminate.evalSnippets(df)).count()
+      graft.pipeline.Decontaminate.fuzzyContaminated(df, evalFixed).count()
     run("decontam_fuzzy", fuzzy(docs1), fuzzy(scaleDocs(mult)))
     def pq(df: DataFrame): Long = {
       val q = df.orderBy("vec_id").limit(5)

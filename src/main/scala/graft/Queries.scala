@@ -800,7 +800,7 @@ object Queries {
   }
 
   /** Product-quantization kNN (ADC + exact rescore) recall contract: the
-    * 8-byte-code representation with 8× overfetch must recover ≥0.5 of
+    * 8-byte-code representation with 32× overfetch must recover ≥0.5 of
     * every query's true top-10 (observed ≥0.9 at both driver SFs — the
     * bound has ≥1.8× slack). */
   def qKnnPqCheck(s: SparkSession, dir: String): DataFrame =

@@ -381,7 +381,7 @@ object Similarity {
     * dot. One corpus scan over the compressed form + a candidate-sized
     * exact pass: the PQ analogue of [[quantizedKnn]], 8× smaller still. */
   def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-            m: Int = 8, codes: Int = 16, overFetch: Int = 8,
+            m: Int = 8, codes: Int = 16, overFetch: Int = 32,
             lloydIters: Int = 2,
             qId: String = "q_id", qVec: String = "q_vec",
             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
