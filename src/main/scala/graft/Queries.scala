@@ -542,6 +542,13 @@ object Queries {
     Dedup.chunkDedup(t(s, dir, "documents").bagDF, chunkTokens = 10)
       .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("kept"))
 
+  /** Corpus-self-trained bigram LM score per document (mean ln P, add-0.5
+    * smoothing) — the perplexity-style quality signal. The DuckDB oracle
+    * retrains the identical LM and rescores; 6dp-rounded decimal log sums
+    * make both sides bit-stable. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(t(s, dir, "documents").bagDF)
+
   /** Intra-document repetition removal with DETERMINISTICALLY PLANTED
     * repeats (the corpus has no natural within-doc chunk repeats): every
     * 5th doc is rewritten as its own first 10 tokens repeated 3× — the
@@ -1108,7 +1115,7 @@ object Queries {
     "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck,
     "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
     "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
-    "q_intra_dedup" -> qIntraDedup)
+    "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1468,6 +1475,23 @@ object Queries {
       "FROM embeddings WHERE vec_id < 5"),
 
     "q_semdedup_check" -> "SELECT true AS soundness_ok, true AS recall_ok",
+
+    "q_lm_score" -> ("WITH tok AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "b AS (SELECT doc_id, " +
+      "unnest([ts[i] for i in range(1, len(ts))]) AS w1, " +
+      "unnest([ts[i+1] for i in range(1, len(ts))]) AS w2 FROM tok), " +
+      "c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT t) AS nv FROM " +
+      "(SELECT unnest(ts) AS t FROM tok)), " +
+      "sc AS (SELECT b.doc_id, CAST(round(ln((n2 + 0.5) / (n1 + 0.5 * nv)), 6) " +
+      "AS DECIMAL(18,6)) AS lp " +
+      "FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      "round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score " +
+      "FROM sc GROUP BY doc_id"),
 
     "q_intra_dedup" -> ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
       "THEN concat_ws(' ', t10, t10, t10) ELSE text END AS text FROM (" +

@@ -180,6 +180,52 @@ object TextAnalysis {
     "ok_punct" -> (punctRatio(text) <= maxPunct),
     "ok_stopwords" -> (stopwordRatio(text) > 0.0))
 
+  /** Bigram language-model score per document: train an add-k-smoothed
+    * bigram LM on the corpus ITSELF, then score each document by its mean
+    * log-probability — the classic "does this look like the rest of the
+    * corpus" quality/outlier signal (a cheap stand-in for the perplexity
+    * filters used on web-scale training data; KN-smoothed n-gram scoring
+    * follows the same plan shape).
+    *
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), score = mean ln P over
+    * the document's bigrams. Plan shape: one bigram explode feeds both
+    * the count tables and the scoring stream; counts are two map-side
+    * combinable aggregations; scoring joins the stream back on the bigram
+    * key — hash equi-joins that AQE broadcasts when the LM is small but
+    * that stay shuffle joins for a web-scale vocabulary (an LM table of
+    * billions of bigrams must NOT be collected or broadcast). Per-doc
+    * aggregation sums 6dp-rounded logs in decimal, so the score is
+    * bit-deterministic under any partitioning.
+    *
+    * Returns (idCol, n_bigrams, lm_score); documents with < 2 tokens have
+    * no bigrams and are absent. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, k: Double = 0.5,
+              idCol: String = "doc_id",
+              textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val pairs = docs.select(col(idCol), explode(bind(toks) { ts =>
+        arrays_zip(
+          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))).as("w1"),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))).as("w2"))
+      }).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // vocabulary size: one scalar to the driver (like tfidf's N)
+    val v = docs.select(explode(toks).as("t")).agg(countDistinct(col("t")))
+      .collect()(0).getLong(0).toDouble
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col(idCol),
+        round(log((col("n2") + k) / (col("n1") + k * v)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("lm_score"))
+  }
+
   /** TF-IDF term weights over a corpus: one row per (doc, term) with term
     * frequency, document frequency and tf·ln(N/df), for terms with
     * tf ≥ minTf. df (one row per distinct term) joins back to tf on the

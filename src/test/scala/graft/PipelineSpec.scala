@@ -201,6 +201,27 @@ class PipelineSpec extends SparkSpec {
     assert(top1.forall { case (a, b) => a == b })
   }
 
+  test("lmScore: hand-computed add-k bigram LM on a 2-doc corpus") {
+    // doc1 = "a b a b", doc2 = "a b": c2={(a,b):3,(b,a):1}, c1={a:3,b:1}, V=2
+    // P(b|a)=3.5/4, P(a|b)=1.5/2
+    val d = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lnAB = BigDecimal(math.log(3.5 / 4)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lnBA = BigDecimal(math.log(1.5 / 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val doc1 = ((lnAB * 2 + lnBA) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - doc1.toDouble) < 1e-9)
+    assert(out(2L) === ((1L, lnAB.toDouble)))
+  }
+
+  test("lmScore is partitioning-invariant (decimal log sums)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.lmScore(docs).collect().map(_.toSeq).toSet
+    val b = TextAnalysis.lmScore(docs.repartition(17)).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a === b)
+  }
+
   test("intraDocDedup: first occurrence kept within a doc, repeats dropped") {
     val rep = ("alpha beta gamma delta eps zeta eta theta iota kappa " * 3).trim
     val d = Seq((1L, rep), (2L, "unique words only here now")).toDF("doc_id", "text")

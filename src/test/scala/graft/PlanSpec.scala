@@ -178,6 +178,15 @@ class PlanSpec extends SparkSpec {
       s"no equi-join found for the pair stage:\n${p.take(4000)}")
   }
 
+  test("lmScore: LM-table joins are equi-joins, count aggregations partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.lmScore(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lmScore planned an all-pairs join:\n${p.take(3000)}")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"LM count tables not map-side combined:\n${p.take(3000)}")
+  }
+
   test("tfidf: no cartesian, no per-doc window; both aggregations partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.tfidf(docs))
