@@ -620,6 +620,22 @@ object Queries {
   def qPack(s: SparkSession, dir: String): DataFrame =
     Pack.packGreedy(t(s, dir, "documents").bagDF, budget = 256, buckets = 8)
 
+  /** Packing-efficiency report over [[qPack]]'s assignment: docs and token
+    * fill per pack — the "how full are my training sequences" table. */
+  def qPackStats(s: SparkSession, dir: String): DataFrame =
+    Pack.packStats(
+      Pack.packGreedy(t(s, dir, "documents").bagDF, budget = 256, buckets = 8),
+      budget = 256)
+
+  /** Language × source corpus mix: the per-language slice of the mixing
+    * report (which sources carry which languages, by docs and tokens). */
+  def qLangMix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").bagDF
+      .select(col("source"), TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"))
+      .groupBy("lang_guess", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+
   /** Corpus-mix report: per-source document/token counts, token share of
     * the whole corpus, mean document length — the "what is this corpus
     * made of" table every mixing recipe starts from. The per-source
@@ -1115,7 +1131,8 @@ object Queries {
     "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck,
     "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
     "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
-    "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore)
+    "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
+    "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1576,6 +1593,40 @@ object Queries {
       "CASE WHEN r.acc + d.tok > 256 THEN d.tok ELSE r.acc + d.tok END " +
       "FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1) " +
       "SELECT doc_id, bucket, pack_id, tok AS n_tokens FROM r"),
+
+    "q_pack_stats" -> ("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS bucket, " +
+      "CAST(least(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END, 256) AS INTEGER) AS tok, " +
+      "CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS rn " +
+      "FROM documents), " +
+      "r AS (SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack_id, tok AS acc " +
+      "FROM d WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT d.bucket, d.rn, d.doc_id, d.tok, " +
+      "CASE WHEN r.acc + d.tok > 256 THEN r.pack_id + 1 ELSE r.pack_id END, " +
+      "CASE WHEN r.acc + d.tok > 256 THEN d.tok ELSE r.acc + d.tok END " +
+      "FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1) " +
+      "SELECT bucket, pack_id, count(*) AS n_docs, " +
+      "CAST(sum(tok) AS BIGINT) AS pack_tokens, " +
+      "round(CAST(sum(tok) AS DOUBLE) / 256, 6) AS fill_ratio " +
+      "FROM r GROUP BY bucket, pack_id"),
+
+    "q_lang_mix" -> ("WITH lang AS (" +
+      "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN h_fr = m THEN 'fr' " +
+      "WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_guess FROM (" +
+      "SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS m, h_en, h_de, h_fr, h_es FROM (" +
+      "SELECT doc_id, " +
+      "len(list_filter(toks, t -> list_contains(['the','and','is','of','to','that','it','was','with'], t))) AS h_en, " +
+      "len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit','sich'], t))) AS h_de, " +
+      "len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans','que','pour'], t))) AS h_fr, " +
+      "len(list_filter(toks, t -> list_contains(['el','la','los','es','una','por','que','con','para'], t))) AS h_es " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+') AS toks FROM documents)))), " +
+      "m AS (SELECT l.lang_guess, d.source, " +
+      "CASE WHEN length(trim(d.text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS tok " +
+      "FROM documents d JOIN lang l USING (doc_id)) " +
+      "SELECT lang_guess, source, count(*) AS n_docs, " +
+      "CAST(sum(tok) AS BIGINT) AS n_tokens FROM m GROUP BY 1, 2"),
 
     "q_corpus_mix" -> ("WITH t AS (SELECT source, " +
       "CASE WHEN length(trim(text)) = 0 THEN 0 " +
