@@ -620,6 +620,22 @@ object Queries {
   def qPack(s: SparkSession, dir: String): DataFrame =
     Pack.packGreedy(t(s, dir, "documents").bagDF, budget = 256, buckets = 8)
 
+  /** End-to-end training-data preparation in ONE declarative plan:
+    * Gopher-rule quality filter → exact dedup (lowest-id winner) → greedy
+    * sequence packing of the survivors. Every stage is an
+    * already-oracled primitive; the composed plan is what a real corpus
+    * build runs, and Catalyst pipelines the filter into the dedup scan
+    * (no separate pass per stage). The DuckDB oracle chains the identical
+    * CTEs, ending in the recursive greedy replay. */
+  def qE2ePrepare(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val keep = TextAnalysis.gopherRules(col("text")).map(_._2).reduce(_ && _)
+    val kept = docs.filter(keep)
+    val winners = Dedup.exact(kept).select("doc_id")
+    val survivors = kept.join(winners, "doc_id")
+    Pack.packGreedy(survivors, budget = 256, buckets = 8)
+  }
+
   /** Packing-efficiency report over [[qPack]]'s assignment: docs and token
     * fill per pack — the "how full are my training sequences" table. */
   def qPackStats(s: SparkSession, dir: String): DataFrame =
@@ -1132,7 +1148,8 @@ object Queries {
     "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
     "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
-    "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix)
+    "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
+    "q_e2e_prepare" -> qE2ePrepare)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1585,6 +1602,35 @@ object Queries {
       "ELSE len(string_split_regex(trim(text), '\\s+')) END, 256) AS INTEGER) AS tok, " +
       "CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS rn " +
       "FROM documents), " +
+      "r AS (SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack_id, tok AS acc " +
+      "FROM d WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT d.bucket, d.rn, d.doc_id, d.tok, " +
+      "CASE WHEN r.acc + d.tok > 256 THEN r.pack_id + 1 ELSE r.pack_id END, " +
+      "CASE WHEN r.acc + d.tok > 256 THEN d.tok ELSE r.acc + d.tok END " +
+      "FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1) " +
+      "SELECT doc_id, bucket, pack_id, tok AS n_tokens FROM r"),
+
+    "q_e2e_prepare" -> ("WITH RECURSIVE base AS (SELECT doc_id, text, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+      "ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / " +
+      "len(string_split_regex(trim(text), '\\s+')) END AS mean_tok, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 " +
+      "ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct, " +
+      "len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), " +
+      "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS stop_hits " +
+      "FROM documents), " +
+      "keep AS (SELECT doc_id, text, n_tokens FROM base " +
+      "WHERE n_tokens BETWEEN 5 AND 10000 AND mean_tok BETWEEN 2.0 AND 12.0 " +
+      "AND punct <= 0.2 AND stop_hits > 0), " +
+      "win AS (SELECT min(doc_id) AS doc_id FROM keep " +
+      "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), " +
+      "d AS (SELECT k.doc_id, k.doc_id % 8 AS bucket, " +
+      "CAST(least(k.n_tokens, 256) AS INTEGER) AS tok, " +
+      "CAST(row_number() OVER (PARTITION BY k.doc_id % 8 ORDER BY k.doc_id) AS BIGINT) AS rn " +
+      "FROM keep k JOIN win USING (doc_id)), " +
       "r AS (SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack_id, tok AS acc " +
       "FROM d WHERE rn = 1 " +
       "UNION ALL " +
