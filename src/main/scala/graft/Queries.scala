@@ -755,15 +755,23 @@ object Queries {
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
     val name = "q_stream_join_sink"
-    val query = graft.streaming.EventStream.purchaseClickJoin(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    val out = s.table(name).localCheckpoint()
-    query.stop()
-    out
+    // a stream-stream join keeps TWO state stores per shuffle partition;
+    // with cpu-count partitions the fixed per-store commit cost dominates
+    // a replay this size. Size partitions to the state, not the cores
+    // (on a real cluster this is sized to state volume / executor count).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = graft.streaming.EventStream.purchaseClickJoin(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val out = s.table(name).localCheckpoint()
+      query.stop()
+      out
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Corpus-wide word-bigram frequencies (count ≥ 10): the corpus-stats

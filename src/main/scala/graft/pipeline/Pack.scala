@@ -94,4 +94,20 @@ object Pack {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
       .withColumn("fill_ratio",
         round(col("pack_tokens").cast("double") / budget, 6))
+
+  /** Write packed training shards: one parquet directory per bucket
+    * (`bucket=N/`), rows sorted by (pack_id, doc_id) WITHIN each file so
+    * a shard reader streams whole packs in order without a sort. The
+    * text column joins back only here — it never rode the packing
+    * shuffle. partitionBy gives the standard hive layout a trainer's
+    * data loader lists; one file per bucket (each bucket is one
+    * partition after repartition), so file count = shard count, not
+    * shard × task count. */
+  def writeShards(packed: DataFrame, docs: DataFrame, path: String,
+                  idCol: String = "doc_id", textCol: String = "text"): Unit =
+    packed
+      .join(docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)), "doc_id")
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "pack_id", "doc_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 }

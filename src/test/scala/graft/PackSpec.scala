@@ -78,6 +78,22 @@ class PackSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("writeShards: hive-partitioned by bucket, packs contiguous within files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toFile
+    tmp.deleteOnExit()
+    val packed = Pack.packGreedy(docs, budget = 100, buckets = 2)
+    Pack.writeShards(packed, docs, tmp.getPath)
+    val dirs = tmp.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("bucket=0", "bucket=1"))
+    val back = spark.read.parquet(tmp.getPath)
+    assert(back.count() === packed.count())
+    // round trip preserves the assignment and carries the text back in
+    val cols = back.select("doc_id", "bucket", "pack_id", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(cols === packed.collect().map(_.toSeq).toSet)
+    assert(back.schema.fieldNames.contains("text"))
+  }
+
   test("packStats: fill ratios are in (0,1] for non-degenerate packs") {
     val stats = Pack.packStats(
       Pack.packGreedy(docs, budget = 100, buckets = 2), budget = 100).collect()
