@@ -496,6 +496,13 @@ object Queries {
       rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
       .select("doc_id", "source")
 
+  /** Deterministic train/val/test split (80/10/10 by content hash): the
+    * membership predicate is a pure function of doc_id, replayed verbatim
+    * by the oracle — the split every training run starts from. */
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents").bagDF, col("doc_id"))
+      .select("doc_id", "split")
+
   /** TF-IDF term weights (tf ≥ 2) over the documents corpus — emitted as
     * scored (doc, term) rows, no argmax (bit-robust across engines). */
   def qTfidf(s: SparkSession, dir: String): DataFrame =
@@ -1157,7 +1164,7 @@ object Queries {
     "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
-    "q_e2e_prepare" -> qE2ePrepare)
+    "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1436,6 +1443,11 @@ object Queries {
       "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
       "CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 " +
       "WHEN 'src3' THEN 10 ELSE 0 END AS keep FROM documents) WHERE b < keep"),
+    "q_split" -> ("SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
+      "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (" +
+      "SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) " +
+      "AS INTEGER) % 100 AS b FROM documents)"),
+
     "q_tfidf" -> ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(" +
       "lower(trim(text)), '[^a-z0-9]+')) AS term FROM documents), " +
       "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE length(term) > 0 " +

@@ -30,6 +30,27 @@ object Sampling {
                  buckets: Int = 100): DataFrame =
     df.filter(hashBucket(key, buckets) < math.round(rate * buckets).toInt)
 
+  /** Deterministic train/val/test split: every row gets a split label from
+    * its content-hash bucket (cumulative fraction thresholds), so the
+    * partition is a pure function of the key — stable across runs,
+    * engines, partitioning, and corpus growth (a new document never moves
+    * an old one between splits). Fractions must sum to ≤ 1; any remainder
+    * bucket falls into the LAST split. Narrow map, no shuffle. */
+  def hashSplit(df: DataFrame, key: Column,
+                fractions: Seq[(String, Double)] = Seq(
+                  "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                buckets: Int = 100): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val b = hashBucket(key, buckets)
+    val label = fractions.zip(cuts).init.foldRight(
+      lit(fractions.last._1)) { case (((name, _), cut), rest) =>
+      when(b < math.round(cut * buckets).toInt, lit(name)).otherwise(rest)
+    }
+    // evaluate the CASE once via a single projection
+    df.withColumn("split", label)
+  }
+
   /** Per-stratum rates: keep ~rates(stratum) of each group. Strata missing
     * from the map are dropped — a corpus-mix recipe ("3% of web, 40% of
     * books") is exactly this call. Broadcast map lookup, still a narrow

@@ -30,6 +30,22 @@ class SamplingSpec extends SparkSpec {
     assert(kept + rest == total)
   }
 
+  test("hashSplit: labels partition the corpus, stable under repartition, near 80/10/10") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.pipeline.Sampling.hashSplit(docs, col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.pipeline.Sampling.hashSplit(docs.repartition(13), col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)                       // pure function of the key
+    assert(a.size === docs.count())       // every doc exactly one label
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08)
+    assert(math.abs(frac("val") - 0.1) < 0.05)
+    assert(math.abs(frac("test") - 0.1) < 0.05)
+  }
+
   test("rate lands near the target on uniform keys") {
     val n = 10000
     val keys = spark.range(n).toDF("k")
