@@ -496,6 +496,15 @@ object Queries {
       rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
       .select("doc_id", "source")
 
+  /** Temperature-balanced mixing (α=0.5, target 50%): per-source rates
+    * derived from tempered corpus shares inside the plan, content-hash
+    * membership — the oracle recomputes the identical rate table and
+    * md5 predicate. */
+  def qTempMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(t(s, dir, "documents").bagDF,
+        stratum = col("source"), key = col("doc_id"))
+      .select("doc_id", "source")
+
   /** Deterministic train/val/test split (80/10/10 by content hash): the
     * membership predicate is a pure function of doc_id, replayed verbatim
     * by the oracle — the split every training run starts from. */
@@ -1164,7 +1173,8 @@ object Queries {
     "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
-    "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit)
+    "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
+    "q_temp_mix" -> qTempMix)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1443,6 +1453,18 @@ object Queries {
       "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
       "CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 " +
       "WHEN 'src3' THEN 10 ELSE 0 END AS keep FROM documents) WHERE b < keep"),
+    "q_temp_mix" -> ("WITH c AS (SELECT source, count(*) AS n FROM documents " +
+      "GROUP BY source), " +
+      "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS ntot, " +
+      "SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c), " +
+      "r AS (SELECT source, round(least(1.0, " +
+      "0.5 * t.ntot * pow(CAST(c.n AS DOUBLE), -0.5) / t.z), 6) AS r FROM c, t) " +
+      "SELECT doc_id, source FROM (" +
+      "SELECT d.doc_id, d.source, " +
+      "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
+      "r.r FROM documents d JOIN r USING (source)) " +
+      "WHERE b < CAST(round(r * 100) AS INTEGER)"),
+
     "q_split" -> ("SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
       "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (" +
       "SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) " +

@@ -51,6 +51,37 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Temperature-balanced corpus mixing (the multilingual/multi-source
+    * α-sampling recipe): source s with share p_s = n_s/N is sampled with
+    * probability ∝ p_s^α, flattening the mix toward uniform as α → 0.
+    * Keep rate r_s = min(1, target·N·n_s^(α-1)/Σ n^α), so the expected
+    * output is ~target·N rows distributed by the tempered shares.
+    *
+    * The per-source rate table is computed INSIDE the plan (two tiny
+    * aggregations, broadcast back) — no driver round trip — and
+    * membership is the same content-hash predicate as [[hashSample]], so
+    * the kept set is deterministic and engine-portable. Rates are rounded
+    * to 6dp so the bucket comparison replays identically in SQL. */
+  def temperatureMix(df: DataFrame, stratum: Column, key: Column,
+                     alpha: Double = 0.5, target: Double = 0.5,
+                     buckets: Int = 100): DataFrame = {
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(
+      sum(col("__n")).cast("double").as("__N"),
+      sum(pow(col("__n").cast("double"), lit(alpha))).as("__Z"))
+    // tot derives from counts — alias both sides so the self-join's cloned
+    // attributes stay unambiguous
+    val rates = counts.alias("c").crossJoin(broadcast(tot.alias("t")))
+      .select(col("c.__s").as("__s"),
+        round(least(lit(1.0),
+          lit(target) * col("t.__N") *
+            pow(col("c.__n").cast("double"), lit(alpha - 1.0)) / col("t.__Z")), 6)
+          .as("__r"))
+    df.join(broadcast(rates), stratum === col("__s"))
+      .filter(hashBucket(key, buckets) < round(col("__r") * buckets).cast("int"))
+      .drop("__s", "__r")
+  }
+
   /** Per-stratum rates: keep ~rates(stratum) of each group. Strata missing
     * from the map are dropped — a corpus-mix recipe ("3% of web, 40% of
     * books") is exactly this call. Broadcast map lookup, still a narrow

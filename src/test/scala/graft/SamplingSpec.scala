@@ -46,6 +46,33 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.1) < 0.05)
   }
 
+  test("temperatureMix: α=0 equalizes expected counts (small sources capped), α=1 preserves shares") {
+    import spark.implicits._
+    val skewed = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1200).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    def keptBySource(alpha: Double) =
+      graft.pipeline.Sampling.temperatureMix(skewed,
+          col("source"), col("doc_id"), alpha = alpha, target = 0.5)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=0: r_small = min(1, 0.5·1000·(1/200)/2) = 1.25 → capped, ALL kept;
+    // r_big = 0.5·1000·(1/800)/2 = 0.3125
+    val flat = keptBySource(0.0)
+    assert(flat("small") === 200L)
+    assert(math.abs(flat("big") / 800.0 - 0.3125) < 0.06)
+    // α=1: every source keeps ~target — shares preserved
+    val prop = keptBySource(1.0)
+    assert(math.abs(prop("big") / 800.0 - 0.5) < 0.06)
+    assert(math.abs(prop("small") / 200.0 - 0.5) < 0.1)
+    // deterministic under repartitioning
+    val again = graft.pipeline.Sampling.temperatureMix(skewed.repartition(7),
+        col("source"), col("doc_id"), alpha = 0.0, target = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === flat)
+  }
+
   test("rate lands near the target on uniform keys") {
     val n = 10000
     val keys = spark.range(n).toDF("k")
