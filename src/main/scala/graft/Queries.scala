@@ -505,6 +505,19 @@ object Queries {
         stratum = col("source"), key = col("doc_id"))
       .select("doc_id", "source")
 
+  /** Best-5 documents per source by composite quality score — grouped
+    * top-k through the two-phase no-window operator (rel/TopK.scala):
+    * the curation step "keep only the best of each source". Scores are
+    * 6dp-rounded on both sides so ordering and ties replay identically;
+    * ties break by doc_id. */
+  def qTopQuality(s: SparkSession, dir: String): DataFrame =
+    graft.rel.TopK.perGroup(
+      t(s, dir, "documents").bagDF,
+      group = col("source"),
+      score = TextAnalysis.qualityScore(col("text")),
+      tie = col("doc_id"),
+      k = 5, groupName = "source", tieName = "doc_id", scoreName = "quality")
+
   /** Deterministic train/val/test split (80/10/10 by content hash): the
     * membership predicate is a pure function of doc_id, replayed verbatim
     * by the oracle — the split every training run starts from. */
@@ -1174,7 +1187,7 @@ object Queries {
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
     "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
-    "q_temp_mix" -> qTempMix)
+    "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1464,6 +1477,20 @@ object Queries {
       "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
       "r.r FROM documents d JOIN r USING (source)) " +
       "WHERE b < CAST(round(r * 100) AS INTEGER)"),
+
+    "q_top_quality" -> ("WITH q AS (SELECT doc_id, source, round((" +
+      "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + " +
+      "greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0 " +
+      "ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 0.0) + " +
+      "least((CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+      "ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), " +
+      "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / " +
+      "len(string_split_regex(trim(text), '\\s+')) END) * 5.0, 1.0)" +
+      ") / 3, 6) AS quality FROM documents) " +
+      "SELECT source, doc_id, quality, CAST(rank AS INTEGER) AS rank FROM (" +
+      "SELECT source, doc_id, quality, " +
+      "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank " +
+      "FROM q) WHERE rank <= 5"),
 
     "q_split" -> ("SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
       "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (" +

@@ -178,6 +178,15 @@ class PlanSpec extends SparkSpec {
       s"no equi-join found for the pair stage:\n${p.take(4000)}")
   }
 
+  test("grouped top-k (TopK.perGroup) plans no window — two hash aggregations") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.rel.TopK.perGroup(docs, col("source"),
+      length(col("text")).cast("double"), col("doc_id"), 5))
+    assert(!p.contains("Window"), s"top-k degenerated to a window:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected two-phase aggregation:\n${p.take(3000)}")
+  }
+
   test("lmScore: LM-table joins are equi-joins, count aggregations partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.lmScore(docs))
