@@ -496,6 +496,22 @@ object Queries {
       rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
       .select("doc_id", "source")
 
+  /** Split-leakage audit — the composed hygiene check every split needs:
+    * snippets drawn from TEST-split documents are fuzzily matched (q-gram
+    * containment ≥ 0.6) against TRAIN-split documents. The corpus's
+    * near-dup structure produces genuine cross-split leakage, which the
+    * oracle reproduces by chaining the split predicate into the same gram
+    * CTEs. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.hashSplit(t(s, dir, "documents").bagDF, col("doc_id"))
+    val train = docs.filter(col("split") === "train")
+    val testSplit = docs.filter(col("split") === "test")
+    Decontaminate.fuzzyContaminated(
+        train, Decontaminate.evalSnippets(testSplit), n = 8, frac = 0.6)
+      .select(col("doc_id").as("train_doc_id"), col("eval_id").as("test_doc_id"),
+        round(col("overlap"), 6).as("overlap"))
+  }
+
   /** Temperature-balanced mixing (α=0.5, target 50%): per-source rates
     * derived from tempered corpus shares inside the plan, content-hash
     * membership — the oracle recomputes the identical rate table and
@@ -1187,7 +1203,8 @@ object Queries {
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
     "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
-    "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality)
+    "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
+    "q_split_leakage" -> qSplitLeakage)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1477,6 +1494,27 @@ object Queries {
       "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
       "r.r FROM documents d JOIN r USING (source)) " +
       "WHERE b < CAST(round(r * 100) AS INTEGER)"),
+
+    "q_split_leakage" -> ("WITH s AS (SELECT doc_id, text, " +
+      "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM (SELECT doc_id, text, " +
+      "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b " +
+      "FROM documents)), " +
+      "nn AS (SELECT doc_id, " +
+      "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt, split FROM s), " +
+      "ev AS (SELECT doc_id AS eval_id, substr(nt, 11, 40) AS snippet FROM nn " +
+      "WHERE split = 'test' AND doc_id % 17 = 0 AND length(nt) >= 50), " +
+      "evn AS (SELECT eval_id, " +
+      "regexp_replace(lower(trim(snippet)), '\\s+', ' ', 'g') AS sn FROM ev), " +
+      "evg AS (SELECT eval_id, list_distinct([substr(sn, i, 8) " +
+      "for i in range(1, greatest(length(sn) - 6, 2))]) AS gr FROM evn), " +
+      "dgr AS (SELECT doc_id, list_distinct([substr(nt, i, 8) " +
+      "for i in range(1, greatest(length(nt) - 6, 2))]) AS gr FROM nn " +
+      "WHERE split = 'train') " +
+      "SELECT train_doc_id, test_doc_id, round(ov, 6) AS overlap FROM (" +
+      "SELECT d.doc_id AS train_doc_id, e.eval_id AS test_doc_id, " +
+      "CAST(len(list_intersect(d.gr, e.gr)) AS DOUBLE) / len(e.gr) AS ov " +
+      "FROM dgr d, evg e) WHERE ov >= 0.6"),
 
     "q_top_quality" -> ("WITH q AS (SELECT doc_id, source, round((" +
       "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + " +
