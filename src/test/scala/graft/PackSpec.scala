@@ -85,6 +85,11 @@ class PackSpec extends SparkSpec {
     Pack.writeShards(packed, docs, tmp.getPath)
     val dirs = tmp.listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs === Array("bucket=0", "bucket=1"))
+    // one data file per shard (file count = shard count, not × task count)
+    tmp.listFiles().filter(_.isDirectory).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"expected exactly one parquet file in ${d.getName}")
+    }
     val back = spark.read.parquet(tmp.getPath)
     assert(back.count() === packed.count())
     // round trip preserves the assignment and carries the text back in
