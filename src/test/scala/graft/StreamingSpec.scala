@@ -166,6 +166,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless corpus ops (scrub, quality, split) run unchanged on a doc stream") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val schema = spark.read.parquet(src).schema
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Sampling.hashSplit(df, col("doc_id"))
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.scrub(col("text")).as("text"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("split"))
+    val batch = enrich(spark.read.parquet(src)).collect().map(_.toSeq).toSet
+    val f = new java.io.File(src)
+    val q = enrich(spark.readStream.schema(schema)
+        .parquet(s"${f.getParent}/{${f.getName}}"))
+      .writeStream.format("memory").queryName("statelessdocs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("statelessdocs").collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (purchase×click) equals the batch range join") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.sources.Sources.nanosTsToMicros(
