@@ -81,6 +81,9 @@ object BenchScale {
     def fuzzy(df: DataFrame): Long =
       graft.pipeline.Decontaminate.fuzzyContaminated(df, evalFixed).count()
     run("decontam_fuzzy", fuzzy(docs1), fuzzy(scaleDocs(mult)))
+    run("lm_score",
+      TextAnalysis.lmScore(docs1).count(),
+      TextAnalysis.lmScore(scaleDocs(mult)).count())
     def pq(df: DataFrame): Long = {
       val q = df.orderBy("vec_id").limit(5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
