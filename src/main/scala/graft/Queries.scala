@@ -496,6 +496,19 @@ object Queries {
       rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
       .select("doc_id", "source")
 
+  /** Deterministic corpus shuffle for training order: every doc gets its
+    * 1-based rank under a content-hash total order — the "randomize the
+    * corpus reproducibly" step before sharding. Reuses the scale-safe
+    * two-pass global ordinal (rel/Ordered.withGlobalOrdinal): range
+    * partition by the hash key + per-partition numbering + prefix-sum of
+    * partition counts — never a single-partition window. */
+  def qShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    graft.rel.Ordered.withGlobalOrdinal(
+        t(s, dir, "documents").bagDF
+          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__k")),
+        Seq(col("__k"), col("doc_id")), "shuffle_rank")
+      .select("doc_id", "shuffle_rank")
+
   /** Split-leakage audit — the composed hygiene check every split needs:
     * snippets drawn from TEST-split documents are fuzzily matched (q-gram
     * containment ≥ 0.6) against TRAIN-split documents. The corpus's
@@ -1204,7 +1217,7 @@ object Queries {
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
     "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
     "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
-    "q_split_leakage" -> qSplitLeakage)
+    "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1494,6 +1507,10 @@ object Queries {
       "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
       "r.r FROM documents d JOIN r USING (source)) " +
       "WHERE b < CAST(round(r * 100) AS INTEGER)"),
+
+    "q_shuffle_order" -> ("SELECT doc_id, CAST(row_number() OVER (" +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
+      "FROM documents"),
 
     "q_split_leakage" -> ("WITH s AS (SELECT doc_id, text, " +
       "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
