@@ -178,6 +178,20 @@ class PlanSpec extends SparkSpec {
       s"no equi-join found for the pair stage:\n${p.take(4000)}")
   }
 
+  test("pipeline scans prune to the columns they use (no source/text over-read)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // lmScore touches doc_id + text only — `source` must not reach the scan
+    val f1 = formatted(graft.pipeline.TextAnalysis.lmScore(docs))
+    val rs1 = f1.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(rs1.nonEmpty && rs1.forall(l => !l.contains("source")),
+      s"lmScore reads columns it never uses:\n${rs1.mkString("\n")}")
+    // corpus-mix touches source + text only — doc_id must not reach the scan
+    val f2 = formatted(Queries.qCorpusMix(spark, sf))
+    val rs2 = f2.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(rs2.nonEmpty && rs2.forall(l => !l.contains("doc_id")),
+      s"corpus-mix reads columns it never uses:\n${rs2.mkString("\n")}")
+  }
+
   test("grouped top-k (TopK.perGroup) plans no window — two hash aggregations") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.rel.TopK.perGroup(docs, col("source"),
