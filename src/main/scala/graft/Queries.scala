@@ -414,6 +414,16 @@ object Queries {
       .select(col("id").as("doc_id"), col("rep"), col("csize"))
   }
 
+  /** Survivor selection, oracle-gated end to end: the corpus minus every
+    * non-representative member of a minhash near-dup cluster — the final
+    * keep/drop decision of the dedup pipeline. One left_anti join of the
+    * corpus against the (small) component map. */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).select("id_a", "id_b")
+    graft.pipeline.Cluster.survivors(docs, pairs).select("doc_id")
+  }
+
   /** Sketch-family contract row: each approximate summary checked against
     * its exact counterpart within the sketch's published error bound (with
     * ≥2× slack so the row trips on regressions, not estimator noise). All
@@ -1217,7 +1227,8 @@ object Queries {
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
     "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
     "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
-    "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder)
+    "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
+    "q_dedup_survivors" -> qDedupSurvivors)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1466,6 +1477,21 @@ object Queries {
       "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a), " +
       "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a) " +
       "SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM comp"),
+    "q_dedup_survivors" -> ("WITH RECURSIVE g AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents WHERE length(text) >= 5)), " +
+      "pairs AS (SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(a.gr || b.gr)) AS jaccard " +
+      "FROM g a, g b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a), " +
+      "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a) " +
+      "SELECT d.doc_id FROM documents d WHERE length(d.text) >= 5 " +
+      "AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep)"),
+
     "q_sketch_check" -> ("SELECT true AS hll_ok, true AS quantile_ok, " +
       "true AS cms_ok, true AS bloom_ok, true AS hll_merge_ok"),
     "q_pipeline_clean" -> ("WITH lang AS (" +
