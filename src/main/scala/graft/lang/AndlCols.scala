@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DataType
 
 import AndlAst._
 import AndlValues._
-import graft.rel.{Fold, Ordered, OrderedFold, OrderSpec, Rel}
+import graft.rel.{Fold, Ordered, OrderedFold, OrderSpec, Rel, Segmented}
 import graft.functions.{Builtins, Scalar}
 
 /** Compiles Andl expressions that appear INSIDE relational operators —
@@ -40,10 +40,13 @@ final class AndlCols(interp: AndlInterp) {
   final case class CExpr(col: Column, t: AType)
 
   /** Compile context. `binds` holds inlined function parameters and
-    * do-block locals (they shadow attributes, which shadow the env). */
+    * do-block locals (they shadow attributes, which shadow the env).
+    * `seg` is the segmented-window builder for UNGROUPED order specs —
+    * when present, window functions and ordered folds lower through it
+    * instead of a single-partition window ([[graft.rel.Segmented]]). */
   final case class Ctx(heading: Map[String, AType], binds: Map[String, CExpr],
                        env: Env, spec: Option[OrderSpec], mode: FoldMode,
-                       depth: Int = 0) {
+                       depth: Int = 0, seg: Option[Segmented] = None) {
     def bound(more: Seq[(String, CExpr)]): Ctx = copy(binds = binds ++ more)
   }
 
@@ -254,10 +257,17 @@ final class AndlCols(interp: AndlInterp) {
         val c = compile(args(0), ctx)
         val dt = sparkType(c.t)
         val n = litArg(1)
-        val col = name match {
-          case "lag"  => Ordered.lagD(c.col, n, dt, spec)
-          case "lead" => Ordered.leadD(c.col, n, dt, spec)
-          case "nth"  => Ordered.nthD(c.col, n, dt, spec)
+        val col = (ctx.seg, spec.groupBy.isEmpty) match {
+          case (Some(seg), true) => name match {
+            case "lag"  => seg.lagD(c.col, n, dt)
+            case "lead" => seg.leadD(c.col, n, dt)
+            case "nth"  => seg.nthD(c.col, n, dt)
+          }
+          case _ => name match {
+            case "lag"  => Ordered.lagD(c.col, n, dt, spec)
+            case "lead" => Ordered.leadD(c.col, n, dt, spec)
+            case "nth"  => Ordered.nthD(c.col, n, dt, spec)
+          }
         }
         CExpr(col, c.t)
       case "ord" if ctx.spec.isEmpty && !ctx.mode.isInstanceOf[RunFold] &&
@@ -266,9 +276,13 @@ final class AndlCols(interp: AndlInterp) {
         // within one partition (literals/CSV load as one) — ordered use
         // sites should .order first, like every reference test does.
         CExpr((F.monotonically_increasing_id() + 1).cast("double"), TNum)
+      case "ord" if ctx.seg.isDefined && spec.groupBy.isEmpty =>
+        CExpr(ctx.seg.get.ord.cast("double"), TNum)
       case "ord"  => CExpr(Ordered.ord(spec).cast("double"), TNum)
       case "ordg" => ctx.binds.getOrElse("__ordg__",
         sys.error(s"ordg() needs an ordered context at line $line"))
+      case "rank" if ctx.seg.isDefined && spec.groupBy.isEmpty =>
+        CExpr(ctx.seg.get.rank(spec.rawSort).cast("double"), TNum)
       case "rank" => CExpr(Ordered.rank(spec).cast("double"), TNum)
       case _ =>
         val cargs = args.map(compile(_, ctx))
@@ -458,12 +472,46 @@ final class AndlCols(interp: AndlInterp) {
           // (the reference folds stored order; local plans preserve it)
           CExpr(F.aggregate(F.collect_list(inner.col),
             seedFor(op, outT), stepFor(op, outT, ctx)), outT)
+      case RunFold(spec) if ctx.seg.isDefined && spec.groupBy.isEmpty =>
+        // ungrouped ordered transform: segmented running folds — per-
+        // partition windows + prefix carry, never one global partition
+        val seg = ctx.seg.get
+        op match {
+          // "/" is NOT here: 1/product rounds differently than the
+          // reference's sequential division chain (IEEE rounding per step)
+          case "+" | "max" | "min" | "&" | "*" | "-" =>
+            CExpr(seg.runningFold(op, inner.col), outT)
+          case "and" | "or" | "xor" if inner.t == TBool =>
+            CExpr(seg.runningBool(op, inner.col), TBool)
+          case "and" | "or" | "xor" =>
+            CExpr(seg.runningBits(op, inner.col), TNum)
+          case _ =>
+            CExpr(seg.runningGeneric(inner.col, seedFor(op, outT),
+              stepFor(op, outT, ctx)), outT)
+        }
       case RunFold(spec) =>
         op match {
           case "+" | "max" | "min" => CExpr(Ordered.runningFold(op, inner.col, spec), outT)
           case "&" => CExpr(Ordered.runningFold("&", inner.col, spec), TText)
           case _ => CExpr(F.aggregate(F.collect_list(inner.col).over(spec.running),
             seedFor(op, outT), stepFor(op, outT, ctx)), outT)
+        }
+      case WholeFold(spec) if ctx.seg.isDefined && spec.groupBy.isEmpty =>
+        // ungrouped ordered lift: whole-relation folds are ordinary one-row
+        // aggregates joined back broadcast (order matters only for & / user
+        // folds, which sort by the global ordinal inside the buffer)
+        val seg = ctx.seg.get
+        op match {
+          // "/" excluded for the same sequential-rounding reason as above
+          case "+" | "max" | "min" | "&" | "*" | "-" =>
+            CExpr(seg.wholeFold(op, inner.col, sparkType(outT)), outT)
+          case "and" | "or" | "xor" if inner.t == TBool =>
+            CExpr(seg.wholeBool(op, inner.col), TBool)
+          case "and" | "or" | "xor" =>
+            CExpr(seg.wholeBits(op, inner.col), TNum)
+          case _ =>
+            CExpr(seg.wholeGeneric(inner.col, seedFor(op, outT),
+              stepFor(op, outT, ctx)), outT)
         }
       case WholeFold(spec) =>
         op match {

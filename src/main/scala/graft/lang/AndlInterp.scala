@@ -774,10 +774,11 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
 
   private def orderSpecOf(terms: Seq[OrderTerm]): OrderSpec = {
     val groupBy = terms.filter(_.group).map(_.field)
-    val sort0 = terms.filterNot(_.group)
-      .map(t => if (t.desc) F.col(t.field).desc else F.col(t.field).asc)
+    val plain = terms.filterNot(_.group)
+    val sort0 = plain.map(t => if (t.desc) F.col(t.field).desc else F.col(t.field).asc)
     val sort = if (sort0.nonEmpty) sort0 else groupBy.map(F.col)
-    OrderSpec(groupBy, sort)
+    val raw = if (plain.nonEmpty) plain.map(t => F.col(t.field)) else groupBy.map(F.col)
+    OrderSpec(groupBy, sort, raw)
   }
 
   /** Sort columns of a stored order: ALL terms in sequence (a grouped `%`
@@ -885,15 +886,22 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     }
     // ordg() needs the scale-safe two-pass global ordinal precomputed as a
     // column (Ordered.withOrdg — never a single-partition window)
-    def mentionsOrdg(x: Expr): Boolean = x match {
-      case ECall("ordg", _) => true
-      case EBinop(_, a, b) => mentionsOrdg(a) || mentionsOrdg(b)
-      case EUnop(_, a) => mentionsOrdg(a)
-      case EIf(a, b, c) => mentionsOrdg(a) || mentionsOrdg(b) || mentionsOrdg(c)
-      case ECall(_, as) => as.exists(mentionsOrdg)
-      case EFold(_, a) => mentionsOrdg(a)
+    def mentionsFn(x: Expr, names: Set[String]): Boolean = x match {
+      case ECall(n, _) if names(n) => true
+      case EBinop(_, a, b) => mentionsFn(a, names) || mentionsFn(b, names)
+      case EUnop(_, a) => mentionsFn(a, names)
+      case EIf(a, b, c) =>
+        mentionsFn(a, names) || mentionsFn(b, names) || mentionsFn(c, names)
+      case ECall(_, as) => as.exists(mentionsFn(_, names))
+      case EFold(_, a) => mentionsFn(a, names)
       case _ => false
     }
+    def mentionsOrdg(x: Expr): Boolean = mentionsFn(x, Set("ordg"))
+    // window offset/ordinal builtins in an UNGROUPED ordered select lower
+    // through the segmented machinery (graft.rel.Segmented), never a
+    // single-partition window
+    def mentionsWin(x: Expr): Boolean =
+      mentionsFn(x, Set("lag", "lead", "nth", "ord", "rank"))
     val needOrdg = specOpt.isDefined && out.exists {
       case (_, Right(x)) => mentionsOrdg(x)
       case _ => false
@@ -904,11 +912,24 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     val ordgBind: Map[String, cols.CExpr] =
       if (needOrdg) Map("__ordg__" -> cols.CExpr(F.col("__ordg").cast("double"), TNum))
       else Map.empty
-    val rowCtx = cols.Ctx(headingMap, ordgBind, env, specOpt, cols.NoFold)
-    def compileRow(t: (String, Either[String, Expr])): (String, cols.CExpr) = t match {
+    // UNGROUPED ordered select with window builtins but no folds: prepare
+    // the segmented frame so lag/lead/nth/ord/rank compile to ordinal
+    // self-joins / partitioned windows instead of one global partition
+    val anyFold = foldFlag.exists(identity)
+    val segNonFold = specOpt.exists(_.groupBy.isEmpty) && !anyFold &&
+      out.exists { case (_, Right(x)) => mentionsWin(x); case _ => false }
+    val (baseDf, segOpt) =
+      if (segNonFold) {
+        val (p, s) = graft.rel.Segmented.prepare(baseDf0, specOpt.get.sort)
+        (p, Some(s))
+      } else (baseDf0, None)
+    val rowCtx = cols.Ctx(headingMap, ordgBind, env, specOpt, cols.NoFold,
+      seg = segOpt)
+    def compileRow(t: (String, Either[String, Expr]),
+                   ctx: cols.Ctx = rowCtx): (String, cols.CExpr) = t match {
       case (n, Left(a)) => n -> cols.CExpr(F.col(a),
         headingMap.getOrElse(a, sys.error(s"unknown attribute $a")))
-      case (n, Right(x)) => n -> cols.compile(x, rowCtx)
+      case (n, Right(x)) => n -> cols.compile(x, ctx)
     }
 
     if (!foldFlag.exists(identity)) {
@@ -919,7 +940,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
         case ERelRows(Seq(ETuple(Seq(TStar)))) => true
         case _ => false
       }
-      var df = baseDf0
+      var df = baseDf
       var corrIdx = 0
       val corr = mutable.Map[String, cols.CExpr]()
       val out2 = out.map {
@@ -953,7 +974,8 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
               case None => throw e
             }
         }
-      val res = df.select(compiled.map { case (n, c) => c.col.as(n) }: _*)
+      val dfm = segOpt.map(_.materialize(df)).getOrElse(df)
+      val res = dfm.select(compiled.map { case (n, c) => c.col.as(n) }: _*)
       val passthrough = out.collect { case (n, Left(a)) if n == a => n }.toSet
       withStoredOrder(
         RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res)),
@@ -972,7 +994,8 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
         case Some(sterms)
             if keyTerms.forall { case (n, Left(a)) => n == a; case _ => false } &&
               sterms.forall(t => headingMap.contains(t.field)) =>
-          Some(OrderSpec(keyTerms.map(_._1), sortColsOf(sterms)))
+          Some(OrderSpec(keyTerms.map(_._1), sortColsOf(sterms),
+            sterms.map(t => F.col(t.field))))
         case _ => None
       }
       specOpt.orElse(storedSpec) match {
@@ -991,6 +1014,29 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
               .agg(aggCols.head, aggCols.tail: _*)
           RelV(sortFields((keys ++ aggs).map { case (n, c) => (n, c.t) }),
             Rel.distinct(res))
+        case Some(spec) if spec.groupBy.isEmpty =>
+          // UNGROUPED ordered transform: segmented machinery — global
+          // ordinal + per-partition running folds with prefix carry, and
+          // run-collapse through an ordinal self-join (no single-partition
+          // window anywhere; see graft.rel.Segmented)
+          val (prep, seg) = graft.rel.Segmented.prepare(baseDf0, spec.sort)
+          val segCtx = rowCtx.copy(seg = Some(seg))
+          val runCtx = segCtx.copy(mode = cols.RunFold(spec))
+          val compiled = out.zip(foldFlag).map {
+            case ((n, t), false) => compileRow((n, t), segCtx)
+            case ((n, Right(x)), true) => n -> cols.compile(x, runCtx)
+            case _ => sys.error("unreachable")
+          }
+          val nonFoldNames = out.zip(foldFlag).collect { case ((n, _), false) => n }
+          val frame = seg.materialize(prep)
+          val withCols = compiled.foldLeft(frame) { case (d, (n, c)) =>
+            d.withColumn(n, c.col) }
+          val res = seg.collapseRuns(withCols, nonFoldNames, compiled.map(_._1))
+          val outNames = compiled.map(_._1).toSet
+          withStoredOrder(
+            RelV(sortFields(compiled.map { case (n, c) => (n, c.t) }), Rel.bag(res)),
+            order.orElse(stored)
+              .map(_.takeWhile(t => outNames(t.field))).filter(_.nonEmpty))
         case Some(spec) =>
           // ordered transform with running folds and group-collapse
           // (TransformOrdered: emit only the last row of each run)
@@ -1049,11 +1095,23 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       order match {
         case Some(o) =>
           val spec = orderSpecOf(o)
-          val ctx = cols.Ctx(headingMap, Map.empty, env, Some(spec),
-            cols.WholeFold(spec))
-          val c = cols.compile(e, ctx)
-          val row = r.rel.df.select(c.col.as("__v")).take(1)
-          if (row.isEmpty) defaultValue(c.t) else fromSpark(row(0).get(0), c.t)
+          if (spec.groupBy.isEmpty) {
+            // ungrouped ordered lift: segmented whole folds (one-row
+            // aggregates over the global ordinal — no global window)
+            val (prep, seg) = graft.rel.Segmented.prepare(r.rel.df, spec.sort)
+            val ctx = cols.Ctx(headingMap, Map.empty, env, Some(spec),
+              cols.WholeFold(spec), seg = Some(seg))
+            val c = cols.compile(e, ctx)
+            val frame = seg.materialize(prep)
+            val row = frame.select(c.col.as("__v")).take(1)
+            if (row.isEmpty) defaultValue(c.t) else fromSpark(row(0).get(0), c.t)
+          } else {
+            val ctx = cols.Ctx(headingMap, Map.empty, env, Some(spec),
+              cols.WholeFold(spec))
+            val c = cols.compile(e, ctx)
+            val row = r.rel.df.select(c.col.as("__v")).take(1)
+            if (row.isEmpty) defaultValue(c.t) else fromSpark(row(0).get(0), c.t)
+          }
         case None =>
           val ctx = cols.Ctx(headingMap, Map.empty, env, None, cols.AggFold)
           val c = cols.compile(e, ctx)

@@ -21,7 +21,8 @@ import graft.rel.Checkpoint.PinOps
   * partition keys, then sorted streaming within each partition — the plan
   * Spark would pick for any windowed query, with whole-stage codegen.
   */
-final case class OrderSpec(groupBy: Seq[String], sort: Seq[Column]) {
+final case class OrderSpec(groupBy: Seq[String], sort: Seq[Column],
+                           rawSort: Seq[Column] = Nil) {
   def window: WindowSpec =
     if (groupBy.isEmpty) Window.orderBy(sort: _*)
     else Window.partitionBy(groupBy.map(col): _*).orderBy(sort: _*)
@@ -74,6 +75,18 @@ object Ordered {
   def transformOrdered(r: Rel, spec: OrderSpec,
                        nonFold: Seq[(String, Column)],
                        folds: Seq[(String, String, Column)]): Rel = {
+    if (spec.groupBy.isEmpty) {
+      // ungrouped: segmented lowering — global ordinal + per-partition
+      // running folds with prefix carry; run-collapse via ordinal self-join
+      // (no single-partition window; see graft.rel.Segmented)
+      val (prep, seg) = Segmented.prepare(r.df, spec.sort)
+      val computed = nonFold ++ folds.map { case (n, op, c) =>
+        (n, seg.runningFold(op, c))
+      }
+      val frame = seg.materialize(prep)
+      val withCols = computed.foldLeft(frame) { case (d, (n, c)) => d.withColumn(n, c) }
+      return Rel.bag(seg.collapseRuns(withCols, nonFold.map(_._1), computed.map(_._1)))
+    }
     val computed = nonFold.map { case (n, c) => (n, c) } ++
       folds.map { case (n, op, c) => (n, runningFold(op, c, spec)) }
     val withCols = computed.foldLeft(r.df) { case (d, (n, c)) => d.withColumn(n, c) }
@@ -106,7 +119,8 @@ object Ordered {
     * The ranged frame is localCheckpointed so the count pass and the
     * numbering pass see the SAME physical partitioning (range-boundary
     * sampling is not deterministic across separate executions). */
-  def withGlobalOrdinal(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+  def withGlobalOrdinal(df: DataFrame, sort: Seq[Column], out: String,
+                        keepPid: Option[String] = None): DataFrame = {
     require(sort.nonEmpty, "global ordinal needs a total order")
     val ranged = df.repartitionByRange(sort: _*).sortWithinPartitions(sort: _*)
       .withColumn("__go_pid", spark_partition_id())
@@ -118,10 +132,14 @@ object Ordered {
     import spark.implicits._
     val offDf = counts.map(_._1).zip(offsets).toSeq.toDF("__go_pid", "__go_off")
     val w = Window.partitionBy("__go_pid").orderBy(sort: _*)
-    ranged.join(broadcast(offDf), Seq("__go_pid"), "left")
+    val numbered = ranged.join(broadcast(offDf), Seq("__go_pid"), "left")
       .withColumn(out, row_number().over(w).cast("long") +
         coalesce(col("__go_off"), lit(0L)))
-      .drop("__go_pid", "__go_off")
+      .drop("__go_off")
+    keepPid match {
+      case Some(p) => numbered.withColumnRenamed("__go_pid", p)
+      case None => numbered.drop("__go_pid")
+    }
   }
 
   /** ordg(): every row gets the GLOBAL ordinal of its group's FIRST row

@@ -1,16 +1,22 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
-import graft.rel.{Fold, Ordered, OrderedFold, OrderSpec, Rel}
+import graft.rel.{Fold, Ordered, OrderSpec, Rel, Segmented}
 
 /** Mirror of Test/SuiteRelOrder.andl — ordered concat folds for every
   * asc/desc key combination, running sums, lag/lead/nth with DEFAULT (not
-  * null) boundaries, and `%`-grouped variants. */
+  * null) boundaries, and `%`-grouped variants. Ungrouped specs exercise the
+  * SEGMENTED lowering (graft.rel.Segmented — global ordinal + partitioned
+  * windows + prefix carry), the same path the language front end lowers to;
+  * grouped specs exercise the plain partitioned-window path. */
 class OrderedSpec extends SparkSpec {
 
+  /** Ungrouped ordered concat collapsing to one total row — through
+    * transformOrdered, which routes ungrouped specs via Segmented. */
   private def concatUnder(spec: OrderSpec): String =
-    ROQ5.transform("s" -> OrderedFold.concat(col("A1"), spec)).df
+    Ordered.transformOrdered(ROQ5, spec, Nil, Seq(("s", "&", col("A1")))).df
       .collect()(0).getString(0)
 
   test("ordered concat folds, all key combinations (SuiteRelOrder.andl:16-26)") {
@@ -32,22 +38,29 @@ class OrderedSpec extends SparkSpec {
     assert(got === "abc-def-g-h-ijkl-")
   }
 
-  private def nSet(spec: OrderSpec, c: org.apache.spark.sql.Column): Set[Int] =
+  /** Evaluate one segmented column over ROQ5 under `sort`. */
+  private def segSet(sort: Seq[Column])(f: Segmented => Column): Set[Int] = {
+    val (prep, seg) = Segmented.prepare(ROQ5.df, sort)
+    val c = f(seg)
+    seg.materialize(prep).select(c.cast("int").as("N"))
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  private def nSet(spec: OrderSpec, c: Column): Set[Int] =
     ROQ5.transform("N" -> c).df.collect().map(_.getInt(0)).toSet
 
   test("running sum (SuiteRelOrder.andl:32)") {
-    val spec = OrderSpec(Nil, Seq(col("A1")))
-    assert(nSet(spec, sum(col("A0")).over(spec.running).cast("int")) ===
+    assert(segSet(Seq(col("A1")))(_.runningFold("+", col("A0"))) ===
       Set(1, 3, 6, 10, 15))
   }
 
   test("lag/lead/nth with type-default boundaries (SuiteRelOrder.andl:35-40)") {
-    val spec = OrderSpec(Nil, Seq(col("A1")))
-    assert(nSet(spec, Ordered.lagD(col("A0"), 1, IntegerType, spec)) === Set(0, 1, 2, 3, 4))
-    assert(nSet(spec, Ordered.lagD(col("A0"), 2, IntegerType, spec)) === Set(0, 1, 2, 3))
-    assert(nSet(spec, Ordered.leadD(col("A0"), 1, IntegerType, spec)) === Set(0, 2, 3, 4, 5))
-    assert(nSet(spec, Ordered.leadD(col("A0"), 2, IntegerType, spec)) === Set(0, 3, 4, 5))
-    assert(nSet(spec, Ordered.nthD(col("A0"), 3, IntegerType, spec)) === Set(4))
+    val s = Seq(col("A1"))
+    assert(segSet(s)(_.lagD(col("A0"), 1, IntegerType)) === Set(0, 1, 2, 3, 4))
+    assert(segSet(s)(_.lagD(col("A0"), 2, IntegerType)) === Set(0, 1, 2, 3))
+    assert(segSet(s)(_.leadD(col("A0"), 1, IntegerType)) === Set(0, 2, 3, 4, 5))
+    assert(segSet(s)(_.leadD(col("A0"), 2, IntegerType)) === Set(0, 3, 4, 5))
+    assert(segSet(s)(_.nthD(col("A0"), 3, IntegerType)) === Set(4))
   }
 
   test("%-grouped lag/lead/nth (SuiteRelOrder.andl:43-47)") {
@@ -66,7 +79,7 @@ class OrderedSpec extends SparkSpec {
       Seq("CITY" -> col("CITY")), Seq(("SS", "+", col("STATUS"))))
     assert(sub.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
       Set(("London", 40L), ("Paris", 40L), ("Athens", 30L)))
-    // ungrouped, no non-fold attr → collapses to ONE total row
+    // ungrouped, no non-fold attr → collapses to ONE total row (segmented)
     val spec2 = OrderSpec(Nil, Seq(col("CITY"), col("SNAME")))
     val tot = Ordered.transformOrdered(S, spec2, Nil, Seq(("SS", "+", col("STATUS"))))
     assert(tot.df.collect().map(_.getLong(0)).toSeq === Seq(110L))
@@ -83,8 +96,7 @@ class OrderedSpec extends SparkSpec {
   }
 
   test("ord/ordg/rank") {
-    val spec = OrderSpec(Nil, Seq(col("A1")))
-    assert(nSet(spec, Ordered.ord(spec)) === Set(1, 2, 3, 4, 5))
+    assert(segSet(Seq(col("A1")))(_.ord) === Set(1, 2, 3, 4, 5))
     val gspec = OrderSpec(Seq("A2"), Seq(col("A1")))
     assert(nSet(gspec, Ordered.rank(gspec)) === Set(1, 2, 3))
     // ordg: first-row ordinal under the full (A2, A1) order — sorted rows
@@ -112,5 +124,40 @@ class OrderedSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("segmented running folds and offsets are exact across partition boundaries") {
+    // 1,000 shuffled rows over many physical partitions: prefix carries and
+    // ordinal self-joins must stitch partition boundaries exactly
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", pmod(col("id") * 37, lit(1000)))
+      .repartition(7)
+    val (prep, seg) = Segmented.prepare(df, Seq(col("k")))
+    val run = seg.runningFold("+", col("k"))
+    val mx = seg.runningFold("max", col("k"))
+    val lag1 = seg.lagD(col("k"), 1, org.apache.spark.sql.types.LongType)
+    val lead3 = seg.leadD(col("k"), 3, org.apache.spark.sql.types.LongType)
+    val got = seg.materialize(prep)
+      .select(col("k"), run.as("run"), mx.as("mx"), lag1.as("lag1"), lead3.as("lead3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    got.foreach { case (k, runV, mxV, lag1V, lead3V) =>
+      assert(runV === k * (k + 1) / 2, s"running sum at k=$k")
+      assert(mxV === k, s"running max at k=$k")
+      assert(lag1V === (if (k == 0) 0L else k - 1), s"lag1 at k=$k")
+      assert(lead3V === (if (k >= 997) 0L else k + 3), s"lead3 at k=$k")
+    }
+    // plan contract: no unpartitioned window anywhere in the segmented plan
+    val wins = seg.materialize(prep).select(run, lag1).queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty), "single-partition window found")
+  }
+
+  test("segmented generic (non-decomposable) fold matches sequential semantics, size-guarded") {
+    // fold(/, …) must round per division step — runningGeneric path
+    val (prep, seg) = Segmented.prepare(ROQ5.df, Seq(col("A1")))
+    val c = seg.wholeGeneric(col("A0").cast("double"), lit(1.0), _ / _)
+    val got = seg.materialize(prep).select(c).collect()(0).getDouble(0)
+    assert(got === 1.0 / 1 / 2 / 3 / 4 / 5)
   }
 }

@@ -103,6 +103,28 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned Window in ordg plan:\n${plan(q).take(3000)}")
   }
 
+  test("lang ungrouped .order(): running folds + offsets plan no single-partition window") {
+    // `.order(A1)` with no % group used to lower to Window.orderBy — one
+    // global partition. The segmented machinery (graft.rel.Segmented) must
+    // keep every window partitioned and resolve offsets via ordinal joins.
+    val i = new graft.lang.AndlInterp(spark, "/tmp")
+    i.run(
+      """R := {{A0:=1, A1:='a'}, {A0:=2, A1:='b'}, {A0:=3, A1:='c'},
+        |      {A0:=4, A1:='d'}, {A0:=5, A1:='e'}}
+        |res := R .order(A1) .select{A0, N := fold(+,A0), L := lag(A0,1), O := ord()}
+        |""".stripMargin, "planspec")
+    val df = i.global.lookup("res") match {
+      case Some(r: graft.lang.AndlValues.RelV) => r.rel.df
+      case other => fail(s"expected an engine relation, got $other")
+    }
+    assert(df.collect().length === 5)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned Window in lang ungrouped-order plan:\n${plan(df).take(3000)}")
+  }
+
   test("two-phase top-k never concentrates one query's candidates in a window") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
