@@ -51,28 +51,56 @@ object Fold {
   def foldAvg(c: Column): Column = avg(c)
 
   /** Product aggregate — Spark has no product(); log-space tricks break on
-    * zero/negative, so reduce the group as an array. Groups are materialized
-    * per-key (fine: Andl folds are per-group scalars, group sizes are data-
-    * bounded); the shuffle is the same one the groupBy needed anyway. */
-  def product(c: Column): Column =
-    aggregate(collect_list(c.cast("double")), lit(1.0), (acc, x) => acc * x)
+    * zero/negative. A native DeclarativeAggregate with one double buffer
+    * slot: O(1) memory per group, map-side partial aggregation, codegen
+    * (graft.functions.ProductAgg). Empty group yields the seed 1
+    * (SymbolTable.GetSeed). */
+  def product(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftExprBridge
+    coalesce(GraftExprBridge.column(
+      graft.functions.ProductAgg(GraftExprBridge.expression(c.cast("double")))
+        .toAggregateExpression()), lit(1.0))
+  }
+
+  /** Loud ceiling for per-group aggregation buffers in inherently-sequential
+    * folds. A degenerate key (one group owning a 100 TB corpus slice) would
+    * otherwise OOM one executor mid-build; failing fast with the knob name
+    * is the honest behavior for semantics that cannot be decomposed.
+    * Session-tunable: `spark.graft.maxFoldGroupRows`. */
+  def maxGroupRows: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.maxFoldGroupRows", "4194304").toLong
+
+  /** Wrap a collected-group array with the size guard: evaluating the array
+    * past the cap raises a clear error instead of a silent OOM. */
+  private def guarded(arr: Column, what: String): Column = {
+    val cap = maxGroupRows
+    val ok = assert_true(size(arr) <= lit(cap),
+      lit(s"$what: group exceeded $cap rows (spark.graft.maxFoldGroupRows) — " +
+        "inherently sequential fold over a degenerate group; add a grouping " +
+        "key or raise the cap if the group genuinely fits in one buffer"))
+    when(ok.isNull, arr)
+  }
 
   /** Order-dependent fold: sort the group by `ord`, then left-fold `value`
     * with `f` starting from `seed`. Deterministic under the given total
     * order (mirror of TransformOrdered, DataTableLocal.cs:589-627).
     * Implemented as array_sort(collect_list(struct)) + functions.aggregate —
-    * no UDF, stays in codegen. */
+    * no UDF, stays in codegen. The group buffer is size-guarded
+    * ([[maxGroupRows]]). */
   def orderedFold(ord: Seq[Column], value: Column, seed: Column,
                   f: (Column, Column) => Column): Column = {
     val packed = struct((ord :+ value.as("__v")): _*)
-    val sorted = array_sort(collect_list(packed))
+    val sorted = guarded(array_sort(collect_list(packed)), "orderedFold")
     aggregate(sorted, seed, (acc, x) => f(acc, x.getField("__v")))
   }
 
-  /** Ordered string-concat fold: `.order(k).select{fold(&, s)}`. */
+  /** Ordered string-concat fold: `.order(k).select{fold(&, s)}`.
+    * Size-guarded like [[orderedFold]]. */
   def concatFold(ord: Seq[Column], value: Column, sep: String = ""): Column = {
     val packed = struct((ord :+ value.as("__v")): _*)
-    array_join(transform(array_sort(collect_list(packed)), _.getField("__v")), sep)
+    array_join(transform(guarded(array_sort(collect_list(packed)), "concatFold"),
+      _.getField("__v")), sep)
   }
 
   /** Generic user-function fold `(T,T)→T` as a typed Aggregator

@@ -191,12 +191,23 @@ object OrderedFold {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
+  /** Size guard on the whole-group window buffer — same cap and failure
+    * mode as [[Fold.maxGroupRows]]: fail loud, never OOM silently. */
+  private def guarded(arr: Column, what: String): Column = {
+    val cap = Fold.maxGroupRows
+    val ok = assert_true(size(arr) <= lit(cap),
+      lit(s"$what: window group exceeded $cap rows " +
+        "(spark.graft.maxFoldGroupRows) — inherently sequential fold over a " +
+        "degenerate group; add a grouping key or raise the cap"))
+    when(ok.isNull, arr)
+  }
+
   /** fold(&, value) under spec — ordered string concat. */
   def concat(value: Column, spec: OrderSpec, sep: String = ""): Column =
-    array_join(collect_list(value).over(spec.whole), sep)
+    array_join(guarded(collect_list(value).over(spec.whole), "OrderedFold.concat"), sep)
 
   /** Generic ordered left-fold under spec. */
   def fold(value: Column, spec: OrderSpec, seed: Column,
            f: (Column, Column) => Column): Column =
-    aggregate(collect_list(value).over(spec.whole), seed, f)
+    aggregate(guarded(collect_list(value).over(spec.whole), "OrderedFold.fold"), seed, f)
 }

@@ -201,7 +201,7 @@ final class Segmented private[rel] () {
     case "count"     => regWhole(count(lit(1)))
     case "max"       => regWhole(coalesce(max(value), Rel.defaultCol(dt)))
     case "min"       => regWhole(coalesce(min(value), Rel.defaultCol(dt)))
-    case "*"         => guardBuffer(); regWhole(Fold.product(value))
+    case "*"         => regWhole(Fold.product(value)) // O(1) buffer (ProductAgg)
     case "-"         => regWhole(lit(0) - coalesce(sum(value), lit(0)))
     case "&"         => guardBuffer(); regWhole(Fold.concatFold(Seq(go), value))
     case other => throw new IllegalArgumentException(s"no segmented whole fold: $other")
@@ -268,12 +268,13 @@ final class Segmented private[rel] () {
   def materialize(prep: DataFrame): DataFrame = {
     var df = prep
     if (buffersWholeRelation) {
+      val cap = Fold.maxGroupRows
       val n = prep.count()
-      require(n <= Segmented.maxBufferRows,
+      require(n <= cap,
         s"ungrouped ordered fold would buffer $n rows in one aggregation " +
-          s"buffer (limit ${Segmented.maxBufferRows}); this op is inherently " +
-          "sequential — add a % group to the order spec, or raise " +
-          "spark.graft.maxFoldGroupRows if the relation genuinely fits")
+          s"buffer (limit $cap); this op is inherently sequential — add a " +
+          "% group to the order spec, or raise spark.graft.maxFoldGroupRows " +
+          "if the relation genuinely fits")
     }
     prefixes.foreach { p => df = df.withColumn(p.localName, p.local) }
     if (prefixes.nonEmpty) {
@@ -352,10 +353,6 @@ final class Segmented private[rel] () {
 }
 
 object Segmented {
-  /** Hard ceiling for single-buffer fallbacks (non-associative user folds
-    * over an ungrouped order) — fail loud, never OOM an executor. */
-  val maxBufferRows: Long = 4L * 1024 * 1024
-
   /** Range-partition + sort + pin `df` under `sort` and number rows with
     * the global ordinal; returns the prepared frame and the builder. */
   def prepare(df: DataFrame, sort: Seq[Column]): (DataFrame, Segmented) = {

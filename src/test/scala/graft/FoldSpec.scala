@@ -46,6 +46,40 @@ class FoldSpec extends SparkSpec {
     assert(row.getDouble(0) === 24.0)
   }
 
+  test("hot group: product fold is O(1)-buffered; sequential folds fail loud past the cap") {
+    // one key owning 1M rows — the degenerate-group shape that used to OOM
+    // a collect_list buffer. ProductAgg streams it in constant memory.
+    val hot = spark.range(0, 1000000).toDF("id")
+      .withColumn("k", lit(1)).withColumn("v", lit(1.0))
+    val p = hot.groupBy("k").agg(Fold.product(col("v")).as("p")).collect()(0)
+    assert(p.getDouble(1) === 1.0)
+    // plan: no collect_list buffer anywhere in the product aggregation
+    val plan = hot.groupBy("k").agg(Fold.product(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"product still buffers the group:\n$plan")
+    assert(plan.contains("graft_product"), s"native product agg missing:\n$plan")
+    // inherently sequential concat on the same hot group must fail LOUD
+    // with the knob name once past the cap, not OOM silently
+    spark.conf.set("spark.graft.maxFoldGroupRows", "1000")
+    try {
+      val ex = intercept[Exception] {
+        hot.groupBy("k")
+          .agg(Fold.concatFold(Seq(col("id")), col("v").cast("string")).as("s"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("maxFoldGroupRows")),
+        s"guard message missing: ${msgs(ex).mkString(" | ")}")
+    } finally spark.conf.unset("spark.graft.maxFoldGroupRows")
+    // and under the cap the same fold still answers exactly
+    val small = spark.range(0, 5).toDF("id").withColumn("k", lit(1))
+    val s = small.groupBy("k")
+      .agg(Fold.concatFold(Seq(col("id")), col("id").cast("string")).as("s"))
+      .collect()(0).getString(1)
+    assert(s === "01234")
+  }
+
   test("user-function fold via Aggregator (SuiteRelFold.andl:73-77, §2.9)") {
     implicit val de: org.apache.spark.sql.Encoder[Double] =
       org.apache.spark.sql.Encoders.scalaDouble
