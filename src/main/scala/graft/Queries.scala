@@ -886,7 +886,10 @@ object Queries {
 
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = knnInputs(s, dir)
-    Similarity.ivfKnn(q, c, k = 10)
+    // centroids train on a 25% content-hash sample (billion-vector
+    // practice: k-means saturates at a few hundred vectors/centroid);
+    // assignment still scans the full corpus
+    Similarity.ivfKnn(q, c, k = 10, trainFraction = 0.25)
   }
 
   /** Per-query ANN recall contract vs the exact brute-force top-k (both
@@ -911,7 +914,8 @@ object Queries {
 
   def qKnnPq(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = knnInputs(s, dir)
-    Similarity.pqKnn(q, c, k = 10)
+    // codebooks train on a 25% hash-sample; encode scans the full corpus
+    Similarity.pqKnn(q, c, k = 10, trainFraction = 0.25)
   }
 
   /** Product-quantization kNN (ADC + exact rescore) recall contract: the
@@ -920,14 +924,15 @@ object Queries {
     * bound has ≥1.8× slack). */
   def qKnnPqCheck(s: SparkSession, dir: String): DataFrame =
     knnRecallCheck(s, dir, 0.5,
-      (q, c) => Similarity.pqKnn(q, c, k = 10))
+      (q, c) => Similarity.pqKnn(q, c, k = 10, trainFraction = 0.25))
 
   def qKnnIvfCheck(s: SparkSession, dir: String): DataFrame =
     // bound raised 0.3 → 0.4 in round 6: Lloyd-refined centroids
     // (Similarity.lloydRefine) lifted worst observed per-query recall to
     // 0.5 at both driver SFs
     knnRecallCheck(s, dir, 0.4,
-      (q, c) => Similarity.ivfKnn(q, c, k = 10, nlist = 16, nprobe = 8))
+      (q, c) => Similarity.ivfKnn(q, c, k = 10, nlist = 16, nprobe = 8,
+        trainFraction = 0.25))
 
   // ============================================ pipeline: text analysis
 

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
 import graft.rel.Checkpoint.PinOps
 
 /** Similarity search over an embedding column (`Array[Float]`):
@@ -163,12 +164,26 @@ object Similarity {
     * the driver merges P·nlist rows, never a global sort), refined by
     * [[lloydRefine]]. Returns (centroid_id, centroid, __kn). */
   def ivfCentroids(corpus: DataFrame, nlist: Int = 16, lloydIters: Int = 2,
-                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val seeds = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   trainFraction: Double = 1.0): DataFrame = {
+    // standard billion-vector practice: TRAIN the centroids on a
+    // deterministic content-hash sample (k-means quality saturates at a
+    // few hundred vectors per centroid), ASSIGN the full corpus — Lloyd
+    // rounds then scan the sample, not 100 TB, and stay reproducible
+    val train = trainCorpus(corpus, cId, trainFraction)
+    val seeds = train.orderBy(xxhash64(col(cId)), col(cId)).limit(nlist)
       .select(col(cId).as("centroid_id"), col(cVec).as("centroid"),
         norm(col(cVec)).as("__kn"))
-    lloydRefine(corpus, seeds, lloydIters, cId, cVec)
+    lloydRefine(train, seeds, lloydIters, cId, cVec)
   }
+
+  /** Deterministic content-hash training sample (Sampling.hashSample with
+    * 1000 buckets): the same vectors train in every run, on every cluster
+    * layout. fraction ≥ 1 keeps the full corpus. */
+  private def trainCorpus(corpus: DataFrame, cId: String,
+                          fraction: Double): DataFrame =
+    if (fraction >= 1.0) corpus
+    else Sampling.hashSample(corpus, col(cId), fraction, buckets = 1000)
 
   /** Assign every vector to its `p` nearest centroids (p = 1 is the plain
     * IVF assignment; p > 1 is multi-assignment, the recall lever for
@@ -196,8 +211,8 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "vec_id", cVec: String = "embedding",
-             lloydIters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(corpus, nlist, lloydIters, cId, cVec)
+             lloydIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, lloydIters, cId, cVec, trainFraction)
     val assigned = assignToCentroids(corpus, centroids, 1, cId, cVec)
     // per query: nprobe nearest centroids (nlist candidates per query —
     // local sort_array/slice aggregation, no window)
@@ -309,16 +324,20 @@ object Similarity {
     * expectation); empty codes keep their previous centroid. */
   def pqTrain(corpus: DataFrame, m: Int = 8, codes: Int = 16,
               lloydIters: Int = 2,
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+              cId: String = "vec_id", cVec: String = "embedding",
+              trainFraction: Double = 1.0): DataFrame = {
+    // codebooks train on a deterministic hash-sample (see ivfCentroids) —
+    // the Lloyd rounds scan the sample, pqEncode scans the full corpus
+    val train = trainCorpus(corpus, cId, trainFraction)
     val subDim = size(col(cVec)) / m
-    val subRows = Dedup.widen(corpus).select(col(cId),
+    val subRows = Dedup.widen(train).select(col(cId),
         explode(sequence(lit(0), lit(m - 1))).as("sub_id"), col(cVec))
       .select(col(cId), col("sub_id"),
         slice(col(cVec), col("sub_id") * subDim + 1, subDim).as("subvec"))
       .pin()
     // seed codebook: `codes` hash-sampled vectors; dense code ids 0..codes-1
     // come from a row_number over codes·m rows — driver-scale, not data-scale
-    val seedIds = corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(codes)
+    val seedIds = train.orderBy(xxhash64(col(cId)), col(cId)).limit(codes)
       .select(col(cId).as("__seed_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("sub_id").orderBy("__seed_id")
@@ -384,8 +403,9 @@ object Similarity {
             m: Int = 8, codes: Int = 16, overFetch: Int = 32,
             lloydIters: Int = 2,
             qId: String = "q_id", qVec: String = "q_vec",
-            cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cb = pqTrain(corpus, m, codes, lloydIters, cId, cVec)
+            cId: String = "vec_id", cVec: String = "embedding",
+            trainFraction: Double = 1.0): DataFrame = {
+    val cb = pqTrain(corpus, m, codes, lloydIters, cId, cVec, trainFraction)
     val enc = pqEncode(corpus, cb, m, cId, cVec)
     val subDim = size(col(qVec)) / m
     // per-query LUT: dot(q_sub, centroid) for every (sub_id, code)
