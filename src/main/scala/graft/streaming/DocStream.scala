@@ -88,6 +88,25 @@ object DocStream {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Merge a processed micro-batch's signatures into the index so LATER
+    * batches match against it — the maintenance half of incremental dedup.
+    * The delta is built with the index's own parameters (bit-identical
+    * banding), unioned, and pinned: the pin both materializes the merged
+    * frames and TRUNCATES lineage, so repeated appends stay O(index), not
+    * O(appends²) of stacked union plans — this is the in-memory compaction.
+    * At 100 TB the same two frames live as parquet bucketed by (band, bh) /
+    * id; append is then a partition write and compaction is a periodic
+    * bucket rewrite — the shape here mirrors that exactly. */
+  def append(index: NearDupIndex, newDocs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text"): NearDupIndex = {
+    val delta = buildIndex(newDocs, idCol, textCol,
+      index.numHashes, index.bands, index.shingleK)
+    NearDupIndex(
+      index.bandIndex.unionByName(delta.bandIndex).pin(),
+      index.grams.unionByName(delta.grams).pin(),
+      index.numHashes, index.bands, index.shingleK)
+  }
+
   /** Wire a document stream to the index via foreachBatch, delivering each
     * micro-batch's matches to `sink`. Returns the started query. */
   def start(stream: DataFrame, index: NearDupIndex, sink: DataFrame => Unit,
@@ -98,4 +117,28 @@ object DocStream {
         sink(matchAgainst(batch, index, threshold, idCol, textCol))
       }
       .start()
+
+  /** Incremental variant: every micro-batch is matched against the index
+    * AND then appended to it, so batch N+1 sees batch N's documents.
+    * foreachBatch bodies run strictly sequentially per query, so the
+    * evolving index reference needs no further synchronization. Documents
+    * already matched as duplicates still enter the index (the reference
+    * corpus keeps its first-seen copy; survivors-only is one filter in the
+    * sink's hands before append — pass `appendFilter` to customize). */
+  def startIncremental(stream: DataFrame, index0: NearDupIndex,
+                       sink: DataFrame => Unit,
+                       threshold: Double = 0.5, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       appendFilter: (DataFrame, DataFrame) => DataFrame =
+                         (batch, _) => batch): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var idx = index0
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.pin() // feeds the match AND the append — compute once
+        val matches = matchAgainst(b, idx, threshold, idCol, textCol).pin()
+        sink(matches)
+        idx = append(idx, appendFilter(b, matches), idCol, textCol)
+      }
+      .start()
+  }
 }

@@ -141,6 +141,45 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1002L), s"noise matched: $got")
   }
 
+  test("incremental index maintenance: batch 2 matches dups planted against batch 1") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
+    val hist = history.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val index0 = DocStream.buildIndex(history)
+    // batch 1 introduces two NEW documents (no dups of history);
+    // batch 2 plants a copy of a batch-1 doc and a copy of a history doc
+    val freshA = "a genuinely new document about segmented windows and prefix sums"
+    val freshB = "another new document discussing banded minhash index maintenance"
+    val batch1 = Seq((2000L, freshA), (2001L, freshB))
+    val batch2 = Seq(
+      (3000L, freshA + " with a small trailing edit"), // near-dup of BATCH 1 doc
+      (3001L, hist(0L)),                               // exact dup of HISTORY doc
+      (3002L, "wholly unrelated content that matches neither corpus nor stream"))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.startIncremental(in.toDF.toDF("doc_id", "text"), index0,
+      b => perBatch.synchronized {
+        perBatch += b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      })
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.length === 2)
+    assert(perBatch(0).isEmpty, s"batch 1 should match nothing: ${perBatch(0)}")
+    // batch 2 finds the dup against BATCH 1 (only reachable through append)
+    // and the dup against the original history, and nothing for the noise
+    assert(perBatch(1).contains((3000L, 2000L)),
+      s"dup against batch 1 missed (index not appended): ${perBatch(1)}")
+    assert(perBatch(1).contains((3001L, 0L)), s"history dup missed: ${perBatch(1)}")
+    assert(!perBatch(1).exists(_._1 == 3002L), s"noise matched: ${perBatch(1)}")
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
