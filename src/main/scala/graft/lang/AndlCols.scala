@@ -87,8 +87,17 @@ final class AndlCols(interp: AndlInterp) {
 
   // -------------------------------------------------------------- compile
 
+  /** Numeric literal under the session's numeric domain: double by default,
+    * DecimalType(38,18) in decimal-number mode — emitted AS decimal so the
+    * literal doesn't silently coerce decimal arithmetic back to double. */
+  private def numLit(v: Double): Column =
+    if (AndlValues.decimalNumbers)
+      F.lit(java.math.BigDecimal.valueOf(v))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 18))
+    else F.lit(v)
+
   def compile(e: Expr, ctx: Ctx): CExpr = e match {
-    case ENum(v)     => CExpr(F.lit(v), TNum)
+    case ENum(v)     => CExpr(numLit(v), TNum)
     case EText(s)    => CExpr(F.lit(s), TText)
     case EBool(b)    => CExpr(F.lit(b), TBool)
     case ETimeLit(s) => CExpr(F.lit(parseTime(s)), TTime)
@@ -175,7 +184,7 @@ final class AndlCols(interp: AndlInterp) {
   /** Embed a driver value as a literal Column. */
   def litOf(v: Value): CExpr = v match {
     case TextV(s) => CExpr(F.lit(s), TText)
-    case NumV(d)  => CExpr(F.lit(d), TNum)
+    case NumV(d)  => CExpr(numLit(d), TNum)
     case BoolV(b) => CExpr(F.lit(b), TBool)
     case TimeV(t) => CExpr(F.lit(t), TTime)
     case BinV(b)  => CExpr(F.lit(b), TBin)
@@ -319,7 +328,7 @@ final class AndlCols(interp: AndlInterp) {
     case ("max", Seq(x, y))       => Some(CExpr(F.greatest(x.col, y.col), x.t))
     case ("min", Seq(x, y))       => Some(CExpr(F.least(x.col, y.col), x.t))
     case ("abs", Seq(x))          => Some(CExpr(F.abs(x.col), TNum))
-    case ("number", Seq(s))       => Some(CExpr(s.col.cast("double"), TNum))
+    case ("number", Seq(s))       => Some(CExpr(s.col.cast(AndlValues.numType), TNum))
     case ("text", Seq(x))         => Some(CExpr(textCol(x), TText))
     case ("format", Seq(x))       => Some(CExpr(textCol(x), TText))
     case ("pp", Seq(x))           => Some(CExpr(textCol(x), TText))
@@ -401,8 +410,8 @@ final class AndlCols(interp: AndlInterp) {
   /** Seed for a fold: per-op seeds from the reference's SymbolTable.GetSeed
     * (SymbolTable.cs:221-256); user functions seed with the type default. */
   private def seedFor(op: String, t: AType): Column = op match {
-    case "+" | "-" => F.lit(0.0)
-    case "*" | "/" => F.lit(1.0)
+    case "+" | "-" => numLit(0.0)
+    case "*" | "/" => numLit(1.0)
     case "&" => F.lit("")
     case "and" => F.lit(true)
     case "or" | "xor" => F.lit(false)

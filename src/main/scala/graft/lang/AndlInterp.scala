@@ -30,6 +30,11 @@ import graft.sources.Sources
 final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   import AndlInterp.Env
 
+  // decimal-number mode (SURVEY §1.2, AndlValues.decimalNumbers): read once
+  // at construction so a session flag switches the numeric domain
+  AndlValues.decimalNumbers =
+    spark.conf.getOption("spark.graft.decimalNumbers").exists(_.toBoolean)
+
   /** 0 = quiet; >0 echoes free expressions (the `#noisy` directive). */
   var noisy = 0
   /** Captured `write()` / noisy output, one line per entry. */
@@ -52,7 +57,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     val colsAndTypes = df.schema.fields.toSeq.map { f =>
       f.dataType match {
         case StringType => (F.col(f.name), TText)
-        case _: NumericType => (F.col(f.name).cast(DoubleType).as(f.name), TNum)
+        case _: NumericType => (F.col(f.name).cast(AndlValues.numType).as(f.name), TNum)
         case BooleanType => (F.col(f.name), TBool)
         case TimestampType => (F.col(f.name), TTime)
         case _: TimestampNTZType | _: DateType =>

@@ -155,9 +155,25 @@ object AndlValues {
 
   // ------------------------------------------------- Spark schema mapping
 
+  /** Optional decimal-number mode (SURVEY §1.2): the reference's `number`
+    * is .NET's 128-bit decimal (TypedValue.cs:294-346, 28-29 significant
+    * digits); the engine's default mapping is double — a documented
+    * deviation that can show float artifacts in money arithmetic. Setting
+    * `spark.graft.decimalNumbers=true` BEFORE constructing an AndlInterp
+    * switches the language's numeric domain to DecimalType(38,18): numeric
+    * literals, relvar columns, and fold seeds all become decimal, so sums/
+    * products of money values are exact. Count/length/ordinal builtins stay
+    * integer/double-valued (exact by construction) and coerce when mixed.
+    * Driver-side scalars remain double at the collect boundary (rendering,
+    * comparisons in scripts run on the engine, so the boundary only affects
+    * values lifted out of relations). Per-JVM mode, like the reference's
+    * process-wide numeric type. */
+  @volatile var decimalNumbers: Boolean = false
+  def numType: DataType = if (decimalNumbers) DecimalType(38, 18) else DoubleType
+
   def sparkType(t: AType): DataType = t match {
     case TText => StringType
-    case TNum => DoubleType
+    case TNum => numType
     case TBool => BooleanType
     case TTime => TimestampType
     case TBin => BinaryType
@@ -178,7 +194,7 @@ object AndlValues {
     * canonically so value equality survives the array encoding. */
   def toSpark(v: Value): Any = v match {
     case TextV(s) => s
-    case NumV(d) => d
+    case NumV(d) => if (decimalNumbers) java.math.BigDecimal.valueOf(d) else d
     case BoolV(b) => b
     case TimeV(t) => t
     case BinV(b) => b

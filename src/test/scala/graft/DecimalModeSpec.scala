@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lang.{AndlInterp, AndlValues}
+import graft.lang.AndlValues.NumV
+
+/** Decimal-number mode differential (SURVEY §1.2): the reference's `number`
+  * is .NET's 128-bit decimal (TypedValue.cs:294-346), ours defaults to
+  * double. `spark.graft.decimalNumbers=true` switches the language's
+  * numeric domain to DecimalType(38,18); this spec runs SuiteRelFold-shaped
+  * money aggregations in BOTH modes and quantifies the double-mode drift
+  * that decimal mode eliminates. */
+class DecimalModeSpec extends SparkSpec {
+
+  private val n = 100000L
+  private def moneyTable = spark.range(0, n).toDF("id")
+    .withColumn("amt", lit("0.10").cast("decimal(38,18)"))
+
+  private def runFold(decimal: Boolean): (Double, Double) = {
+    if (decimal) spark.conf.set("spark.graft.decimalNumbers", "true")
+    else spark.conf.unset("spark.graft.decimalNumbers")
+    try {
+      val i = new AndlInterp(spark, "/tmp")
+      i.defineRelvar("T", moneyTable)
+      // fold(+, amt): 100k × $0.10 must be exactly $10,000
+      i.run("total := T .select{ (fold(+,amt)) }", "dec-total")
+      // per-row money arithmetic folded: amt*3 - amt - amt - amt ≡ 0
+      i.run("resid := T .select{ (fold(+, amt*3 - amt - amt - amt)) }", "dec-resid")
+      val total = i.global.lookup("total").get.asInstanceOf[NumV].d
+      val resid = i.global.lookup("resid").get.asInstanceOf[NumV].d
+      (total, resid)
+    } finally {
+      spark.conf.unset("spark.graft.decimalNumbers")
+      AndlValues.decimalNumbers = false
+    }
+  }
+
+  test("decimal mode: money folds are exact; double-mode drift quantified") {
+    val (dTotal, dResid) = runFold(decimal = false)
+    val (xTotal, xResid) = runFold(decimal = true)
+    // decimal mode: bit-exact money arithmetic
+    assert(xTotal === 10000.0, s"decimal total drifted: $xTotal")
+    assert(xResid === 0.0, s"decimal residual nonzero: $xResid")
+    // double mode: the drift the reference never shows — nonzero but tiny
+    // (this is the documented deviation decimal mode exists to remove)
+    val totalDrift = math.abs(dTotal - 10000.0)
+    assert(totalDrift > 0.0, "expected double-mode drift on 100k × $0.10")
+    assert(totalDrift < 1e-6, s"double drift implausibly large: $totalDrift")
+    assert(math.abs(dResid) > 0.0 && math.abs(dResid) < 1e-6,
+      s"double residual out of range: $dResid")
+  }
+
+  test("decimal mode: literals and relvar columns stay decimal end-to-end") {
+    spark.conf.set("spark.graft.decimalNumbers", "true")
+    try {
+      val i = new AndlInterp(spark, "/tmp")
+      i.defineRelvar("T", moneyTable.limit(10))
+      i.run("r := T .select{ id, v := amt * 100 + 0.5 }", "dec-cols")
+      val df = i.relvar("r")
+      val vType = df.schema("v").dataType
+      assert(vType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+        s"arithmetic left the decimal domain: $vType")
+      assert(df.select(sum(col("v"))).collect()(0).getDecimal(0)
+        .compareTo(new java.math.BigDecimal("105.0")) === 0)
+    } finally {
+      spark.conf.unset("spark.graft.decimalNumbers")
+      AndlValues.decimalNumbers = false
+    }
+  }
+}
