@@ -34,6 +34,9 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   // at construction so a session flag switches the numeric domain
   AndlValues.decimalNumbers =
     spark.conf.getOption("spark.graft.decimalNumbers").exists(_.toBoolean)
+  // opt-in ICU collation for text sort keys (AndlValues.collation)
+  AndlValues.collation =
+    spark.conf.getOption("spark.graft.collation").filter(_.nonEmpty)
 
   /** 0 = quiet; >0 echoes free expressions (the `#noisy` directive). */
   var noisy = 0
@@ -642,7 +645,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       // honor a stored `.order` so driver-local fallbacks see the same
       // physical order the reference's stored table would have
       val df0 = r.storedOrder match {
-        case Some(terms) => rel.df.orderBy(sortColsOf(terms): _*)
+        case Some(terms) => rel.df.orderBy(sortColsOf(terms, h): _*)
         case None => rel.df
       }
       val rows = df0.select(h.map(f => F.col(f._1)): _*).take(limit + 1)
@@ -752,7 +755,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       // an ordered relation takes its FIRST n under the stored sort
       // (TakeOrderedAndProject — distributed, never a full collect)
       val df = r.storedOrder match {
-        case Some(terms) => rel.df.orderBy(sortColsOf(terms): _*).limit(n)
+        case Some(terms) => rel.df.orderBy(sortColsOf(terms, h): _*).limit(n)
         case None => rel.df.limit(n)
       }
       withStoredOrder(RelV(h, Rel.distinct(df)), r.storedOrder)
@@ -764,7 +767,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       withStoredOrder(LRelV(h, rows.drop(n)), lr.storedOrder)
     case r @ RelV(h, rel) =>
       val df = r.storedOrder match {
-        case Some(terms) => rel.df.orderBy(sortColsOf(terms): _*).offset(n)
+        case Some(terms) => rel.df.orderBy(sortColsOf(terms, h): _*).offset(n)
         case None => rel.df.offset(n)
       }
       withStoredOrder(RelV(h, Rel.distinct(df)), r.storedOrder)
@@ -777,11 +780,25 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
         TupV(Seq("Name" -> TextV(n), "Type" -> TextV(typeName(t))))
       }.distinct)
 
-  private def orderSpecOf(terms: Seq[OrderTerm]): OrderSpec = {
+  /** Sort key for one field: TEXT columns wrap in the session's opt-in ICU
+    * collation (AndlValues.collation — approximating the reference's .NET
+    * CurrentCulture ordering, TypedValue.cs:447-449); everything else, and
+    * the default mode, is the plain column (JVM/UTF8 binary for text — the
+    * documented deviation CollationSpec enumerates). */
+  private def sortKeyCol(field: String, heading: Seq[(String, AType)]): Column =
+    AndlValues.collation match {
+      case Some(name) if heading.exists(f => f._1 == field && f._2 == TText) =>
+        F.collate(F.col(field), name)
+      case _ => F.col(field)
+    }
+
+  private def orderSpecOf(terms: Seq[OrderTerm],
+                          heading: Seq[(String, AType)]): OrderSpec = {
     val groupBy = terms.filter(_.group).map(_.field)
     val plain = terms.filterNot(_.group)
-    val sort0 = plain.map(t => if (t.desc) F.col(t.field).desc else F.col(t.field).asc)
-    val sort = if (sort0.nonEmpty) sort0 else groupBy.map(F.col)
+    def key(t: OrderTerm) = sortKeyCol(t.field, heading)
+    val sort0 = plain.map(t => if (t.desc) key(t).desc else key(t).asc)
+    val sort = if (sort0.nonEmpty) sort0 else groupBy.map(f => sortKeyCol(f, heading))
     val raw = if (plain.nonEmpty) plain.map(t => F.col(t.field)) else groupBy.map(F.col)
     OrderSpec(groupBy, sort, raw)
   }
@@ -789,8 +806,12 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   /** Sort columns of a stored order: ALL terms in sequence (a grouped `%`
     * segment is still a physical sort segment in the reference's
     * OrderedIndex). */
-  private def sortColsOf(terms: Seq[OrderTerm]): Seq[Column] =
-    terms.map(t => if (t.desc) F.col(t.field).desc else F.col(t.field).asc)
+  private def sortColsOf(terms: Seq[OrderTerm],
+                         heading: Seq[(String, AType)]): Seq[Column] =
+    terms.map { t =>
+      val k = sortKeyCol(t.field, heading)
+      if (t.desc) k.desc else k.asc
+    }
 
   def storedOrderOf(v: Value): Option[Seq[OrderTerm]] = v match {
     case r: RelV => r.storedOrder
@@ -823,7 +844,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
         var r = 0
         terms.iterator
           .find { t =>
-            r = compare(am(t.field), bm(t.field))
+            r = AndlValues.sortCompare(am(t.field), bm(t.field))
             if (t.desc) r = -r
             r != 0
           }
@@ -863,7 +884,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     val r = toSparkRel(v)
     val attrs = r.heading
     val headingMap = attrs.toMap
-    val specOpt = order.map(orderSpecOf)
+    val specOpt = order.map(orderSpecOf(_, attrs))
 
     // name → Left(source attribute) | Right(computed expression)
     val out: Seq[(String, Either[String, Expr])] =
@@ -999,7 +1020,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
         case Some(sterms)
             if keyTerms.forall { case (n, Left(a)) => n == a; case _ => false } &&
               sterms.forall(t => headingMap.contains(t.field)) =>
-          Some(OrderSpec(keyTerms.map(_._1), sortColsOf(sterms),
+          Some(OrderSpec(keyTerms.map(_._1), sortColsOf(sterms, attrs),
             sterms.map(t => F.col(t.field))))
         case _ => None
       }
@@ -1083,7 +1104,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
         case _ =>
           val rv = toSparkRel(v)
           val d0 = rv.rel.df.select(h.map(f => F.col(f._1)): _*)
-          val d = order.map(o => d0.orderBy(orderSpecOf(o).sort: _*)).getOrElse(d0)
+          val d = order.map(o => d0.orderBy(orderSpecOf(o, h).sort: _*)).getOrElse(d0)
           d.take(1).headOption.map(r => rowToValue(r, h))
       }
       first match {
@@ -1099,7 +1120,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       val headingMap = r.heading.toMap
       order match {
         case Some(o) =>
-          val spec = orderSpecOf(o)
+          val spec = orderSpecOf(o, r.heading)
           if (spec.groupBy.isEmpty) {
             // ungrouped ordered lift: segmented whole folds (one-row
             // aggregates over the global ordinal — no global window)

@@ -171,6 +171,18 @@ object AndlValues {
   @volatile var decimalNumbers: Boolean = false
   def numType: DataType = if (decimalNumbers) DecimalType(38, 18) else DoubleType
 
+  /** Opt-in ICU collation for text ORDERING (SURVEY §1.2 documented
+    * deviation): the reference sorts text with .NET `CurrentCulture`
+    * (TypedValue.cs:447-449); the engine's default is JVM/UTF8 binary, which
+    * puts all uppercase before lowercase and all accented text after ASCII.
+    * Setting `spark.graft.collation` (e.g. "UNICODE", "en") BEFORE
+    * constructing an AndlInterp wraps every TEXT sort key in Spark 4's ICU
+    * `collate(...)`, giving culture-style ordering parity. Ordering only —
+    * equality, joins and group keys stay binary (Andl tuple identity is
+    * exact-value, CompareEqual in TypedValue.cs is ordinal). See
+    * CollationSpec for the enumerated binary-vs-culture deltas. */
+  @volatile var collation: Option[String] = None
+
   def sparkType(t: AType): DataType = t match {
     case TText => StringType
     case TNum => numType
@@ -308,6 +320,33 @@ object AndlValues {
 
   /** Ordering for < > <= >=; UDTs compare component-wise left-to-right
     * (sample1 `u1 > u2`). */
+  /** Frozen ICU collator mirroring the session's `collation` name: ROOT for
+    * "UNICODE", a language tag otherwise ("en", "de", …). Frozen = thread-
+    * safe compare. Driver-local `.order` sorts must rank text exactly like
+    * the engine's `collate(...)` sort keys or small/large relations would
+    * order differently. */
+  @volatile private var collatorCache: Option[(String, com.ibm.icu.text.Collator)] = None
+  private def collatorFor(name: String): com.ibm.icu.text.Collator =
+    collatorCache match {
+      case Some((n, c)) if n == name => c
+      case _ =>
+        val loc =
+          if (name.equalsIgnoreCase("UNICODE")) com.ibm.icu.util.ULocale.ROOT
+          else com.ibm.icu.util.ULocale.forLanguageTag(name.takeWhile(_ != '_'))
+        val c = com.ibm.icu.text.Collator.getInstance(loc).freeze()
+        collatorCache = Some((name, c))
+        c
+    }
+
+  /** Ordering comparison for `.order` sorts: text honors the opt-in
+    * collation; everything else (and default mode) is [[compare]]. Equality
+    * and non-sort comparisons stay binary on purpose — Andl tuple identity
+    * is exact-value (TypedValue.cs CompareEqual is ordinal). */
+  def sortCompare(a: Value, b: Value): Int = (a, b, collation) match {
+    case (TextV(x), TextV(y), Some(n)) => collatorFor(n).compare(x, y)
+    case _ => compare(a, b)
+  }
+
   def compare(a: Value, b: Value): Int = (a, b) match {
     case (NumV(x), NumV(y)) => java.lang.Double.compare(x, y)
     case (TextV(x), TextV(y)) => x.compareTo(y)
