@@ -41,7 +41,10 @@ object BenchScale {
     }
     def run(name: String, at1: => Long, atN: => Long): Unit = {
       val s1 = time(at1); val sN = time(atN)
-      println(s"""{"op":"$name","sec_1x":${f"$s1%.2f"},"sec_${mult}x":${f"$sN%.2f"},"ratio":${f"${sN / s1}%.2f"},"mult":$mult}""")
+      // per_row: cost per input row at N× relative to 1× — the amortization
+      // gate (≤ ~1.3 means banding/salting absorbed the extra load; >> 1
+      // means some bucket or buffer densified superlinearly)
+      println(s"""{"op":"$name","sec_1x":${f"$s1%.2f"},"sec_${mult}x":${f"$sN%.2f"},"ratio":${f"${sN / s1}%.2f"},"per_row":${f"${sN / (mult * s1)}%.2f"},"mult":$mult}""")
     }
 
     def docsFiltered(df: DataFrame) = df.where(length(col("text")) >= 5)

@@ -204,8 +204,8 @@ final class AndlCols(interp: AndlInterp) {
     case "*"   => CExpr(l.col * r.col, TNum)
     case "/"   => CExpr(l.col / r.col, TNum)
     case "**"  => CExpr(Scalar.power(l.col, r.col), TNum)
-    case "div" => CExpr(Scalar.divTrunc(l.col, r.col).cast("double"), TNum)
-    case "mod" => CExpr(Scalar.modTrunc(l.col.cast("long"), r.col.cast("long")).cast("double"), TNum)
+    case "div" => CExpr(Scalar.divTrunc(l.col, r.col).cast(AndlValues.numType), TNum)
+    case "mod" => CExpr(Scalar.modTrunc(l.col.cast("long"), r.col.cast("long")).cast(AndlValues.numType), TNum)
     case "&"   => CExpr(F.concat(textCol(l), textCol(r)), TText)
     case "="   => CExpr(l.col === r.col, TBool)
     case "<>"  => CExpr(l.col =!= r.col, TBool)
@@ -216,15 +216,15 @@ final class AndlCols(interp: AndlInterp) {
     case "=~"  => CExpr(F.regexp_like(l.col, r.col), TBool)
     case "and" => (l.t, r.t) match {
       case (TBool, _) => CExpr(l.col && r.col, TBool)
-      case _ => CExpr(l.col.cast("long").bitwiseAND(r.col.cast("long")).cast("double"), TNum)
+      case _ => CExpr(l.col.cast("long").bitwiseAND(r.col.cast("long")).cast(AndlValues.numType), TNum)
     }
     case "or" => (l.t, r.t) match {
       case (TBool, _) => CExpr(l.col || r.col, TBool)
-      case _ => CExpr(l.col.cast("long").bitwiseOR(r.col.cast("long")).cast("double"), TNum)
+      case _ => CExpr(l.col.cast("long").bitwiseOR(r.col.cast("long")).cast(AndlValues.numType), TNum)
     }
     case "xor" => (l.t, r.t) match {
       case (TBool, _) => CExpr(l.col =!= r.col, TBool)
-      case _ => CExpr(l.col.cast("long").bitwiseXOR(r.col.cast("long")).cast("double"), TNum)
+      case _ => CExpr(l.col.cast("long").bitwiseXOR(r.col.cast("long")).cast(AndlValues.numType), TNum)
     }
     case other => sys.error(s"operator $other not supported in relational context")
   }
@@ -284,15 +284,15 @@ final class AndlCols(interp: AndlInterp) {
         // unordered ord(): the reference's input ordinal. Consecutive only
         // within one partition (literals/CSV load as one) — ordered use
         // sites should .order first, like every reference test does.
-        CExpr((F.monotonically_increasing_id() + 1).cast("double"), TNum)
+        CExpr((F.monotonically_increasing_id() + 1).cast(AndlValues.numType), TNum)
       case "ord" if ctx.seg.isDefined && spec.groupBy.isEmpty =>
-        CExpr(ctx.seg.get.ord.cast("double"), TNum)
-      case "ord"  => CExpr(Ordered.ord(spec).cast("double"), TNum)
+        CExpr(ctx.seg.get.ord.cast(AndlValues.numType), TNum)
+      case "ord"  => CExpr(Ordered.ord(spec).cast(AndlValues.numType), TNum)
       case "ordg" => ctx.binds.getOrElse("__ordg__",
         sys.error(s"ordg() needs an ordered context at line $line"))
       case "rank" if ctx.seg.isDefined && spec.groupBy.isEmpty =>
-        CExpr(ctx.seg.get.rank(spec.rawSort).cast("double"), TNum)
-      case "rank" => CExpr(Ordered.rank(spec).cast("double"), TNum)
+        CExpr(ctx.seg.get.rank(spec.rawSort).cast(AndlValues.numType), TNum)
+      case "rank" => CExpr(Ordered.rank(spec).cast(AndlValues.numType), TNum)
       case _ =>
         val cargs = args.map(compile(_, ctx))
         scalarBuiltin(name, cargs).getOrElse {
@@ -314,7 +314,7 @@ final class AndlCols(interp: AndlInterp) {
 
   /** Builtin scalar functions as Columns (no UDFs — SURVEY §2.9). */
   def scalarBuiltin(name: String, a: Seq[CExpr]): Option[CExpr] = (name, a) match {
-    case ("length", Seq(s))       => Some(CExpr(F.length(s.col).cast("double"), TNum))
+    case ("length", Seq(s))       => Some(CExpr(F.length(s.col).cast(AndlValues.numType), TNum))
     case ("trim", Seq(s))         => Some(CExpr(F.trim(s.col), TText))
     case ("toupper", Seq(s))      => Some(CExpr(F.upper(s.col), TText))
     case ("tolower", Seq(s))      => Some(CExpr(F.lower(s.col), TText))
@@ -333,8 +333,8 @@ final class AndlCols(interp: AndlInterp) {
     case ("format", Seq(x))       => Some(CExpr(textCol(x), TText))
     case ("pp", Seq(x))           => Some(CExpr(textCol(x), TText))
     case ("now", Seq())           => Some(CExpr(F.current_timestamp(), TTime))
-    case ("blength", Seq(b))      => Some(CExpr(Builtins.blength(b.col).cast("double"), TNum))
-    case ("bget", Seq(b, i))      => Some(CExpr(Builtins.bget(b.col, i.col.cast("int")).cast("double"), TNum))
+    case ("blength", Seq(b))      => Some(CExpr(Builtins.blength(b.col).cast(AndlValues.numType), TNum))
+    case ("bget", Seq(b, i))      => Some(CExpr(Builtins.bget(b.col, i.col.cast("int")).cast(AndlValues.numType), TNum))
     case ("bset", Seq(b, i, v))   => Some(CExpr(Builtins.bset(b.col, i.col.cast("int"), v.col), TBin))
     case _ => None
   }
@@ -391,8 +391,8 @@ final class AndlCols(interp: AndlInterp) {
       case TUdt(_, fields) if fields.exists(_._1 == name) =>
         CExpr(recv.col.getField(name), fields.find(_._1 == name).get._2)
       case TRel(fields) => name match {
-        case "count" => CExpr(F.size(recv.col).cast("double"), TNum)
-        case "degree" => CExpr(F.lit(fields.length.toDouble), TNum)
+        case "count" => CExpr(F.size(recv.col).cast(AndlValues.numType), TNum)
+        case "degree" => CExpr(numLit(fields.length.toDouble), TNum)
         case other => sys.error(s"unknown method .$other on a nested relation")
       }
       case _ =>
@@ -408,18 +408,39 @@ final class AndlCols(interp: AndlInterp) {
   // ---------------------------------------------------------------- fold
 
   /** Seed for a fold: per-op seeds from the reference's SymbolTable.GetSeed
-    * (SymbolTable.cs:221-256); user functions seed with the type default. */
+    * (SymbolTable.cs:221-256); user functions seed with the type default.
+    * `*` and `/` seed plain double even in decimal mode — see [[stepFor]]:
+    * multiplicative folds stay in the double domain. */
   private def seedFor(op: String, t: AType): Column = op match {
     case "+" | "-" => numLit(0.0)
-    case "*" | "/" => numLit(1.0)
+    case "*" | "/" => F.lit(1.0)
     case "&" => F.lit("")
     case "and" => F.lit(true)
     case "or" | "xor" => F.lit(false)
     case _ => Rel.defaultCol(sparkType(t))
   }
 
-  /** Left-step of a fold as a Column binary function. */
-  private def stepFor(op: String, t: AType, ctx: Ctx): (Column, Column) => Column =
+  /** Left-step of a fold as a Column binary function. Decimal-number mode:
+    * additive/extremal numeric steps cast back to DecimalType(38,18) each
+    * step (Spark decimal arithmetic widens scale per operation, and
+    * `functions.aggregate` requires the merge lambda to return exactly the
+    * accumulator's type — without the re-cast the plan fails analysis);
+    * `*` and `/` folds stay in the DOUBLE domain (seed 1.0, operands cast
+    * per step) — fixed-scale decimal is strictly worse there (Spark caps a
+    * decimal product's scale at 6, and quotient chains never terminate, so
+    * per-step re-quantization would diverge from both the double chain and
+    * the reference's 28-digit decimal), and it keeps driver-evaluated
+    * scalar chains (double) equal to engine folds, as the reference's
+    * uniform numeric domain guarantees. */
+  private def stepFor(op: String, t: AType, ctx: Ctx): (Column, Column) => Column = {
+    val f = stepFor0(op, t, ctx)
+    if (t == TNum && AndlValues.decimalNumbers) op match {
+      case "*" | "/" => (a, x) => f(a, x.cast("double"))
+      case _ => (a, x) => f(a, x).cast(AndlValues.numType)
+    } else f
+  }
+
+  private def stepFor0(op: String, t: AType, ctx: Ctx): (Column, Column) => Column =
     op match {
       case "+" => _ + _
       case "-" => _ - _
@@ -429,11 +450,11 @@ final class AndlCols(interp: AndlInterp) {
       case "max" => F.greatest(_, _)
       case "min" => F.least(_, _)
       case "and" => if (t == TBool) (a, x) => a && x
-        else (a, x) => a.cast("long").bitwiseAND(x.cast("long")).cast("double")
+        else (a, x) => a.cast("long").bitwiseAND(x.cast("long")).cast(AndlValues.numType)
       case "or" => if (t == TBool) (a, x) => a || x
-        else (a, x) => a.cast("long").bitwiseOR(x.cast("long")).cast("double")
+        else (a, x) => a.cast("long").bitwiseOR(x.cast("long")).cast(AndlValues.numType)
       case "xor" => if (t == TBool) (a, x) => a =!= x
-        else (a, x) => a.cast("long").bitwiseXOR(x.cast("long")).cast("double")
+        else (a, x) => a.cast("long").bitwiseXOR(x.cast("long")).cast(AndlValues.numType)
       case userFn =>
         val f = interp.lookupFun(userFn, Seq(t, t), ctx.env)
           .getOrElse(sys.error(s"not a foldable operator: $userFn"))

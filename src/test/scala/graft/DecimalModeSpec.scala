@@ -50,6 +50,31 @@ class DecimalModeSpec extends SparkSpec {
       s"double residual out of range: $dResid")
   }
 
+  test("reference .andl suites pass under decimal-number mode") {
+    // the strongest parity claim available: the reference's `number` IS
+    // 128-bit decimal, so its own suites are decimal-semantics tests. They
+    // must pass with the engine's numeric domain switched to decimal too.
+    val dir = sys.env.getOrElse("ANDL_SUITE_DIR", "/root/reference/Test")
+    assume(new java.io.File(s"$dir/SetupSuite.andl").isFile)
+    spark.conf.set("spark.graft.decimalNumbers", "true")
+    try {
+      val results = graft.lang.AndlScript.runSuites(spark, dir, Seq(
+        "SuiteBasic.andl", "SuiteDefer.andl", "SuiteRelBasic.andl",
+        "SuiteRelDyadic.andl", "SuiteRelFold.andl", "SuiteRelNest.andl",
+        "SuiteRelOrder.andl", "SuiteRelWhile.andl",
+        "SuiteUpdateCat1.andl", "SuiteUpdateCat2.andl"))
+      val failures = results.filter(_.errors > 0)
+      assert(failures.isEmpty,
+        failures.map(r => s"${r.file}: ${r.errors} failures\n${r.output}")
+          .mkString("\n"))
+      assert(results.map(_.tests).sum >= 400,
+        s"expected the full assertion corpus, got ${results.map(_.tests).sum}")
+    } finally {
+      spark.conf.unset("spark.graft.decimalNumbers")
+      AndlValues.decimalNumbers = false
+    }
+  }
+
   test("decimal mode: literals and relvar columns stay decimal end-to-end") {
     spark.conf.set("spark.graft.decimalNumbers", "true")
     try {
