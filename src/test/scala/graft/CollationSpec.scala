@@ -118,4 +118,25 @@ class CollationSpec extends SparkSpec {
     assert(driverOrder(Some("UNICODE")) === icuOrder)
     assert(driverOrder(None) === words.sorted)
   }
+
+  test("both parity modes compose: reference suites pass with decimal + collation on") {
+    val dir = sys.env.getOrElse("ANDL_SUITE_DIR", "/root/reference/Test")
+    assume(new java.io.File(s"$dir/SetupSuite.andl").isFile)
+    spark.conf.set("spark.graft.decimalNumbers", "true")
+    spark.conf.set("spark.graft.collation", "UNICODE")
+    try {
+      val results = graft.lang.AndlScript.runSuites(spark, dir, Seq(
+        "SuiteBasic.andl", "SuiteRelBasic.andl", "SuiteRelDyadic.andl",
+        "SuiteRelFold.andl", "SuiteRelOrder.andl", "SuiteRelWhile.andl"))
+      val failures = results.filter(_.errors > 0)
+      assert(failures.isEmpty,
+        failures.map(r => s"${r.file}: ${r.errors} failures\n${r.output}")
+          .mkString("\n"))
+    } finally {
+      spark.conf.unset("spark.graft.decimalNumbers")
+      spark.conf.unset("spark.graft.collation")
+      AndlValues.decimalNumbers = false
+      AndlValues.collation = None
+    }
+  }
 }
