@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, TupleOps, WhileFix}
 import graft.functions.{Builtins, Scalar}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Profile, Sampling, Similarity, TextAnalysis}
 import graft.catalog.{Catalog, FunDef, UdtDef}
 import graft.sources.Sources
 
@@ -737,6 +737,21 @@ object Queries {
         round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_doc_tokens"))
   }
 
+  /** Per-column table profile of the corpus: row/distinct counts and value
+    * range per column — one scan, one Aggregate, constant unpivot
+    * ([[Profile.tableProfile]]). The first thing a pipeline runs over an
+    * unfamiliar 100 TB table. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.tableProfile(t(s, dir, "documents").bagDF,
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Key-skew report over the events stream's join key: top-20 hottest
+    * user_ids with row share — the "broadcast, salt, or plain shuffle?"
+    * decision table, computed with one shuffle and a distributed top-k
+    * ([[Profile.skewReport]]). */
+  def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    Profile.skewReport(events(s, dir).bagDF, col("user_id"), k = 20)
+
   /** Fuzzy decontamination over PERTURBED eval snippets: each snippet's
     * first character is replaced with 'z', so exact substring matching
     * (q_decontaminate) misses every plant, but ≥60% of each snippet's
@@ -1233,7 +1248,8 @@ object Queries {
     "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
     "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
     "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
-    "q_dedup_survivors" -> qDedupSurvivors)
+    "q_dedup_survivors" -> qDedupSurvivors,
+    "q_profile" -> qProfile, "q_skew_report" -> qSkewReport)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1837,5 +1853,19 @@ object Queries {
       "SELECT source, n_docs, n_tokens, " +
       "ROUND(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) " +
       "AS token_share, " +
-      "ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens FROM g"))
+      "ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens FROM g"),
+
+    "q_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c => s"SELECT '$c' AS col_name, " +
+        s"CAST(COUNT($c) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"CAST(MIN($c) AS VARCHAR) AS min_value, " +
+        s"CAST(MAX($c) AS VARCHAR) AS max_value FROM documents")
+      .mkString(" UNION ALL "),
+
+    "q_skew_report" -> ("WITH c AS (SELECT user_id AS key, " +
+      "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c) " +
+      "SELECT key, cnt, ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS share " +
+      "FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20"))
 }

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: the diagnostics a pipeline runs over an unfamiliar
+  * 100 TB table BEFORE planning joins and dedup passes — per-column
+  * profiles (row/distinct counts, value range) and key-skew reports
+  * (which keys are hot, and how hot, to decide broadcast vs salt vs
+  * plain shuffle).
+  *
+  * Scale shape:
+  *   - [[tableProfile]] is ONE scan: a single Aggregate carrying every
+  *     per-column statistic (Spark plans multi-distinct aggregates with
+  *     one Expand — no per-column rescans of the table), then a constant
+  *     `stack` unpivot of the single result row.
+  *   - [[skewReport]] is one hash shuffle on the key (map-side partial
+  *     counts), a 1-row grand-total broadcast joined back onto the
+  *     per-key aggregate (never onto the data), and a distributed
+  *     TakeOrderedAndProject for the top-k — no global window, no
+  *     driver-side sort of the key space.
+  */
+object Profile {
+
+  /** Per-column profile of `cols`: row count, distinct count, min/max
+    * (rendered as text so heterogeneous column types share one output
+    * schema). One row per profiled column. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableProfile: no columns")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__n_$c`, `__d_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_rows, n_distinct, min_value, max_value)"))
+  }
+
+  /** Top-k hottest keys with their count and share of all rows — the
+    * pre-join skew report. Deterministic under ties (count desc, key asc).
+    * `key` must be a simple column or expression; the output names it
+    * `key`. */
+  def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("__tot"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(k)
+  }
+}

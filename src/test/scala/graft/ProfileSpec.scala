@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Profile
+
+/** Plan + semantics contracts for the corpus-profiling family
+  * (pipeline/Profile.scala): these run BEFORE the expensive passes on a
+  * 100 TB table, so they must themselves be single-scan / single-shuffle. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tableProfile: one scan, correct stats per column") {
+    val df = Seq(("a", 1), ("b", 2), ("b", 3)).toDF("s", "n")
+    val p = Profile.tableProfile(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(p("s") === ((3L, 2L, "a", "b")))
+    assert(p("n") === ((3L, 3L, "1", "3")))
+  }
+
+  test("tableProfile plans a single scan of the input") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = Profile.tableProfile(docs, Seq("doc_id", "lang", "source"))
+    // count scans textually: AdaptiveSparkPlan hides children from collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"profile rescans the table:\n$plan")
+    // multi-distinct lowers to ONE Expand over the single scan, and only
+    // the profiled columns are read
+    assert(plan.contains("Expand"), s"expected Expand-based multi-distinct:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"scan reads more than the profiled columns:\n$plan")
+  }
+
+  test("skewReport: deterministic top-k with exact shares, no window") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val got = Profile.skewReport(df, col("k"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val q = Profile.skewReport(ev, col("user_id"), k = 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"skewReport planned a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not the distributed TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"grand total must broadcast onto the per-key aggregate:\n$plan")
+  }
+
+  test("skewReport tie-break is stable (count desc, key asc)") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("k")
+    val got = Profile.skewReport(df, col("k"), k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("a", "b"))
+  }
+}
