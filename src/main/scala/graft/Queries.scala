@@ -752,6 +752,13 @@ object Queries {
   def qSkewReport(s: SparkSession, dir: String): DataFrame =
     Profile.skewReport(events(s, dir).bagDF, col("user_id"), k = 20)
 
+  /** Per-label embedding coherence: n_vecs and centroid norm per label
+    * ([[Profile.embeddingCoherence]]) — run before choosing IVF/SemDeDup
+    * parameters. The DuckDB oracle recomputes the identical
+    * quantized-decimal centroid over unnested vectors. */
+  def qEmbedStats(s: SparkSession, dir: String): DataFrame =
+    Profile.embeddingCoherence(t(s, dir, "embeddings").bagDF)
+
   /** Fuzzy decontamination over PERTURBED eval snippets: each snippet's
     * first character is replaced with 'z', so exact substring matching
     * (q_decontaminate) misses every plant, but ≥60% of each snippet's
@@ -1249,7 +1256,8 @@ object Queries {
     "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
     "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
     "q_dedup_survivors" -> qDedupSurvivors,
-    "q_profile" -> qProfile, "q_skew_report" -> qSkewReport)
+    "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
+    "q_embed_stats" -> qEmbedStats)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1867,5 +1875,19 @@ object Queries {
       "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
       "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c) " +
       "SELECT key, cnt, ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS share " +
-      "FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20"))
+      "FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20"),
+
+    "q_embed_stats" -> ("WITH e AS (SELECT label, " +
+      "generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v " +
+      "FROM embeddings), " +
+      "c AS (SELECT label, pos, " +
+      "CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) " +
+      "/ COUNT(*) AS c FROM e GROUP BY 1, 2), " +
+      "s AS (SELECT label, " +
+      "CAST(SUM(CAST(ROUND(c*c, 12) AS DECIMAL(18,12))) AS DOUBLE) AS ss " +
+      "FROM c GROUP BY 1), " +
+      "n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs " +
+      "FROM embeddings GROUP BY 1) " +
+      "SELECT n.label, n.n_vecs, ROUND(SQRT(s.ss), 6) AS centroid_norm " +
+      "FROM n JOIN s USING(label)"))
 }

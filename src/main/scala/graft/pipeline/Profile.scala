@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus profiling: the diagnostics a pipeline runs over an unfamiliar
   * 100 TB table BEFORE planning joins and dedup passes — per-column
@@ -40,6 +41,31 @@ object Profile {
     one.select(expr(
       s"stack(${cols.length}, $stackArgs) AS " +
         "(col_name, n_rows, n_distinct, min_value, max_value)"))
+  }
+
+  /** Per-label embedding coherence: vector count and the norm of the
+    * label's mean vector (→1 = tight cluster, →0 = isotropic noise) — the
+    * stat that predicts whether IVF partitioning / SemDeDup cluster
+    * pruning will bite on this corpus. The centroid is a posexplode +
+    * per-(label, dim) mean — partial-aggregable, the standard distributed
+    * mean-vector shape; per-element values and squared components are
+    * quantized and decimal-summed so the parallel accumulation order
+    * cannot move the 6-dp result (the repo's determinism policy). */
+  def embeddingCoherence(emb: DataFrame, labelCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(labelCol).as("label"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val cen = e.groupBy("label", "pos").agg(
+      (sum(round(col("v").cast("double"), 6).cast(DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as("c"))
+    val ss = cen.groupBy("label").agg(
+      sum(round(col("c") * col("c"), 12).cast(DecimalType(18, 12)))
+        .cast("double").as("__ss"))
+    val n = emb.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    n.join(ss, "label")
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("__ss")), 6).as("centroid_norm"))
   }
 
   /** Top-k hottest keys with their count and share of all rows — the
