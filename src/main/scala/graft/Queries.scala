@@ -759,6 +759,45 @@ object Queries {
   def qEmbedStats(s: SparkSession, dir: String): DataFrame =
     Profile.embeddingCoherence(t(s, dir, "embeddings").bagDF)
 
+  /** Cross-document duplicated-span report at 8-token window granularity
+    * ([[Dedup.dupSpanReport]]): per doc, how many of its distinct sliding
+    * windows occur in at least one other document. The DuckDB oracle
+    * regenerates the identical stride-1 window stream with list slicing
+    * and recomputes the shared-window counts. */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanReport(t(s, dir, "documents").bagDF, spanTokens = 8)
+
+  /** LEAKAGE-FREE train/val/test split: near-dup clusters are assigned to
+    * splits ATOMICALLY — each doc splits on the content hash of its
+    * cluster REPRESENTATIVE (its own id when unclustered), so two
+    * near-duplicate documents can never land in different splits (the
+    * leakage mode q_split_leakage audits for). Composes
+    * [[Dedup.minhashPairs]] → [[Cluster.assign]] (pair-set-sized work,
+    * never corpus-sized) with a left join of the corpus onto the component
+    * map and the same narrow content-hash split predicate as q_split. */
+  def qSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).select("id_a", "id_b")
+    val comp = graft.pipeline.Cluster.assign(pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+    val withRep = docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    Sampling.hashSplit(withRep, col("rep")).select("doc_id", "rep", "split")
+  }
+
+  /** Length-band filter on EXACT discrete percentiles: documents whose
+    * n_chars falls within [p05, p95], thresholds computed by
+    * [[Profile.quantileBand]]'s histogram selection (one distinct-value-
+    * bounded shuffle, no sort, no window) and pushed into the scan as a
+    * literal range predicate. The DuckDB oracle selects the same ranks
+    * with an explicit row_number walk. */
+  def qLengthBand(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val (lo, hi) = Profile.quantileBand(docs, "n_chars", 0.05, 0.95)
+    docs.select(col("doc_id"), col("n_chars"))
+      .where(col("n_chars").between(lo, hi))
+  }
+
   /** Fuzzy decontamination over PERTURBED eval snippets: each snippet's
     * first character is replaced with 'z', so exact substring matching
     * (q_decontaminate) misses every plant, but ≥60% of each snippet's
@@ -1257,7 +1296,8 @@ object Queries {
     "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
-    "q_embed_stats" -> qEmbedStats)
+    "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
+    "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1889,5 +1929,52 @@ object Queries {
       "n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs " +
       "FROM embeddings GROUP BY 1) " +
       "SELECT n.label, n.n_vecs, ROUND(SQRT(s.ss), 6) AS centroid_norm " +
-      "FROM n JOIN s USING(label)"))
+      "FROM n JOIN s USING(label)"),
+
+    "q_dup_spans" -> ("WITH tok AS (SELECT doc_id, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+      "WHERE length(trim(text)) > 0), " +
+      "w AS (SELECT doc_id, array_to_string(t[i : i+7], ' ') AS win " +
+      "FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) " +
+      "WHERE len(t) >= 8), " +
+      "p AS (SELECT DISTINCT doc_id, win FROM w), " +
+      "d AS (SELECT win FROM p GROUP BY win HAVING COUNT(*) > 1), " +
+      "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win FROM p GROUP BY doc_id), " +
+      "nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM p JOIN d USING(win) GROUP BY doc_id) " +
+      "SELECT n.doc_id, n.n_win, " +
+      "CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup, " +
+      "ROUND(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / n.n_win, 6) AS dup_frac " +
+      "FROM n LEFT JOIN nd USING(doc_id)"),
+
+    "q_length_band" -> ("WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM documents), " +
+      "o AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn " +
+      "FROM documents), " +
+      "lo AS (SELECT n_chars AS lo FROM o, c WHERE rn = CAST(ceil(0.05*cnt) AS BIGINT)), " +
+      "hi AS (SELECT n_chars AS hi FROM o, c WHERE rn = CAST(ceil(0.95*cnt) AS BIGINT)) " +
+      "SELECT d.doc_id, d.n_chars FROM documents d, lo, hi " +
+      "WHERE d.n_chars BETWEEN lo AND hi"),
+
+    // identical trigram-Jaccard closure as q_dedup_cluster, then the
+    // q_split bucket CASE applied to the component REPRESENTATIVE
+    "q_split_safe" -> ("WITH RECURSIVE g AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents WHERE length(text) >= 5)), " +
+      "pairs AS (SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(a.gr || b.gr)) AS jaccard " +
+      "FROM g a, g b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a), " +
+      "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a), " +
+      "r AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep " +
+      "FROM (SELECT doc_id FROM documents WHERE length(text) >= 5) d " +
+      "LEFT JOIN comp c USING(doc_id)) " +
+      "SELECT doc_id, rep, CASE WHEN b < 80 THEN 'train' " +
+      "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM (SELECT doc_id, rep, " +
+      "CAST('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b " +
+      "FROM r)"))
 }

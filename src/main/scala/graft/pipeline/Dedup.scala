@@ -445,4 +445,46 @@ object Dedup {
         (array_position(col("__chunks"), col("chunk")) === col("__i") + 1)
           .as("kept"))
   }
+
+  /** Cross-document duplicated-SPAN report: every `spanTokens`-token
+    * sliding window (stride 1) of every document is fingerprinted, and
+    * each document reports how many of its distinct windows also occur in
+    * at least one OTHER document — the window-granular approximation of
+    * exact-substring dedup (a span of ≥ spanTokens shared tokens always
+    * contains a shared window, so `n_dup > 0` is a complete detector for
+    * such spans; cf. the suffix-array ExactSubstr method of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better").
+    * Unlike [[chunkDedup]] (stride = chunk size), the stride-1 windows
+    * catch duplicated spans at ANY token offset.
+    *
+    * Scale shape: the window stream is a narrow explode of the scan
+    * (carrying 32-hex md5 fingerprints, never the window text — swap in a
+    * 64-bit hash expression to halve shuffle width at full scale), then
+    * ONE distinct on (doc_id, fp), one fp-grouped count with map-side
+    * partials (corpus-wide boilerplate collapses per map task), an fp
+    * equi-join back onto the pair stream (AQE skew-join territory — never
+    * a window), and a final doc_id-grouped rollup. No all-pairs stage at
+    * any step. Output: (doc_id, n_win, n_dup, dup_frac) over docs with
+    * ≥ spanTokens tokens; windows are counted distinct-per-doc. */
+  def dupSpanReport(docs: DataFrame, spanTokens: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .where(size(col("__t")) >= spanTokens)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("__t")) - (spanTokens - 1)),
+          i => md5(array_join(slice(col("__t"), i, lit(spanTokens)), " "))))
+          .as("__fp"))
+      .distinct()
+    val perFp = pairs.groupBy("__fp").agg(count(lit(1)).as("__docs"))
+    pairs.join(perFp, "__fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_win"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_win"), 6).as("dup_frac"))
+  }
 }

@@ -68,6 +68,39 @@ object Profile {
         round(sqrt(col("__ss")), 6).as("centroid_norm"))
   }
 
+  /** EXACT type-1 discrete quantiles (qLo, qHi) of an integral metric via
+    * the histogram route: one map-side-combinable `groupBy(value)` shuffle
+    * whose result is bounded by the metric's DISTINCT-VALUE count — not
+    * the row count — so the driver-side cumulative walk is O(distinct)
+    * regardless of corpus size (document lengths, token counts, and other
+    * pipeline metrics have ≲ 10^6 distinct values at any corpus scale; the
+    * guard fails loud if that assumption breaks rather than OOM the
+    * driver). Exact selection — unlike `approxQuantile` — so a band filter
+    * built on the thresholds is reproducible bit-for-bit across runs and
+    * cluster layouts. Returns the values at ranks ceil(q·n) in ascending
+    * order (ties need no tie-break: the value at a global rank is
+    * determined by the value ordering alone). */
+  def quantileBand(df: DataFrame, valueCol: String, qLo: Double, qHi: Double,
+                   maxDistinct: Int = 1 << 22): (Long, Long) = {
+    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .collect()
+    require(hist.nonEmpty, s"quantileBand: $valueCol has no rows")
+    require(hist.length <= maxDistinct,
+      s"quantileBand: ${hist.length} distinct values of $valueCol exceeds " +
+        s"the driver histogram bound $maxDistinct — bucket the metric first")
+    val n = hist.iterator.map(_.getLong(1)).sum
+    def at(k: Long): Long = {
+      var cum = 0L
+      hist.iterator.map { r => cum += r.getLong(1); (r.getLong(0), cum) }
+        .collectFirst { case (v, c) if c >= k => v }
+        .getOrElse(hist.last.getLong(0))
+    }
+    (at(math.max(1L, math.ceil(qLo * n).toLong)),
+      at(math.max(1L, math.ceil(qHi * n).toLong)))
+  }
+
   /** Top-k hottest keys with their count and share of all rows — the
     * pre-join skew report. Deterministic under ties (count desc, key asc).
     * `key` must be a simple column or expression; the output names it

@@ -276,4 +276,33 @@ class PlanSpec extends SparkSpec {
     assert(phase1.forall(_.getAs[Long]("count") <= k.toLong * nPart),
       s"phase-2 fan-in exceeded k*P: ${phase1.mkString(",")}")
   }
+
+  test("dupSpanReport: no all-pairs, no window; fp count aggregation partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.dupSpanReport(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-span went all-pairs:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"dup-span plans a window:\n${p.take(3000)}")
+    // distinct + per-fp count + per-doc rollup all partial around exchanges
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4
+      && p.contains("Exchange"), s"no partial aggregation:\n${p.take(3000)}")
+  }
+
+  test("embeddingCoherence: partial per-dim mean, no window, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Profile.embeddingCoherence(emb))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"coherence plan degenerated:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"per-dim mean not partial:\n${p.take(3000)}")
+  }
+
+  test("length-band thresholds reach the scan as pushed literal range filters") {
+    val f = formatted(Queries.qLengthBand(spark, sf))
+    assert(f.contains("GreaterThanOrEqual(n_chars")
+      && f.contains("LessThanOrEqual(n_chars"),
+      s"band predicate not pushed to the parquet scan:\n$f")
+    val readSchema = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("text"), s"band scan over-reads:\n$readSchema")
+  }
 }
