@@ -87,6 +87,16 @@ object BenchScale {
     run("lm_score",
       TextAnalysis.lmScore(docs1).count(),
       TextAnalysis.lmScore(scaleDocs(mult)).count())
+    // N-fold replication makes every window a cross-doc duplicate — the
+    // worst-case load for the fp-grouped count (maximal dup set)
+    run("dup_spans",
+      Dedup.dupSpanReport(docs1).count(),
+      Dedup.dupSpanReport(scaleDocs(mult)).count())
+    def band(df: DataFrame): Long = {
+      val (lo, hi) = graft.pipeline.Profile.quantileBand(df, "n_chars", 0.05, 0.95)
+      df.where(col("n_chars").between(lo, hi)).count()
+    }
+    run("length_band", band(docs1), band(scaleDocs(mult)))
     def pq(df: DataFrame): Long = {
       val q = df.orderBy("vec_id").limit(5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -785,6 +785,18 @@ object Queries {
     Sampling.hashSplit(withRep, col("rep")).select("doc_id", "rep", "split")
   }
 
+  /** Quality-WEIGHTED sampling (soft quality filter): each doc keeps with
+    * per-row rate min(1, 10·stopword_ratio) — the Gopher-style natural-
+    * language signal, so fluent docs keep fully and word-salad docs are
+    * downweighted but not hard-dropped ([[Sampling.weightedHashSample]]).
+    * Content-hash membership, rate rounded to 2dp: the kept set is a pure
+    * row function, and the oracle replays the identical rate + bucket
+    * arithmetic. Narrow map, zero shuffles. */
+  def qQualitySample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedHashSample(t(s, dir, "documents").bagDF, col("doc_id"),
+      least(lit(1.0), TextAnalysis.stopwordRatio(col("text")) * 10.0))
+      .select("doc_id", "source")
+
   /** Length-band filter on EXACT discrete percentiles: documents whose
     * n_chars falls within [p05, p95], thresholds computed by
     * [[Profile.quantileBand]]'s histogram selection (one distinct-value-
@@ -1297,7 +1309,8 @@ object Queries {
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
-    "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe)
+    "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
+    "q_quality_sample" -> qQualitySample)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1976,5 +1989,17 @@ object Queries {
       "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
       "FROM (SELECT doc_id, rep, " +
       "CAST('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b " +
-      "FROM r)"))
+      "FROM r)"),
+
+    // identical stopword-hit tokenization as q_quality_rules (proven
+    // aligned), the rate rounded to 2dp into the q_split bucket arithmetic
+    "q_quality_sample" -> ("SELECT doc_id, source FROM (" +
+      "SELECT doc_id, source, " +
+      "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b, " +
+      "CAST(ROUND(ROUND(LEAST(1.0, CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+      "ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), " +
+      "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) " +
+      "/ len(string_split_regex(trim(text), '\\s+')) END * 10.0)" +
+      ", 2) * 100) AS INTEGER) AS r " +
+      "FROM documents) WHERE b < r"))
 }

@@ -82,6 +82,19 @@ object Sampling {
       .drop("__s", "__r")
   }
 
+  /** Per-ROW keep rate (soft quality filtering): row kept with
+    * probability `rate` — a Column in [0,1] computed from the row itself
+    * (a quality score, a perplexity bucket), so high-quality documents are
+    * oversampled instead of hard-thresholded. Membership is the same
+    * content-hash bucket as [[hashSample]] and the rate is rounded to 2dp
+    * before the bucket compare, so the kept set is a pure deterministic
+    * function of the row — engine-portable and partitioning-stable. Still
+    * a narrow map over the scan: no shuffle at any scale. */
+  def weightedHashSample(df: DataFrame, key: Column, rate: Column,
+                         buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(key, buckets) <
+      round(round(rate, 2) * buckets).cast("int"))
+
   /** Per-stratum rates: keep ~rates(stratum) of each group. Strata missing
     * from the map are dropped — a corpus-mix recipe ("3% of web, 40% of
     * books") is exactly this call. Broadcast map lookup, still a narrow

@@ -396,4 +396,35 @@ class PipelineSpec extends SparkSpec {
     assert(f.take(4).forall(_ < 0.01), s"silent half ${f.toSeq}")
     assert(f.drop(4).forall(_ > 0.9), s"loud half ${f.toSeq}")
   }
+
+  test("dupSpanReport: shared span found at ANY offset; disjoint docs report zero") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared"),               // span at offset 2
+      (2L, s"$shared gamma delta epsilon zeta"), // same span at offset 0
+      (3L, "entirely different words " + (1 to 10).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanReport(docs, spanTokens = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) > 0 && r(2L) > 0, s"planted shared span missed: $r")
+    assert(r(3L) == 0, s"false positive on disjoint doc: $r")
+    // a 10-token shared span contains 3 shared 8-windows
+    assert(r(1L) == 3 && r(2L) == 3, s"wrong shared-window count: $r")
+  }
+
+  test("quantileBand: exact type-1 ranks on a known histogram; guard fails loud") {
+    import spark.implicits._
+    // values 1..100 once each: p05 -> rank ceil(5)=5, p95 -> rank 95
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    assert(graft.pipeline.Profile.quantileBand(df, "v", 0.05, 0.95) === (5L, 95L))
+    // duplicates shift ranks but not the value-order selection: fifty 1s
+    // then 51..100 → n=100; rank 5 falls inside the 1s run, rank 95 on 95
+    val dup = (Seq.fill(50)(1L) ++ (51L to 100L)).toDF("v")
+    assert(graft.pipeline.Profile.quantileBand(dup, "v", 0.05, 0.95) === (1L, 95L))
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Profile.quantileBand(df, "v", 0.05, 0.95, maxDistinct = 10)
+    }
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+  }
 }
