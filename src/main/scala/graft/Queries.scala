@@ -797,6 +797,23 @@ object Queries {
       least(lit(1.0), TextAnalysis.stopwordRatio(col("text")) * 10.0))
       .select("doc_id", "source")
 
+  /** Corpus snapshot diff ([[graft.pipeline.Snapshot.diff]]): v2 is built
+    * from v1 by a deterministic perturbation — every 17th doc dropped,
+    * every 13th edited, every 19th re-added under a shifted id — and every
+    * doc id in either version is classified added/removed/changed/
+    * unchanged. Slim-row full-outer equi-join; the oracle rebuilds the
+    * identical v2 and compares the same md5 fingerprints. */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").bagDF
+    val v2 = v1.where(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.pipeline.Snapshot.diff(v1, v2)
+  }
+
   /** Length-band filter on EXACT discrete percentiles: documents whose
     * n_chars falls within [p05, p95], thresholds computed by
     * [[Profile.quantileBand]]'s histogram selection (one distinct-value-
@@ -1310,7 +1327,7 @@ object Queries {
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
-    "q_quality_sample" -> qQualitySample)
+    "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2001,5 +2018,16 @@ object Queries {
       "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) " +
       "/ len(string_split_regex(trim(text), '\\s+')) END * 10.0)" +
       ", 2) * 100) AS INTEGER) AS r " +
-      "FROM documents) WHERE b < r"))
+      "FROM documents) WHERE b < r"),
+
+    "q_corpus_diff" -> ("WITH v2 AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 17 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0), " +
+      "a AS (SELECT doc_id, md5(text) AS f1 FROM documents), " +
+      "b AS (SELECT doc_id, md5(text) AS f2 FROM v2) " +
+      "SELECT doc_id, CASE WHEN f1 IS NULL THEN 'added' " +
+      "WHEN f2 IS NULL THEN 'removed' " +
+      "WHEN f1 <> f2 THEN 'changed' ELSE 'unchanged' END AS status " +
+      "FROM a FULL JOIN b USING(doc_id)"))
 }
