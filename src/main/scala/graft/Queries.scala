@@ -759,6 +759,23 @@ object Queries {
   def qEmbedStats(s: SparkSession, dir: String): DataFrame =
     Profile.embeddingCoherence(t(s, dir, "embeddings").bagDF)
 
+  /** Approximate-profile contract row: the single-pass HLL++ profile
+    * ([[Profile.tableProfileApprox]] — no Expand, the 100 TB health-check
+    * path) must agree with the exact profile within 5% per column (rsd 2%,
+    * ≥2× slack so the row trips on regressions, not estimator noise). */
+  def qProfileCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").bagDF
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val apx = Profile.tableProfileApprox(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ext = Profile.tableProfile(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ok = cols.map(c => math.abs(apx(c).toDouble / ext(c) - 1.0) <= 0.05)
+    Seq((ok(0), ok(1), ok(2), ok(3), ok(4)))
+      .toDF("ok_doc_id", "ok_text", "ok_lang", "ok_source", "ok_n_chars")
+  }
+
   /** Cross-document duplicated-span report at 8-token window granularity
     * ([[Dedup.dupSpanReport]]): per doc, how many of its distinct sliding
     * windows occur in at least one other document. The DuckDB oracle
@@ -1327,7 +1344,8 @@ object Queries {
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
-    "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff)
+    "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
+    "q_profile_check" -> qProfileCheck)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2029,5 +2047,8 @@ object Queries {
       "SELECT doc_id, CASE WHEN f1 IS NULL THEN 'added' " +
       "WHEN f2 IS NULL THEN 'removed' " +
       "WHEN f1 <> f2 THEN 'changed' ELSE 'unchanged' END AS status " +
-      "FROM a FULL JOIN b USING(doc_id)"))
+      "FROM a FULL JOIN b USING(doc_id)"),
+
+    "q_profile_check" -> ("SELECT true AS ok_doc_id, true AS ok_text, " +
+      "true AS ok_lang, true AS ok_source, true AS ok_n_chars"))
 }

@@ -43,6 +43,32 @@ object Profile {
         "(col_name, n_rows, n_distinct, min_value, max_value)"))
   }
 
+  /** The 100 TB profile path: same shape as [[tableProfile]] but distinct
+    * counts come from HLL++ (`approx_count_distinct`, default rsd 2%).
+    * Exact multi-column distinct counting makes Catalyst EXPAND the scan
+    * (#cols+1 row copies through the aggregation — a 5-column profile
+    * reads the corpus once but aggregates it six-fold); the sketch version
+    * is a true single pass with one fixed-size buffer per column and no
+    * Expand (PlanSpec asserts the contrast). Use exact for gated results,
+    * approx for routine corpus health checks. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String],
+                         rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "tableProfileApprox: no columns")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__n_$c`, `__d_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_rows, n_distinct, min_value, max_value)"))
+  }
+
   /** Per-label embedding coherence: vector count and the norm of the
     * label's mean vector (→1 = tight cluster, →0 = isotropic noise) — the
     * stat that predicts whether IVF partitioning / SemDeDup cluster

@@ -297,6 +297,32 @@ class PlanSpec extends SparkSpec {
       s"per-dim mean not partial:\n${p.take(3000)}")
   }
 
+  test("approx profile is a single pass (no Expand); exact profile pays the Expand") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pApx = plan(graft.pipeline.Profile.tableProfileApprox(docs, cols))
+    assert(!pApx.contains("Expand"),
+      s"sketch profile expands the scan:\n${pApx.take(2000)}")
+    // the exact multi-distinct profile DOES expand — the documented cost
+    // the approx path exists to avoid at 100 TB
+    val pExact = plan(graft.pipeline.Profile.tableProfile(docs, cols))
+    assert(pExact.contains("Expand"), s"expected Expand in exact profile")
+  }
+
+  test("snapshot diff joins slim fingerprint rows — text never reaches the join") {
+    val q = Queries.qCorpusDiff(spark, sf)
+    val joinInputs = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.children.map(_.output.map(_.name))
+    }.flatten
+    assert(joinInputs.nonEmpty)
+    assert(joinInputs.forall(out => !out.exists(_.contains("text"))),
+      s"text column crossed into the diff join: $joinInputs")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"diff plan degenerated:\n${p.take(2000)}")
+  }
+
   test("length-band thresholds reach the scan as pushed literal range filters") {
     val f = formatted(Queries.qLengthBand(spark, sf))
     assert(f.contains("GreaterThanOrEqual(n_chars")
