@@ -205,12 +205,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateless corpus ops (scrub, quality, split) run unchanged on a doc stream") {
+  test("stateless corpus ops (scrub, quality, split, weighted sample) run unchanged on a doc stream") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001/documents.parquet"
     val schema = spark.read.parquet(src).schema
     def enrich(df: org.apache.spark.sql.DataFrame) =
-      graft.pipeline.Sampling.hashSplit(df, col("doc_id"))
+      graft.pipeline.Sampling.weightedHashSample(
+          graft.pipeline.Sampling.hashSplit(df, col("doc_id")), col("doc_id"),
+          least(lit(1.0),
+            graft.pipeline.TextAnalysis.stopwordRatio(col("text")) * 10.0))
         .select(col("doc_id"),
           graft.pipeline.TextAnalysis.scrub(col("text")).as("text"),
           graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"),
