@@ -831,6 +831,23 @@ object Queries {
     graft.pipeline.Snapshot.diff(v1, v2)
   }
 
+  /** INCREMENTAL dedup as a batch query: a delta of arriving docs (exact
+    * copies of every 23rd doc under shifted ids) is matched against the
+    * historical corpus's band index ([[graft.streaming.DocStream]] —
+    * delta × history only, never history × history, so daily ingest work
+    * scales with the DELTA at 100 TB). The DuckDB oracle computes the full
+    * exact delta×history trigram Jaccard: completeness and precision of
+    * the banded incremental path are both gated. */
+  def qIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val delta = hist.where(col("doc_id") % 23 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val idx = graft.streaming.DocStream.buildIndex(hist)
+    graft.streaming.DocStream.matchAgainst(delta, idx, threshold = 0.5)
+      .select(col("new_id"), col("dup_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Length-band filter on EXACT discrete percentiles: documents whose
     * n_chars falls within [p05, p95], thresholds computed by
     * [[Profile.quantileBand]]'s histogram selection (one distinct-value-
@@ -1345,7 +1362,7 @@ object Queries {
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
-    "q_profile_check" -> qProfileCheck)
+    "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2050,5 +2067,18 @@ object Queries {
       "FROM a FULL JOIN b USING(doc_id)"),
 
     "q_profile_check" -> ("SELECT true AS ok_doc_id, true AS ok_text, " +
-      "true AS ok_lang, true AS ok_source, true AS ok_n_chars"))
+      "true AS ok_lang, true AS ok_source, true AS ok_n_chars"),
+
+    // exact delta×history Jaccard with the q_dedup_minhash trigram
+    // convention — gates both completeness and precision of the banded
+    // incremental path
+    "q_incr_dedup" -> ("WITH g AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents WHERE length(text) >= 5)), " +
+      "d AS (SELECT doc_id + 2000000 AS new_id, gr FROM g WHERE doc_id % 23 = 0) " +
+      "SELECT new_id, dup_id, jaccard FROM (" +
+      "SELECT d.new_id, h.doc_id AS dup_id, " +
+      "round(CAST(len(list_intersect(d.gr, h.gr)) AS DOUBLE) / len(list_distinct(d.gr || h.gr)), 6) AS jaccard " +
+      "FROM d, g h) WHERE jaccard >= 0.5"))
 }
