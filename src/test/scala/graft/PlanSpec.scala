@@ -323,6 +323,12 @@ class PlanSpec extends SparkSpec {
       s"diff plan degenerated:\n${p.take(2000)}")
   }
 
+  test("incremental dedup match plans banded equi-joins only — delta never cross-joins history") {
+    val p = plan(Queries.qIncrDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental match went all-pairs:\n${p.take(3000)}")
+  }
+
   test("length-band thresholds reach the scan as pushed literal range filters") {
     val f = formatted(Queries.qLengthBand(spark, sf))
     assert(f.contains("GreaterThanOrEqual(n_chars")
