@@ -831,6 +831,16 @@ object Queries {
     graft.pipeline.Snapshot.diff(v1, v2)
   }
 
+  /** Winnowing fingerprints ([[TextAnalysis.winnow]] — the MOSS local
+    * fingerprinting selection, Schleimer et al. 2003): per doc, the
+    * distinct window-minimum k-gram hashes. The DuckDB oracle replays the
+    * identical gram hashing and window-min selection over md5 hex strings
+    * (lexicographic min matches across engines). */
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").bagDF
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnow(col("text"))).as("fp"))
+
   /** INCREMENTAL dedup as a batch query: a delta of arriving docs (exact
     * copies of every 23rd doc under shifted ids) is matched against the
     * historical corpus's band index ([[graft.streaming.DocStream]] —
@@ -1362,7 +1372,8 @@ object Queries {
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
-    "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup)
+    "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
+    "q_winnow" -> qWinnow)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2080,5 +2091,15 @@ object Queries {
       "SELECT new_id, dup_id, jaccard FROM (" +
       "SELECT d.new_id, h.doc_id AS dup_id, " +
       "round(CAST(len(list_intersect(d.gr, h.gr)) AS DOUBLE) / len(list_distinct(d.gr || h.gr)), 6) AS jaccard " +
-      "FROM d, g h) WHERE jaccard >= 0.5"))
+      "FROM d, g h) WHERE jaccard >= 0.5"),
+
+    // identical winnowing selection: md5 trigram hashes, window-of-4 min,
+    // distinct — hex strings order the same lexicographically everywhere
+    "q_winnow" -> ("WITH f AS (SELECT doc_id, " +
+      "[md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, greatest(len(toks)-2, 1)+1)] AS fps " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents)) " +
+      "SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
+      "unnest([list_min(fps[i:i+3]) for i in range(1, greatest(len(fps)-3, 1)+1)]) AS fp " +
+      "FROM f)"))
 }

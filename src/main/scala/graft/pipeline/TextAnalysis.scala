@@ -106,6 +106,28 @@ object TextAnalysis {
       array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " ")))
     }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting algorithm): hash every word k-gram,
+    * then keep the MINIMUM hash of each w-length sliding window of
+    * consecutive gram hashes. Guarantees at least one shared fingerprint
+    * for any shared run of ≥ w+k−1 tokens (a coverage guarantee MinHash
+    * sampling does not give), while selecting only ~2/(w+1) of all grams.
+    * Hashes are md5 hex strings so an external engine reproduces the
+    * selection bit-for-bit (hex compares lexicographically the same
+    * everywhere); swap in xxhash64 for an 8-byte wire format at scale.
+    * Pure narrow expression: split → transform → array_min per window —
+    * no shuffle, stays in codegen. Returns the DISTINCT selected hashes. */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
+    bind(bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
+      transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => md5(array_join(slice(toks, i, lit(k)), " ")))
+    }) { fps =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(fps) - (w - 1), lit(1))),
+        i => array_min(slice(fps, i, lit(w)))))
+    }
+
   /** Character n-grams (for n-gram Jaccard dedup). The normalized string is
     * let-bound — inlining it would re-run the regexp once per index. */
   def charNgrams(text: Column, n: Int = 5): Column =

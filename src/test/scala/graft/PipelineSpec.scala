@@ -413,6 +413,25 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == 3 && r(2L) == 3, s"wrong shared-window count: $r")
   }
 
+  test("winnow: shared ≥(w+k−1)-token run guarantees a shared fingerprint; selection is sparse") {
+    import spark.implicits._
+    val run = (1 to 6).map(i => s"shared$i").mkString(" ") // w+k-1 = 6 tokens
+    val docs = Seq(
+      (1L, s"aa bb cc dd $run"),
+      (2L, s"$run xx yy zz ww"),
+      (3L, "totally unrelated content " + (1 to 12).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        explode(TextAnalysis.winnow(col("text"))).as("fp"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty, "coverage guarantee violated")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // sparsity: winnowing must select strictly fewer fps than grams exist
+    val grams1 = docs.where(col("doc_id") === 1)
+      .select(size(TextAnalysis.shingles(col("text")))).head.getInt(0)
+    assert(fps(1L).size < grams1, s"${fps(1L).size} !< $grams1")
+  }
+
   test("quantileBand: exact type-1 ranks on a known histogram; guard fails loud") {
     import spark.implicits._
     // values 1..100 once each: p05 -> rank ceil(5)=5, p95 -> rank 95
