@@ -831,6 +831,27 @@ object Queries {
     graft.pipeline.Snapshot.diff(v1, v2)
   }
 
+  /** Per-vector centered norms ([[Profile.centeredNorms]]) — the whitening
+    * diagnostic before ANN/SemDeDup parameter choice. Oracle recomputes
+    * the identical decimal-quantized per-dim mean and centered rollup. */
+  def qEmbedCenter(s: SparkSession, dir: String): DataFrame =
+    Profile.centeredNorms(t(s, dir, "embeddings").bagDF)
+
+  /** Cross-SOURCE duplication matrix: near-dup pairs (minhash, full oracle
+    * gate) grouped by the (source_a, source_b) pair — the report that
+    * decides source precedence and which ingest feeds are re-crawls of
+    * another. Pair-set-sized work joined twice against a slim (id, source)
+    * projection. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).select("id_a", "id_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Winnowing fingerprints ([[TextAnalysis.winnow]] — the MOSS local
     * fingerprinting selection, Schleimer et al. 2003): per doc, the
     * distinct window-minimum k-gram hashes. The DuckDB oracle replays the
@@ -1373,7 +1394,8 @@ object Queries {
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
-    "q_winnow" -> qWinnow)
+    "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
+    "q_source_overlap" -> qSourceOverlap)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2101,5 +2123,29 @@ object Queries {
       "FROM documents)) " +
       "SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
       "unnest([list_min(fps[i:i+3]) for i in range(1, greatest(len(fps)-3, 1)+1)]) AS fp " +
-      "FROM f)"))
+      "FROM f)"),
+
+    "q_embed_center" -> ("WITH e AS (SELECT vec_id, " +
+      "generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v " +
+      "FROM embeddings), " +
+      "c AS (SELECT pos, " +
+      "CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) " +
+      "/ COUNT(*) AS c FROM e GROUP BY 1) " +
+      "SELECT e.vec_id, ROUND(SQRT(CAST(SUM(CAST(ROUND(" +
+      "(CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c), 12) " +
+      "AS DECIMAL(20,12))) AS DOUBLE)), 6) AS centered_norm " +
+      "FROM e JOIN c USING(pos) GROUP BY e.vec_id"),
+
+    "q_source_overlap" -> ("WITH g AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents WHERE length(text) >= 5)), " +
+      "pairs AS (SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(a.gr || b.gr)) AS jaccard " +
+      "FROM g a, g b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5) " +
+      "SELECT da.source AS src_a, db.source AS src_b, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+      "FROM pairs JOIN documents da ON pairs.id_a = da.doc_id " +
+      "JOIN documents db ON pairs.id_b = db.doc_id GROUP BY 1, 2"))
 }

@@ -127,6 +127,29 @@ object Profile {
       at(math.max(1L, math.ceil(qHi * n).toLong)))
   }
 
+  /** Centered-norm report: per vector, ‖v − μ‖ where μ is the corpus mean
+    * vector — the whitening diagnostic run before IVF/SemDeDup training
+    * (embeddings clustered far off-origin make raw cosine discriminate
+    * poorly; centering restores contrast). Same distributed shape as
+    * [[embeddingCoherence]]: one per-dim partial-aggregable mean, the
+    * (dims × 1) mean table broadcast back onto the exploded stream, one
+    * per-vector rollup. Decimal-quantized accumulation both passes so the
+    * result is partitioning-invariant at 6 dp. */
+  def centeredNorms(emb: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val cen = e.groupBy("pos").agg(
+      (sum(round(col("v").cast("double"), 6).cast(DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as("c"))
+    e.join(broadcast(cen), "pos")
+      .withColumn("__d", col("v").cast("double") - col("c"))
+      .groupBy("vec_id")
+      .agg(round(sqrt(
+        sum(round(col("__d") * col("__d"), 12).cast(DecimalType(20, 12)))
+          .cast("double")), 6).as("centered_norm"))
+  }
+
   /** Top-k hottest keys with their count and share of all rows — the
     * pre-join skew report. Deterministic under ties (count desc, key asc).
     * `key` must be a simple column or expression; the output names it
