@@ -831,6 +831,21 @@ object Queries {
     graft.pipeline.Snapshot.diff(v1, v2)
   }
 
+  /** Cleaned-corpus REBUILD: apply the chunk-dedup keep/drop decision and
+    * materialize each document's surviving text ([[Dedup.chunkDedup]] →
+    * per-doc ordered reassembly). The reassembly buffer is bounded by ONE
+    * document (sort_array over the doc's own kept chunks — never a
+    * corpus-wide or hot-key aggregation), so the rollup is safe at any
+    * corpus scale. Oracle replays the same global-first-occurrence rule
+    * and an ORDER BY chunk_idx string_agg. */
+  def qRebuild(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(t(s, dir, "documents").bagDF)
+      .where(col("kept"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("clean_text"))
+
   /** Per-vector centered norms ([[Profile.centeredNorms]]) — the whitening
     * diagnostic before ANN/SemDeDup parameter choice. Oracle recomputes
     * the identical decimal-quantized per-dim mean and centered rollup. */
@@ -1395,7 +1410,7 @@ object Queries {
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
-    "q_source_overlap" -> qSourceOverlap)
+    "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2147,5 +2162,18 @@ object Queries {
       "SELECT da.source AS src_a, db.source AS src_b, " +
       "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
       "FROM pairs JOIN documents da ON pairs.id_a = da.doc_id " +
-      "JOIN documents db ON pairs.id_b = db.doc_id GROUP BY 1, 2"))
+      "JOIN documents db ON pairs.id_b = db.doc_id GROUP BY 1, 2"),
+
+    // identical chunking + global-first-occurrence rule as q_chunk_dedup,
+    // then ordered reassembly of the kept chunks
+    "q_rebuild" -> ("WITH chunks AS (SELECT d.doc_id, " +
+      "CAST(i AS INTEGER) AS chunk_idx, " +
+      "array_to_string(list_slice(string_split_regex(lower(trim(d.text)), '\\s+'), " +
+      "(i-1)*10+1, i*10), ' ') AS chunk, d.doc_id*1000000 + i AS pos " +
+      "FROM documents d, unnest(generate_series(1, CAST(ceil(" +
+      "len(string_split_regex(lower(trim(d.text)), '\\s+'))/10.0) AS BIGINT))) AS t(i)), " +
+      "k AS (SELECT doc_id, chunk_idx, chunk, " +
+      "pos = min(pos) OVER (PARTITION BY md5(chunk)) AS kept FROM chunks) " +
+      "SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text " +
+      "FROM k WHERE kept GROUP BY doc_id"))
 }
