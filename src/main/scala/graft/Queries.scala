@@ -2135,7 +2135,7 @@ object Queries {
     "q_winnow" -> ("WITH f AS (SELECT doc_id, " +
       "[md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, greatest(len(toks)-2, 1)+1)] AS fps " +
       "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
-      "FROM documents)) " +
+      "FROM documents WHERE length(trim(text)) > 0)) " +
       "SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
       "unnest([list_min(fps[i:i+3]) for i in range(1, greatest(len(fps)-3, 1)+1)]) AS fp " +
       "FROM f)"),

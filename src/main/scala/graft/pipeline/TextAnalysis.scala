@@ -117,8 +117,8 @@ object TextAnalysis {
     * everywhere); swap in xxhash64 for an 8-byte wire format at scale.
     * Pure narrow expression: split → transform → array_min per window —
     * no shuffle, stays in codegen. Returns the DISTINCT selected hashes. */
-  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
-    bind(bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val sel = bind(bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
       transform(
         sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
         i => md5(array_join(slice(toks, i, lit(k)), " ")))
@@ -127,6 +127,11 @@ object TextAnalysis {
         sequence(lit(1), greatest(size(fps) - (w - 1), lit(1))),
         i => array_min(slice(fps, i, lit(w)))))
     }
+    // null/empty documents fingerprint to NOTHING (not a null or
+    // empty-string hash) — explode() then drops the row entirely
+    when(text.isNull || length(trim(text)) === 0,
+      array().cast("array<string>")).otherwise(sel)
+  }
 
   /** Character n-grams (for n-gram Jaccard dedup). The normalized string is
     * let-bound — inlining it would re-run the regexp once per index. */

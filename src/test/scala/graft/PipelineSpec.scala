@@ -432,6 +432,38 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L).size < grams1, s"${fps(1L).size} !< $grams1")
   }
 
+  test("new ops degrade safely: null/empty text, empty corpus, single-value metric") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val weird = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, ""),
+        org.apache.spark.sql.Row(3L, "one two three four five six seven eight nine"))),
+      schema)
+    // null/empty text rows drop out of the span report; the real doc stays
+    val spans = Dedup.dupSpanReport(weird, spanTokens = 8).collect()
+    assert(spans.map(_.getLong(0)).toSet === Set(3L))
+    // winnow: null/empty text yields NO fingerprint rows
+    val fps = weird.select(col("doc_id"),
+      explode(graft.pipeline.TextAnalysis.winnow(col("text"))).as("fp"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fps === Set(3L), s"null/empty docs leaked fingerprints: $fps")
+    // snapshot diff on disjoint id spaces: everything added or removed
+    val v1 = Seq((1L, "a")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b")).toDF("doc_id", "text")
+    val d = graft.pipeline.Snapshot.diff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "added"))
+    // single-value metric: both quantiles collapse to it
+    val one = Seq.fill(10)(7L).toDF("v")
+    assert(graft.pipeline.Profile.quantileBand(one, "v", 0.05, 0.95) === (7L, 7L))
+  }
+
   test("quantileBand: exact type-1 ranks on a known histogram; guard fails loud") {
     import spark.implicits._
     // values 1..100 once each: p05 -> rank ceil(5)=5, p95 -> rank 95
