@@ -110,4 +110,20 @@ object Pack {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "pack_id", "doc_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Same shard layout as [[writeShards]] but JSON-Lines files — the
+    * interchange format tokenizer/training loaders consume directly. Row
+    * order inside each shard file is identical to the parquet writer
+    * (pack-contiguous, doc-ordered), so a sequential reader sees whole
+    * packs in order; compression is the standard per-file gzip a JSONL
+    * loader expects. Same one-file-per-bucket property: file count =
+    * shard count at any corpus size. */
+  def writeShardsJsonl(packed: DataFrame, docs: DataFrame, path: String,
+                       idCol: String = "doc_id", textCol: String = "text"): Unit =
+    packed
+      .join(docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)), "doc_id")
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "pack_id", "doc_id")
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "gzip").json(path)
 }

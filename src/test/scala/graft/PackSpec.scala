@@ -99,6 +99,25 @@ class PackSpec extends SparkSpec {
     assert(back.schema.fieldNames.contains("text"))
   }
 
+  test("writeShardsJsonl: same layout and assignment as the parquet writer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    tmp.deleteOnExit()
+    val packed = Pack.packGreedy(docs, budget = 100, buckets = 2)
+    Pack.writeShardsJsonl(packed, docs, tmp.getPath)
+    val dirs = tmp.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("bucket=0", "bucket=1"))
+    tmp.listFiles().filter(_.isDirectory).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".json.gz")) === 1,
+        s"expected exactly one jsonl file in ${d.getName}")
+    }
+    val back = spark.read.json(tmp.getPath)
+    assert(back.count() === packed.count())
+    val cols = back.select("doc_id", "bucket", "pack_id", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(cols === packed.collect().map(_.toSeq).toSet)
+    assert(back.schema.fieldNames.contains("text"))
+  }
+
   test("packStats: fill ratios are in (0,1] for non-degenerate packs") {
     val stats = Pack.packStats(
       Pack.packGreedy(docs, budget = 100, buckets = 2), budget = 100).collect()
