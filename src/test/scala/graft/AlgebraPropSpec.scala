@@ -165,4 +165,39 @@ class AlgebraPropSpec extends SparkSpec {
       assert(out.df.collect().map(_.getInt(0)).toSet === want)
     }
   }
+
+  test("winnow equals the naive window-min selection on random token streams") {
+    // small alphabet forces repeated tokens (the MOSS edge case: equal
+    // gram hashes inside one window)
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd"))
+    val (k, w) = (3, 4)
+    forAll(docGen) { toks =>
+      val text = toks.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(explode(graft.pipeline.TextAnalysis.winnow(col("text"), k, w)))
+        .collect().map(_.getString(0)).toSet
+      // naive replay: md5 per k-gram (same truncating slice conventions),
+      // min per w-window, distinct
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(
+          s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val grams = (1 to math.max(toks.length - (k - 1), 1))
+        .map(i => md5hex(toks.slice(i - 1, i - 1 + k).mkString(" ")))
+      val want = (1 to math.max(grams.length - (w - 1), 1))
+        .map(i => grams.slice(i - 1, i - 1 + w).min).toSet
+      assert(got === want, s"tokens $toks")
+    }
+  }
+
+  test("quantileBand equals naive sorted-rank selection on random multisets") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 20L)),
+           Gen.zip(Gen.choose(1, 49), Gen.choose(50, 99))) { case (vs, (lo, hi)) =>
+      val (qLo, qHi) = (lo / 100.0, hi / 100.0)
+      val got = graft.pipeline.Profile.quantileBand(vs.toDF("v"), "v", qLo, qHi)
+      val sorted = vs.sorted
+      def at(q: Double): Long =
+        sorted(math.max(1, math.ceil(q * vs.length).toInt) - 1)
+      assert(got === (at(qLo), at(qHi)), s"values $vs q=($qLo,$qHi)")
+    }
+  }
 }
