@@ -867,6 +867,29 @@ object Queries {
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Compression-ratio quality contract ([[graft.functions.DeflateRatio]]
+    * — the zlib repetition/entropy signal): bounds hold on every doc, a
+    * planted highly-repetitive doc compresses strictly better than the
+    * corpus median, and high-entropy hex compresses strictly worse. The
+    * byte-level work is engine-local (no SQL equivalent), so the gate is
+    * a deterministic contract row, like the sketch checks. */
+  def qCompressCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").bagDF
+    val r = docs.select(graft.functions.DeflateRatio(col("text")).as("r"))
+    val b = r.agg(min("r").as("lo"), max("r").as("hi")).collect()(0)
+    val okBounds = b.getDouble(0) > 0.0 && b.getDouble(1) <= 1.2
+    val med = r.stat.approxQuantile("r", Array(0.5), 0.0)(0)
+    val repetitive = Seq(Tuple1(("spam ham " * 120).trim)).toDF("text")
+      .select(graft.functions.DeflateRatio(col("text")).as("r"))
+      .head.getDouble(0)
+    val hexMean = docs
+      .select(graft.functions.DeflateRatio(md5(col("text"))).as("r"))
+      .agg(avg("r")).head.getDouble(0)
+    Seq((okBounds, repetitive < med, hexMean > med))
+      .toDF("ok_bounds", "ok_repetitive", "ok_entropy")
+  }
+
   /** Winnowing fingerprints ([[TextAnalysis.winnow]] — the MOSS local
     * fingerprinting selection, Schleimer et al. 2003): per doc, the
     * distinct window-minimum k-gram hashes. The DuckDB oracle replays the
@@ -1410,7 +1433,8 @@ object Queries {
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
-    "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild)
+    "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild,
+    "q_compress_check" -> qCompressCheck)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2175,5 +2199,8 @@ object Queries {
       "k AS (SELECT doc_id, chunk_idx, chunk, " +
       "pos = min(pos) OVER (PARTITION BY md5(chunk)) AS kept FROM chunks) " +
       "SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text " +
-      "FROM k WHERE kept GROUP BY doc_id"))
+      "FROM k WHERE kept GROUP BY doc_id"),
+
+    "q_compress_check" -> ("SELECT true AS ok_bounds, " +
+      "true AS ok_repetitive, true AS ok_entropy"))
 }

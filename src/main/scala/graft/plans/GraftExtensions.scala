@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVecDot, MinHashSig, SimHash64}
+import graft.functions.{DeflateRatio, FloatVecDot, MinHashSig, SimHash64}
 
 /** Session extension (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * exposes the engine's native codegen expressions as SQL functions
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(hashes)")
         SimHash64(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_ratio(text)")
+        DeflateRatio(args.head)
       }))
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),

@@ -413,6 +413,32 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == 3 && r(2L) == 3, s"wrong shared-window count: $r")
   }
 
+  test("deflate_ratio: repetition compresses, entropy doesn't; null/empty safe; SQL-exposed") {
+    import spark.implicits._
+    val docs = Seq(
+      ("rep", "ab " * 300),
+      ("nat", "the quick brown fox jumps over the lazy dog and keeps on running far"),
+      ("hex", (1 to 10).map(i => s"row$i").mkString(" ")),
+      ("empty", "")
+    ).toDF("kind", "text")
+      .select(col("kind"), graft.functions.DeflateRatio(col("text")).as("r"),
+        graft.functions.DeflateRatio(md5(col("text"))).as("rh"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(docs("rep")._1 < 0.1, s"repetition not compressed: ${docs("rep")}")
+    assert(docs("rep")._1 < docs("nat")._1 && docs("nat")._1 < docs("nat")._2,
+      s"ordering violated: $docs")
+    assert(docs("empty")._1 === 1.0)
+    // short high-entropy strings pay the zlib header: ratio can exceed 1
+    // (that excess IS the signal) but stays bounded
+    assert(docs.values.forall { case (a, b) => a > 0 && a <= 1.2 && b <= 1.6 })
+    // null propagates
+    assert(Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(graft.functions.DeflateRatio(col("text"))).head.isNullAt(0))
+    // registered as a SQL function via GraftExtensions
+    assert(spark.sql("SELECT deflate_ratio('aa aa aa aa aa aa aa aa')")
+      .head.getDouble(0) < 1.0)
+  }
+
   test("winnow: shared ≥(w+k−1)-token run guarantees a shared fingerprint; selection is sparse") {
     import spark.implicits._
     val run = (1 to 6).map(i => s"shared$i").mkString(" ") // w+k-1 = 6 tokens
