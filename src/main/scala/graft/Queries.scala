@@ -644,6 +644,15 @@ object Queries {
     Decontaminate.contaminated(docs, Decontaminate.evalSnippets(docs))
   }
 
+  /** Bloom-prefiltered decontamination
+    * ([[Decontaminate.contaminatedBloom]]) — the large-eval-suite scale
+    * path. No false negatives + exact verify ⇒ output identical to
+    * [[qDecontaminate]], so the SAME full containment oracle gates it. */
+  def qDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    Decontaminate.contaminatedBloom(docs, Decontaminate.evalSnippets(docs))
+  }
+
   /** Semantic-dedup contract row. `soundness_ok`: every (rep, dropped)
     * pair the operator emitted is in the EXACT all-pairs near-dup set
     * (cosine ≥ 0.4) — i.e. no vector is ever dropped on false evidence
@@ -1434,7 +1443,7 @@ object Queries {
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
     "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild,
-    "q_compress_check" -> qCompressCheck)
+    "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2202,5 +2211,14 @@ object Queries {
       "FROM k WHERE kept GROUP BY doc_id"),
 
     "q_compress_check" -> ("SELECT true AS ok_bounds, " +
-      "true AS ok_repetitive, true AS ok_entropy"))
+      "true AS ok_repetitive, true AS ok_entropy"),
+
+    // Bloom path is exact (no false negatives + contains verify) — the
+    // identical full containment oracle as q_decontaminate
+    "q_decontam_bloom" -> ("WITH n AS (SELECT doc_id, " +
+      "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM documents), " +
+      "ev AS (SELECT doc_id AS eval_id, substr(nt, 11, 40) AS snippet FROM n " +
+      "WHERE doc_id % 17 = 0 AND length(nt) >= 50) " +
+      "SELECT d.doc_id, ev.eval_id FROM n d, ev " +
+      "WHERE position(ev.snippet IN d.nt) > 0"))
 }

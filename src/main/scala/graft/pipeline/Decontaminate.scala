@@ -72,6 +72,40 @@ object Decontaminate {
       .distinct()
   }
 
+  /** [[contaminated]] for the LARGE-eval-suite regime: when the snippet
+    * table outgrows the broadcast-join threshold (a few million benchmark
+    * rows), AQE falls back to shuffling EVERY document window hash — the
+    * dominant cost at 100 TB. This variant builds a Bloom filter over the
+    * snippet hashes (distributed build, KB–MB sized regardless of suite
+    * size) and prunes the window stream MAP-SIDE with a zero-UDF
+    * [[graft.functions.BloomContains]] probe before any join: only the
+    * ≤ fpp false-positive trickle plus true candidates reach the shuffle.
+    * Bloom filters have no false negatives and survivors are exact-verified
+    * by the same `contains` step, so the output is IDENTICAL to
+    * [[contaminated]] — same oracle gates both. */
+  def contaminatedBloom(docs: DataFrame, snippets: DataFrame, width: Int = 40,
+                        fpp: Double = 0.001, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sn = snippets
+      .filter(length(col("snippet")) === width)
+      .select(col("eval_id"), col("snippet"), xxhash64(col("snippet")).as("__sh"))
+    val bf = sn.stat.bloomFilter("__sh", math.max(sn.count(), 1L), fpp)
+    val bloomBytes = graft.functions.BloomContains.serialize(bf)
+    val norm = docs.select(col(idCol), normText(col(textCol)).as("__n"))
+    val windows = norm.select(col(idCol),
+        explode(graft.functions.CharNgramHashes(col("__n"), width)).as("__wh"))
+      .filter(graft.functions.BloomContains(bloomBytes, col("__wh")))
+    val candidates = windows
+      .join(sn, col("__wh") === col("__sh"))
+      .select(col(idCol), col("eval_id"), col("snippet"))
+      .distinct()
+    candidates
+      .join(norm, idCol)
+      .filter(col("__n").contains(col("snippet")))
+      .select(col(idCol), col("eval_id"))
+      .distinct()
+  }
+
   /** FUZZY decontamination: q-gram containment. A training document is
     * flagged for an eval snippet when ≥ `frac` of the snippet's distinct
     * character `n`-grams appear in the document — the standard defence

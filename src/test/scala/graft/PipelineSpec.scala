@@ -413,6 +413,27 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == 3 && r(2L) == 3, s"wrong shared-window count: $r")
   }
 
+  test("BloomContains: zero false negatives; bloom decontamination equals the exact path") {
+    import spark.implicits._
+    val members = (1L to 1000L).map(_ * 7919L)
+    val bf = members.toDF("h").stat.bloomFilter("h", 1000L, 0.001)
+    val bytes = graft.functions.BloomContains.serialize(bf)
+    val probed = (members ++ members.map(_ + 1L)).toDF("h")
+      .select(col("h"), graft.functions.BloomContains(bytes, col("h")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(probed(_)), "bloom false negative")
+    val fps = members.map(_ + 1L).count(probed(_))
+    assert(fps <= 20, s"fp rate blew past the bound: $fps/1000")
+    // end to end: bloom-prefiltered decontamination == exact path
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val snips = graft.pipeline.Decontaminate.evalSnippets(docs)
+    val exact = graft.pipeline.Decontaminate.contaminated(docs, snips)
+      .collect().map(_.toSeq).toSet
+    val bloomed = graft.pipeline.Decontaminate.contaminatedBloom(docs, snips)
+      .collect().map(_.toSeq).toSet
+    assert(bloomed === exact && exact.nonEmpty)
+  }
+
   test("deflate_ratio: repetition compresses, entropy doesn't; null/empty safe; SQL-exposed") {
     import spark.implicits._
     val docs = Seq(
