@@ -1374,6 +1374,14 @@ object Queries {
     runLang(s, dir, Nil,
       "result := {{ A1 := 0 }} .while({{ A1 := A1 + 1 }} .where(A1 <= 100))")
 
+  /** Pipeline signals FROM THE LANGUAGE: `tokens` / `fingerprint` builtins
+    * (AndlCols engine tier — the same Columns the gated pipeline queries
+    * use) applied to the documents corpus in an Andl script. One language
+    * for relational queries AND corpus processing. */
+  def qLangPipeline(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Seq("documents"),
+      "result := documents .{ doc_id, ntok := tokens(text), fp := fingerprint(text) }")
+
   // ================================================================ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1443,7 +1451,8 @@ object Queries {
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
     "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild,
-    "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom)
+    "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom,
+    "q_lang_pipeline" -> qLangPipeline)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2220,5 +2229,13 @@ object Queries {
       "ev AS (SELECT doc_id AS eval_id, substr(nt, 11, 40) AS snippet FROM n " +
       "WHERE doc_id % 17 = 0 AND length(nt) >= 50) " +
       "SELECT d.doc_id, ev.eval_id FROM n d, ev " +
-      "WHERE position(ev.snippet IN d.nt) > 0"))
+      "WHERE position(ev.snippet IN d.nt) > 0"),
+
+    // lang numbers are double; tokens/fingerprint follow the
+    // q_token_count / q_fingerprint oracle conventions
+    "q_lang_pipeline" -> ("SELECT CAST(doc_id AS DOUBLE) AS doc_id, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+      "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS ntok, " +
+      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+      "FROM documents"))
 }

@@ -333,6 +333,14 @@ final class AndlCols(interp: AndlInterp) {
     case ("format", Seq(x))       => Some(CExpr(textCol(x), TText))
     case ("pp", Seq(x))           => Some(CExpr(textCol(x), TText))
     case ("now", Seq())           => Some(CExpr(F.current_timestamp(), TTime))
+    // pipeline signals exposed to the language (engine-tier Columns —
+    // same expressions the gated pipeline queries use)
+    case ("tokens", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.tokenCount(s.col).cast(AndlValues.numType), TNum))
+    case ("fingerprint", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.fingerprint(s.col), TText))
+    case ("deflate", Seq(s)) => Some(CExpr(
+      graft.functions.DeflateRatio(s.col).cast(AndlValues.numType), TNum))
     case ("blength", Seq(b))      => Some(CExpr(Builtins.blength(b.col).cast(AndlValues.numType), TNum))
     case ("bget", Seq(b, i))      => Some(CExpr(Builtins.bget(b.col, i.col.cast("int")).cast(AndlValues.numType), TNum))
     case ("bset", Seq(b, i, v))   => Some(CExpr(Builtins.bset(b.col, i.col.cast("int"), v.col), TBin))

@@ -463,6 +463,25 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     case ("max", Seq(x, y)) => Some(if (compare(x, y) >= 0) x else y)
     case ("min", Seq(x, y)) => Some(if (compare(x, y) <= 0) x else y)
     case ("abs", Seq(NumV(d)))    => Some(NumV(math.abs(d)))
+    // pipeline-signal mirrors of AndlCols' engine-tier builtins
+    case ("tokens", Seq(TextV(s))) =>
+      Some(NumV(if (s.trim.isEmpty) 0.0 else s.trim.split("\\s+").length.toDouble))
+    case ("fingerprint", Seq(TextV(s))) =>
+      val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      Some(TextV(java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    case ("deflate", Seq(TextV(s))) =>
+      val bytes = s.getBytes("UTF-8")
+      Some(NumV(if (bytes.isEmpty) 1.0 else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        try {
+          d.setInput(bytes); d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          total.toDouble / bytes.length
+        } finally d.end()
+      }))
     case ("number", Seq(TextV(s))) => Some(NumV(s.trim.toDouble))
     case ("number", Seq(NumV(d)))  => Some(NumV(d))
     case ("text", Seq(x))   => Some(TextV(render(x)))

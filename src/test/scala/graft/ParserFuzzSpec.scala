@@ -83,6 +83,30 @@ class InterpFuzzSpec extends SparkSpec {
     "fold(+, 'x')"                      // fold outside aggregation scope
   )
 
+  test("pipeline builtins: engine tier matches known values; driver tier mirrors") {
+    import spark.implicits._
+    val interp = new graft.lang.AndlInterp(spark, "/tmp")
+    interp.defineRelvar("d", Seq("alpha  beta gamma").toDF("text"))
+    interp.run(
+      "result := d .{ ntok := tokens(text), fp := fingerprint(text), r := deflate(text) }",
+      "t.andl")
+    val row = interp.relvar("result").head
+    assert(row.getDouble(row.fieldIndex("ntok")) === 3.0)
+    val wantFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getString(row.fieldIndex("fp")) === wantFp)
+    assert(row.getDouble(row.fieldIndex("r")) > 0.0)
+    // driver tier: top-level scalar calls give the same answers
+    val i2 = new graft.lang.AndlInterp(spark, "/tmp")
+    i2.noisy = 1
+    i2.run("tokens('a b  c')", "t.andl")
+    assert(i2.output.toString.trim === "3", i2.output.toString)
+    val i3 = new graft.lang.AndlInterp(spark, "/tmp")
+    i3.noisy = 1
+    i3.run("fingerprint(' Alpha  beta GAMMA ')", "t.andl")
+    assert(i3.output.toString.trim === wantFp, i3.output.toString)
+  }
+
   test("broken scripts raise controlled errors and leave the next run clean") {
     broken.foreach { src =>
       run(src) match {
