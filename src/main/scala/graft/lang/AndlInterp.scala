@@ -37,6 +37,25 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   // opt-in ICU collation for text sort keys (AndlValues.collation)
   AndlValues.collation =
     spark.conf.getOption("spark.graft.collation").filter(_.nonEmpty)
+  // The numeric domain and collation are PROCESS-GLOBAL (the reference's
+  // numeric type is likewise process-wide); a second interp constructed
+  // with a different conf re-assigns them for the whole JVM. Capture this
+  // interp's modes so stale use after such a flip fails loud at the next
+  // entry point instead of silently computing in the wrong domain.
+  private val interpDecimal = AndlValues.decimalNumbers
+  private val interpCollation = AndlValues.collation
+  private def checkMode(): Unit =
+    if (AndlValues.decimalNumbers != interpDecimal ||
+        AndlValues.collation != interpCollation)
+      throw new IllegalStateException(
+        "AndlInterp mode conflict: another AndlInterp was constructed in " +
+          "this JVM with different spark.graft.decimalNumbers/collation " +
+          s"settings (this interp: decimal=$interpDecimal, " +
+          s"collation=$interpCollation; JVM now: " +
+          s"decimal=${AndlValues.decimalNumbers}, " +
+          s"collation=${AndlValues.collation}). The numeric domain and " +
+          "collation are process-global — use one mode per JVM, or " +
+          "reconstruct this interp under the current settings")
 
   /** 0 = quiet; >0 echoes free expressions (the `#noisy` directive). */
   var noisy = 0
@@ -57,6 +76,7 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
     * dates to timestamp — the language's scalar domain (SURVEY §1.2). */
   def defineRelvar(name: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.types._
+    checkMode()
     val colsAndTypes = df.schema.fields.toSeq.map { f =>
       f.dataType match {
         case StringType => (F.col(f.name), TText)
@@ -76,13 +96,16 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   }
 
   /** Gateway GetValue: a script-bound relation as a DataFrame. */
-  def relvar(name: String): DataFrame =
+  def relvar(name: String): DataFrame = {
+    checkMode()
     toSparkRel(global.lookup(name).getOrElse(sys.error(s"unknown relvar $name"))).rel.df
+  }
 
   /** Set by the `#stop` directive — the rest of the script is skipped. */
   private var stopped = false
 
   def run(src: String, filename: String): Unit = {
+    checkMode()
     stopped = false
     val stmts = AndlParser.parse(src, filename)
     stmts.foreach { s =>

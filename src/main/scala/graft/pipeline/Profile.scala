@@ -108,14 +108,19 @@ object Profile {
     * determined by the value ordering alone). */
   def quantileBand(df: DataFrame, valueCol: String, qLo: Double, qHi: Double,
                    maxDistinct: Int = 1 << 22): (Long, Long) = {
+    // LIMIT maxDistinct+1 bounds what ever reaches the driver: a
+    // high-cardinality metric trips the require on a truncated (bounded)
+    // collect instead of materializing the full histogram first. When the
+    // guard passes, the limit was a no-op and the histogram is complete.
     val hist = df.groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .orderBy("v")
+      .limit(maxDistinct + 1)
       .collect()
     require(hist.nonEmpty, s"quantileBand: $valueCol has no rows")
     require(hist.length <= maxDistinct,
-      s"quantileBand: ${hist.length} distinct values of $valueCol exceeds " +
-        s"the driver histogram bound $maxDistinct — bucket the metric first")
+      s"quantileBand: over $maxDistinct distinct values of $valueCol — " +
+        s"exceeds the driver histogram bound; bucket the metric first")
     val n = hist.iterator.map(_.getLong(1)).sum
     def at(k: Long): Long = {
       var cum = 0L

@@ -55,11 +55,16 @@ object Fold {
     * slot: O(1) memory per group, map-side partial aggregation, codegen
     * (graft.functions.ProductAgg). Empty group yields the seed 1
     * (SymbolTable.GetSeed). */
-  def product(c: Column): Column = {
+  def product(c: Column): Column = coalesce(productWin(c), lit(1.0))
+
+  /** The bare ProductAgg aggregate column (no seed coalesce) — usable with
+    * `.over(window)` for running products, where the coalesce must wrap the
+    * windowed value, not the aggregate. */
+  def productWin(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.GraftExprBridge
-    coalesce(GraftExprBridge.column(
+    GraftExprBridge.column(
       graft.functions.ProductAgg(GraftExprBridge.expression(c.cast("double")))
-        .toAggregateExpression()), lit(1.0))
+        .toAggregateExpression())
   }
 
   /** Loud ceiling for per-group aggregation buffers in inherently-sequential

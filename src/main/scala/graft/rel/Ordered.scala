@@ -23,8 +23,20 @@ import graft.rel.Checkpoint.PinOps
   */
 final case class OrderSpec(groupBy: Seq[String], sort: Seq[Column],
                            rawSort: Seq[Column] = Nil) {
+  /** The partitioned window for this spec. UNGROUPED specs refuse loudly:
+    * `Window.orderBy` with no partition is the single-partition WindowExec
+    * that serializes the whole relation through one task — every ungrouped
+    * global-order transform in this engine lowers through
+    * [[graft.rel.Segmented]] (running folds, offsets, collapse) or
+    * [[Ordered.withGlobalOrdinal]] (ordinals) instead, and no caller — the
+    * DSL included — gets to build the unscalable plan by accident. */
   def window: WindowSpec =
-    if (groupBy.isEmpty) Window.orderBy(sort: _*)
+    if (groupBy.isEmpty)
+      throw new IllegalArgumentException(
+        "ungrouped OrderSpec: a global-order window would run single-" +
+          "partition (unscalable). Use graft.rel.Segmented (running folds/" +
+          "offsets/collapse) or Ordered.withGlobalOrdinal (ordinals) for " +
+          "ungrouped ordered transforms, or add a % group key")
     else Window.partitionBy(groupBy.map(col): _*).orderBy(sort: _*)
 
   /** Running frame: unbounded-preceding → current row (the only implicit
@@ -106,8 +118,8 @@ object Ordered {
     * (Builtin.Ordinal, Builtin.cs:339-343 — reference returns the INPUT
     * ordinal; we return the ordinal under the explicit total order, which is
     * what every reference test observes since they always sort first).
-    * With empty groupBy this is a single-partition window — for a GLOBAL
-    * ordinal at scale use [[withGlobalOrdinal]] instead. */
+    * Grouped specs only (`spec.window` refuses ungrouped) — for a GLOBAL
+    * ordinal use [[withGlobalOrdinal]] / [[Segmented]] instead. */
   def ord(spec: OrderSpec): Column = row_number().over(spec.window)
 
   /** Scale-safe 1-based GLOBAL ordinal under a total order — the two-pass

@@ -131,13 +131,26 @@ final class Segmented private[rel] () {
       val (p, l) = reg("min", min(value).over(running), cmpComb(false))
       least(p, l)
     case "&" =>
+      // Running text concat materializes O(running-prefix) characters per
+      // row AND carries each partition's full concatenated text through the
+      // driver prefix-combine — inherently O(total text). Size-guarded like
+      // wholeFold("&")/runningGeneric: fail loud, never silently OOM.
+      guardBuffer()
       val (p, l) = reg("cat", array_join(collect_list(value).over(running), ""),
         (a, b) => anyS(a) + anyS(b))
       concat(coalesce(p, lit("")), l)
     case "*" =>
-      val (p, l) = reg("prod",
-        aggregate(collect_list(value.cast("double")).over(running), lit(1.0), _ * _),
-        mulAny)
+      // Native ProductAgg (DeclarativeAggregate, one double buffer slot)
+      // over the running frame: O(1) state per row, vs the previous
+      // collect_list prefix array that was O(n²) across the partition.
+      // NOTE segmented '+' and '*' combine per-partition subtotals as
+      // prefix⊕local, which re-associates IEEE arithmetic across partition
+      // boundaries (the reference folds strictly sequentially); like the
+      // documented collation/decimal deviations this can drift in the last
+      // ulps under repartitioning — integral inputs are exact, doubles are
+      // reproducible only for a fixed partitioning. `/` is excluded
+      // entirely for the same reason (see runningGeneric).
+      val (p, l) = reg("prod", Fold.productWin(value).over(running), mulAny)
       coalesce(p * l, l)
     case "-" =>
       val (p, l) = reg("sum", sum(value).over(running), addAny)

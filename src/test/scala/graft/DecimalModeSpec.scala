@@ -92,4 +92,26 @@ class DecimalModeSpec extends SparkSpec {
       AndlValues.decimalNumbers = false
     }
   }
+
+  test("stale interp fails loud after a mode flip (no silent domain switch)") {
+    // The numeric domain is process-global (like the reference's): a second
+    // interp constructed under a different conf re-assigns it. The FIRST
+    // interp must then refuse at its next entry point instead of silently
+    // computing in the wrong domain.
+    spark.conf.set("spark.graft.decimalNumbers", "true")
+    try {
+      val decInterp = new AndlInterp(spark, "/tmp")
+      decInterp.run("x := 1 + 1", "mode-a")
+      spark.conf.unset("spark.graft.decimalNumbers")
+      new AndlInterp(spark, "/tmp") // flips the JVM-global mode to double
+      val ex = intercept[IllegalStateException](decInterp.run("y := 2", "mode-b"))
+      assert(ex.getMessage.contains("mode conflict"), ex.getMessage)
+      // a fresh interp under the current settings works fine
+      val ok = new AndlInterp(spark, "/tmp")
+      ok.run("z := 3", "mode-c")
+    } finally {
+      spark.conf.unset("spark.graft.decimalNumbers")
+      AndlValues.decimalNumbers = false
+    }
+  }
 }

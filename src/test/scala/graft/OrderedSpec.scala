@@ -160,4 +160,40 @@ class OrderedSpec extends SparkSpec {
     val got = seg.materialize(prep).select(c).collect()(0).getDouble(0)
     assert(got === 1.0 / 1 / 2 / 3 / 4 / 5)
   }
+
+  test("ungrouped OrderSpec refuses to build a single-partition window") {
+    val ex = intercept[IllegalArgumentException](OrderSpec(Nil, Seq(col("k"))).window)
+    assert(ex.getMessage.contains("Segmented"),
+      "refusal must point the caller at the scale-safe lowering")
+    // grouped specs still build the partitioned window
+    OrderSpec(Seq("g"), Seq(col("k"))).window
+  }
+
+  test("segmented running * uses O(1) ProductAgg state and carries across partitions") {
+    val df = spark.range(1, 21).toDF("k").withColumn("v", lit(2.0)).repartition(5)
+    val (prep, seg) = Segmented.prepare(df, Seq(col("k")))
+    val run = seg.runningFold("*", col("v"))
+    val got = seg.materialize(prep).select(col("k"), run.as("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    got.foreach { case (k, p) => assert(p === math.pow(2.0, k.toDouble), s"2^$k at k=$k") }
+    // plan contract: the running frame aggregates with graft_product, not a
+    // collect_list prefix array (the O(n²) shape this replaced)
+    val plan = seg.materialize(prep).select(run).queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_product"), "running * should window ProductAgg")
+    assert(!plan.toLowerCase.contains("collect_list"), "running * must not buffer prefix lists")
+  }
+
+  test("segmented running & is size-guarded (fails loud, never silent driver OOM)") {
+    spark.conf.set("spark.graft.maxFoldGroupRows", "100")
+    try {
+      val df = spark.range(0, 500).toDF("k").withColumn("s", lit("x")).repartition(4)
+      val (prep, seg) = Segmented.prepare(df, Seq(col("k")))
+      val c = seg.runningFold("&", col("s"))
+      val ex = intercept[IllegalArgumentException] {
+        seg.materialize(prep).select(c).collect()
+      }
+      assert(ex.getMessage.contains("maxFoldGroupRows"),
+        s"guard must name the knob: ${ex.getMessage}")
+    } finally spark.conf.unset("spark.graft.maxFoldGroupRows")
+  }
 }
