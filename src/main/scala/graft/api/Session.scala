@@ -25,6 +25,43 @@ final class Session private (val spark: SparkSession, val catalog: Catalog) {
   def getScalar(name: String): Any = catalog.get(name)
   def setScalar(name: String, v: Any): Unit = catalog.set(name, v)
 
+  /** GetValue at the JSON boundary (Gateway.cs JsonCall → GetValue): the
+    * relvar serialized as a JSON array of row objects via the DataFrame
+    * JSON codec (to_json per row — types, nesting and escaping follow the
+    * SQL codec, not hand-rolled strings). An EDGE verb for API-sized
+    * results: bounded by `maxRows` and fails loud past it — a 100 TB
+    * relvar is not a JSON payload; page it with where/take first. */
+  def getValueJson(name: String, maxRows: Int = 1 << 20): String = {
+    val rows = catalog.relvar(name).df.toJSON.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"getValueJson($name): over $maxRows rows — page with where/take, " +
+        "or use getValue and keep the data distributed")
+    rows.mkString("[", ",", "]")
+  }
+
+  /** SetValue at the JSON boundary (Gateway.cs JsonCall → SetValue): parse
+    * a JSON array (or JSON-lines) payload with the DataFrame JSON codec.
+    * If the relvar already exists, its schema drives the parse — exact
+    * round-trip with [[getValueJson]] including timestamp/decimal columns;
+    * otherwise the schema is inferred from the payload. */
+  def setValueJson(name: String, json: String): Unit = {
+    import spark.implicits._
+    // a top-level array is ONE record (the codec unrolls it; embedded
+    // newlines are fine) — only JSON-lines payloads split per line
+    val records =
+      if (json.trim.startsWith("[")) Seq(json)
+      else json.linesIterator.filter(_.trim.nonEmpty).toSeq
+    val ds = spark.createDataset(records)
+    val reader = spark.read.option("mode", "FAILFAST") // malformed = loud
+    val df =
+      if (catalog.names.contains(name))
+        reader.schema(catalog.relvar(name).df.schema).json(ds)
+      else reader.json(ds)
+    // a wire payload can carry duplicate rows — wrap as a bag so the Rel
+    // layer dedupes to set semantics (Rel.distinct only MARKS, never dedupes)
+    setValue(name, Rel.bag(df))
+  }
+
   /** Evaluate: call a stored function as a Column expression
     * (Gateway.cs Evaluate). */
   def evaluate(name: String, args: Column*): Column = catalog.call(name, args: _*)

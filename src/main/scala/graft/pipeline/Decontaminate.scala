@@ -51,9 +51,41 @@ object Decontaminate {
     * normalized text contains the snippet as a substring. `snippets` must
     * carry (eval_id, snippet) with every snippet exactly `width` chars
     * (others are ignored — a window hash can only equal a full-width
-    * snippet hash). */
+    * snippet hash).
+    *
+    * AUTO-REGIME: when the (width-filtered) snippet table's estimated size
+    * exceeds `spark.sql.autoBroadcastJoinThreshold`, the hash equi-join
+    * would stop broadcasting and shuffle EVERY document window hash — the
+    * dominant cost at corpus scale. That regime routes through
+    * [[contaminatedBloom]], which prunes the window stream map-side with a
+    * Bloom probe first; both paths produce IDENTICAL output (Bloom has no
+    * false negatives and survivors are exact-verified), so the same oracle
+    * gates both. The regime probe is one count() over the (small by
+    * construction relative to the corpus) snippet table. */
   def contaminated(docs: DataFrame, snippets: DataFrame, width: Int = 40,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nSnippets = snippets.filter(length(col("snippet")) === width).count()
+    // per-row broadcast footprint: UTF-16 snippet chars + eval_id + hash +
+    // row overhead — the same order Spark's own size estimator lands on
+    val estBytes = nSnippets * (2L * width + 48L)
+    val threshold = docs.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+        case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
+        case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
+        case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+        case s => s.toLong
+      }
+    if (threshold > 0 && estBytes > threshold)
+      contaminatedBloom(docs, snippets, width, idCol = idCol, textCol = textCol)
+    else contaminatedJoin(docs, snippets, width, idCol, textCol)
+  }
+
+  /** The broadcast-regime exact path: window-hash equi-join with no Bloom
+    * prefilter (the snippet side is small enough that AQE broadcasts it —
+    * a map-side join already, so a Bloom pass would only add work). */
+  def contaminatedJoin(docs: DataFrame, snippets: DataFrame, width: Int = 40,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val norm = docs.select(col(idCol), normText(col(textCol)).as("__n"))
     // (doc_id, window-hash) only — the text stays out of the big shuffle
     val windows = norm.select(col(idCol),

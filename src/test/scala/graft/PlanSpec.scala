@@ -187,6 +187,30 @@ class PlanSpec extends SparkSpec {
       s"fuzzy decontamination went cartesian:\n${p.take(3000)}")
   }
 
+  test("decontamination auto-regime: large eval suites Bloom-filter the window stream map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val snips = graft.pipeline.Decontaminate.evalSnippets(docs)
+    // small regime (default 10MB threshold): plain equi-join, no Bloom probe
+    val small = plan(graft.pipeline.Decontaminate.contaminated(docs, snips))
+    assert(!small.contains("bloom_contains"),
+      "broadcast-regime suite should not pay a Bloom pass")
+    // large regime: shrink the broadcast threshold so the same suite counts
+    // as over-threshold — contaminated() must route through the Bloom path,
+    // with the probe BELOW the join (filtering the exploded window hashes)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val p = plan(graft.pipeline.Decontaminate.contaminated(docs, snips))
+      assert(p.contains("bloom_contains"),
+        s"large-suite regime did not Bloom-prefilter:\n${p.take(3000)}")
+      val probeIdx = p.indexOf("bloom_contains")
+      val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+      assert(joinIdx < 0 || probeIdx > joinIdx,
+        "Bloom probe must sit on the window stream below the join " +
+          "(child plans print after their parents)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("semantic dedup: cluster pair join is an equi-join, never all-pairs on the corpus") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Dedup.semanticDedup(emb))

@@ -24,6 +24,27 @@ class SessionSpec extends SparkSpec {
     assert(viaSql.count() === 3)
   }
 
+  test("JSON verbs: setValueJson/getValueJson round-trip (Gateway.cs JsonCall)") {
+    val ses = Session.open(spark)
+    // inbound payload, schema inferred
+    ses.setValueJson("P", """[{"id":1,"name":"bolt","price":2.5},
+      {"id":2,"name":"nut","price":0.75},{"id":1,"name":"bolt","price":2.5}]""")
+    val p = ses.getValue("P")
+    assert(p.count() === 2, "relations are sets: the duplicate row collapses")
+    assert(p.df.schema("id").dataType === LongType)
+    // outbound: JSON array of row objects via the SQL codec
+    val json = ses.getValueJson("P")
+    assert(json.startsWith("[") && json.endsWith("]"))
+    // full round-trip through a SECOND relvar: schema of the existing
+    // target drives the parse, so values come back identical
+    ses.setValue("P2", ses.getValue("P"))
+    ses.setValueJson("P2", json)
+    assert(ses.getValue("P2").relEquals(ses.getValue("P")))
+    // bound fails loud, pointing at the paging escape
+    val ex = intercept[IllegalArgumentException](ses.getValueJson("P", maxRows = 1))
+    assert(ex.getMessage.contains("page"), ex.getMessage)
+  }
+
   test("two-session persistence: relvars, scalars, functions, types reload (SuiteUpdateCat1/2.andl)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     // SESSION 1: define everything, mutate a relvar, save
