@@ -231,6 +231,38 @@ object Queries {
     WhileFix.rel(seed, r => r.where(col("n") < 100).transform("n" -> (col("n") + 1L))).df
   }
 
+  /** Distributed-regime fixpoint: events reachable from an `error` event
+    * along each user's successor chain (src → next event of the same user).
+    * The seed (every error event: ~20% of the table) outgrows the driver
+    * tier at sf≥0.01, so the run is forced into WhileFix's distributed
+    * loop by DATA SIZE, not by configuration — the regime the reference's
+    * in-memory append-scan (DataTableLocal.cs:631-646) could never reach.
+    * WhileSpec asserts the bailedToSpark path via [[WhileFix.Probe]]. */
+  def qWhileDist(s: SparkSession, dir: String,
+                 probe: WhileFix.Probe = null): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    val ev = t(s, dir, "events")
+    // successor edges, windowed PER USER (partitioned — never a global
+    // sort); the no-NULL lead default (0) can't be a real successor since
+    // event_ids ascend within a chain, so dst > src keeps exactly the
+    // real edges. Pinned once: every fixpoint round joins this table.
+    val chain = OrderSpec(Seq("user_id"), Seq(col("event_id")))
+    val edges = ev
+      .extend("dst" -> Ordered.leadD(col("event_id"), 1, LongType, chain))
+      .where(col("dst") > col("event_id"))
+      .project("event_id", "dst")
+      .rename("event_id" -> "src").df
+      .pin()
+    val seed = ev.where(col("event_type") === "error").project("event_id")
+    // string-qualified aliases: the frontier itself derives from `edges`
+    // after round 1, so df-reference column equality would be an
+    // ambiguous self-join
+    WhileFix(seed.df,
+      fr => fr.alias("f").join(edges.alias("e"), col("f.event_id") === col("e.src"))
+        .select(col("e.dst").as("event_id")),
+      tinyRows = 1000L, probe = probe)
+  }
+
   // ======================================================== §2.6 updates
 
   def qUpdateInsert(s: SparkSession, dir: String): DataFrame = {
@@ -1398,6 +1430,7 @@ object Queries {
     "q_fold_product" -> qFoldProduct, "q_fold_user" -> qFoldUser,
     "q_running" -> qRunning, "q_lag_lead" -> qLagLead, "q_nth" -> qNth,
     "q_rank" -> qRank, "q_while" -> qWhile,
+    "q_while_dist" -> ((s: SparkSession, d: String) => qWhileDist(s, d)),
     "q_update_insert" -> qUpdateInsert, "q_update_delete" -> qUpdateDelete,
     "q_update_set" -> qUpdateSet,
     "q_scalar_text" -> qScalarText, "q_scalar_math" -> qScalarMath,
@@ -1531,6 +1564,11 @@ object Queries {
       "SELECT o_orderpriority, o_orderkey, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank " +
       "FROM orders) WHERE price_rank <= 10"),
     "q_while" -> ("WITH RECURSIVE t(n) AS (SELECT CAST(1 AS BIGINT) AS n UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT n FROM t"),
+    "q_while_dist" -> ("WITH RECURSIVE edges AS (SELECT event_id AS src, " +
+      "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS dst FROM events), " +
+      "reach(event_id) AS (SELECT event_id FROM events WHERE event_type = 'error' " +
+      "UNION SELECT e.dst FROM reach r JOIN edges e ON e.src = r.event_id WHERE e.dst IS NOT NULL) " +
+      "SELECT event_id FROM reach"),
     "q_update_insert" -> "SELECT r_regionkey, r_name FROM region UNION SELECT 99, 'NEWLAND'",
     "q_update_delete" -> "SELECT r_regionkey, r_name FROM region WHERE NOT (r_regionkey = 0)",
     "q_update_set" -> ("SELECT r_regionkey, CASE WHEN r_regionkey = 1 THEN 'REGION_' || r_name ELSE r_name END AS r_name FROM region"),

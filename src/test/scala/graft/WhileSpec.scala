@@ -55,6 +55,26 @@ class WhileSpec extends SparkSpec {
       Set("bob", "carol", "dave", "eve", "frank", "grace"))
   }
 
+  test("q_while_dist runs the DISTRIBUTED regime on real data (seed > tinyRows)") {
+    // sf0.01: ~2k error-event seeds against tinyRows=1000 — the data, not
+    // a config constant, forces the bail-out; the probe proves the
+    // distributed loop (not the driver shortcut) produced the rows
+    val probe = new WhileFix.Probe
+    val out = Queries.qWhileDist(spark, "/root/testdata/sf0.01", probe)
+    val n = out.count()
+    assert(probe.bailedToSpark, "expected the distributed tier to run")
+    assert(probe.driverRounds === 0, "seed must exceed the driver tier up front")
+    assert(probe.distributedRounds >= 5,
+      s"chain depth ~90 at 8 steps/round should need >=5 rounds, got ${probe.distributedRounds}")
+    assert(n === 9399L) // DuckDB recursive-CTE ground truth at sf0.01
+    // the TINY fixture stays on the driver — the tiers coexist
+    val tinyProbe = new WhileFix.Probe
+    val seed = Rel.distinct(Seq(0).toDF("A1"))
+    WhileFix(seed.df, d => d.filter(col("A1") < 10).select((col("A1") + 1).as("A1")),
+      probe = tinyProbe).count()
+    assert(!tinyProbe.bailedToSpark && tinyProbe.driverRounds > 0)
+  }
+
   test("reliable-checkpoint knob: same fixpoint through directory checkpoints") {
     // spark.graft.reliableCheckpoint=true routes every Checkpoint.pin
     // through a DFS directory checkpoint (survives executor loss on a
