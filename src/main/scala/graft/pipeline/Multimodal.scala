@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * The decode step is REAL for every format the stock JVM can decode —
   * PNG/JPEG/BMP/GIF through ImageIO ([[imageDecode]]) and RIFF/WAVE PCM
   * through a direct header parse ([[wavDecode]]) — dispatched by magic
-  * bytes. Only codec formats with no decoder in this container (video)
-  * fall back to the deterministic stub [[fakeDecode]]; a production
-  * deployment swaps that one branch for a JNI/FFmpeg call — the asset
-  * schema, per-partition batched execution, partitioning contract and
-  * output schema are unchanged.
+  * bytes. Video goes through the pluggable [[VideoDecoder]] seam:
+  * [[MjpegAviDecoder]] (pure JVM: RIFF walk + ImageIO JPEG frames) proves
+  * the hook against a real container; codec formats beyond it default to
+  * the deterministic stub [[fakeDecode]] until a deployment plugs an
+  * FFmpeg/JNI decoder into the same seam — the asset schema, per-partition
+  * batched execution, partitioning contract and output schema are
+  * unchanged either way.
   *
   * Scale notes: decode runs as `mapPartitions` so each task amortizes any
   * per-library init cost across its whole partition (the same reason
@@ -166,21 +168,101 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Dispatch: real decoders by magic bytes, stub for everything else. */
-  def decodeBytes(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+  // ------------------------------------------------- video decoder seam
+
+  /** Result of a video decode: frame dims/channels from the stream, the
+    * frame count, and a feature vector (the image feature averaged over
+    * sampled frames). */
+  final case class VideoInfo(width: Int, height: Int, channels: Int,
+                             nFrames: Int, feature: Array[Float])
+
+  /** The production hook for codec video. Implementations must be
+    * Serializable (the decoder ships inside the decode task closure) and
+    * return None for payloads they don't handle — dispatch then falls
+    * through to the deterministic stub, so a partially-capable decoder
+    * degrades gracefully instead of failing the partition. A real
+    * deployment plugs an FFmpeg/JNI implementation here; the container
+    * ships [[MjpegAviDecoder]] (pure JVM) as the proof of the seam. */
+  trait VideoDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[VideoInfo]
+  }
+
+  /** Default: this container has no video codec — decline everything
+    * (dispatch falls through to [[fakeDecode]], the documented stub). */
+  object StubVideoDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte]): Option[VideoInfo] = None
+  }
+
+  /** REAL video decode for the one container format the stock JVM can
+    * handle end-to-end: MJPEG-in-AVI. The RIFF walk mirrors [[wavDecode]]
+    * (AVI is RIFF like WAV); each `..dc`/`..db` chunk inside the `movi`
+    * LIST is a standalone JPEG frame, decoded with the SAME bounded-grid
+    * ImageIO path as still images ([[imageDecode]]). Work per asset is
+    * bounded: dims from the first decodable frame, feature averaged over
+    * ≤8 evenly-sampled frames regardless of video length. */
+  object MjpegAviDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte]): Option[VideoInfo] = try {
+      if (!(magic(bytes, 0, 0x52, 0x49, 0x46, 0x46) &&
+            magic(bytes, 8, 0x41, 0x56, 0x49, 0x20))) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        var ok = true
+        while (ok && pos + 8 <= end) {
+          val id = new String(bytes, pos, 4, "US-ASCII")
+          val len = bb.getInt(pos + 4)
+          if (len < 0) ok = false
+          else {
+            if (id == "LIST" && pos + 12 <= end)
+              walk(pos + 12, math.min(end, pos + 8 + len))
+            else if ((id.endsWith("dc") || id.endsWith("db")) && len > 0)
+              frames += ((pos + 8, math.min(len, end - pos - 8)))
+            pos += 8 + len + (len & 1)
+          }
+        }
+      }
+      walk(12, bytes.length)
+      if (frames.isEmpty) return None
+      // ≤8 evenly-sampled frames through the bounded-grid image path
+      val stride = math.max(1, frames.length / 8)
+      val sampled = frames.indices.by(stride).take(8)
+        .flatMap { i =>
+          val (off, len) = frames(i)
+          imageDecode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }
+      if (sampled.isEmpty) return None
+      val (w, h, ch, _) = sampled.head
+      val feature = new Array[Float](8)
+      sampled.foreach { case (_, _, _, f) =>
+        var j = 0; while (j < 8) { feature(j) += f(j); j += 1 }
+      }
+      var j = 0; while (j < 8) { feature(j) /= sampled.length; j += 1 }
+      Some(VideoInfo(w, h, ch, frames.length, feature))
+    } catch { case _: Exception => None }
+  }
+
+  /** Dispatch: real decoders by magic bytes; video payloads go through the
+    * pluggable seam; anything unhandled falls to the deterministic stub. */
+  def decodeBytes(bytes: Array[Byte],
+                  video: VideoDecoder = StubVideoDecoder): (Int, Int, Int, Array[Float]) =
     (if (isImage(bytes)) imageDecode(bytes)
      else if (isWav(bytes)) wavDecode(bytes)
-     else None).getOrElse(fakeDecode(bytes))
+     else video.decode(bytes).map(v => (v.width, v.height, v.channels, v.feature)))
+      .getOrElse(fakeDecode(bytes))
 
   /** Decode stage: per-partition batched map over assets → decoded rows.
     * (Scala analogue of mapInPandas: one iterator per partition, library
-    * init once per task, rows streamed not materialized.) */
-  def decode(assets: DataFrame): DataFrame = {
+    * init once per task, rows streamed not materialized.) Pass a
+    * [[VideoDecoder]] to activate real video decode — the default stub
+    * keeps the documented deterministic fallback. */
+  def decode(assets: DataFrame,
+             video: VideoDecoder = StubVideoDecoder): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
     assets.select("asset_id", "payload").mapPartitions { it =>
       // codec-library init would go HERE, once per task
       it.map { r =>
-        val (w, h, c, f) = decodeBytes(r.getAs[Array[Byte]]("payload"))
+        val (w, h, c, f) = decodeBytes(r.getAs[Array[Byte]]("payload"), video)
         Row(r.getLong(0), w, h, c, f.toSeq)
       }
     }(enc)

@@ -397,6 +397,59 @@ class PipelineSpec extends SparkSpec {
     assert(f.drop(4).forall(_ > 0.9), s"loud half ${f.toSeq}")
   }
 
+  test("multimodal: REAL video decode through the VideoDecoder seam (MJPEG-in-AVI)") {
+    import spark.implicits._
+    // a 3-frame MJPEG AVI built in memory: JPEG frames via the JDK's own
+    // writer, wrapped in a RIFF 'AVI ' container with a LIST('movi') of
+    // '00dc' chunks — the container format the pure-JVM decoder handles
+    def jpegFrame(r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(r, g, b)); gfx.fillRect(0, 0, 32, 24); gfx.dispose()
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    val frames = Seq(jpegFrame(255, 0, 0), jpegFrame(255, 0, 0), jpegFrame(255, 0, 0))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val h = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.put(id.getBytes("US-ASCII")); h.putInt(body.length)
+      o.write(h.array()); o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF word alignment
+      o.toByteArray
+    }
+    val movi = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("movi".getBytes("US-ASCII"))
+      frames.foreach(f => o.write(chunk("00dc", f)))
+      o.toByteArray
+    }
+    val avi = {
+      val o = new java.io.ByteArrayOutputStream()
+      val body = chunk("LIST", movi)
+      val h = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.put("RIFF".getBytes("US-ASCII")); h.putInt(4 + body.length)
+      h.put("AVI ".getBytes("US-ASCII"))
+      o.write(h.array()); o.write(body)
+      o.toByteArray
+    }
+    // direct decode: true dims, channel count, frame count, red feature
+    val Some(info) = Multimodal.MjpegAviDecoder.decode(avi)
+    assert(info.width === 32 && info.height === 24 && info.channels === 3)
+    assert(info.nFrames === 3)
+    assert(math.abs(info.feature(0) - 1.0) < 0.05, s"meanR ${info.feature(0)}")
+    assert(info.feature(2) < 0.1, s"meanB ${info.feature(2)}")
+    // through the distributed decode stage with the decoder plugged in:
+    // real dims come back; the default stub still returns the fake ones
+    val assets = Multimodal.toAssets(
+      Seq((7L, avi)).toDF("id", "bytes"), "id", "bytes", "video", "test")
+    val real = Multimodal.decode(assets, Multimodal.MjpegAviDecoder).collect()(0)
+    assert(real.getInt(1) === 32 && real.getInt(2) === 24 && real.getInt(3) === 3)
+    val stubbed = Multimodal.decode(assets).collect()(0)
+    assert(stubbed.getInt(1) !== 32, "default stub must stay deterministic-fake")
+  }
+
   test("dupSpanReport: shared span found at ANY offset; disjoint docs report zero") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
