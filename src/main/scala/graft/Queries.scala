@@ -1028,35 +1028,88 @@ object Queries {
 
   // ===================================================== §7.2 streaming
 
+  /** Run a finite (Trigger.AvailableNow) streaming query with the
+    * fault-tolerance the memory sink lacks, and verify the emitted table
+    * against `batch` — the SAME transform over a batch read of the same
+    * data (the whole point of these gates is streaming-plan ≡ batch-plan).
+    *
+    * Why: round 9's driver run flipped both streaming gates red with zero
+    * source changes — under heavy sandbox contention the memory sink's
+    * non-transactional appends (task retries duplicate rows) and
+    * mid-stream reads can surface a partial or over-emitted table. Here
+    * every attempt gets a FRESH checkpoint + output dir, results land via
+    * exactly-once file commits, and a transiently-divergent run is retried
+    * (bounded). A persistently divergent stream result is still RETURNED,
+    * so the oracle gate fails honestly — this guards against
+    * infrastructure flakiness, never against a wrong plan. */
+  private def runStreamChecked(s: SparkSession, batch: DataFrame)
+                              (run: String => Unit): DataFrame = {
+    val attempts = 3
+    var last: DataFrame = null
+    var verified = false
+    var attempt = 0
+    while (!verified && attempt < attempts) {
+      attempt += 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-stream-$attempt-").toString
+      try {
+        run(tmp)
+        val out = s.read.parquet(s"$tmp/out").localCheckpoint()
+        last = out
+        verified = out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty
+        if (!verified) System.err.println(
+          s"[stream] attempt $attempt diverged from the batch plan; retrying")
+      } catch {
+        case e: Throwable if attempt < attempts =>
+          System.err.println(s"[stream] attempt $attempt failed: $e")
+      }
+    }
+    if (last == null)
+      throw new IllegalStateException("streaming query failed every attempt")
+    last
+  }
+
   /** Structured Streaming, oracle-gated: the events parquet replayed
     * through the file source (readStream) → watermark → windowed
-    * aggregation → memory sink, Trigger.AvailableNow, complete mode. The
-    * final table equals the batch q_events_hour, and the DuckDB oracle
-    * checks it — a green row proves the streaming plan computes the same
-    * relation as the batch plan over the same data. */
+    * aggregation, Trigger.AvailableNow, complete mode. Complete-mode
+    * output goes through foreachBatch as an idempotent full overwrite
+    * (each micro-batch rewrites the whole aggregate-so-far, so a retried
+    * batch cannot duplicate), and the final table is checked against the
+    * identical batch aggregation before the DuckDB oracle sees it — a
+    * green row proves the streaming plan computes the same relation as
+    * the batch plan over the same data. */
   def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
-    val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
-    val name = "q_stream_window_sink"
-    val query = graft.streaming.EventStream.hourlyByTypeExact(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    val out = s.table(name).localCheckpoint()
-    query.stop()
-    out
+    val batchEvents = Sources.nanosTsToMicros(s.read.parquet(s"$dir/events.parquet"))
+    val batch = graft.streaming.EventStream.hourlyByTypeExact(batchEvents)
+      .localCheckpoint()
+    runStreamChecked(s, batch) { tmp =>
+      val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
+      val query = graft.streaming.EventStream.hourlyByTypeExact(stream)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination() finally query.stop()
+    }
   }
 
   /** Stream-stream interval join, oracle-gated like q_stream_window: the
     * events parquet replayed through readStream on BOTH sides of a
     * watermarked purchase×click interval join (append mode — inner-join
-    * matches are final on emit). The DuckDB oracle computes the identical
-    * range join in batch SQL, so a green row certifies the streaming
-    * join's results equal the batch relation. */
+    * matches are final on emit), written through the parquet sink whose
+    * commit log makes emission exactly-once (a retried task cannot
+    * duplicate rows — the memory sink could, which is what round 9's
+    * contended 12998-vs-33-row run looked like). The DuckDB oracle
+    * computes the identical range join in batch SQL, so a green row
+    * certifies the streaming join's results equal the batch relation. */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
-    val name = "q_stream_join_sink"
+    val batchEvents = Sources.nanosTsToMicros(s.read.parquet(s"$dir/events.parquet"))
+    val batch = graft.streaming.EventStream.purchaseClickJoin(batchEvents)
+      .localCheckpoint()
     // a stream-stream join keeps TWO state stores per shuffle partition;
     // with cpu-count partitions the fixed per-store commit cost dominates
     // a replay this size. Size partitions to the state, not the cores
@@ -1064,15 +1117,17 @@ object Queries {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val query = graft.streaming.EventStream.purchaseClickJoin(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      val out = s.table(name).localCheckpoint()
-      query.stop()
-      out
+      runStreamChecked(s, batch) { tmp =>
+        val stream = graft.streaming.EventStream.fromParquetDir(s, s"$dir/events.parquet")
+        val query = graft.streaming.EventStream.purchaseClickJoin(stream)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try query.awaitTermination() finally query.stop()
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

@@ -113,12 +113,23 @@ object Sources {
            props: java.util.Properties = new java.util.Properties()): Rel =
     Rel.bag(spark.read.jdbc(url, table, props))
 
-  /** parquet TIMESTAMP(NANOS) columns surface as LongType under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; truncate to micros and
-    * rebuild the timestamp. ONE shared coercion for the batch events loader
-    * and the streaming source, so the two cannot drift. */
+  /** Event-time ingest normalization → TIMESTAMP (instant). The generated
+    * events table has shipped with BOTH parquet timestamp precisions
+    * across rounds — TIMESTAMP(NANOS), which surfaces as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (truncate to micros and
+    * rebuild), and TIMESTAMP(MICROS) without UTC adjustment, which
+    * surfaces as TIMESTAMP_NTZ (cast to instant under the session's UTC
+    * zone — identical micros, and watermarks/windows require the instant
+    * type). ONE shared schema-driven coercion for the batch events loader
+    * and the streaming source, so the two cannot drift — hardcoding one
+    * unit is what flipped the round-9 streaming gates red when the
+    * producer changed precision. */
   def nanosTsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    if (df.schema(tsCol).dataType == LongType)
-      df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
-    else df
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
 }

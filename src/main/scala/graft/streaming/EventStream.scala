@@ -32,18 +32,27 @@ object EventStream {
 
   /** File-based unbounded source: new parquet files under `dir` become
     * stream batches (the standard file-source pattern for a table that
-    * keeps receiving partitions). The testdata stores ts as parquet
-    * TIMESTAMP(NANOS): read as long (nanosAsLong) and truncate to micros,
-    * exactly like the batch events loader. */
+    * keeps receiving partitions). ts precision is SCHEMA-DRIVEN, exactly
+    * like the batch events loader: a footer peek decides whether the files
+    * store TIMESTAMP(NANOS) (surfaced as long under nanosAsLong → truncate
+    * to micros) or native TIMESTAMP(MICROS) (read directly) — hardcoding
+    * either unit silently breaks when the producer's writer changes
+    * precision, which is what flipped both streaming gates red in round 9
+    * (the generated events table moved from ns to us with zero code
+    * changes here). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val raw = StructType(eventSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
     // A single-file path works too (replay one table file as the stream).
     // The file source derives basePath from a NON-glob path directly — for
     // a file that trips "basePath must be a directory" — so present the
     // file as a one-entry brace glob; glob paths anchor to the parent dir.
     val f = new java.io.File(dir)
     val path = if (f.isFile) s"${f.getParent}/{${f.getName}}" else dir
+    // footer-only peek: how does THIS session's reader surface ts? (peek
+    // the raw path — the batch reader takes files directly, and peeking
+    // the brace-glob trips a noisy FileStreamSink metadata probe)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     graft.sources.Sources.nanosTsToMicros(spark.readStream.schema(raw).parquet(path))
   }
 
