@@ -231,6 +231,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time ingest normalizes every shipped parquet ts precision identically") {
+    // The generated events table has shipped ts as TIMESTAMP(NANOS)
+    // (surfacing as long under nanosAsLong) in rounds ≤8 and
+    // TIMESTAMP(MICROS)/NTZ from round 9 — the silent unit flip that broke
+    // both streaming gates. Lock the contract: all three surfaced forms
+    // (instant, NTZ micros, long nanos) normalize to the SAME instant
+    // column, for the batch loader and the streaming source alike.
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("tsprec-").toString
+    val rows = Seq(
+      (1L, ts(9, 5), 1L, "click", 1.0, ""),
+      (2L, ts(9, 20), 2L, "purchase", 2.0, ""),
+      (3L, ts(10, 1), 1L, "view", 3.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$base/ltz")                                   // instant micros
+    rows.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$base/ntz")                                     // NTZ micros
+    rows.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .write.parquet(s"$base/nanos")                                   // long nanos
+    val expect = rows.orderBy("event_id").collect().map(_.toSeq).toSeq
+    for (variant <- Seq("ltz", "ntz", "nanos")) {
+      val batch = Sources.nanosTsToMicros(spark.read.parquet(s"$base/$variant"))
+      assert(batch.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType, s"batch $variant")
+      assert(batch.orderBy("event_id").collect().map(_.toSeq).toSeq === expect,
+        s"batch $variant values")
+      val stream = EventStream.fromParquetDir(spark, s"$base/$variant")
+      assert(stream.isStreaming, s"stream $variant")
+      assert(stream.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType, s"stream $variant type")
+      // and the watermark the gates rely on resolves against it
+      EventStream.hourlyByTypeExact(stream)
+    }
+  }
+
   test("stream-stream interval join (purchase×click) equals the batch range join") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.sources.Sources.nanosTsToMicros(
