@@ -1056,7 +1056,9 @@ object Queries {
         run(tmp)
         val out = s.read.parquet(s"$tmp/out").localCheckpoint()
         last = out
-        verified = out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty
+        // multiset equality in one pass: |out| = |batch| plus out∖batch = ∅
+        // implies batch∖out = ∅ (no second exceptAll needed)
+        verified = out.count() == batch.count() && out.exceptAll(batch).isEmpty
         if (!verified) System.err.println(
           s"[stream] attempt $attempt diverged from the batch plan; retrying")
       } catch {
