@@ -25,7 +25,9 @@ object BenchScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // same producer-drift guard as the gated queries
+    val emb1 = graft.sources.Sources.embeddingToFloat(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
     val maxDoc = docs1.agg(max("doc_id")).head.getLong(0) + 1
     val maxVec = emb1.agg(max("vec_id")).head.getLong(0) + 1
     def scaleDocs(n: Int): DataFrame =

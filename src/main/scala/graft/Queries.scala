@@ -22,7 +22,14 @@ import graft.sources.Sources
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): Rel =
-    Rel.parquet(s, s"$dir/$name.parquet")
+    if (name == "embeddings") emb(s, dir)
+    else Rel.parquet(s, s"$dir/$name.parquet")
+
+  /** Embeddings ingest: [[Sources.embeddingToFloat]] producer-drift guard
+    * applied once at the scan. */
+  private def emb(s: SparkSession, dir: String): Rel =
+    Rel.distinct(Sources.embeddingToFloat(
+      s.read.parquet(s"$dir/embeddings.parquet")))
 
   private val dec182 = DecimalType(18, 2)
   private val dec184 = DecimalType(18, 4)

@@ -124,6 +124,18 @@ object Sources {
     * and the streaming source, so the two cannot drift — hardcoding one
     * unit is what flipped the round-9 streaming gates red when the
     * producer changed precision. */
+  /** Embedding ingest normalization: the ANN/dedup vector stack
+    * (FloatVecDot, codebooks, int8 quantizer) is typed array<float> — if a
+    * generated table ships array<double> (producer drift of the same kind
+    * as the round-9 ts-precision flip), cast ONCE at the scan instead of
+    * failing analysis in every vector expression. No-op (no cast node)
+    * when the schema already matches. */
+  def embeddingToFloat(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn(vecCol, col(vecCol).cast(ArrayType(FloatType)))
+    }
+
   def nanosTsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema(tsCol).dataType match {
       case LongType =>

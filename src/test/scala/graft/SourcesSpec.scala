@@ -68,4 +68,22 @@ class SourcesSpec extends SparkSpec {
       assert(r.aggregate(Nil, "t" -> sum(col("STATUS"))).df.collect()(0).get(0) === 60)
     } finally conn.close()
   }
+
+  test("embedding ingest guard: array<double> producer drift casts to float at the scan") {
+    import spark.implicits._
+    val dbl = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding") // array<double> — simulated producer drift
+    val fixed = Sources.embeddingToFloat(dbl)
+    assert(fixed.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    // and the typed vector stack accepts it end-to-end (FloatVecDot would
+    // fail analysis on the raw double column)
+    val paired = fixed.as("a").join(fixed.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(graft.pipeline.Similarity.cosine(
+        col("a.embedding"), col("b.embedding")).as("cos"))
+    assert(math.abs(paired.collect()(0).getDouble(0) - 0.6) < 1e-6)
+    // already-float schema: identity, no cast node in the plan
+    val already = fixed
+    assert(Sources.embeddingToFloat(already) eq already)
+  }
 }
