@@ -47,12 +47,13 @@ object EventStream {
     // file as a one-entry brace glob; glob paths anchor to the parent dir.
     val f = new java.io.File(dir)
     val path = if (f.isFile) s"${f.getParent}/{${f.getName}}" else dir
-    // footer-only peek: how does THIS session's reader surface ts? (peek
-    // the raw path — the batch reader takes files directly, and peeking
-    // the brace-glob trips a noisy FileStreamSink metadata probe)
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
-    val raw = StructType(eventSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    // footer-only peek: take the file's OWN schema as this session's
+    // reader surfaces it (peek the raw path — the batch reader takes
+    // files directly, and peeking the brace-glob trips a noisy
+    // FileStreamSink metadata probe). Pinning a hardcoded schema instead
+    // silently nulls renamed columns and mis-units retyped ones; only the
+    // event-time normalization is ours ([[Sources.nanosTsToMicros]]).
+    val raw = spark.read.parquet(dir).schema
     graft.sources.Sources.nanosTsToMicros(spark.readStream.schema(raw).parquet(path))
   }
 
