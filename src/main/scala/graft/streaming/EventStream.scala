@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events table schema (TESTDATA events.parquet). */
+  /** The NORMALIZED events heading the transforms below consume (TESTDATA
+    * events.parquet after [[fromParquetDir]]/[[graft.sources.Sources
+    * .nanosTsToMicros]] ingest — the on-file ts precision varies by
+    * producer generation and is coerced to the instant type here). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
