@@ -1240,6 +1240,24 @@ object Queries {
       (q, c) => Similarity.ivfKnn(q, c, k = 10, nlist = 16, nprobe = 8,
         trainFraction = 0.25))
 
+  def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = knnInputs(s, dir)
+    Similarity.ivfPqKnn(q, c, k = 10, nlist = 16, nprobe = 8,
+      trainFraction = 0.25)
+  }
+
+  /** IVF-PQ composite (FAISS IVFADC layout: inverted lists + residual
+    * product codes + ADC + exact rescore) recall contract. Probing 8/16
+    * cells bounds recall exactly like plain IVF (same coarse quantizer,
+    * same probes), and the 32× overfetch + exact rescore recovers the PQ
+    * approximation error inside the probed cells — so the bound matches
+    * q_knn_ivf_check's 0.4 (worst observed per-query recall ≥ 0.5 at both
+    * driver SFs). */
+  def qKnnIvfPqCheck(s: SparkSession, dir: String): DataFrame =
+    knnRecallCheck(s, dir, 0.4,
+      (q, c) => Similarity.ivfPqKnn(q, c, k = 10, nlist = 16, nprobe = 8,
+        trainFraction = 0.25))
+
   // ============================================ pipeline: text analysis
 
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1514,6 +1532,7 @@ object Queries {
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh_check" -> qKnnLshCheck, "q_knn_ivf_check" -> qKnnIvfCheck,
+    "q_knn_ivfpq_check" -> qKnnIvfPqCheck,
     "q_token_count" -> qTokenCount, "q_quality" -> qQuality,
     "q_langid" -> qLangId, "q_fingerprint" -> qFingerprint,
     "q_multimodal" -> qMultimodal,
@@ -1568,6 +1587,7 @@ object Queries {
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
     "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq,
+    "q_knn_ivfpq" -> qKnnIvfPq,
     "q_semdedup" -> qSemdedup)
 
   /** DuckDB oracle SQL — one entry per [[queries]] key (the driver's
@@ -1692,6 +1712,8 @@ object Queries {
     "q_knn_lsh_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
     "q_knn_ivf_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 5"),
+    "q_knn_ivfpq_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
     "q_token_count" -> ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens, " +

@@ -371,24 +371,29 @@ object Similarity {
     * one-byte codes (nearest centroid per subspace) plus its float norm —
     * a 64-dim float32 vector (256 B) compresses to 8 B + 4 B, the
     * representation that stays shuffle/cache-resident at billion-vector
-    * scale. Returns (cId, codes: array<tinyint>, __cn). */
+    * scale. Returns (cId, codes: array<tinyint>, __cn); `carry` columns of
+    * the input (e.g. an IVF cell id) ride through the aggregations
+    * unchanged — they must be functionally determined by cId. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 8,
-               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+               cId: String = "vec_id", cVec: String = "embedding",
+               carry: Seq[String] = Nil): DataFrame = {
     val subDim = size(col(cVec)) / m
-    Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
-      .select(col(cId), col("__cn"), col("sub_id"),
-        slice(col(cVec), col("sub_id") * subDim + 1, subDim).as("subvec"))
+    Dedup.widen(corpus).select(col(cId) +: col(cVec) +:
+        norm(col(cVec)).as("__cn") +:
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id") +: carry.map(col): _*)
+      .select(col(cId) +: col("__cn") +: col("sub_id") +:
+        slice(col(cVec), col("sub_id") * subDim + 1, subDim).as("subvec") +:
+        carry.map(col): _*)
       .join(broadcast(codebook), Seq("sub_id"))
       .withColumn("d", l2sq(col("subvec"), col("centroid")))
       .groupBy(col(cId), col("sub_id"))
       .agg(max_by(col("code"), struct((-col("d")).as("nd"), (-col("code")).as("nc")))
           .as("code"),
-        first(col("__cn")).as("__cn"))
+        first(col("__cn")).as("__cn") +: carry.map(c => first(col(c)).as(c)): _*)
       .groupBy(col(cId))
       .agg(transform(sort_array(collect_list(struct(col("sub_id"), col("code")))),
         x => x.getField("code")).as("codes"),
-        first(col("__cn")).as("__cn"))
+        first(col("__cn")).as("__cn") +: carry.map(c => first(col(c)).as(c)): _*)
   }
 
   /** PQ kNN with asymmetric distance computation (ADC) and exact rescore:
@@ -424,6 +429,89 @@ object Similarity {
       .agg((sum(col("lutdot")) / (first(col("__qn")) * first(col("__cn"))))
         .as("cosine"))
     val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
+    val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
+    val q = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))
+    val rescored = cand
+      .join(c, cId)
+      .join(broadcast(q), qId)
+      .select(col(qId), col(cId),
+        round(cosinePre(dot(col(qVec), col(cVec)), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
+    topK(rescored, k, qId, cId)
+  }
+
+  /** IVF-PQ composite ANN — the standard billion-vector index layout
+    * (Jégou et al., TPAMI 2011 §V "IVFADC"; the same composition FAISS
+    * ships as IndexIVFPQ): corpus vectors are bucketed into `nlist`
+    * inverted lists (IVF coarse quantizer) and each vector's RESIDUAL
+    * against its cell centroid is product-quantized to `m` one-byte codes
+    * (residuals are smaller than raw vectors, so the same code budget
+    * quantizes them with less error). A query probes only its `nprobe`
+    * nearest cells and scores candidates by asymmetric distance:
+    *
+    *   dot(q, x) ≈ dot(q, centroid_cell)  +  Σ_sub LUT[sub, code_sub]
+    *
+    * — the centroid term is exact and computed once per (query, cell), the
+    * residual term is a broadcast lookup-table sum over the 8-byte codes.
+    * The top `overFetch`·k candidates rescore with the exact float dot.
+    *
+    * Why this is the 100 TB shape: the per-query scan representation is
+    * m bytes + a cell id per vector AND only nprobe/nlist of the corpus is
+    * touched (pqKnn compresses but still scans every code; ivfKnn bounds
+    * the scan but scores full floats). Index build (assignment, residual
+    * codebook, encode) is a one-time artifact — pinned here, written to
+    * storage in a real deployment. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+               overFetch: Int = 32, lloydIters: Int = 2,
+               qId: String = "q_id", qVec: String = "q_vec",
+               cId: String = "vec_id", cVec: String = "embedding",
+               trainFraction: Double = 1.0): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, lloydIters, cId, cVec, trainFraction)
+    val assigned = assignToCentroids(corpus, centroids, 1, cId, cVec)
+    // residual r = x − centroid(cell); the ORIGINAL norm rides along for
+    // cosine (the residual's own norm is meaningless to the metric)
+    val resid = assigned.join(broadcast(centroids), Seq("centroid_id"))
+      .select(col(cId), col("centroid_id"), col("__cn").as("__ocn"),
+        zip_with(col(cVec), col("centroid"), (x, c) => x - c).as("__rvec"))
+      .pin()
+    val cb = pqTrain(resid, m, codes, lloydIters, cId, "__rvec", trainFraction)
+    val enc = pqEncode(resid, cb, m, cId, "__rvec",
+        carry = Seq("centroid_id", "__ocn"))
+      .drop("__cn") // residual norm — cosine uses the carried original norm
+    // per-query probes keep the RAW dot(q, centroid): it is the exact
+    // centroid term of the ADC sum, not just a ranking key
+    val probePack = struct((-col("qcdist")).as("nd"),
+      struct(col("centroid_id"), col("qcdot")).as("c"))
+    val probed = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qcdot", dot(col(qVec), col("centroid")))
+      .withColumn("qcdist", cosinePre(col("qcdot"), col("__qn"), col("__kn")))
+      .groupBy(col(qId))
+      .agg(first(col("__qn")).as("__qn"),
+        slice(sort_array(collect_list(probePack)), 1, nprobe).as("probes"))
+      .select(col(qId), col("__qn"), explode(col("probes")).as("p"))
+      .select(col(qId), col("__qn"),
+        col("p.c.centroid_id").as("centroid_id"), col("p.c.qcdot").as("qcdot"))
+    // per-query LUT over the residual codebook: m·codes entries, broadcast
+    val subDim = size(col(qVec)) / m
+    val lut = queries.select(col(qId),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"), col(qVec))
+      .select(col(qId), col("sub_id"),
+        slice(col(qVec), col("sub_id") * subDim + 1, subDim).as("qsub"))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col(qId), col("sub_id"), col("code"),
+        dot(col("qsub"), col("centroid")).as("lutdot"))
+    // ADC over probed cells only: the join on centroid_id bounds the scan
+    val approx = enc.join(broadcast(probed), Seq("centroid_id"))
+      .select(col(qId), col(cId), col("qcdot"), col("__qn"), col("__ocn"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+      .join(broadcast(lut), Seq(qId, "sub_id", "code"))
+      .groupBy(col(qId), col(cId))
+      .agg(cosinePre(first(col("qcdot")) + sum(col("lutdot")),
+        first(col("__qn")), first(col("__ocn"))).as("cosine"))
+    val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
+    // exact rescore of the surviving candidates
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
     val q = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))
     val rescored = cand

@@ -105,6 +105,19 @@ object Sources {
     Rel.distinct(Seq(line).toDF("line"))
   }
 
+  /** JSON-Lines reader — the loader interchange format
+    * [[graft.pipeline.Pack.writeShardsJsonl]] emits (gzip decompresses
+    * transparently; a directory of `bucket=N/` shards reads as one bag
+    * with `bucket` recovered as a partition column). At scale ALWAYS pass
+    * `schema`: inference is an extra full scan of the corpus, and an
+    * explicit schema makes the read one pass with corrupt lines surfacing
+    * as nulls under PERMISSIVE mode instead of failing the job. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[StructType] = None): Rel = {
+    val r = spark.read.option("mode", "PERMISSIVE")
+    Rel.bag(schema.fold(r)(s => r.schema(s)).json(path))
+  }
+
   /** JDBC import (DataSourceSql, Andl.Runtime/DataSourceSql.cs:29-80):
     * the full source surface includes sql/odbc/oledb connections; on Spark
     * this is the built-in JDBC reader (exercised in SourcesSpec against an

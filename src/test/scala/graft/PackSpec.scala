@@ -118,6 +118,24 @@ class PackSpec extends SparkSpec {
     assert(back.schema.fieldNames.contains("text"))
   }
 
+  test("Sources.jsonl: shard round trip, schema-driven read == inferred read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-rd").toFile
+    tmp.deleteOnExit()
+    val packed = Pack.packGreedy(docs, budget = 100, buckets = 2)
+    Pack.writeShardsJsonl(packed, docs, tmp.getPath)
+    val inferred = graft.sources.Sources.jsonl(spark, tmp.getPath).bagDF
+    assert(inferred.count() === packed.count())
+    assert(inferred.select("doc_id", "bucket", "pack_id", "n_tokens")
+      .collect().map(_.toSeq).toSet ===
+      packed.collect().map(_.toSeq).toSet)
+    // the 100 TB path: explicit schema (no inference scan) reads the same rows
+    val typed = graft.sources.Sources.jsonl(spark, tmp.getPath,
+      Some(inferred.schema)).bagDF
+    assert(typed.schema === inferred.schema)
+    assert(typed.collect().map(_.toSeq).toSet ===
+      inferred.collect().map(_.toSeq).toSet)
+  }
+
   test("packStats: fill ratios are in (0,1] for non-degenerate packs") {
     val stats = Pack.packStats(
       Pack.packGreedy(docs, budget = 100, buckets = 2), budget = 100).collect()

@@ -301,6 +301,28 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 5L).forall(i => pq.contains((i, i)))) // self in top-k
   }
 
+  test("ivf-pq knn (residual ADC, probed cells): recall within probed-cell " +
+      "bound, self found") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceKnn(q, emb, k = 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell isolates the PQ approximation: with the coarse
+    // bound removed, residual codes + 32x overfetch + exact rescore must
+    // recover nearly all of the true top-k (same bar as plain pqKnn)
+    val full = Similarity.ivfPqKnn(q, emb, k = 10, nlist = 8, nprobe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.count(brute.contains).toDouble / brute.size >= 0.8)
+    assert((0L until 5L).forall(i => full.contains((i, i)))) // self in top-k
+    // partial probing may only shrink the candidate set (pure subset of the
+    // probed cells) — recall degrades gracefully, never corrupts ranks
+    val part = Similarity.ivfPqKnn(q, emb, k = 10, nlist = 8, nprobe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.count(brute.contains).toDouble / brute.size >= 0.4)
+    assert((0L until 5L).forall(i => part.contains((i, i)))) // own cell always probed
+  }
+
   test("two-phase top-k matches exact ranking (brute force, rank ordering)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)
