@@ -197,11 +197,22 @@ object Dedup {
     * (chunk index, chunk value) finds all such pairs without all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxDist: Int = 3, bucketCap: Int = 8192): DataFrame = {
-    val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
     // feeds both self-join sides — materialize the 64-bit hashes once
     val withHash = widen(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
       .pin()
+    hammingPairs(withHash, maxDist, bucketCap)
+  }
+
+  /** Hamming-distance ≤ maxDist pairs over ANY precomputed 64-bit
+    * signature frame `(id, sh)` — the pigeonhole blocking behind
+    * [[simhashPairs]], reusable by other 64-bit perceptual signatures
+    * (e.g. image dHash, [[Multimodal.imageNearDup]]). Complete by the
+    * pigeonhole argument, exact by the bit_count(xor) verify; hot buckets
+    * grid-salt via the shared resplit machinery. */
+  def hammingPairs(withHash: DataFrame, maxDist: Int = 3,
+                   bucketCap: Int = 8192): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
     // let-bind sh: inlined by CollapseProject it would recompute the whole
     // simhash once per chunk
     val banded = withHash.select(col("id"), col("sh"),

@@ -268,6 +268,83 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an image payload:
+    * grayscale-resample onto a 9×8 luma grid and emit one bit per
+    * horizontal gradient sign. Recompressed, resized, or lightly edited
+    * copies land within a few bits of each other — the standard
+    * training-set image near-dup signature. Sampling is bounded (≤8×8
+    * pixels averaged per grid cell), so per-asset work is constant
+    * regardless of resolution. None for undecodable bytes. */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        // mean luma per cell of the 9×8 grid, ≤8×8 samples per cell
+        val grid = Array.ofDim[Double](8, 9)
+        val cnt = Array.ofDim[Int](8, 9)
+        val gw = 9 * 8; val gh = 8 * 8 // 72×64 bounded sample lattice
+        var gy = 0
+        while (gy < gh) {
+          val y = gy * h / gh
+          var gx = 0
+          while (gx < gw) {
+            val x = gx * w / gw
+            val p = img.getRGB(x, y)
+            val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            grid(gy / 8)(gx / 8) += l
+            cnt(gy / 8)(gx / 8) += 1
+            gx += 1
+          }
+          gy += 1
+        }
+        var hash = 0L; var bit = 0; var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val a = grid(cy)(cx) / cnt(cy)(cx)
+            val b = grid(cy)(cx + 1) / cnt(cy)(cx + 1)
+            if (a < b) hash |= 1L << bit
+            bit += 1; cx += 1
+          }
+          cy += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
+  private val dHashSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sh", LongType, nullable = false)))
+
+  /** Per-asset dHash frame (id, sh) — mapPartitions with the same
+    * batched-decode contract as [[decode]]: payloads never hit the driver,
+    * decoder init amortizes per task. Undecodable assets drop out (no
+    * hash → no pairs), they do not poison the join. */
+  def dHashes(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(dHashSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        dHash64(r.getAs[Array[Byte]]("payload")).map(sh => Row(r.getLong(0), sh))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: perceptual dHash per asset, then the
+    * SimHash pigeonhole blocking ([[Dedup.hammingPairs]]) — any pair
+    * within `maxDist` bits shares at least one exact 64/(maxDist+1)-bit
+    * band, so the self-join is band-bucketed, never all-pairs, and every
+    * candidate verifies exactly via bit_count(xor). Returns
+    * (id_a, id_b, hamming) with id_a < id_b. */
+  def imageNearDup(assets: DataFrame, maxDist: Int = 4,
+                   bucketCap: Int = 8192): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    // hashes feed both sides of the blocking self-join — compute once
+    Dedup.hammingPairs(dHashes(assets).pin(), maxDist, bucketCap)
+  }
+
   /** Resize planning: compute target dims preserving aspect ratio — pure
     * column math over decoded metadata (the byte-level resample would live
     * in the decode task). */

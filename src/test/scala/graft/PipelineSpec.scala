@@ -393,6 +393,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("image near-dup: dHash + pigeonhole blocking pairs perturbed and " +
+      "resized copies, not distinct images") {
+    import spark.implicits._
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val l = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b); b.toByteArray
+    }
+    // smooth low-frequency luma pattern: cell means stable under resize
+    def base(w: Int, h: Int)(x: Int, y: Int): Int =
+      (128 + 100 * math.sin(2 * math.Pi * x / w) *
+        math.cos(2 * math.Pi * y / h)).toInt
+    val b0 = png(144, 128, base(144, 128))                            // original
+    val b1 = png(144, 128, (x, y) => base(144, 128)(x, y) + 3)        // re-exposed copy
+    val b2 = png(72, 64, base(72, 64))                                // downscaled copy
+    val b3 = png(144, 128, (x, y) => 255 - base(144, 128)(x, y))      // inverted: distinct
+    val assets = Multimodal.toAssets(
+      Seq((0L, b0), (1L, b1), (2L, b2), (3L, b3)).toDF("id", "bytes"),
+      "id", "bytes", "image", "test")
+    val pairs = Multimodal.imageNearDup(assets, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"perturbed copy not paired: $pairs")
+    assert(pairs.contains((0L, 2L)), s"resized copy not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct image falsely paired: $pairs")
+    // the hash itself: inverted pattern flips every gradient sign
+    val h0 = Multimodal.dHash64(b0).get
+    val h3 = Multimodal.dHash64(b3).get
+    assert(java.lang.Long.bitCount(h0 ^ h3) > 32)
+  }
+
   test("multimodal: REAL WAV PCM decode (RIFF chunk walk)") {
     // 1s of 16-bit mono PCM at 8 kHz: silence in the first half, a
     // full-scale square wave in the second → segment RMS ≈ 0 then ≈ 1
