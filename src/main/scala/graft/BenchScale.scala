@@ -105,6 +105,48 @@ object BenchScale {
       Similarity.pqKnn(q, df, k = 10).count()
     }
     run("knn_pq", pq(emb1), pq(scaleEmb(mult)))
+    def ivfpq(df: DataFrame): Long = {
+      val q = df.orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfPqKnn(q, df, k = 10).count()
+    }
+    run("knn_ivfpq", ivfpq(emb1), ivfpq(scaleEmb(mult)))
+    // image near-dup: one PNG rendered per doc from its text bytes, so the
+    // N× corpus plants N identical images per original — MAXIMAL dup
+    // density, the worst-case load for the dHash pigeonhole blocking
+    // (quadratic TRUE pair growth, like the ngram row above)
+    val imgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("img",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    def renderImgs(df: DataFrame): DataFrame = {
+      val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imgSchema))
+      df.select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val bytes = r.getString(1).getBytes("UTF-8")
+            val img = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < 32 * 32) {
+              val l = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+              img.setRGB(i % 32, i / 32, (l << 16) | (l << 8) | l)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            org.apache.spark.sql.Row(r.getLong(0), bos.toByteArray)
+          }
+        }(enc)
+    }
+    def imgDedup(df: DataFrame): Long = {
+      val assets = graft.pipeline.Multimodal.toAssets(
+        renderImgs(df), "doc_id", "img", "image", "bench")
+      graft.pipeline.Multimodal.imageNearDup(assets, maxDist = 4).count()
+    }
+    run("image_dedup", imgDedup(docs1), imgDedup(scaleDocs(mult)))
     spark.stop()
   }
 }

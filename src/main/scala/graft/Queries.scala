@@ -633,6 +633,19 @@ object Queries {
           .when(col("doc_id") % 7 === 1, lit(" see https://example.com/a?b=c please"))
           .otherwise(lit("")))).as("text"))
 
+  /** Canonical ingest normalization with PLANTED encoding variants: every
+    * 11th doc gets a decomposed-accent suffix ("cafe" + COMBINING ACUTE),
+    * every 13th extra whitespace/case noise — the normalized text must
+    * collapse both to the canonical form the DuckDB oracle computes with
+    * its own nfc_normalize. Pure narrow map, zero shuffles. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").bagDF.select(col("doc_id"),
+      TextAnalysis.normalizeText(concat(col("text"),
+        // DECOMPOSED accents (base char + U+0301) — NFC must compose them
+        when(col("doc_id") % 11 === 0, lit(" cafe\u0301 visite\u0301e"))
+          .when(col("doc_id") % 13 === 0, lit("  EXTRA\t Spaces \u00c9T\u00c9 "))
+          .otherwise(lit("")))).as("norm_text"))
+
   /** Gopher-style quality rules + repetition signal, per document: named
     * boolean rule columns, the top-token ratio, and the composed keep
     * decision — the "why was this dropped" form of corpus filtering. */
@@ -1555,6 +1568,7 @@ object Queries {
     "q_sample_strat" -> qSampleStrat, "q_tfidf" -> qTfidf,
     "q_sessionize" -> qSessionize,
     "q_scrub" -> qScrub, "q_quality_rules" -> qQualityRules,
+    "q_normalize" -> qNormalize,
     "q_chunk_dedup" -> qChunkDedup, "q_decontaminate" -> qDecontaminate,
     "q_asof" -> qAsof, "q_knn_q8_check" -> qKnnQ8Check,
     "q_domains" -> qDomains,
@@ -1952,6 +1966,12 @@ object Queries {
       "'https?://\\S+', '<URL>', 'g'), " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text " +
       "FROM documents"),
+    // Identical plant (chr(769) = U+0301 COMBINING ACUTE, chr(201) = É,
+    // chr(9) = tab) normalized with DuckDB's own nfc_normalize.
+    "q_normalize" -> ("SELECT doc_id, trim(regexp_replace(nfc_normalize(lower(" +
+      "text || CASE WHEN doc_id % 11 = 0 THEN ' cafe' || chr(769) || ' visite' || chr(769) || 'e' " +
+      "WHEN doc_id % 13 = 0 THEN '  EXTRA' || chr(9) || ' Spaces ' || chr(201) || 'T' || chr(201) || ' ' " +
+      "ELSE '' END)), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
     "q_quality_rules" -> ("WITH base AS (SELECT doc_id, " +
       "CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +

@@ -109,3 +109,40 @@ object CharNgramHashes {
   def apply(s: Column, n: Int): Column =
     GraftExprBridge.column(CharNgramHashes(GraftExprBridge.expression(s), n))
 }
+
+/** Unicode NFC canonical composition (java.text.Normalizer): visually
+  * identical strings — "e" + COMBINING ACUTE ACCENT vs precomposed "é" —
+  * become byte-identical, so fingerprints, exact dedup and shingle hashes
+  * stop treating encoding variants of the same document as distinct.
+  * Per-row JVM library call no Column combinator expresses, so it sits in
+  * the [[CodegenFallback]] tier like [[graft.functions.DeflateRatio]]
+  * (surrounding projection stays codegen'd). Fast path: already-normalized
+  * input (all-ASCII web text is) returns the input UTF8String untouched —
+  * no decode, no allocation. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs string, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(text: Column): Column =
+    GraftExprBridge.column(NfcNormalize(GraftExprBridge.expression(text)))
+}

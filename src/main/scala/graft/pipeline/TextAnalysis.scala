@@ -98,6 +98,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Canonical text normalization for ingest: lowercase → Unicode NFC
+    * composition ([[graft.functions.NfcNormalize]]) → whitespace collapse
+    * → trim. Run BEFORE fingerprinting/shingling so encoding variants of
+    * the same document (decomposed vs precomposed accents, stray
+    * whitespace, case) dedup as one; ASCII text passes through the NFC
+    * step untouched, so the common case costs one regex pass. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.NfcNormalize(lower(text)), "\\s+", " "))
+
   /** Word k-shingles (n-gram set) — the MinHash input. The token array is
     * let-bound so the split runs once per row, not once per shingle. */
   def shingles(text: Column, k: Int = 3): Column =

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DeflateRatio, FloatVecDot, MinHashSig, SimHash64}
+import graft.functions.{DeflateRatio, FloatVecDot, MinHashSig, NfcNormalize, SimHash64}
 
 /** Session extension (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * exposes the engine's native codegen expressions as SQL functions
@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "deflate_ratio(text)")
         DeflateRatio(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text)")
+        NfcNormalize(args.head)
       }))
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),

@@ -429,6 +429,28 @@ class PipelineSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h0 ^ h3) > 32)
   }
 
+  test("normalizeText: NFC composes decomposed accents, dedup collapses " +
+      "encoding variants") {
+    import spark.implicits._
+    val variants = Seq(
+      (1L, "Caf\u00e9  du   Marche\u0301"), // precomposed + decomposed + messy ws
+      (2L, "cafe\u0301 du marche\u0301"),   // fully decomposed
+      (3L, "CAF\u00c9 DU MARCH\u00c9"),     // upper precomposed
+      (4L, "totally different"))
+      .toDF("doc_id", "text")
+    val out = variants
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    assert(out(1L) === "caf\u00e9 du march\u00e9")
+    // exact dedup over normalized text: the three encoding variants are ONE doc
+    assert(Dedup.exact(variants.withColumn("text",
+      TextAnalysis.normalizeText(col("text")))).count() === 2)
+    // and the SQL surface (GraftExtensions) exposes the same expression
+    assert(spark.sql("SELECT nfc_normalize('e\u0301') = '\u00e9' AS ok")
+      .head.getBoolean(0))
+  }
+
   test("multimodal: REAL WAV PCM decode (RIFF chunk walk)") {
     // 1s of 16-bit mono PCM at 8 kHz: silence in the first half, a
     // full-scale square wave in the second → segment RMS ≈ 0 then ≈ 1
