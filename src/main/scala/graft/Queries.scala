@@ -435,6 +435,45 @@ object Queries {
       .crossJoin(extra.agg((count(lit(1)) === 0).as("blocking_sound")))
   }
 
+  /** Image-dedup contract gate over the whole render → decode → dHash →
+    * pigeonhole pipeline, on a bounded subset (doc_id < 200): (a)
+    * blocking_complete/sound — the banded self-join returns EXACTLY the
+    * hamming ≤ 4 pairs an all-pairs differential over the same dHashes
+    * finds; (b) plants_found — docs sharing an identical 200-char ASCII
+    * prefix render to identical images ([[Multimodal.renderTextImages]] is
+    * injective), so hamming 0 forces them into the result. n_docs and the
+    * identical-prefix pair count replay exactly in DuckDB from the text. */
+  def qImageDedupCheck(s: SparkSession, dir: String): DataFrame = {
+    val pfx = regexp_replace(substring(col("text"), 1, 200), "[^ -~]", "")
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200).bagDF
+      .select(col("doc_id"), pfx.as("p")).filter(length(col("p")) > 0)
+      .localCheckpoint()
+    val assets = Multimodal.toAssets(
+      Multimodal.renderTextImages(docs, "doc_id", "p"),
+      "asset_id", "img", "image", "check")
+    val found = Multimodal.imageNearDup(assets, maxDist = 4)
+      .select("id_a", "id_b").localCheckpoint()
+    val hs = Multimodal.dHashes(assets).localCheckpoint()
+    val brute = hs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(hs.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 4)
+      .select("id_a", "id_b")
+    val missed = brute.join(found, Seq("id_a", "id_b"), "left_anti")
+    val extra = found.join(brute, Seq("id_a", "id_b"), "left_anti")
+    val plants = docs.as("a").join(docs.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val missedPlants = plants.join(found, Seq("id_a", "id_b"), "left_anti")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(docs.groupBy("p").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0))
+          .cast("long").as("n_prefix_pairs")))
+      .crossJoin(missed.agg((count(lit(1)) === 0).as("blocking_complete")))
+      .crossJoin(extra.agg((count(lit(1)) === 0).as("blocking_sound")))
+      .crossJoin(missedPlants.agg((count(lit(1)) === 0).as("plants_found")))
+  }
+
   /** Exact all-pairs ground truth on a bounded subset — DuckDB-oracled
     * correctness anchor for the dedup family's Jaccard/cosine math. */
   def qNgramExact(s: SparkSession, dir: String): DataFrame =
@@ -1542,6 +1581,7 @@ object Queries {
     "q_nest_unnest" -> qNestUnnest, "q_nest_card" -> qNestCard,
     "q_dedup_exact" -> qDedupExact, "q_dedup_minhash" -> qDedupMinhash,
     "q_simhash_check" -> qSimhashCheck, "q_dedup_ngram" -> qDedupNgram,
+    "q_image_dedup_check" -> qImageDedupCheck,
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh_check" -> qKnnLshCheck, "q_knn_ivf_check" -> qKnnIvfCheck,
@@ -1723,6 +1763,15 @@ object Queries {
     "q_simhash_check" -> ("SELECT (SELECT count(*) FROM documents " +
       "WHERE doc_id < 200 AND length(text) >= 5) AS n_docs, " +
       "true AS blocking_complete, true AS blocking_sound"),
+    // n_docs and the identical-ASCII-prefix pair count replay from the
+    // text; the booleans are the in-query differential's verdict.
+    "q_image_dedup_check" -> ("WITH p AS (SELECT doc_id, " +
+      "regexp_replace(substring(text, 1, 200), '[^ -~]', '', 'g') AS pfx " +
+      "FROM documents WHERE doc_id < 200), " +
+      "q AS (SELECT pfx, count(*) AS c FROM p WHERE length(pfx) > 0 GROUP BY pfx) " +
+      "SELECT (SELECT count(*) FROM p WHERE length(pfx) > 0) AS n_docs, " +
+      "CAST((SELECT coalesce(sum(c*(c-1)//2), 0) FROM q) AS BIGINT) AS n_prefix_pairs, " +
+      "true AS blocking_complete, true AS blocking_sound, true AS plants_found"),
     "q_knn_lsh_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
     "q_knn_ivf_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +

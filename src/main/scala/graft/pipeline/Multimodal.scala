@@ -332,6 +332,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic text→PNG renderer for the contract/scale harnesses: an
+    * INJECTIVE pixel layout — 2 length-header pixels, one gray pixel per
+    * byte, then index·length-keyed filler — so rendered-image equality ⇔
+    * input-string equality (callers pass single-byte printable-ASCII
+    * prefixes ≤ side²−2 chars). That equivalence is what lets the image
+    * dedup contract gate derive ground truth from the TEXT in SQL. */
+  def renderTextImages(df: DataFrame, idCol: String, textCol: String,
+                       side: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("img", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    df.select(col(idCol).cast("long").as("asset_id"), col(textCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val cap = side * side - 2
+          val n = math.min(bytes.length, cap)
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          def set(i: Int, l: Int): Unit =
+            img.setRGB(i % side, i / side, (l << 16) | (l << 8) | l)
+          set(0, (n >> 8) & 0xff); set(1, n & 0xff)
+          var i = 0
+          while (i < cap) {
+            set(i + 2, if (i < n) bytes(i) & 0xff else (i * 31 + n * 7) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }(enc)
+  }
+
   /** Image near-duplicate pairs: perceptual dHash per asset, then the
     * SimHash pigeonhole blocking ([[Dedup.hammingPairs]]) — any pair
     * within `maxDist` bits shares at least one exact 64/(maxDist+1)-bit
