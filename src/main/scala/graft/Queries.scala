@@ -1554,7 +1554,8 @@ object Queries {
     * for relational queries AND corpus processing. */
   def qLangPipeline(s: SparkSession, dir: String): DataFrame =
     runLang(s, dir, Seq("documents"),
-      "result := documents .{ doc_id, ntok := tokens(text), fp := fingerprint(text) }")
+      "result := documents .{ doc_id, ntok := tokens(text), " +
+        "fp := fingerprint(text), norm := normalize(text) }")
 
   // ================================================================ maps
 
@@ -2437,6 +2438,7 @@ object Queries {
     "q_lang_pipeline" -> ("SELECT CAST(doc_id AS DOUBLE) AS doc_id, " +
       "CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
       "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS ntok, " +
-      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+      "trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')) AS norm " +
       "FROM documents"))
 }

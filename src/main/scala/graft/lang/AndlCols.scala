@@ -341,6 +341,8 @@ final class AndlCols(interp: AndlInterp) {
       graft.pipeline.TextAnalysis.fingerprint(s.col), TText))
     case ("deflate", Seq(s)) => Some(CExpr(
       graft.functions.DeflateRatio(s.col).cast(AndlValues.numType), TNum))
+    case ("normalize", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.normalizeText(s.col), TText))
     case ("blength", Seq(b))      => Some(CExpr(Builtins.blength(b.col).cast(AndlValues.numType), TNum))
     case ("bget", Seq(b, i))      => Some(CExpr(Builtins.bget(b.col, i.col.cast("int")).cast(AndlValues.numType), TNum))
     case ("bset", Seq(b, i, v))   => Some(CExpr(Builtins.bset(b.col, i.col.cast("int"), v.col), TBin))

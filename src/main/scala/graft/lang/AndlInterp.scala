@@ -505,6 +505,10 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
           total.toDouble / bytes.length
         } finally d.end()
       }))
+    case ("normalize", Seq(TextV(s))) =>
+      Some(TextV(java.text.Normalizer.normalize(
+        s.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
+        .replaceAll("\\s+", " ").trim))
     case ("number", Seq(TextV(s))) => Some(NumV(s.trim.toDouble))
     case ("number", Seq(NumV(d)))  => Some(NumV(d))
     case ("text", Seq(x))   => Some(TextV(render(x)))

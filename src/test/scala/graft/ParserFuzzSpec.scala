@@ -105,6 +105,16 @@ class InterpFuzzSpec extends SparkSpec {
     i3.noisy = 1
     i3.run("fingerprint(' Alpha  beta GAMMA ')", "t.andl")
     assert(i3.output.toString.trim === wantFp, i3.output.toString)
+    // normalize: both tiers compose decomposed accents to the same string
+    val interp4 = new graft.lang.AndlInterp(spark, "/tmp")
+    interp4.defineRelvar("d", Seq("Cafe\u0301  DU   Marche\u0301").toDF("text"))
+    interp4.run("result := d .{ n := normalize(text) }", "t.andl")
+    val want = "caf\u00e9 du march\u00e9"
+    assert(interp4.relvar("result").head.getString(0) === want)
+    val i5 = new graft.lang.AndlInterp(spark, "/tmp")
+    i5.noisy = 1
+    i5.run("normalize('Cafe\u0301  DU   Marche\u0301')", "t.andl")
+    assert(i5.output.toString.trim === want, i5.output.toString)
   }
 
   test("broken scripts raise controlled errors and leave the next run clean") {
