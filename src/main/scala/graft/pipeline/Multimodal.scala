@@ -168,6 +168,80 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit perceptual audio hash: mean-square energy of 65 equal time
+    * segments (first channel, 16-bit PCM), one bit per adjacent-segment
+    * energy gradient — the 1-D analogue of the image [[dHash64]]. Robust
+    * to uniform gain change (scaling every segment preserves gradient
+    * signs) and to resampling (segments are time-relative, so the same
+    * envelope at any sample rate hashes alike). None for non-WAV bytes or
+    * clips shorter than 65 frames. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      if (!isWav(bytes)) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var pos = 12; var channels = 0; var bits = 0
+        var dataOff = -1; var dataLen = 0
+        while (pos + 8 <= bytes.length && (dataOff < 0 || channels == 0)) {
+          val id = new String(bytes, pos, 4, "US-ASCII")
+          val len = bb.getInt(pos + 4)
+          if (id == "fmt ") { channels = bb.getShort(pos + 10); bits = bb.getShort(pos + 22) }
+          else if (id == "data") { dataOff = pos + 8; dataLen = len }
+          pos += 8 + len + (len & 1)
+        }
+        if (channels <= 0 || bits != 16 || dataOff < 0) None
+        else {
+          val dl = math.min(dataLen, bytes.length - dataOff)
+          val frames = dl / (2 * channels)
+          if (frames < 65) None
+          else {
+            val seg = new Array[Double](65); val cnt = new Array[Int](65)
+            var f = 0
+            while (f < frames) {
+              val s = bb.getShort(dataOff + f * 2 * channels) / 32768.0
+              val k = (f.toLong * 65 / frames).toInt
+              seg(k) += s * s; cnt(k) += 1
+              f += 1
+            }
+            var hash = 0L; var i = 0
+            while (i < 64) {
+              val a = if (cnt(i) > 0) seg(i) / cnt(i) else 0.0
+              val b = if (cnt(i + 1) > 0) seg(i + 1) / cnt(i + 1) else 0.0
+              if (a < b) hash |= 1L << i
+              i += 1
+            }
+            Some(hash)
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-asset 64-bit signature frame (id, sh) — shared mapPartitions
+    * plumbing behind [[dHashes]] and [[audioHashes]]. */
+  private def hashFrame(assets: DataFrame,
+                        f: Array[Byte] => Option[Long]): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(dHashSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        f(r.getAs[Array[Byte]]("payload")).map(sh => Row(r.getLong(0), sh))
+      }
+    }(enc)
+  }
+
+  /** Per-asset audio-hash frame (id, sh) — same batched contract as
+    * [[dHashes]]; undecodable clips drop out. */
+  def audioHashes(assets: DataFrame): DataFrame = hashFrame(assets, aHash64)
+
+  /** Audio near-duplicate pairs: [[aHash64]] per clip, then the shared
+    * pigeonhole blocking ([[Dedup.hammingPairs]]) — identical machinery
+    * and guarantees as [[imageNearDup]], over the energy-envelope
+    * signature. */
+  def audioNearDup(assets: DataFrame, maxDist: Int = 4,
+                   bucketCap: Int = 8192): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    Dedup.hammingPairs(audioHashes(assets).pin(), maxDist, bucketCap)
+  }
+
   // ------------------------------------------------- video decoder seam
 
   /** Result of a video decode: frame dims/channels from the stream, the
@@ -323,14 +397,7 @@ object Multimodal {
     * batched-decode contract as [[decode]]: payloads never hit the driver,
     * decoder init amortizes per task. Undecodable assets drop out (no
     * hash → no pairs), they do not poison the join. */
-  def dHashes(assets: DataFrame): DataFrame = {
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(dHashSchema))
-    assets.select("asset_id", "payload").mapPartitions { it =>
-      it.flatMap { r =>
-        dHash64(r.getAs[Array[Byte]]("payload")).map(sh => Row(r.getLong(0), sh))
-      }
-    }(enc)
-  }
+  def dHashes(assets: DataFrame): DataFrame = hashFrame(assets, dHash64)
 
   /** Deterministic text→PNG renderer for the contract/scale harnesses: an
     * INJECTIVE pixel layout — 2 length-header pixels, one gray pixel per

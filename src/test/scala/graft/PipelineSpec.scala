@@ -451,6 +451,46 @@ class PipelineSpec extends SparkSpec {
       .head.getBoolean(0))
   }
 
+  test("audio near-dup: energy-envelope aHash pairs attenuated and " +
+      "resampled copies, not a distinct clip") {
+    import spark.implicits._
+    def wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.indices.foreach(i => bb.putShort(i * 2, samples(i)))
+      val out = new java.io.ByteArrayOutputStream()
+      val hdr = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put("RIFF".getBytes); hdr.putInt(36 + data.length); hdr.put("WAVE".getBytes)
+      hdr.put("fmt ".getBytes); hdr.putInt(16); hdr.putShort(1); hdr.putShort(1)
+      hdr.putInt(sampleRate); hdr.putInt(sampleRate * 2); hdr.putShort(2); hdr.putShort(16)
+      hdr.put("data".getBytes); hdr.putInt(data.length)
+      out.write(hdr.array()); out.write(data); out.toByteArray
+    }
+    // 1 s clip: 440 Hz carrier under a 3-hump envelope; the ENVELOPE is
+    // the perceptual identity the hash must capture
+    def clip(rate: Int, gain: Double, phase: Double): Array[Byte] =
+      wav(rate, Array.tabulate(rate) { i =>
+        val t = i.toDouble / rate
+        val env = math.abs(math.sin(2 * math.Pi * 3 * t + phase))
+        (gain * env * 20000 * math.sin(2 * math.Pi * 440 * i / rate)).toShort
+      })
+    val a0 = clip(8000, 1.0, 0)
+    val a1 = clip(8000, 0.4, 0)           // attenuated copy: same gradient signs
+    val a2 = clip(4000, 1.0, 0)           // resampled copy: same envelope shape
+    val a3 = clip(8000, 1.0, math.Pi / 2) // shifted envelope: distinct clip
+    val assets = Multimodal.toAssets(
+      Seq((0L, a0), (1L, a1), (2L, a2), (3L, a3)).toDF("id", "bytes"),
+      "id", "bytes", "audio", "test")
+    val pairs = Multimodal.audioNearDup(assets, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"attenuated copy not paired: $pairs")
+    assert(pairs.contains((0L, 2L)), s"resampled copy not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct clip falsely paired: $pairs")
+    // gain invariance is exact: scaling cannot flip an energy gradient
+    assert(Multimodal.aHash64(a0).get === Multimodal.aHash64(a1).get)
+  }
+
   test("multimodal: REAL WAV PCM decode (RIFF chunk walk)") {
     // 1s of 16-bit mono PCM at 8 kHz: silence in the first half, a
     // full-scale square wave in the second → segment RMS ≈ 0 then ≈ 1
