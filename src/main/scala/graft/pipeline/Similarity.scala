@@ -158,6 +158,21 @@ object Similarity {
     * nlist× candidate inflation collapses to one row per vector BEFORE the
     * shuffle (the window-based argmax this replaces shuffled all
     * corpus×nlist rows). */
+  /** FAISS-style index sizing guidance (the published billion-vector
+    * heuristics): `nlist ≈ 4·√n` inverted lists, a Lloyd training sample
+    * of ~256 vectors per centroid, and full-byte PQ codes (`codes = 256`)
+    * once the corpus outgrows a few hundred thousand vectors. The module
+    * defaults (nlist=16, codes=16, trainFraction=1) fit the ~2k-vector
+    * sandbox corpus — a 10⁹-vector deployment wants nlist ≈ 126 000 and
+    * codes = 256. Call these so test defaults never ship at scale. */
+  def suggestNlist(n: Long): Int =
+    math.max(16.0, 4.0 * math.sqrt(n.toDouble)).toInt
+
+  /** Training fraction giving ≈ `perCentroid` sample vectors per centroid
+    * (k-means quality saturates there; more only slows the Lloyd rounds). */
+  def suggestTrainFraction(n: Long, nlist: Int, perCentroid: Int = 256): Double =
+    math.min(1.0, perCentroid.toDouble * nlist / math.max(1L, n))
+
   /** Deterministic IVF centroids: seeds are the `nlist` vectors with the
     * smallest id hash (orderBy+limit is a distributed
     * TakeOrderedAndProject — each partition keeps its local nlist best,

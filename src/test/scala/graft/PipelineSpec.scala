@@ -323,6 +323,15 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 5L).forall(i => part.contains((i, i)))) // own cell always probed
   }
 
+  test("index sizing guidance: nlist tracks 4*sqrt(n), train sample ~256/centroid") {
+    assert(Similarity.suggestNlist(2000) === math.max(16, (4 * math.sqrt(2000)).toInt))
+    assert(Similarity.suggestNlist(1000000000L) > 100000) // ~126k at 1e9
+    assert(Similarity.suggestNlist(10) === 16)            // floor: sandbox scale
+    val f = Similarity.suggestTrainFraction(1000000000L, 126000)
+    assert(f > 0.0 && f < 0.1) // a billion-vector corpus trains on a sample
+    assert(Similarity.suggestTrainFraction(1000, 16) === 1.0) // tiny corpus: all
+  }
+
   test("two-phase top-k matches exact ranking (brute force, rank ordering)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)
