@@ -685,6 +685,22 @@ object Queries {
           .when(col("doc_id") % 13 === 0, lit("  EXTRA\t Spaces \u00c9T\u00c9 "))
           .otherwise(lit("")))).as("norm_text"))
 
+  /** URL canonicalization over three planted variant families (cased
+    * scheme/host + default port, tracking params in first position,
+    * fragment + port + tracker on a root path) — the crawl-dedup key
+    * derivation, replayed step-for-step by the DuckDB oracle. */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://Example.COM:443/Products/View"))
+        .when(col("doc_id") % 3 === 1,
+          lit("https://example.com/Products/View?utm_source=mail&id="))
+        .otherwise(lit("http://EXAMPLE.com:80/?fbclid=abc#frag")),
+      when(col("doc_id") % 3 === 1, col("doc_id").cast("string"))
+        .otherwise(lit("")))
+    t(s, dir, "documents").bagDF.select(col("doc_id"), raw.as("url"),
+      TextAnalysis.canonicalizeUrl(raw).as("canon_url"))
+  }
+
   /** Gopher-style quality rules + repetition signal, per document: named
     * boolean rule columns, the top-token ratio, and the composed keep
     * decision — the "why was this dropped" form of corpus filtering. */
@@ -1609,7 +1625,7 @@ object Queries {
     "q_sample_strat" -> qSampleStrat, "q_tfidf" -> qTfidf,
     "q_sessionize" -> qSessionize,
     "q_scrub" -> qScrub, "q_quality_rules" -> qQualityRules,
-    "q_normalize" -> qNormalize,
+    "q_normalize" -> qNormalize, "q_url_canon" -> qUrlCanon,
     "q_chunk_dedup" -> qChunkDedup, "q_decontaminate" -> qDecontaminate,
     "q_asof" -> qAsof, "q_knn_q8_check" -> qKnnQ8Check,
     "q_domains" -> qDomains,
@@ -2016,6 +2032,22 @@ object Queries {
       "'https?://\\S+', '<URL>', 'g'), " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text " +
       "FROM documents"),
+    // The same canonicalization regex chain, replayed stepwise (DuckDB
+    // backrefs are \1-style, Spark's $1 — same semantics; 'g' on the
+    // multi-occurrence steps because DuckDB defaults to first-match).
+    "q_url_canon" -> ("WITH u AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.COM:443/Products/View' " +
+      "WHEN doc_id % 3 = 1 THEN 'https://example.com/Products/View?utm_source=mail&id=' || CAST(doc_id AS VARCHAR) " +
+      "ELSE 'http://EXAMPLE.com:80/?fbclid=abc#frag' END AS url FROM documents), " +
+      "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS v FROM u), " +
+      "s2 AS (SELECT doc_id, url, CASE WHEN sh = '' THEN v " +
+      "ELSE lower(sh) || substr(v, length(sh) + 1) END AS v FROM " +
+      "(SELECT doc_id, url, v, regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS sh FROM s1)), " +
+      "s3 AS (SELECT doc_id, url, regexp_replace(v, '^(https?://[^/?#:]*):(?:80|443)(/|\\?|$)', '\\1\\2') AS v FROM s2), " +
+      "s4 AS (SELECT doc_id, url, regexp_replace(v, '[?&](?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS v FROM s3), " +
+      "s5 AS (SELECT doc_id, url, regexp_replace(regexp_replace(v, '\\?&', '?', 'g'), '^([^?&]+)&', '\\1?') AS v FROM s4), " +
+      "s6 AS (SELECT doc_id, url, regexp_replace(v, '[?&]$', '') AS v FROM s5) " +
+      "SELECT doc_id, url, regexp_replace(v, '^(https?://[^/?#]*)/$', '\\1') AS canon_url FROM s6"),
     // Identical plant (chr(769) = U+0301 COMBINING ACUTE, chr(201) = É,
     // chr(9) = tab) normalized with DuckDB's own nfc_normalize.
     "q_normalize" -> ("SELECT doc_id, trim(regexp_replace(nfc_normalize(lower(" +

@@ -189,6 +189,38 @@ object TextAnalysis {
       regexp_replace(text, "https?://\\S+", "<URL>"),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
 
+  /** URL canonicalization — the crawl-dedup key: two fetches of the same
+    * page under cosmetic URL variation (scheme/host case, fragments,
+    * tracking parameters, default ports, trailing slash) must collapse to
+    * ONE key before URL-level dedup or domain accounting. Steps, all
+    * RE2-compatible regexes so the DuckDB oracle replays them verbatim:
+    * drop the #fragment, lowercase ONLY the scheme://host (path and query
+    * stay case-sensitive per RFC 3986), drop :80/:443 default ports, strip
+    * utm-prefixed and fbclid/gclid tracking params, sweep dangling ?/&,
+    * drop a bare trailing slash on a pathless root. Narrow map — codegen'd
+    * regexp chain, no shuffle at any scale. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://host[:port] — capture it, lower it, re-attach rest
+    val lowered = bind(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)) { sh =>
+      when(sh === "", noFrag)
+        .otherwise(concat(lower(sh), expr_substr(noFrag, length(sh))))
+    }
+    val noPort = regexp_replace(lowered, "^(https?://[^/?#:]*):(?:80|443)(/|\\?|$)", "$1$2")
+    val noTrack = regexp_replace(noPort, "[?&](?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "")
+    // a removed FIRST param leaves "...path&b=c" — promote the first
+    // & of a ?-less URL back to ? (and collapse a bare "?&")
+    val fixSep = regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"),
+      "^([^?&]+)&", "$1?")
+    val noDangle = regexp_replace(fixSep, "[?&]$", "")
+    regexp_replace(noDangle, "^(https?://[^/?#]*)/$", "$1")
+  }
+
+  /** substring-from-index helper: SQL substr(s, pos+1) as a Column. */
+  private def expr_substr(s: Column, from: Column): Column =
+    s.substr(from + 1, length(s))
+
   /** Repetition signal (Gopher-style): frequency share of the most common
     * token per document. explode → (doc, token) counts → per-doc max/sum —
     * both aggregations map-side combinable; no windows, no per-doc token

@@ -323,6 +323,22 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 5L).forall(i => part.contains((i, i)))) // own cell always probed
   }
 
+  test("canonicalizeUrl: case/port/fragment/tracker variants collapse to one key") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/Products/View#x", "https://example.com/Products/View"),
+      ("https://example.com/p?utm_source=a&b=1&gclid=z", "https://example.com/p?b=1"),
+      ("https://example.com/p?utm_source=a", "https://example.com/p"),
+      ("http://Host.com:80/", "http://host.com"),
+      ("http://host.com/UPPER/Path?Q=Mixed", "http://host.com/UPPER/Path?Q=Mixed"),
+      ("https://h.io/view?id=1&utm_campaign=x&z=2", "https://h.io/view?id=1&z=2"),
+      ("relative/path no scheme", "relative/path no scheme"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(out(in) === want, s"for $in") }
+  }
+
   test("index sizing guidance: nlist tracks 4*sqrt(n), train sample ~256/centroid") {
     assert(Similarity.suggestNlist(2000) === math.max(16, (4 * math.sqrt(2000)).toInt))
     assert(Similarity.suggestNlist(1000000000L) > 100000) // ~126k at 1e9
