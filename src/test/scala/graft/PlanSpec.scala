@@ -361,4 +361,26 @@ class PlanSpec extends SparkSpec {
     val readSchema = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
     assert(!readSchema.contains("text"), s"band scan over-reads:\n$readSchema")
   }
+
+  test("normalizeText and canonicalizeUrl are narrow maps: zero exchanges") {
+    val p1 = plan(Queries.qNormalize(spark, sf))
+    assert(!p1.contains("Exchange"), s"normalize shuffled:\n${p1.take(3000)}")
+    val p2 = plan(Queries.qUrlCanon(spark, sf))
+    assert(!p2.contains("Exchange"), s"url canon shuffled:\n${p2.take(3000)}")
+  }
+
+  test("image/audio near-dup pair joins are banded equi-joins, never all-pairs") {
+    import spark.implicits._
+    val png = { // one real PNG so the render/hash path has valid bytes
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b); b.toByteArray
+    }
+    val assets = graft.pipeline.Multimodal.toAssets(
+      Seq((1L, png), (2L, png)).toDF("id", "bytes"), "id", "bytes", "image", "t")
+    val p = plan(graft.pipeline.Multimodal.imageNearDup(assets))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"image pair join degenerated to all-pairs:\n${p.take(4000)}")
+  }
 }
