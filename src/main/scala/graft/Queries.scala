@@ -435,6 +435,41 @@ object Queries {
       .crossJoin(extra.agg((count(lit(1)) === 0).as("blocking_sound")))
   }
 
+  /** Content-defined-chunking contract gate: (a) recon_ok — every doc's
+    * Gear chunk (pos, len) spans tile the text exactly (concatenating the
+    * slices rebuilds the string); (b) bounds_ok — every non-final chunk
+    * lands in [minLen, maxLen], the final one within maxLen; (c)
+    * shift_ok — prefixing a doc with "XYZ PAD. " re-synchronizes the
+    * chunking: ≥ 60% of the original chunk hashes survive on average in
+    * the shifted copy (a fixed-window chunker shares ~0% — this is the
+    * CDC property itself). n_docs replays in DuckDB; booleans are the
+    * in-query verdict. */
+  def qCdcCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF.select(col("doc_id"), col("text"))
+    val ch = Dedup.cdcChunks(col("text"))
+    val recon = docs.select(
+      (array_join(transform(ch, c =>
+        col("text").substr(c.getField("pos") + 1, c.getField("len"))), "")
+        === col("text")).as("ok"),
+      TextAnalysis.bind(ch) { cs =>
+        forall(slice(cs, lit(1), greatest(size(cs) - 1, lit(0))),
+          c => c.getField("len") >= 16 && c.getField("len") <= 128) &&
+          forall(cs, c => c.getField("len") <= 128)
+      }.as("bounds"))
+    def hashes(c: Column) = transform(c, x => x.getField("hash"))
+    val shift = docs.filter(length(col("text")) >= 256)
+      .select(TextAnalysis.bind(hashes(ch)) { h0 =>
+        TextAnalysis.bind(
+          hashes(Dedup.cdcChunks(concat(lit("XYZ PAD. "), col("text"))))) { h1 =>
+          size(array_intersect(h0, h1)).cast("double") / size(h0)
+        }
+      }.as("share"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(recon.agg((min(col("ok").cast("int")) === 1).as("recon_ok")))
+      .crossJoin(recon.agg((min(col("bounds").cast("int")) === 1).as("bounds_ok")))
+      .crossJoin(shift.agg((avg(col("share")) >= 0.6).as("shift_ok")))
+  }
+
   /** Image-dedup contract gate over the whole render → decode → dHash →
     * pigeonhole pipeline, on a bounded subset (doc_id < 200): (a)
     * blocking_complete/sound — the banded self-join returns EXACTLY the
@@ -1598,7 +1633,7 @@ object Queries {
     "q_nest_unnest" -> qNestUnnest, "q_nest_card" -> qNestCard,
     "q_dedup_exact" -> qDedupExact, "q_dedup_minhash" -> qDedupMinhash,
     "q_simhash_check" -> qSimhashCheck, "q_dedup_ngram" -> qDedupNgram,
-    "q_image_dedup_check" -> qImageDedupCheck,
+    "q_image_dedup_check" -> qImageDedupCheck, "q_cdc_check" -> qCdcCheck,
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh_check" -> qKnnLshCheck, "q_knn_ivf_check" -> qKnnIvfCheck,
@@ -1780,6 +1815,8 @@ object Queries {
     "q_simhash_check" -> ("SELECT (SELECT count(*) FROM documents " +
       "WHERE doc_id < 200 AND length(text) >= 5) AS n_docs, " +
       "true AS blocking_complete, true AS blocking_sound"),
+    "q_cdc_check" -> ("SELECT count(*) AS n_docs, true AS recon_ok, " +
+      "true AS bounds_ok, true AS shift_ok FROM documents"),
     // n_docs and the identical-ASCII-prefix pair count replay from the
     // text; the booleans are the in-query differential's verdict.
     "q_image_dedup_check" -> ("WITH p AS (SELECT doc_id, " +

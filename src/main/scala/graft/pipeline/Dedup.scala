@@ -433,6 +433,39 @@ object Dedup {
         (col("__pos") === col("__first")).as("kept"))
   }
 
+  /** Content-defined chunk hashes ([[graft.functions.GearChunks]]) —
+    * defaults sized for the sandbox corpus (48–550-char docs): expected
+    * chunk ≈ 16+2⁵ chars. A 100 TB web corpus wants minLen/avg/max more
+    * like 64/2⁶/1024. */
+  def cdcChunks(text: Column, minLen: Int = 16, avgBits: Int = 5,
+                maxLen: Int = 128): Column =
+    graft.functions.GearChunks(text, minLen, avgBits, maxLen)
+
+  /** Content-defined chunk dedup: [[chunkDedup]]'s global first-occurrence
+    * rule over Gear/FastCDC boundaries instead of fixed token windows —
+    * robust to INSERTIONS: one added word shifts every subsequent fixed
+    * chunk, but content-defined boundaries re-synchronize within about one
+    * chunk, so the rest of the edited copy still deduplicates against the
+    * original. Same scale shape as [[chunkDedup]]: map-side-combinable
+    * `min` owner election per chunk hash, then an equi-join of the slim
+    * owner table back to the chunk stream (AQE handles hot-hash skew).
+    * Output: (doc_id, pos 0-based char offset, len, hash, kept). */
+  def cdcDedup(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", minLen: Int = 16, avgBits: Int = 5,
+               maxLen: Int = 128): DataFrame = {
+    val chunks = docs.select(col(idCol),
+        posexplode(cdcChunks(col(textCol), minLen, avgBits, maxLen))
+          .as(Seq("__i", "c")))
+      .select(col(idCol), col("c.pos").as("pos"), col("c.len").as("len"),
+        col("c.hash").as("hash"),
+        // packed global position; chunk index < 1e6 for any sane sizing
+        (col(idCol) * 1000000L + col("__i")).as("__gpos"))
+    val owners = chunks.groupBy("hash").agg(min(col("__gpos")).as("__first"))
+    chunks.join(owners, "hash")
+      .select(col(idCol), col("pos"), col("len"), col("hash"),
+        (col("__gpos") === col("__first")).as("kept"))
+  }
+
   /** INTRA-document repetition removal: within each document, only the
     * first occurrence of a repeated `chunkTokens`-token chunk is kept —
     * the "same paragraph pasted five times" cleanup that runs BEFORE

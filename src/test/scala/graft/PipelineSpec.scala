@@ -323,6 +323,51 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 5L).forall(i => part.contains((i, i)))) // own cell always probed
   }
 
+  test("gear CDC chunking: exact tiling, length bounds, insertion re-sync, " +
+      "edited copy dedups against the original") {
+    import spark.implicits._
+    // aperiodic seeded text: short-period content can phase-lock into
+    // maxLen-stride cuts and never re-sync (it also compresses to nothing
+    // — low-entropy spam is the deflate filter's job, not CDC's)
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(200)(
+      Seq.fill(3 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+    val edited = "INSERTED WORDS AT THE FRONT. " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val byDoc = df.select(col("doc_id"), Dedup.cdcChunks(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(c =>
+          (c.getInt(0), c.getInt(1), c.getLong(2)))).toMap
+    // tiling + bounds per doc
+    Seq(base -> byDoc(1L), edited -> byDoc(2L)).foreach { case (text, cs) =>
+      assert(cs.head._1 === 0)
+      cs.sliding(2).foreach {
+        case Seq((p1, l1, _), (p2, _, _)) => assert(p2 === p1 + l1)
+        case _ => ()
+      }
+      assert(cs.last._1 + cs.last._2 === text.length)
+      cs.init.foreach { case (_, l, _) => assert(l >= 16 && l <= 128) }
+      assert(cs.last._2 <= 128)
+      // deterministic: hash is a pure function of the slice
+      cs.foreach { case (p, l, h) =>
+        var fnv = 0xcbf29ce484222325L
+        text.substring(p, p + l).foreach { ch => fnv ^= ch; fnv *= 0x100000001b3L }
+        assert(h === fnv)
+      }
+    }
+    // insertion re-sync: the shifted copy shares most chunk hashes
+    val h1 = byDoc(1L).map(_._3).toSet
+    val h2 = byDoc(2L).map(_._3).toSet
+    assert(h2.count(h1.contains) >= h1.size / 2,
+      s"re-sync failed: ${h2.count(h1.contains)} of ${h1.size} shared")
+    // cdcDedup: most of the edited copy deduplicates against the original
+    val dd = Dedup.cdcDedup(df)
+    val kept = dd.filter(col("doc_id") === 2 && col("kept")).count().toDouble
+    val total = dd.filter(col("doc_id") === 2).count().toDouble
+    assert(kept / total <= 0.5, s"edited copy kept $kept of $total chunks")
+  }
+
   test("canonicalizeUrl: case/port/fragment/tracker variants collapse to one key") {
     import spark.implicits._
     val cases = Seq(
