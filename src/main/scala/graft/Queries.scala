@@ -1361,6 +1361,30 @@ object Queries {
       (q, c) => Similarity.ivfPqKnn(q, c, k = 10, nlist = 16, nprobe = 8,
         trainFraction = 0.25))
 
+  /** PCA-whitening contract gate: fit k=16 on the embeddings table,
+    * project with the k-fused-dot plan, and verify IN-PLAN that (a) rows
+    * are preserved, (b) every whitened dim has ≈ unit variance (var_samp,
+    * the same n−1 normalization the fit used), (c) the two leading dims
+    * are decorrelated, (d) the model orders components by descending
+    * eigenvalue. n_vecs replays in DuckDB; booleans are the verdict. */
+  def qWhitenCheck(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").bagDF
+    val m = graft.pipeline.Whiten.fit(emb, k = 16)
+    val w = graft.pipeline.Whiten(emb, m)
+    val dims = w.select(posexplode(col("white")).as(Seq("dim", "v")))
+    val varOk = dims.groupBy("dim").agg(variance(col("v")).as("s2"))
+      .agg((min(col("s2")) >= 0.8 && max(col("s2")) <= 1.2).as("var_ok"))
+    val decorOk = w.select(element_at(col("white"), 1).as("a"),
+        element_at(col("white"), 2).as("b"))
+      .agg((abs(covar_samp(col("a"), col("b"))) <= 0.1).as("decor_ok"))
+    import s.implicits._
+    emb.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(varOk)
+      .crossJoin(decorOk)
+      .crossJoin(Seq(m.eigenvalues.toSeq ==
+        m.eigenvalues.sortBy(-_).toSeq).toDF("order_ok"))
+  }
+
   // ============================================ pipeline: text analysis
 
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1637,7 +1661,7 @@ object Queries {
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh_check" -> qKnnLshCheck, "q_knn_ivf_check" -> qKnnIvfCheck,
-    "q_knn_ivfpq_check" -> qKnnIvfPqCheck,
+    "q_knn_ivfpq_check" -> qKnnIvfPqCheck, "q_whiten_check" -> qWhitenCheck,
     "q_token_count" -> qTokenCount, "q_quality" -> qQuality,
     "q_langid" -> qLangId, "q_fingerprint" -> qFingerprint,
     "q_multimodal" -> qMultimodal,
@@ -1832,6 +1856,8 @@ object Queries {
       "FROM embeddings WHERE vec_id < 5"),
     "q_knn_ivfpq_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
+    "q_whiten_check" -> ("SELECT count(*) AS n_vecs, true AS var_ok, " +
+      "true AS decor_ok, true AS order_ok FROM embeddings"),
     "q_token_count" -> ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens, " +
       "CAST(length(text) AS INTEGER) AS n_chars FROM documents"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, Whiten}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, multimodal plumbing. Uses planted near-duplicates so
@@ -366,6 +366,29 @@ class PipelineSpec extends SparkSpec {
     val kept = dd.filter(col("doc_id") === 2 && col("kept")).count().toDouble
     val total = dd.filter(col("doc_id") === 2).count().toDouble
     assert(kept / total <= 0.5, s"edited copy kept $kept of $total chunks")
+  }
+
+  test("PCA whitening: correlated synthetic data whitens to identity covariance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // strongly correlated 4-dim data: dim1 tracks dim0, dim2 anti-tracks it
+    val data = Seq.fill(500) {
+      val a = rnd.nextGaussian()
+      Array(a.toFloat, (a + rnd.nextGaussian() * 0.1).toFloat,
+        (-a + rnd.nextGaussian() * 0.1).toFloat, (rnd.nextGaussian() * 2).toFloat)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = data.toDF("vec_id", "embedding")
+    val m = Whiten.fit(df, k = 4)
+    assert(m.eigenvalues.toSeq === m.eigenvalues.sortBy(-_).toSeq)
+    val w = Whiten(df, m).select(col("white")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = w.length
+    val mean = Array.tabulate(4)(j => w.map(_(j).toDouble).sum / n)
+    for (i <- 0 until 4; j <- i until 4) {
+      val c = w.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+      if (i == j) assert(math.abs(c - 1.0) < 0.1, s"var($i)=$c")
+      else assert(math.abs(c) < 0.1, s"cov($i,$j)=$c")
+    }
   }
 
   test("canonicalizeUrl: case/port/fragment/tracker variants collapse to one key") {
