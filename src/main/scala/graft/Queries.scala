@@ -545,6 +545,18 @@ object Queries {
     graft.pipeline.Cluster.survivors(docs, pairs).select("doc_id")
   }
 
+  /** Quality-weighted survivor selection, oracle-gated end to end: every
+    * minhash near-dup cluster keeps its LONGEST member (ties → lowest id)
+    * — the "keep the cleanest crawl" curation policy, vs
+    * [[qDedupSurvivors]]'s min-id rule. The oracle replays the exact
+    * Jaccard closure and picks per-component argmax by (length, −id). */
+  def qSurvivorsQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).select("id_a", "id_b")
+    val quality = docs.select(col("doc_id"), length(col("text")).as("score"))
+    graft.pipeline.Cluster.survivorsBy(docs, pairs, quality).select("doc_id")
+  }
+
   /** Sketch-family contract row: each approximate summary checked against
     * its exact counterpart within the sketch's published error bound (with
     * ≥2× slack so the row trips on regressions, not estimator noise). All
@@ -1698,6 +1710,7 @@ object Queries {
     "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
     "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
     "q_dedup_survivors" -> qDedupSurvivors,
+    "q_survivors_quality" -> qSurvivorsQuality,
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
@@ -1991,6 +2004,28 @@ object Queries {
       "SELECT d.doc_id FROM documents d WHERE length(d.text) >= 5 " +
       "AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep)"),
 
+    // Same exact-Jaccard closure as q_dedup_survivors; the keep rule is
+    // per-component argmax by (text length, -doc_id) instead of min id.
+    "q_survivors_quality" -> ("WITH RECURSIVE g AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+      "FROM documents WHERE length(text) >= 5)), " +
+      "pairs AS (SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(a.gr || b.gr)) AS jaccard " +
+      "FROM g a, g b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a), " +
+      "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a), " +
+      "scored AS (SELECT c.doc_id, c.rep, length(d.text) AS len FROM comp c " +
+      "JOIN documents d USING (doc_id)), " +
+      "keep AS (SELECT doc_id FROM (SELECT doc_id, " +
+      "row_number() OVER (PARTITION BY rep ORDER BY len DESC, doc_id ASC) AS rn " +
+      "FROM scored) WHERE rn = 1) " +
+      "SELECT d.doc_id FROM documents d WHERE length(d.text) >= 5 " +
+      "AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM keep))"),
     "q_sketch_check" -> ("SELECT true AS hll_ok, true AS quantile_ok, " +
       "true AS cms_ok, true AS bloom_ok, true AS hll_merge_ok"),
     "q_pipeline_clean" -> ("WITH lang AS (" +

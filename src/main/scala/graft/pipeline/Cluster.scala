@@ -149,4 +149,27 @@ object Cluster {
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Quality-weighted survivor selection: each near-dup cluster keeps its
+    * HIGHEST-scoring member (ties → lowest id) instead of the min-id
+    * representative — the curation policy real pipelines want: of five
+    * near-identical crawls keep the cleanest one, not the first-crawled.
+    * `quality` is any (idCol, scoreCol) frame. Same scale shape as
+    * [[survivors]]: the component map is pair-set-sized, the score join is
+    * slim, the per-cluster argmax is one map-side-combinable `max_by`, and
+    * docs in no cluster survive untouched via the final left_anti. */
+  def survivorsBy(docs: DataFrame, pairs: DataFrame, quality: DataFrame,
+                  idCol: String = "doc_id", scoreCol: String = "score",
+                  aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol) // (id, rep)
+    val scored = comp.join(
+      quality.select(col(idCol).as("id"), col(scoreCol).as("__q")), "id")
+    val keep = scored.groupBy("rep")
+      .agg(max_by(col("id"), struct(col("__q"), (-col("id")).as("nid")))
+        .as("id"))
+      .select("id")
+    val drop = comp.join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -73,4 +73,16 @@ class ClusterSpec extends SparkSpec {
     val kept = Cluster.survivors(docs, pairs).collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 5L, 10L))
   }
+
+  test("survivorsBy keeps the highest-quality member per cluster, min id on ties") {
+    // components {1,2,3} (best score: 2) and {10,11} (tied → lowest id 10);
+    // doc 5 is a singleton and always survives
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (5L, 0.1),
+      (10L, 0.7), (11L, 0.7)).toDF("doc_id", "score")
+    val kept = Cluster.survivorsBy(docs, pairs, quality)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 5L, 10L))
+  }
 }
