@@ -369,6 +369,15 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"url canon shuffled:\n${p2.take(3000)}")
   }
 
+  test("whiten apply is a narrow map: k fused dots, zero exchanges") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m = graft.pipeline.Whiten.fit(emb, k = 4)
+    val p = plan(graft.pipeline.Whiten(emb, m))
+    assert(!p.contains("Exchange"), s"whiten apply shuffled:\n${p.take(3000)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"whiten apply left codegen:\n${p.take(3000)}")
+  }
+
   test("image/audio near-dup pair joins are banded equi-joins, never all-pairs") {
     import spark.implicits._
     val png = { // one real PNG so the render/hash path has valid bytes
