@@ -557,6 +557,28 @@ object Queries {
     graft.pipeline.Cluster.survivorsBy(docs, pairs, quality).select("doc_id")
   }
 
+  /** Incremental chunk-level dedup contract: the historical CDC chunk
+    * index is built from docs ≥ 100; the delta is the remaining docs PLUS
+    * planted prefixed copies of long history docs. Every planted copy
+    * must report a high duplicated-content fraction against history
+    * (chunk re-sync, work scaling with the delta only); delta row count
+    * replays in DuckDB. */
+  def qIncrCdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val history = docs.filter(col("doc_id") >= 100)
+    val idx = graft.streaming.DocStream.buildChunkIndex(history)
+    val planted = history.filter(col("doc_id") < 120 && length(col("text")) >= 300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("EDITED COPY PREFIX. "), col("text")).as("text"))
+    val delta = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val rep = graft.streaming.DocStream.chunkDupFraction(delta, idx)
+    rep.agg(count(lit(1)).as("n_delta"))
+      .crossJoin(rep.filter(col("doc_id") >= 1000000L)
+        .agg((min(col("dup_frac")) >= 0.4 && avg(col("dup_frac")) >= 0.6)
+          .as("planted_caught")))
+  }
+
   /** Sketch-family contract row: each approximate summary checked against
     * its exact counterpart within the sketch's published error bound (with
     * ≥2× slack so the row trips on regressions, not estimator noise). All
@@ -1710,7 +1732,7 @@ object Queries {
     "q_temp_mix" -> qTempMix, "q_top_quality" -> qTopQuality,
     "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
     "q_dedup_survivors" -> qDedupSurvivors,
-    "q_survivors_quality" -> qSurvivorsQuality,
+    "q_survivors_quality" -> qSurvivorsQuality, "q_incr_cdc" -> qIncrCdc,
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
@@ -1854,6 +1876,9 @@ object Queries {
       "true AS blocking_complete, true AS blocking_sound"),
     "q_cdc_check" -> ("SELECT count(*) AS n_docs, true AS recon_ok, " +
       "true AS bounds_ok, true AS shift_ok FROM documents"),
+    "q_incr_cdc" -> ("SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) + " +
+      "(SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 120 " +
+      "AND length(text) >= 300) AS n_delta, true AS planted_caught"),
     // n_docs and the identical-ASCII-prefix pair count replay from the
     // text; the booleans are the in-query differential's verdict.
     "q_image_dedup_check" -> ("WITH p AS (SELECT doc_id, " +

@@ -141,4 +141,41 @@ object DocStream {
       }
       .start()
   }
+
+  // ------------------------------------ chunk-level (CDC) incremental dedup
+
+  /** Historical chunk-hash index for incremental CONTENT-level dedup: the
+    * distinct content-defined chunk hashes of the corpus
+    * ([[Dedup.cdcChunks]]) — one long per distinct chunk, the slimmest
+    * possible probe side (at 100 TB: persisted parquet bucketed by hash so
+    * each delta's join co-locates without reshuffling history). Chunk
+    * granularity catches a NEW document quoting a historical paragraph —
+    * invisible to the doc-level near-dup index above. */
+  def buildChunkIndex(history: DataFrame, textCol: String = "text",
+                      minLen: Int = 16, avgBits: Int = 5,
+                      maxLen: Int = 128): DataFrame =
+    history.select(explode(
+        Dedup.cdcChunks(col(textCol), minLen, avgBits, maxLen)
+          .getField("hash")).as("hash"))
+      .distinct()
+
+  /** Per-arriving-doc duplicated-content report: the fraction of each new
+    * document's characters covered by chunks already in the historical
+    * index. Work scales with the DELTA (history is never rechunked); the
+    * probe is one equi-join of slim (hash, len) rows followed by one
+    * map-side-combinable aggregation. Returns (idCol, n_chars, dup_frac).
+    * Usable directly on a batch or per micro-batch inside foreachBatch. */
+  def chunkDupFraction(newDocs: DataFrame, chunkIndex: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       minLen: Int = 16, avgBits: Int = 5,
+                       maxLen: Int = 128): DataFrame = {
+    val ch = newDocs.select(col(idCol),
+        explode(Dedup.cdcChunks(col(textCol), minLen, avgBits, maxLen)).as("c"))
+      .select(col(idCol), col("c.len").as("len"), col("c.hash").as("hash"))
+    ch.join(chunkIndex.withColumn("__hit", lit(1)), Seq("hash"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("len")).as("n_chars"),
+        round(sum(when(col("__hit") === 1, col("len")).otherwise(0))
+          .cast("double") / sum(col("len")), 6).as("dup_frac"))
+  }
 }

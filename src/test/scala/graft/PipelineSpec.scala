@@ -391,6 +391,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunk-level incremental dedup: a new doc quoting a historical " +
+      "paragraph is caught, novel docs stay clean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def txt(nWords: Int) = Seq.fill(nWords)(
+      Seq.fill(3 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+    val histA = txt(120); val histB = txt(120)
+    val idx = graft.streaming.DocStream.buildChunkIndex(
+      Seq((1L, histA), (2L, histB)).toDF("doc_id", "text"))
+    val novel = txt(100)
+    val quoting = txt(40) + " " + histA.substring(100, 500) + " " + txt(40)
+    val rep = graft.streaming.DocStream.chunkDupFraction(
+      Seq((10L, novel), (11L, quoting)).toDF("doc_id", "text"), idx)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep(10L) === 0.0, s"novel doc flagged: ${rep(10L)}")
+    assert(rep(11L) >= 0.25, s"quoted paragraph missed: ${rep(11L)}")
+  }
+
   test("canonicalizeUrl: case/port/fragment/tracker variants collapse to one key") {
     import spark.implicits._
     val cases = Seq(
