@@ -147,6 +147,22 @@ object BenchScale {
       graft.pipeline.Multimodal.imageNearDup(assets, maxDist = 4).count()
     }
     run("image_dedup", imgDedup(docs1), imgDedup(scaleDocs(mult)))
+    // content-defined chunk dedup: replication makes every chunk an N-way
+    // duplicate — maximal owner-election load; the min() combines map-side
+    run("cdc_dedup",
+      graft.pipeline.Dedup.cdcDedup(docs1).count(),
+      graft.pipeline.Dedup.cdcDedup(scaleDocs(mult)).count())
+    // incremental CDC probe with a FIXED delta against a growing history:
+    // at scale the question is whether ingest cost tracks the DELTA, not
+    // the corpus — ratio ≈ mult here would mean history leaks into the
+    // probe; the distinct-hash index keeps it near-flat (the N× history
+    // holds the same distinct chunks, so even the index side stays put)
+    val delta = docs1.limit(500).localCheckpoint()
+    def probe(history: DataFrame): Long = {
+      val idx = graft.streaming.DocStream.buildChunkIndex(history)
+      graft.streaming.DocStream.chunkDupFraction(delta, idx).count()
+    }
+    run("incr_cdc_probe", probe(docs1), probe(scaleDocs(mult)))
     spark.stop()
   }
 }
