@@ -478,21 +478,27 @@ object Queries {
     * prefix render to identical images ([[Multimodal.renderTextImages]] is
     * injective), so hamming 0 forces them into the result. n_docs and the
     * identical-prefix pair count replay exactly in DuckDB from the text. */
-  def qImageDedupCheck(s: SparkSession, dir: String): DataFrame = {
-    val pfx = regexp_replace(substring(col("text"), 1, 200), "[^ -~]", "")
-    val docs = t(s, dir, "documents").where(col("doc_id") < 200).bagDF
-      .select(col("doc_id"), pfx.as("p")).filter(length(col("p")) > 0)
+  /** Shared prefix frame for the perceptual contract gates: (doc_id, p)
+    * with p the doc's printable-ASCII 200-char prefix. */
+  private def prefixDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 200).bagDF
+      .select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 200), "[^ -~]", "").as("p"))
+      .filter(length(col("p")) > 0)
       .localCheckpoint()
-    val assets = Multimodal.toAssets(
-      Multimodal.renderTextImages(docs, "doc_id", "p"),
-      "asset_id", "img", "image", "check")
-    val found = Multimodal.imageNearDup(assets, maxDist = 4)
-      .select("id_a", "id_b").localCheckpoint()
-    val hs = Multimodal.dHashes(assets).localCheckpoint()
+
+  /** Shared verdict computation for the perceptual (image/audio) dedup
+    * gates: blocking differential vs all-pairs over the same hashes, plus
+    * identical-prefix plants forced into the result by the injective
+    * renderers. */
+  private def perceptualVerdict(docs: DataFrame, found0: DataFrame,
+                                hs0: DataFrame, maxDist: Int): DataFrame = {
+    val found = found0.select("id_a", "id_b").localCheckpoint()
+    val hs = hs0.localCheckpoint()
     val brute = hs.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .crossJoin(hs.select(col("id").as("id_b"), col("sh").as("sh_b")))
       .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 4)
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxDist)
       .select("id_a", "id_b")
     val missed = brute.join(found, Seq("id_a", "id_b"), "left_anti")
     val extra = found.join(brute, Seq("id_a", "id_b"), "left_anti")
@@ -507,6 +513,30 @@ object Queries {
       .crossJoin(missed.agg((count(lit(1)) === 0).as("blocking_complete")))
       .crossJoin(extra.agg((count(lit(1)) === 0).as("blocking_sound")))
       .crossJoin(missedPlants.agg((count(lit(1)) === 0).as("plants_found")))
+  }
+
+  def qImageDedupCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = prefixDocs(s, dir)
+    val assets = Multimodal.toAssets(
+      Multimodal.renderTextImages(docs, "doc_id", "p"),
+      "asset_id", "img", "image", "check")
+    perceptualVerdict(docs, Multimodal.imageNearDup(assets, maxDist = 4),
+      Multimodal.dHashes(assets), maxDist = 4)
+  }
+
+  /** Audio twin of [[qImageDedupCheck]]: docs render to 16-bit PCM WAVs
+    * through the injective [[Multimodal.renderTextWavs]] layout (PCM
+    * equality ⇔ prefix equality), the energy-envelope aHash blocks via the
+    * same pigeonhole join, and the verdict is the same
+    * complete/sound/plants contract — so ALL three modalities' dedup
+    * paths are DuckDB-gated. */
+  def qAudioDedupCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = prefixDocs(s, dir)
+    val assets = Multimodal.toAssets(
+      Multimodal.renderTextWavs(docs, "doc_id", "p"),
+      "asset_id", "wav", "audio", "check")
+    perceptualVerdict(docs, Multimodal.audioNearDup(assets, maxDist = 4),
+      Multimodal.audioHashes(assets), maxDist = 4)
   }
 
   /** Exact all-pairs ground truth on a bounded subset — DuckDB-oracled
@@ -1692,6 +1722,7 @@ object Queries {
     "q_dedup_exact" -> qDedupExact, "q_dedup_minhash" -> qDedupMinhash,
     "q_simhash_check" -> qSimhashCheck, "q_dedup_ngram" -> qDedupNgram,
     "q_image_dedup_check" -> qImageDedupCheck, "q_cdc_check" -> qCdcCheck,
+    "q_audio_dedup_check" -> qAudioDedupCheck,
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh_check" -> qKnnLshCheck, "q_knn_ivf_check" -> qKnnIvfCheck,
@@ -1882,6 +1913,14 @@ object Queries {
     // n_docs and the identical-ASCII-prefix pair count replay from the
     // text; the booleans are the in-query differential's verdict.
     "q_image_dedup_check" -> ("WITH p AS (SELECT doc_id, " +
+      "regexp_replace(substring(text, 1, 200), '[^ -~]', '', 'g') AS pfx " +
+      "FROM documents WHERE doc_id < 200), " +
+      "q AS (SELECT pfx, count(*) AS c FROM p WHERE length(pfx) > 0 GROUP BY pfx) " +
+      "SELECT (SELECT count(*) FROM p WHERE length(pfx) > 0) AS n_docs, " +
+      "CAST((SELECT coalesce(sum(c*(c-1)//2), 0) FROM q) AS BIGINT) AS n_prefix_pairs, " +
+      "true AS blocking_complete, true AS blocking_sound, true AS plants_found"),
+    // identical frame to q_image_dedup_check — same prefixes, same replay
+    "q_audio_dedup_check" -> ("WITH p AS (SELECT doc_id, " +
       "regexp_replace(substring(text, 1, 200), '[^ -~]', '', 'g') AS pfx " +
       "FROM documents WHERE doc_id < 200), " +
       "q AS (SELECT pfx, count(*) AS c FROM p WHERE length(pfx) > 0 GROUP BY pfx) " +

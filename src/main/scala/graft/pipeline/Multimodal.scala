@@ -434,6 +434,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic text→WAV renderer — the audio twin of
+    * [[renderTextImages]]: 16-bit PCM mono at 8 kHz, `frames` samples in
+    * an INJECTIVE layout (2 length-header samples, one sample per byte,
+    * index·length-keyed filler), so PCM equality ⇔ input-string equality.
+    * Feeds the audio dedup contract gate. */
+  def renderTextWavs(df: DataFrame, idCol: String, textCol: String,
+                     frames: Int = 1024): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    df.select(col(idCol).cast("long").as("asset_id"), col(textCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val n = math.min(bytes.length, frames - 2)
+          val data = new Array[Byte](frames * 2)
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def put(i: Int, v: Int): Unit =
+            bb.putShort(i * 2, ((v - 128) * 256).toShort)
+          put(0, (n >> 8) & 0xff); put(1, n & 0xff)
+          var i = 0
+          while (i < frames - 2) {
+            put(i + 2, if (i < n) bytes(i) & 0xff else (i * 31 + n * 7) & 0xff)
+            i += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          val hdr = java.nio.ByteBuffer.allocate(44)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          hdr.put("RIFF".getBytes("US-ASCII")); hdr.putInt(36 + data.length)
+          hdr.put("WAVE".getBytes("US-ASCII"))
+          hdr.put("fmt ".getBytes("US-ASCII")); hdr.putInt(16)
+          hdr.putShort(1); hdr.putShort(1); hdr.putInt(8000); hdr.putInt(16000)
+          hdr.putShort(2); hdr.putShort(16)
+          hdr.put("data".getBytes("US-ASCII")); hdr.putInt(data.length)
+          out.write(hdr.array()); out.write(data)
+          Row(r.getLong(0), out.toByteArray)
+        }
+      }(enc)
+  }
+
   /** Image near-duplicate pairs: perceptual dHash per asset, then the
     * SimHash pigeonhole blocking ([[Dedup.hammingPairs]]) — any pair
     * within `maxDist` bits shares at least one exact 64/(maxDist+1)-bit
