@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.{Fold, Nest, Ordered, OrderSpec, Rel, TupleOps, WhileFix}
 import graft.functions.{Builtins, Scalar}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Profile, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Coreset, Decontaminate, Dedup, Multimodal, Pack, Profile, Sampling, Similarity, TextAnalysis}
 import graft.catalog.{Catalog, FunDef, UdtDef}
 import graft.sources.Sources
 
@@ -1696,6 +1696,92 @@ object Queries {
       "result := documents .{ doc_id, ntok := tokens(text), " +
         "fp := fingerprint(text), norm := normalize(text) }")
 
+  // ============================= round-11 pipeline additions
+
+  /** Z-order (Morton) layout key over two document dimensions — the
+    * write-time clustering primitive behind multi-dimensional file
+    * skipping (sources/Layout.scala): 8-bit length and token-count buckets
+    * interleaved by pure mask/shift arithmetic, replayed bit-for-bit by
+    * the DuckDB oracle's own integer ops. The write arrangement itself
+    * (one range exchange + local sort) is contract-tested in LayoutSpec;
+    * this gate pins the key math both engines must agree on. */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val xb = least(floor(length(col("text")) / 64).cast("long"), lit(255L))
+    val yb = least(when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long"), lit(255L))
+    t(s, dir, "documents").bagDF.select(col("doc_id"), xb.as("xb"), yb.as("yb"),
+      Layout.zorderKey(xb, yb, bits = 8).as("zkey"))
+  }
+
+  /** Distributed BPE-merge training (pipeline/Bpe.scala): one corpus pass
+    * to a weighted vocabulary, six argmax-merge rounds over it, then an
+    * independent re-encode of the raw corpus with the learned merges.
+    * Contract row: the FIRST learned pair replays externally in DuckDB
+    * (adjacent-pair argmax over the same word stream); `monotone_ok`
+    * (selected pair weights never increase), `delta_ok` (each round's
+    * symbol-count drop is within the BPE bounds w/2 ≤ Δ ≤ w), and
+    * `encode_ok` (Σ weight·|syms| over the trained vocab equals the
+    * corpus total token count from the separate encode path) are
+    * falsifiable in-engine invariants of a correct trainer. */
+  def qBpeCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").bagDF
+    val vocab0 = Bpe.wordVocab(docs, col("text"))
+    val nWords = vocab0.count()
+    val (rounds, vocab) = Bpe.train(vocab0, nMerges = 6)
+    val merges = rounds.map(_.merge)
+    val monotoneOk = merges.map(_.weight).sliding(2)
+      .forall(w => w.size < 2 || w(0) >= w(1))
+    val deltaOk = rounds.forall { r =>
+      val d = r.symsBefore - r.symsAfter
+      d >= 1 && d <= r.merge.weight && 2 * d >= r.merge.weight
+    }
+    val vocabTotal = vocab.agg(sum(col("weight") * size(col("syms"))))
+      .collect().head.getLong(0)
+    val corpusTotal = docs.agg(sum(Bpe.tokenCount(col("text"), merges)))
+      .collect().head.getLong(0)
+    Seq((nWords, merges.head.a + merges.head.b, merges.size.toLong,
+      monotoneOk, deltaOk, vocabTotal == corpusTotal))
+      .toDF("n_words", "first_pair", "n_merges",
+        "monotone_ok", "delta_ok", "encode_ok")
+  }
+
+  /** Greedy k-center diversity selection over the embeddings
+    * (pipeline/Coreset.scala) with its run certificate: selection
+    * distances non-increasing and the selected set pairwise separated by
+    * at least the covering radius — both falsifiable if the distributed
+    * argmax or the running-min update is wrong. n_points and the
+    * deterministic seed (smallest non-zero-norm vec_id) replay in the
+    * oracle. */
+  def qKcenterCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = emb(s, dir).bagDF
+    val (centers, radius) = Coreset.kCenter(pts, "vec_id", "embedding", k = 8)
+    val (monotoneOk, sepOk) =
+      Coreset.certificate(s, centers, radius, pts, "vec_id", "embedding")
+    val nPoints = pts
+      .where(size(filter(col("embedding"), x => x =!= 0.0f)) > 0)
+      .select(col("vec_id")).distinct().count()
+    Seq((nPoints, centers.head.id, centers.size.toLong, monotoneOk, sepOk))
+      .toDF("n_points", "first_id", "k", "monotone_ok", "sep_ok")
+  }
+
+  /** Per-source adaptive quality floor (Sampling.adaptiveFloor): each
+    * source keeps only documents at or above its OWN exact 40th-percentile
+    * quality — the curation step that normalizes quality across sources
+    * instead of applying one global cutoff. Exact histogram-route
+    * quantiles; integral rank compare so the cutoff replays bit-exactly
+    * in the oracle's window replay. */
+  def qQualityFloor(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    Sampling.adaptiveFloor(
+      docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      col("source"), col("quality"), pctNum = 40, pctDen = 100)
+      .select("doc_id", "source", "quality")
+  }
+
   // ================================================================ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1772,7 +1858,9 @@ object Queries {
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
     "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild,
     "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom,
-    "q_lang_pipeline" -> qLangPipeline)
+    "q_lang_pipeline" -> qLangPipeline,
+    "q_zorder" -> qZorder, "q_bpe_check" -> qBpeCheck,
+    "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -1785,6 +1873,20 @@ object Queries {
     "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq,
     "q_knn_ivfpq" -> qKnnIvfPq,
     "q_semdedup" -> qSemdedup)
+
+  /** DuckDB replay of [[TextAnalysis.qualityScore]] — shared by
+    * q_top_quality and q_quality_floor so the two gates pin the SAME
+    * score definition. */
+  private val qualitySql: String =
+    "round((" +
+      "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + " +
+      "greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0 " +
+      "ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 0.0) + " +
+      "least((CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+      "ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), " +
+      "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / " +
+      "len(string_split_regex(trim(text), '\\s+')) END) * 5.0, 1.0)" +
+      ") / 3, 6)"
 
   /** DuckDB oracle SQL — one entry per [[queries]] key (the driver's
     * correctness gate is rows+schema+hash vs these). */
@@ -2157,15 +2259,8 @@ object Queries {
       "CAST(len(list_intersect(d.gr, e.gr)) AS DOUBLE) / len(e.gr) AS ov " +
       "FROM dgr d, evg e) WHERE ov >= 0.6"),
 
-    "q_top_quality" -> ("WITH q AS (SELECT doc_id, source, round((" +
-      "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + " +
-      "greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0 " +
-      "ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 0.0) + " +
-      "least((CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
-      "ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'), " +
-      "t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / " +
-      "len(string_split_regex(trim(text), '\\s+')) END) * 5.0, 1.0)" +
-      ") / 3, 6) AS quality FROM documents) " +
+    "q_top_quality" -> ("WITH q AS (SELECT doc_id, source, " +
+      qualitySql + " AS quality FROM documents) " +
       "SELECT source, doc_id, quality, CAST(rank AS INTEGER) AS rank FROM (" +
       "SELECT source, doc_id, quality, " +
       "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank " +
@@ -2634,5 +2729,58 @@ object Queries {
       "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS ntok, " +
       "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
       "trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')) AS norm " +
-      "FROM documents"))
+      "FROM documents"),
+
+    // --- round-11 additions ---
+
+    // bit-for-bit replay of Layout.spreadBits1/zorderKey (8-bit buckets)
+    // with DuckDB's own integer shift/mask operators
+    "q_zorder" -> ("WITH b AS (SELECT doc_id, " +
+      "least(length(text) // 64, 255) AS xb, " +
+      "least(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END, 255) AS yb " +
+      "FROM documents), " +
+      "s1 AS (SELECT doc_id, xb, yb, " +
+      "((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b), " +
+      "s2 AS (SELECT doc_id, xb, yb, " +
+      "((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1), " +
+      "s3 AS (SELECT doc_id, xb, yb, " +
+      "((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2), " +
+      "s4 AS (SELECT doc_id, xb, yb, " +
+      "((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3) " +
+      "SELECT doc_id, CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb, " +
+      "CAST(x4 | (y4 << 1) AS BIGINT) AS zkey FROM s4"),
+
+    // the externally-replayable part of BPE training: vocabulary size and
+    // the round-1 argmax pair (same word stream, same overlap-counted
+    // adjacent pairs, same lexicographic tie-break); the booleans are the
+    // in-engine audit-trail verdicts
+    "q_bpe_check" -> ("WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+      "wc AS (SELECT word, count(*) AS c FROM w GROUP BY word), " +
+      "p AS (SELECT substring(word, i, 2) AS pair, c FROM wc, " +
+      "LATERAL (SELECT unnest(range(1, length(word))) AS i) t WHERE length(word) >= 2) " +
+      "SELECT (SELECT count(*) FROM wc) AS n_words, " +
+      "(SELECT pair FROM p GROUP BY pair ORDER BY sum(c) DESC, pair LIMIT 1) AS first_pair, " +
+      "CAST(6 AS BIGINT) AS n_merges, " +
+      "true AS monotone_ok, true AS delta_ok, true AS encode_ok"),
+
+    // point count + deterministic seed replay; the booleans are the greedy
+    // k-center run certificate (monotone selection distances, pairwise
+    // separation >= covering radius) computed in-engine
+    "q_kcenter_check" -> ("WITH nz AS (SELECT DISTINCT vec_id FROM embeddings " +
+      "WHERE len(list_filter(embedding, x -> x <> 0)) > 0) " +
+      "SELECT (SELECT count(*) FROM nz) AS n_points, " +
+      "(SELECT min(vec_id) FROM nz) AS first_id, " +
+      "CAST(8 AS BIGINT) AS k, true AS monotone_ok, true AS sep_ok"),
+
+    // full window replay of the per-source exact-percentile floor with the
+    // identical integral rank compare
+    "q_quality_floor" -> ("WITH q AS (SELECT doc_id, source, " +
+      qualitySql + " AS quality FROM documents), " +
+      "h AS (SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality), " +
+      "cu AS (SELECT source, quality, " +
+      "sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum, " +
+      "sum(c) OVER (PARTITION BY source) AS tot FROM h), " +
+      "thr AS (SELECT source, min(quality) AS thr FROM cu WHERE cum * 100 >= tot * 40 GROUP BY source) " +
+      "SELECT doc_id, source, quality FROM q JOIN thr USING (source) WHERE quality >= thr"))
 }

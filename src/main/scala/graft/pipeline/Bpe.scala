@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-merge tokenizer training over a weighted vocabulary.
+  *
+  * The scale design is the one real subword trainers use on web-scale
+  * corpora: ONE full-corpus pass collapses the text into a
+  * (word, weight) vocabulary — weight = corpus occurrence count — and all
+  * merge learning then runs over that vocabulary, which is orders of
+  * magnitude smaller than the corpus (vocabulary grows ~ Heaps' law, not
+  * linearly in bytes). Each merge round is:
+  *
+  *   1. explode adjacent symbol pairs per word (narrow),
+  *   2. weight-sum per pair — a map-side-combinable hash aggregate,
+  *   3. a ONE-ROW argmax collect (deterministic tie-break on the pair),
+  *   4. apply the merge to every word's symbol array as a pure
+  *      higher-order-function fold (narrow, no shuffle),
+  *
+  * so per round the only exchange is the pair aggregation over vocab-sized
+  * data. The vocab is localCheckpointed each round to keep the plan flat.
+  *
+  * Greedy application order is the standard left-to-right non-overlapping
+  * scan (a run "aaa" under merge (a,a) becomes ["aa","a"]).
+  */
+object Bpe {
+
+  /** A learned merge: adjacent symbols `a`,`b` fuse into `a+b`; `weight` is
+    * the (overlap-counted) adjacent-pair frequency at selection time. */
+  final case class Merge(a: String, b: String, weight: Long)
+
+  /** Lowercased alphabetic word extraction — the training token stream. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Character symbols of a word. `w` must be non-empty (true for every
+    * `[a-z]+` match) — `sequence(1, 0)` would count DOWN, not yield []. */
+  private def chars(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** One corpus pass: (word, weight) vocabulary with symbol arrays
+    * initialized to characters. */
+  def wordVocab(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(words(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("weight"))
+      .withColumn("syms", chars(col("word")))
+
+  /** Typed empty string-array literal (slice of an existing array keeps the
+    * element type without a cast). */
+  private def emptyStrArray(like: Column): Column = slice(like, 1, 0)
+
+  /** Adjacent-pair frequencies of a vocabulary: (a, b, cnt) weighted by
+    * word weight; counts overlapping occurrences (ab in "aaa" counts 2). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("weight"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("weight")).as("cnt"))
+
+  /** Left-to-right non-overlapping application of one merge to a symbol
+    * array: a pure `aggregate` fold, codegen'd, no UDF. */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, emptyStrArray(syms), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** One training round's audit record: the merge picked plus the
+    * corpus-weighted total symbol count before/after applying it. The
+    * delta is the number of (weighted, non-overlapping) merges performed,
+    * which BPE bounds by `weight/2 ≤ delta ≤ weight` — a falsifiable
+    * invariant the gated contract checks. */
+  final case class Round(merge: Merge, symsBefore: Long, symsAfter: Long)
+
+  private def totalSyms(vocab: DataFrame): Long =
+    vocab.agg(sum(col("weight") * size(col("syms")))).collect().head.getLong(0)
+
+  /** Learn `nMerges` merges. Returns the per-round audit trail and the
+    * final symbolized vocabulary (word, weight, syms). `vocab0` must come
+    * from [[wordVocab]] (or have the same shape). Stops early if no
+    * mergeable pair remains. */
+  def train(vocab0: DataFrame, nMerges: Int): (Seq[Round], DataFrame) = {
+    require(nMerges >= 1, "train: nMerges must be >= 1")
+    var vocab = vocab0.localCheckpoint(true)
+    var before = totalSyms(vocab)
+    val rounds = Seq.newBuilder[Round]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        val m = Merge(r.getString(0), r.getString(1), r.getLong(2))
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), m.a, m.b))
+          .localCheckpoint(true)
+        val after = totalSyms(vocab)
+        rounds += Round(m, before, after)
+        before = after
+        round += 1
+      }
+    }
+    (rounds.result(), vocab)
+  }
+
+  /** Encode raw text with a learned merge list: chars, then each merge as
+    * one fold pass, nested into a single codegen'd expression per word.
+    * This is the validation/stats path (token counts, compression ratio) —
+    * a production tokenizer service would compile the merges into a trie;
+    * the TRAINING side above is the part that must scale with the corpus. */
+  def encodeWords(text: Column, merges: Seq[Merge]): Column =
+    transform(words(text), w =>
+      merges.foldLeft(chars(w))((s, m) => applyMerge(s, m.a, m.b)))
+
+  /** Subword token count of a document under the learned merges. */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    coalesce(aggregate(encodeWords(text, merges), lit(0L),
+      (acc, w) => acc + size(w)), lit(0L))
+}

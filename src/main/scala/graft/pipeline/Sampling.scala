@@ -107,4 +107,44 @@ object Sampling {
     }
     df.filter(hashBucket(key, buckets) < round(rateCol * buckets).cast("int"))
   }
+
+  /** Per-group ADAPTIVE value floor: keep rows whose `value` is at or above
+    * their group's exact `pctNum/pctDen` quantile — "drop the bottom 40%
+    * of each source by quality", with the cutoff computed per source so a
+    * high-quality source isn't gutted by a global threshold and a spammy
+    * one isn't waved through.
+    *
+    * Exact, not approximate, via the histogram route: one hash aggregate
+    * over (group, value) — map-side combinable, cardinality = distinct
+    * values per group, NOT rows — then a cumulative count over that small
+    * histogram (windowed per group, bounded by distinct values), and a
+    * broadcast-sized (group → threshold) table joined back. The corpus
+    * itself is touched by exactly two narrow passes and one aggregate; no
+    * per-row window, no sort of the data. The quantile rank compare is
+    * kept integral (`pctDen·cum ≥ pctNum·total`) so it replays bit-exactly
+    * in SQL.
+    *
+    * Returns rows with `value ≥ threshold(group)` (ties at the cutoff are
+    * kept). `value` should be pre-rounded if float-derived, so both engines
+    * agree on the histogram keys. */
+  def adaptiveFloor(df: DataFrame, group: Column, value: Column,
+                    pctNum: Int, pctDen: Int): DataFrame = {
+    require(pctNum >= 0 && pctNum <= pctDen && pctDen > 0,
+      s"adaptiveFloor: bad quantile $pctNum/$pctDen")
+    val hist = df.groupBy(group.as("__g"), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__tot", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+    val thresholds = cum
+      .where(col("__cum") * pctDen >= col("__tot") * pctNum)
+      .groupBy(col("__g")).agg(min(col("__v")).as("__thr"))
+    df.join(broadcast(thresholds), group === col("__g"))
+      .where(value >= col("__thr"))
+      .drop("__g", "__thr")
+  }
 }

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Bpe, Coreset, Sampling}
+import graft.sources.Layout
+
+/** Round-11 curation operators: Z-order layout, BPE-merge training,
+  * greedy k-center coreset selection, per-group adaptive floors — unit
+  * semantics plus the physical-plan contracts that make them 100-TB-safe. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ Z-order
+
+  test("zorderKey interleaves bits (hand-computed values)") {
+    // Part1By1(3)=0b101=5, Part1By1(5)=0b10001=17 → z(3,5)=5|(17<<1)=39
+    val row = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"), bits = 8).as("z"))
+      .collect().head
+    assert(row.getLong(0) === 39L)
+    // zero maps to zero; max 8-bit corner interleaves to 2^16-1
+    val corners = Seq((0L, 0L), (255L, 255L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"), bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(corners.toSeq === Seq(0L, 65535L))
+  }
+
+  test("aligned z-key blocks are square tiles (the file-skipping property)") {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zorderKey(col("x"), col("y"), bits = 4))
+    // every aligned 16-key block = one 4×4 tile: BOTH dims bounded, which
+    // is exactly why per-file min/max stats prune two-dimensional predicates
+    val tiles = grid.groupBy((col("z") / 16).cast("long").as("blk"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect()
+    assert(tiles.length === 16)
+    assert(tiles.forall(r => r.getLong(1) <= 3 && r.getLong(2) <= 3))
+  }
+
+  test("zorderArrange clusters both dims tighter than a one-column sort") {
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def meanYSpan(df: org.apache.spark.sql.DataFrame): Double = {
+      val spans = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg((max("y") - min("y")).as("ys"))
+        .collect().map(_.getLong(1))
+      spans.sum.toDouble / spans.length
+    }
+    val z = meanYSpan(Layout.zorderArrange(grid, col("x"), col("y"),
+      bits = 5, numFiles = 16))
+    val oneCol = meanYSpan(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")))
+    // x-sorted files span the full y range (~31); z-ordered files span one
+    // or two 8×8 tiles — strictly tighter even with sampled range bounds
+    assert(z < oneCol * 0.6,
+      s"z-order per-file y-span $z not clearly tighter than x-sort $oneCol")
+  }
+
+  test("plan: zorderArrange is one range exchange, no UDF") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val arranged = Layout.zorderArrange(docs,
+      least(floor(length(col("text")) / 64).cast("long"), lit(255L)),
+      least(col("n_chars"), lit(255L)), bits = 8, numFiles = 8)
+    val p = arranged.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, s"plan:\n$p")
+    assert(p.contains("rangepartitioning"), s"not range-partitioned:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  // ---------------------------------------------------------------- BPE
+
+  test("BPE training replays the textbook low/lower/newest example") {
+    val docs = Seq("low low low low low", "lower lower", "newest")
+      .toDF("text")
+    val (rounds, vocab) = Bpe.train(Bpe.wordVocab(docs, col("text")), 2)
+    // pairs: lo=7, ow=7 (tie → lexicographic), we=3, er=2 …
+    assert(rounds.head.merge === Bpe.Merge("l", "o", 7L))
+    assert(rounds(1).merge === Bpe.Merge("lo", "w", 7L))
+    val lowSyms = vocab.where(col("word") === "low")
+      .select(col("syms")).as[Seq[String]].collect().head
+    assert(lowSyms === Seq("low"))
+    // audit trail: chars = 5·3 + 2·5 + 1·6 = 31; round 1 merges l+o once
+    // in each of the 7 low/lower occurrences → 24
+    assert(rounds.head.symsBefore === 31L && rounds.head.symsAfter === 24L)
+  }
+
+  test("BPE merge application is left-to-right non-overlapping") {
+    val one = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().head
+    assert(one === Seq("aa", "a"))
+  }
+
+  test("BPE encode path agrees with the trained vocabulary") {
+    val docs = Seq("low low lower", "newest lowest").toDF("text")
+    val (rounds, vocab) = Bpe.train(Bpe.wordVocab(docs, col("text")), 3)
+    val merges = rounds.map(_.merge)
+    val vocabTotal = vocab.agg(sum(col("weight") * size(col("syms"))))
+      .collect().head.getLong(0)
+    val corpusTotal = docs.agg(sum(Bpe.tokenCount(col("text"), merges)))
+      .collect().head.getLong(0)
+    assert(vocabTotal === corpusTotal)
+  }
+
+  test("plan: BPE pair counting is a partial (map-side) aggregation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Bpe.pairCounts(Bpe.wordVocab(docs, col("text")))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2 &&
+      p.contains("Exchange"), s"no partial aggregation:\n${p.take(2500)}")
+  }
+
+  // ----------------------------------------------------------- k-center
+
+  test("greedy k-center picks maximally spread points, certificate holds") {
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val pts = Seq(
+      (1L, at(0)), (2L, at(5)), (3L, at(90)), (4L, at(180)))
+      .toDF("vec_id", "embedding")
+    val (centers, radius) = Coreset.kCenter(pts, "vec_id", "embedding", k = 3)
+    // seed = min id (1, at 0°); farthest = 180°; then 90°
+    assert(centers.map(_.id) === Seq(1L, 4L, 3L))
+    // remaining point is 5° from the seed: radius = 1 − cos(5°)
+    assert(math.abs(radius - (1.0 - math.cos(math.toRadians(5)))) < 1e-6)
+    val (mono, sep) = Coreset.certificate(spark, centers, radius, pts,
+      "vec_id", "embedding")
+    assert(mono && sep)
+  }
+
+  test("k-center certificate FAILS for a wrong (non-greedy) selection") {
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val pts = Seq(
+      (1L, at(0)), (2L, at(5)), (3L, at(90)), (4L, at(180)))
+      .toDF("vec_id", "embedding")
+    // claim the clustered pair {0°, 5°} as centers with an understated
+    // radius: separation check must reject it
+    val fake = Seq(
+      Coreset.Center(1, 1L, 0.0, at(0)),
+      Coreset.Center(2, 2L, 1.0 - math.cos(math.toRadians(5)), at(5)))
+    val trueRadius = 2.0 // the 180° point is uncovered this far
+    val (_, sep) = Coreset.certificate(spark, fake, trueRadius, pts,
+      "vec_id", "embedding")
+    assert(!sep)
+  }
+
+  // ------------------------------------------------------ adaptive floor
+
+  test("adaptiveFloor keeps each group's top part by its own quantile") {
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 10.0)))
+      .toDF("g", "v")
+    val kept = Sampling.adaptiveFloor(df, col("g"), col("v"), 40, 100)
+      .groupBy("g").agg(count(lit(1)).as("n"), min("v").as("lo"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // group a: P40 value = 4 → keep 4..10 (7 rows); group b: P40 = 5 → all 4
+    assert(kept("a") === ((7L, 4.0)))
+    assert(kept("b") === ((4L, 5.0)))
+  }
+
+  test("plan: adaptiveFloor joins thresholds by broadcast (no data shuffle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Sampling.adaptiveFloor(docs, col("source"),
+      col("n_chars").cast("double"), 40, 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+  }
+}
