@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Cluster, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Cluster, Coreset, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** One-off scale check for the dedup family (VERDICT r3 task 8): replicate
   * the sf0.1 corpus N× with shifted ids (a LOAD multiplier — correctness
@@ -41,7 +41,11 @@ object BenchScale {
       val t0 = System.nanoTime(); val n = f; val s = (System.nanoTime() - t0) / 1e9
       require(n >= 0); s
     }
+    // optional comma-separated op filter (iteration aid): run only these
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     def run(name: String, at1: => Long, atN: => Long): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val s1 = time(at1); val sN = time(atN)
       // per_row: cost per input row at N× relative to 1× — the amortization
       // gate (≤ ~1.3 means banding/salting absorbed the extra load; >> 1
@@ -163,6 +167,38 @@ object BenchScale {
       graft.streaming.DocStream.chunkDupFraction(delta, idx).count()
     }
     run("incr_cdc_probe", probe(docs1), probe(scaleDocs(mult)))
+    // BPE training: replication multiplies WEIGHTS, not the vocabulary —
+    // the Heaps'-law collapse means every merge round sees IDENTICAL work
+    // and only the single corpus word-count pass scales with load, so
+    // per_row must drop far below 1
+    def bpe(df: DataFrame): Long =
+      Bpe.train(Bpe.wordVocab(df, col("text")), nMerges = 6)._1.size.toLong
+    run("bpe_train", bpe(docs1), bpe(scaleDocs(mult)))
+    // k-center: k narrow running-min passes + k distributed top-1s —
+    // strictly linear in rows, no pairwise anything
+    def kcenter(df: DataFrame): Long =
+      Coreset.kCenter(df, "vec_id", "embedding", k = 8)._1.size.toLong
+    run("kcenter", kcenter(emb1), kcenter(scaleEmb(mult)))
+    // Z-order write arrangement: the narrow key map + ONE range exchange +
+    // partition-local sort, measured through a real parquet write
+    def zwrite(df: DataFrame, path: String): Long = {
+      graft.sources.Layout.zorderArrange(df,
+        least(floor(length(col("text")) / 64).cast("long"), lit(255L)),
+        least(col("n_chars"), lit(4095L)), bits = 12, numFiles = 32)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).count()
+    }
+    run("zorder_write", zwrite(docs1, "/tmp/graft_zw1"),
+      zwrite(scaleDocs(mult), "/tmp/graft_zwN"))
+    // adaptive quality floor: histogram aggregate (distinct-value
+    // cardinality) + broadcast threshold join — replication densifies the
+    // histogram counts without growing it
+    def floor40(df: DataFrame): Long =
+      Sampling.adaptiveFloor(
+        df.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        col("source"), col("q"), 40, 100).count()
+    run("quality_floor", floor40(docs1), floor40(scaleDocs(mult)))
     spark.stop()
   }
 }

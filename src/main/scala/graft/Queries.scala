@@ -1727,7 +1727,9 @@ object Queries {
   def qBpeCheck(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents").bagDF
-    val vocab0 = Bpe.wordVocab(docs, col("text"))
+    // checkpoint the vocab ONCE: the corpus word-count pass would otherwise
+    // run for the count AND again inside train's first checkpoint
+    val vocab0 = Bpe.wordVocab(docs, col("text")).localCheckpoint(true)
     val nWords = vocab0.count()
     val (rounds, vocab) = Bpe.train(vocab0, nMerges = 6)
     val merges = rounds.map(_.merge)
@@ -1739,7 +1741,12 @@ object Queries {
     }
     val vocabTotal = vocab.agg(sum(col("weight") * size(col("syms"))))
       .collect().head.getLong(0)
-    val corpusTotal = docs.agg(sum(Bpe.tokenCount(col("text"), merges)))
+    // independent re-encode from RAW CHARS over the distinct vocabulary:
+    // Σ weight·|encode(word)| ≡ the corpus total token count (encoding is
+    // per-word deterministic), at Heaps'-law cardinality instead of a full
+    // corpus pass through the interpreted HOF folds
+    val corpusTotal = vocab0
+      .agg(sum(col("weight") * size(Bpe.encodeWord(col("word"), merges))))
       .collect().head.getLong(0)
     Seq((nWords, merges.head.a + merges.head.b, merges.size.toLong,
       monotoneOk, deltaOk, vocabTotal == corpusTotal))

@@ -77,47 +77,66 @@ object Bpe {
     * invariant the gated contract checks. */
   final case class Round(merge: Merge, symsBefore: Long, symsAfter: Long)
 
-  private def totalSyms(vocab: DataFrame): Long =
-    vocab.agg(sum(col("weight") * size(col("syms")))).collect().head.getLong(0)
-
   /** Learn `nMerges` merges. Returns the per-round audit trail and the
     * final symbolized vocabulary (word, weight, syms). `vocab0` must come
     * from [[wordVocab]] (or have the same shape). Stops early if no
-    * mergeable pair remains. */
+    * mergeable pair remains.
+    *
+    * Per round the cluster does exactly TWO jobs: one aggregation that
+    * fuses the argmax pair with the total pair count (the symbol totals in
+    * the audit trail come free via Σsyms = Σpairs + Σweights — every word
+    * of length n has n−1 adjacent pairs), and one eager checkpoint of the
+    * merged vocab that keeps the plan flat across rounds. */
   def train(vocab0: DataFrame, nMerges: Int): (Seq[Round], DataFrame) = {
     require(nMerges >= 1, "train: nMerges must be >= 1")
     var vocab = vocab0.localCheckpoint(true)
-    var before = totalSyms(vocab)
-    val rounds = Seq.newBuilder[Round]
-    var round = 0
-    var exhausted = false
-    while (round < nMerges && !exhausted) {
-      val top = pairCounts(vocab)
-        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
+    val totalWeight = vocab.agg(sum(col("weight"))).collect().head.getLong(0)
+    // (pair argmax, Σcnt) in ONE pass; min over (−cnt, a, b) = the
+    // (cnt desc, a asc, b asc) deterministic tie-break
+    def sweep(v: DataFrame): Option[(Merge, Long)] = {
+      val r = pairCounts(v).agg(
+        min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("top"),
+        sum(col("cnt")).as("pairs")).collect().head
+      if (r.isNullAt(0)) None
       else {
-        val r = top.head
-        val m = Merge(r.getString(0), r.getString(1), r.getLong(2))
-        vocab = vocab
-          .withColumn("syms", applyMerge(col("syms"), m.a, m.b))
-          .localCheckpoint(true)
-        val after = totalSyms(vocab)
-        rounds += Round(m, before, after)
-        before = after
-        round += 1
+        val t = r.getStruct(0)
+        Some((Merge(t.getString(1), t.getString(2), -t.getLong(0)), r.getLong(1)))
       }
+    }
+    val rounds = Seq.newBuilder[Round]
+    var pending: Option[(Merge, Long)] = sweep(vocab)
+    var round = 0
+    while (round < nMerges && pending.isDefined) {
+      val (m, pairsBefore) = pending.get
+      vocab = vocab
+        .withColumn("syms", applyMerge(col("syms"), m.a, m.b))
+        .localCheckpoint(true)
+      round += 1
+      pending = if (round < nMerges) sweep(vocab) else None
+      // the NEXT sweep's Σcnt is this round's "after" total — no extra scan
+      val pairsAfter = pending.map(_._2).getOrElse(
+        pairCounts(vocab).agg(coalesce(sum(col("cnt")), lit(0L)))
+          .collect().head.getLong(0))
+      rounds += Round(m, pairsBefore + totalWeight, pairsAfter + totalWeight)
     }
     (rounds.result(), vocab)
   }
 
+  /** Re-apply a merge list to one word from raw characters — independent
+    * of the incremental syms the trainer carries, so comparing the two
+    * totals is a real cross-check of merge application. */
+  def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(chars(word))((s, m) => applyMerge(s, m.a, m.b))
+
   /** Encode raw text with a learned merge list: chars, then each merge as
-    * one fold pass, nested into a single codegen'd expression per word.
-    * This is the validation/stats path (token counts, compression ratio) —
-    * a production tokenizer service would compile the merges into a trie;
-    * the TRAINING side above is the part that must scale with the corpus. */
+    * one fold pass, nested into a single expression per word. Array HOFs
+    * don't whole-stage-codegen, so this per-document path costs ~|text|
+    * per merge — fine for spot validation and small slices; CORPUS-scale
+    * token counting should run [[encodeWord]] over the distinct-word
+    * vocabulary (Heaps'-law cardinality) and weight by occurrence count,
+    * or join documents' words against an encoded vocab table. */
   def encodeWords(text: Column, merges: Seq[Merge]): Column =
-    transform(words(text), w =>
-      merges.foldLeft(chars(w))((s, m) => applyMerge(s, m.a, m.b)))
+    transform(words(text), w => encodeWord(w, merges))
 
   /** Subword token count of a document under the learned merges. */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
