@@ -1789,6 +1789,52 @@ object Queries {
       .select("doc_id", "source", "quality")
   }
 
+  /** HTML → text extraction with line-level boilerplate analysis
+    * (TextAnalysis.htmlBlocks/visibleText/htmlMainText): documents are
+    * wrapped in a deterministic HTML scaffold — head with style+script
+    * (the script contains a literal `<` to prove block removal runs before
+    * tag stripping), heading, body paragraphs with planted entities, a
+    * nav list and a link-heavy footer — and the extractor must recover the
+    * prose lines, measure anchor-text link density, and drop the nav/link
+    * lines. Every regex is RE2-compatible; the oracle replays the chain
+    * step-for-step. */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc</title><style>p{color:red}</style>"),
+      lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head><body>"),
+      lit("<h1>Heading "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<p>"), substring(col("text"), 1, 150),
+      lit(" &amp; more &lt;tagged&gt;</p>"),
+      lit("<ul><li><a href=\"/nav1\">nav one</a></li>"),
+      lit("<li><a href=\"/nav2\">nav two</a></li></ul>"),
+      lit("<div>Footer: <a href=\"/contact\">contact</a> "),
+      substring(col("text"), 151, 40), lit("</div>"),
+      lit("<!-- hidden comment --></body></html>"))
+    TextAnalysis.htmlMainText(
+      t(s, dir, "documents").bagDF.select(col("doc_id"), html.as("html")),
+      col("html"))
+  }
+
+  /** Corpus distribution drift (Profile.driftReport): PSI per bucket over
+    * three dimensions (length band, language, source) between the corpus
+    * and a planted v2 (same deltas as q_corpus_diff: every 17th doc
+    * removed, every 13th edited, every 19th duplicated as a new id) — the
+    * pre-retrain snapshot monitor. The oracle recomputes every share and
+    * PSI term. */
+  def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").bagDF
+    val v2 = v1.where(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    Profile.driftReport(v1, v2, Seq(
+      "len" -> least(floor(length(col("text")) / 200).cast("long"), lit(9L)),
+      "lang" -> col("lang"),
+      "source" -> col("source")))
+  }
+
   // ================================================================ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1867,7 +1913,8 @@ object Queries {
     "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom,
     "q_lang_pipeline" -> qLangPipeline,
     "q_zorder" -> qZorder, "q_bpe_check" -> qBpeCheck,
-    "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor)
+    "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor,
+    "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2789,5 +2836,63 @@ object Queries {
       "sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum, " +
       "sum(c) OVER (PARTITION BY source) AS tot FROM h), " +
       "thr AS (SELECT source, min(quality) AS thr FROM cu WHERE cum * 100 >= tot * 40 GROUP BY source) " +
-      "SELECT doc_id, source, quality FROM q JOIN thr USING (source) WHERE quality >= thr"))
+      "SELECT doc_id, source, quality FROM q JOIN thr USING (source) WHERE quality >= thr"),
+
+    // step-for-step replay of htmlBlocks -> visibleText -> htmlMainText:
+    // script/style/comment removal, block-close tags to newlines, per-line
+    // tag strip + entity decode (amp LAST) + whitespace collapse, anchor
+    // link density, keep rule (density <= 0.5 AND tokens >= 3)
+    "q_html_extract" -> ("WITH h AS (SELECT doc_id, " +
+      "'<html><head><title>Doc</title><style>p{color:red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head><body>" +
+      "<h1>Heading ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || " +
+      "substring(text, 1, 150) || ' &amp; more &lt;tagged&gt;</p>" +
+      "<ul><li><a href=\"/nav1\">nav one</a></li>" +
+      "<li><a href=\"/nav2\">nav two</a></li></ul>" +
+      "<div>Footer: <a href=\"/contact\">contact</a> ' || " +
+      "substring(text, 151, 40) || '</div><!-- hidden comment --></body></html>' " +
+      "AS html FROM documents), " +
+      "blk AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'(?i)<(?:br|hr)[^>]*>|</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)[^>]*>', chr(10), 'g') " +
+      "AS b FROM h), " +
+      "ln AS (SELECT doc_id, i - 1 AS line_idx, " +
+      "list_extract(string_split(b, chr(10)), i) AS raw FROM blk, " +
+      "LATERAL (SELECT unnest(range(1, len(string_split(b, chr(10))) + 1)) AS i) t), " +
+      "vis AS (SELECT doc_id, line_idx, raw, " +
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(raw, '<[^>]*>', ' ', 'g'), " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', chr(39)), '&amp;', '&'), '\\s+', ' ', 'g')) AS line FROM ln) " +
+      "SELECT doc_id, CAST(line_idx AS INTEGER) AS line_idx, line, " +
+      "round(CAST(coalesce(len(array_to_string(regexp_extract_all(raw," +
+      "'(?is)<a[^>]*>([^<]*)</a>', 1), '')), 0) AS DOUBLE) / greatest(length(line), 1), 6) AS link_density, " +
+      "(round(CAST(coalesce(len(array_to_string(regexp_extract_all(raw," +
+      "'(?is)<a[^>]*>([^<]*)</a>', 1), '')), 0) AS DOUBLE) / greatest(length(line), 1), 6) <= 0.5 " +
+      "AND len(string_split(line, ' ')) >= 3) AS kept " +
+      "FROM vis WHERE length(line) > 0"),
+
+    // full PSI replay over the q_corpus_diff v2 plant, three dimensions
+    "q_drift" -> ("WITH v2 AS (" +
+      "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text, lang, source " +
+      "FROM documents WHERE doc_id % 17 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 19 = 0), " +
+      "b1 AS (SELECT dim, bucket, count(*) AS n1 FROM (" +
+      "SELECT 'len' AS dim, CAST(least(length(text) // 200, 9) AS VARCHAR) AS bucket FROM documents " +
+      "UNION ALL SELECT 'lang', lang FROM documents " +
+      "UNION ALL SELECT 'source', source FROM documents) GROUP BY dim, bucket), " +
+      "b2 AS (SELECT dim, bucket, count(*) AS n2 FROM (" +
+      "SELECT 'len' AS dim, CAST(least(length(text) // 200, 9) AS VARCHAR) AS bucket FROM v2 " +
+      "UNION ALL SELECT 'lang', lang FROM v2 " +
+      "UNION ALL SELECT 'source', source FROM v2) GROUP BY dim, bucket), " +
+      "j AS (SELECT coalesce(b1.dim, b2.dim) AS dim, coalesce(b1.bucket, b2.bucket) AS bucket, " +
+      "coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2 " +
+      "FROM b1 FULL OUTER JOIN b2 ON b1.dim = b2.dim AND b1.bucket = b2.bucket), " +
+      "t AS (SELECT (SELECT count(*) FROM documents) AS t1, (SELECT count(*) FROM v2) AS t2) " +
+      "SELECT dim, bucket, n1, n2, " +
+      "round(n1 / t1, 6) AS share1, round(n2 / t2, 6) AS share2, " +
+      "round((n2 / t2 - n1 / t1) * ln((n2 / t2 + 0.000001) / (n1 / t1 + 0.000001)), 6) AS psi " +
+      "FROM j, t"))
 }

@@ -168,4 +168,41 @@ object Profile {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(k)
   }
+
+  /** Distribution drift between two corpus versions: the population
+    * stability index (PSI), per named bucket dimension — the "did the
+    * refreshed crawl change what we're training on" monitor that runs
+    * before anyone retrains on a new snapshot. PSI per bucket =
+    * (p₂ − p₁)·ln((p₂+ε)/(p₁+ε)); conventional reading of the per-dim sum:
+    * <0.1 stable, 0.1–0.25 drifting, >0.25 changed.
+    *
+    * Scale shape: per dimension ONE hash aggregate per version (bucket
+    * cardinality, not rows), a full-outer bucket join, totals broadcast
+    * back — the corpora are each scanned once per dimension and nothing
+    * row-sized shuffles. Shares and PSI terms are 6dp-rounded so the
+    * report replays bit-stably in SQL. */
+  def driftReport(v1: DataFrame, v2: DataFrame,
+                  dims: Seq[(String, Column)],
+                  eps: Double = 1e-6): DataFrame = {
+    require(dims.nonEmpty, "driftReport: need at least one dimension")
+    dims.map { case (name, bucket) =>
+      def side(df: DataFrame, n: String): DataFrame =
+        df.select(bucket.cast("string").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as(n))
+      val a = side(v1, "n1")
+      val b = side(v2, "n2")
+      val joined = a.join(b, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+      val tot = joined.agg(sum(col("n1")).as("__t1"), sum(col("n2")).as("__t2"))
+      joined.crossJoin(broadcast(tot))
+        .select(lit(name).as("dim"), col("bucket"), col("n1"), col("n2"),
+          round(col("n1") / col("__t1"), 6).as("share1"),
+          round(col("n2") / col("__t2"), 6).as("share2"),
+          round((col("n2") / col("__t2") - col("n1") / col("__t1")) *
+            log((col("n2") / col("__t2") + eps) / (col("n1") / col("__t1") + eps)),
+            6).as("psi"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -221,6 +221,69 @@ object TextAnalysis {
   private def expr_substr(s: Column, from: Column): Column =
     s.substr(from + 1, length(s))
 
+  // ----------------------------------------------------- HTML extraction
+
+  /** Structural HTML → newline-delimited raw blocks: script/style bodies
+    * removed, block-closing tags become line breaks, inline tags KEPT (so
+    * per-line link density can still be measured). RE2-compatible regexes
+    * only (no backreferences — script and style each get their own
+    * pattern) so the DuckDB oracle replays the chain verbatim. Narrow
+    * codegen'd map — the 100 TB crawl-ingest front door stays a single
+    * scan pass. */
+  def htmlBlocks(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    regexp_replace(noComment,
+      "(?i)<(?:br|hr)[^>]*>|</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)[^>]*>",
+      "\n")
+  }
+
+  /** Visible text of one block/line: tags stripped, the five predefined
+    * entities + nbsp decoded (amp LAST so `&amp;lt;` stays `&lt;`),
+    * whitespace collapsed. */
+  def visibleText(block: Column): Column = {
+    val noTags = regexp_replace(block, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Whole-document plain text: [[htmlBlocks]] → strip/decode → one
+    * newline between non-empty blocks. */
+  def htmlToText(html: Column): Column =
+    array_join(filter(transform(split(htmlBlocks(html), "\n"),
+      b => visibleText(b)), v => length(v) > 0), "\n")
+
+  /** Line-level boilerplate analysis (trafilatura/jusText-flavoured): one
+    * row per non-empty block with its visible text, anchor-text link
+    * density, token count, and the keep decision — nav bars, footers and
+    * link farms have high link density and few tokens; body prose has the
+    * opposite. Returns (idCol, line_idx, line, link_density, kept).
+    * Density = anchor-enclosed visible chars / visible chars. */
+  def htmlMainText(df: org.apache.spark.sql.DataFrame, html: Column,
+                   idCol: String = "doc_id", maxLinkDensity: Double = 0.5,
+                   minTokens: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(htmlBlocks(html), "\n")).as(Seq("line_idx", "raw")))
+    val visible = visibleText(col("raw"))
+    val linkChars = length(concat_ws("",
+      regexp_extract_all(col("raw"), lit("(?is)<a[^>]*>([^<]*)</a>"), lit(1))))
+    lines
+      .withColumn("line", visible)
+      .where(length(col("line")) > 0)
+      .withColumn("link_density",
+        round(linkChars.cast("double") /
+          greatest(length(col("line")), lit(1)).cast("double"), 6))
+      .withColumn("n_tokens", size(split(col("line"), " ")))
+      .withColumn("kept",
+        col("link_density") <= maxLinkDensity && col("n_tokens") >= minTokens)
+      .select(col(idCol), col("line_idx"), col("line"),
+        col("link_density"), col("kept"))
+  }
+
   /** Repetition signal (Gopher-style): frequency share of the most common
     * token per document. explode → (doc, token) counts → per-doc max/sum —
     * both aggregations map-side combinable; no windows, no per-doc token

@@ -810,4 +810,39 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct values"), e.getMessage)
   }
+
+  test("htmlToText strips script/style/comments, decodes entities, keeps structure") {
+    import spark.implicits._
+    val html = "<html><head><style>p{a:1}</style>" +
+      "<script>if (1 < 2) { alert(\"x\"); }</script></head>" +
+      "<body><h1>Title</h1><p>one &amp; two &lt;three&gt;</p>" +
+      "<!-- gone --><div>tail&nbsp;end</div></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h")).as("t"))
+      .as[String].collect().head
+    // the script's literal '<' must not survive as a bogus tag boundary
+    assert(out === "Title\none & two <three>\ntail end")
+  }
+
+  test("htmlMainText drops link-dense nav lines, keeps prose; plan is narrow") {
+    import spark.implicits._
+    val html = "<body><p>real prose with several plain words here</p>" +
+      "<ul><li><a href=\"/a\">home</a></li><li><a href=\"/b\">about us</a></li></ul>" +
+      "<p>ok</p></body>"
+    val df = graft.pipeline.TextAnalysis.htmlMainText(
+      Seq((1L, html)).toDF("doc_id", "h"), col("h"))
+    val rows = df.collect().map(r => (r.getAs[String]("line"),
+      r.getAs[Double]("link_density"), r.getAs[Boolean]("kept")))
+    val prose = rows.find(_._1.startsWith("real prose")).get
+    assert(prose._2 === 0.0 && prose._3)
+    val nav = rows.filter(r => r._1 == "home" || r._1 == "about us")
+    assert(nav.nonEmpty && nav.forall(!_._3)) // pure-link lines dropped
+    assert(rows.find(_._1 == "ok").exists(!_._3)) // too few tokens
+    // extraction is a narrow map + explode: zero exchanges at any scale
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.pipeline.TextAnalysis.htmlMainText(
+      docs.select(col("doc_id"), col("text").as("h")), col("h"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"html extraction shuffles:\n$p")
+  }
 }

@@ -56,4 +56,29 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("a", "b"))
   }
+
+  test("driftReport: hand-computed PSI, zero for identical corpora") {
+    val v1 = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).toDF("k")
+    val v2 = (Seq.fill(5)("a") ++ Seq.fill(15)("b")).toDF("k")
+    val got = Profile.driftReport(v1, v2, Seq("k" -> col("k")))
+      .collect().map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Double]("psi"))).toMap
+    // psi_a = (0.25−0.5)·ln(0.250001/0.500001); psi_b = (0.75−0.5)·ln(1.5…)
+    assert(got("a")._1 === 10L && got("a")._2 === 5L)
+    assert(math.abs(got("a")._3 - 0.173286) < 1e-6)
+    assert(math.abs(got("b")._3 - 0.101366) < 1e-6)
+
+    val same = Profile.driftReport(v1, v1, Seq("k" -> col("k")))
+      .select(sum(abs(col("psi")))).collect().head.getDouble(0)
+    assert(same === 0.0)
+  }
+
+  test("driftReport: bucket present in only one version still reports") {
+    val v1 = Seq("a", "a", "b").toDF("k")
+    val v2 = Seq("a", "a", "c").toDF("k")
+    val got = Profile.driftReport(v1, v2, Seq("k" -> col("k")))
+      .collect().map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"))).toMap
+    assert(got("b") === ((1L, 0L)) && got("c") === ((0L, 1L)))
+  }
 }
