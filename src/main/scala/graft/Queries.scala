@@ -1789,6 +1789,22 @@ object Queries {
       .select("doc_id", "source", "quality")
   }
 
+  /** Full PII scrub (TextAnalysis.scrubAll = URL/email masking + IPv4 +
+    * phone numbers) over deterministically planted PII: every 7th doc an
+    * email, 7th+1 a URL whose path CONTAINS an IP (must mask as one URL,
+    * not URL-then-IP), 7th+2 a dashed phone + an E.164 number, 7th+3 a
+    * bare IPv4. The oracle replays plant and chain verbatim. */
+  def qScrubPii(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" contact bob@example.com now"))
+        .when(col("doc_id") % 7 === 1, lit(" see https://10.0.0.1/path?x=1 there"))
+        .when(col("doc_id") % 7 === 2, lit(" call 555-123-4567 or +14155552671 today"))
+        .when(col("doc_id") % 7 === 3, lit(" from 192.168.1.100 port 8080"))
+        .otherwise(lit("")))
+    t(s, dir, "documents").bagDF.select(col("doc_id"),
+      TextAnalysis.scrubAll(planted).as("text"))
+  }
+
   /** HTML → text extraction with line-level boilerplate analysis
     * (TextAnalysis.htmlBlocks/visibleText/htmlMainText): documents are
     * wrapped in a deterministic HTML scaffold — head with style+script
@@ -1914,7 +1930,8 @@ object Queries {
     "q_lang_pipeline" -> qLangPipeline,
     "q_zorder" -> qZorder, "q_bpe_check" -> qBpeCheck,
     "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor,
-    "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift)
+    "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
+    "q_scrub_pii" -> qScrubPii)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2894,5 +2911,21 @@ object Queries {
       "SELECT dim, bucket, n1, n2, " +
       "round(n1 / t1, 6) AS share1, round(n2 / t2, 6) AS share2, " +
       "round((n2 / t2 - n1 / t1) * ln((n2 / t2 + 0.000001) / (n1 / t1 + 0.000001)), 6) AS psi " +
-      "FROM j, t"))
+      "FROM j, t"),
+
+    // verbatim replay of the scrubAll chain: URL, email, IPv4, phone —
+    // in that order (the URL pass consumes the in-URL IP first)
+    "q_scrub_pii" -> ("SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "text || CASE " +
+      "WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now' " +
+      "WHEN doc_id % 7 = 1 THEN ' see https://10.0.0.1/path?x=1 there' " +
+      "WHEN doc_id % 7 = 2 THEN ' call 555-123-4567 or +14155552671 today' " +
+      "WHEN doc_id % 7 = 3 THEN ' from 192.168.1.100 port 8080' " +
+      "ELSE '' END, " +
+      "'https?://\\S+', '<URL>', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), " +
+      "'\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS text " +
+      "FROM documents"))
 }

@@ -476,24 +476,108 @@ object Similarity {
     * the scan but scores full floats). Index build (assignment, residual
     * codebook, encode) is a one-time artifact — pinned here, written to
     * storage in a real deployment. */
+  /** A trained IVF-PQ index: coarse `centroids` (centroid_id, centroid,
+    * __kn), per-subspace residual `codebooks` (sub_id, code, centroid),
+    * and the encoded corpus `codes` (cId, codes, centroid_id, __ocn).
+    * Building is the one-time corpus-scale artifact; searching touches
+    * nprobe/nlist of the m-byte codes. At 100 TB the index is built once,
+    * persisted with [[saveIvfPq]], appended to with [[ivfPqAppend]], and
+    * served from [[loadIvfPq]] — the codebook is NOT retrained per run. */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              codes: DataFrame, m: Int, nCodes: Int,
+                              cId: String)
+
+  /** Build the IVF-PQ artifact: coarse quantizer, residual PQ codebooks,
+    * encoded corpus. */
+  def ivfPqBuild(corpus: DataFrame, nlist: Int = 16, m: Int = 8,
+                 codes: Int = 16, lloydIters: Int = 2,
+                 cId: String = "vec_id", cVec: String = "embedding",
+                 trainFraction: Double = 1.0): IvfPqIndex = {
+    val centroids = ivfCentroids(corpus, nlist, lloydIters, cId, cVec, trainFraction)
+    val resid = residuals(corpus, centroids, cId, cVec).pin()
+    val cb = pqTrain(resid, m, codes, lloydIters, cId, "__rvec", trainFraction)
+    val enc = pqEncode(resid, cb, m, cId, "__rvec",
+        carry = Seq("centroid_id", "__ocn"))
+      .drop("__cn") // residual norm — cosine uses the carried original norm
+    IvfPqIndex(centroids, cb, enc, m, codes, cId)
+  }
+
+  /** residual r = x − centroid(cell); the ORIGINAL norm rides along for
+    * cosine (the residual's own norm is meaningless to the metric). */
+  private def residuals(vecs: DataFrame, centroids: DataFrame,
+                        cId: String, cVec: String): DataFrame =
+    assignToCentroids(vecs, centroids, 1, cId, cVec)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col(cId), col("centroid_id"), col("__cn").as("__ocn"),
+        zip_with(col(cVec), col("centroid"), (x, c) => x - c).as("__rvec"))
+
+  /** Encode NEW vectors against an EXISTING index (coarse assignment +
+    * residual encode with the frozen codebooks) and append their codes —
+    * the incremental-ingest path: a daily embedding batch joins the
+    * serving index without touching the trained quantizers, and the
+    * append's cost scales with the BATCH, not the corpus. (Rebuild when
+    * drift accumulates — [[graft.pipeline.Profile.driftReport]] over the
+    * vector metadata is the trigger.) */
+  def ivfPqAppend(index: IvfPqIndex, newVecs: DataFrame,
+                  cVec: String = "embedding"): IvfPqIndex = {
+    val resid = residuals(newVecs, index.centroids, index.cId, cVec)
+    val enc = pqEncode(resid, index.codebooks, index.m, index.cId, "__rvec",
+        carry = Seq("centroid_id", "__ocn"))
+      .drop("__cn")
+    index.copy(codes = index.codes.unionByName(enc))
+  }
+
+  /** Persist an index: three parquet tables + a tiny JSON meta file. */
+  def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val meta = s"""{"m":${index.m},"nCodes":${index.nCodes},""" +
+      s""""cId":${graft.types.Json.str(index.cId)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/meta.json"), meta)
+  }
+
+  /** Load a persisted index. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/meta.json"))
+    def num(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+    val cId = s""""cId":"([^"]*)"""".r.findFirstMatchIn(meta).get.group(1)
+    IvfPqIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"),
+      num("m"), num("nCodes"), cId)
+  }
+
   def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                overFetch: Int = 32, lloydIters: Int = 2,
                qId: String = "q_id", qVec: String = "q_vec",
                cId: String = "vec_id", cVec: String = "embedding",
                trainFraction: Double = 1.0): DataFrame = {
-    val centroids = ivfCentroids(corpus, nlist, lloydIters, cId, cVec, trainFraction)
-    val assigned = assignToCentroids(corpus, centroids, 1, cId, cVec)
-    // residual r = x − centroid(cell); the ORIGINAL norm rides along for
-    // cosine (the residual's own norm is meaningless to the metric)
-    val resid = assigned.join(broadcast(centroids), Seq("centroid_id"))
-      .select(col(cId), col("centroid_id"), col("__cn").as("__ocn"),
-        zip_with(col(cVec), col("centroid"), (x, c) => x - c).as("__rvec"))
-      .pin()
-    val cb = pqTrain(resid, m, codes, lloydIters, cId, "__rvec", trainFraction)
-    val enc = pqEncode(resid, cb, m, cId, "__rvec",
-        carry = Seq("centroid_id", "__ocn"))
-      .drop("__cn") // residual norm — cosine uses the carried original norm
+    val index = ivfPqBuild(corpus, nlist, m, codes, lloydIters, cId, cVec,
+      trainFraction)
+    ivfPqSearch(queries, index, corpus, k, nprobe, overFetch,
+      qId, qVec, cVec)
+  }
+
+  /** Search an IVF-PQ index. `corpus` supplies the raw vectors for the
+    * exact rescore of the surviving candidates (at scale: the same
+    * parquet the index was built from — only overFetch·k rows per query
+    * are fetched from it). */
+  def ivfPqSearch(queries: DataFrame, index: IvfPqIndex, corpus: DataFrame,
+                  k: Int, nprobe: Int = 4, overFetch: Int = 32,
+                  qId: String = "q_id", qVec: String = "q_vec",
+                  cVec: String = "embedding"): DataFrame = {
+    val centroids = index.centroids
+    val cb = index.codebooks
+    val enc = index.codes
+    val m = index.m
+    val cId = index.cId
     // per-query probes keep the RAW dot(q, centroid): it is the exact
     // centroid term of the ADC sum, not just a ranking key
     val probePack = struct((-col("qcdist")).as("nd"),

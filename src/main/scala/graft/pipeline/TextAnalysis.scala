@@ -189,6 +189,16 @@ object TextAnalysis {
       regexp_replace(text, "https?://\\S+", "<URL>"),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
 
+  /** Full privacy scrub: [[scrub]] (URLs first, so an IP inside a URL is
+    * already masked) + IPv4 addresses + phone numbers (E.164-style
+    * `+`-prefixed runs and NNN-NNN-NNNN dashed/spaced forms). Same
+    * RE2-compatible, codegen'd narrow-map contract as [[scrub]]. */
+  def scrubAll(text: Column): Column =
+    regexp_replace(
+      regexp_replace(scrub(text),
+        "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      "\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>")
+
   /** URL canonicalization — the crawl-dedup key: two fetches of the same
     * page under cosmetic URL variation (scheme/host case, fragments,
     * tracking parameters, default ports, trailing slash) must collapse to

@@ -811,6 +811,52 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct values"), e.getMessage)
   }
 
+  test("IVF-PQ index: save/load round trip and incremental append") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val old = emb.where(col("vec_id") < 400)
+    val idx = Similarity.ivfPqBuild(old, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.saveIvfPq(idx, dir)
+    val loaded = Similarity.loadIvfPq(spark, dir)
+    assert(loaded.m === idx.m && loaded.nCodes === idx.nCodes &&
+      loaded.cId === idx.cId)
+    assert(loaded.codes.count() === idx.codes.count())
+    // the loaded index answers searches identically to the in-memory one
+    val q = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val a = Similarity.ivfPqSearch(q, idx, old, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.ivfPqSearch(q, loaded, old, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    // append a new batch against the FROZEN quantizers: the new ids are
+    // immediately findable; a query for an appended vector returns itself
+    val fresh = emb.where(col("vec_id") >= 400)
+    val appended = Similarity.ivfPqAppend(loaded, fresh)
+    assert(appended.codes.count() === emb.count())
+    val qNew = fresh.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Similarity.ivfPqSearch(qNew, appended, emb, k = 3, nprobe = 8)
+    val self = hits.where(col("q_id") === col("vec_id")).count()
+    assert(self === 2L, "appended vectors must be their own nearest neighbor")
+  }
+
+  test("scrubAll masks IPs and phones; an in-URL IP masks as the URL") {
+    import spark.implicits._
+    val cases = Seq(
+      "ping 10.0.0.1 now" -> "ping <IP> now",
+      "see https://10.0.0.1/x then" -> "see <URL> then",
+      "call 555-123-4567 or +14155552671" -> "call <PHONE> or <PHONE>",
+      "version 1.2.3 stays, year 2024 stays" ->
+        "version 1.2.3 stays, year 2024 stays",
+      "mail a@b.co from 1.2.3.4" -> "mail <EMAIL> from <IP>")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.scrubAll(col("t"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("htmlToText strips script/style/comments, decodes entities, keeps structure") {
     import spark.implicits._
     val html = "<html><head><style>p{a:1}</style>" +
