@@ -1851,6 +1851,14 @@ object Queries {
       "source" -> col("source")))
   }
 
+  /** The round-11 pipeline signals FROM THE LANGUAGE: `quality` and
+    * `langid` builtins (AndlCols engine tier — the same Columns the gated
+    * q_quality/q_langid use) applied to documents in an Andl script; the
+    * oracle recomputes both signals over the same corpus. */
+  def qLangSignals(s: SparkSession, dir: String): DataFrame =
+    runLang(s, dir, Seq("documents"),
+      "result := documents .{ doc_id, q := quality(text), lg := langid(text) }")
+
   // ================================================================ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1931,7 +1939,7 @@ object Queries {
     "q_zorder" -> qZorder, "q_bpe_check" -> qBpeCheck,
     "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor,
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
-    "q_scrub_pii" -> qScrubPii)
+    "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2927,5 +2935,22 @@ object Queries {
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
       "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), " +
       "'\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS text " +
-      "FROM documents"))
+      "FROM documents"),
+
+    // the quality + langid signals through the language surface (doc_id is
+    // an Andl number → DOUBLE); same replays as q_quality/q_langid
+    "q_lang_signals" -> ("WITH t AS (SELECT doc_id, text, " +
+      "string_split_regex(lower(trim(text)), '[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+') AS toks FROM documents), " +
+      "h AS (SELECT doc_id, text, " +
+      "len(list_filter(toks, x -> list_contains(['the','and','is','of','to','that','it','was','with'], x))) AS h_en, " +
+      "len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','sich'], x))) AS h_de, " +
+      "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans','que','pour'], x))) AS h_fr, " +
+      "len(list_filter(toks, x -> list_contains(['el','la','los','es','una','por','que','con','para'], x))) AS h_es " +
+      "FROM t), " +
+      "m AS (SELECT doc_id, text, greatest(h_en, h_de, h_fr, h_es) AS mx, " +
+      "h_en, h_de, h_fr, h_es FROM h) " +
+      "SELECT CAST(doc_id AS DOUBLE) AS doc_id, " + qualitySql + " AS q, " +
+      "CASE WHEN mx = 0 THEN 'und' WHEN h_fr = mx THEN 'fr' " +
+      "WHEN h_es = mx THEN 'es' WHEN h_en = mx THEN 'en' ELSE 'de' END AS lg " +
+      "FROM m"))
 }

@@ -343,6 +343,14 @@ final class AndlCols(interp: AndlInterp) {
       graft.functions.DeflateRatio(s.col).cast(AndlValues.numType), TNum))
     case ("normalize", Seq(s)) => Some(CExpr(
       graft.pipeline.TextAnalysis.normalizeText(s.col), TText))
+    case ("quality", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.qualityScore(s.col).cast(AndlValues.numType), TNum))
+    case ("langid", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.langId(s.col), TText))
+    case ("scrub", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.scrubAll(s.col), TText))
+    case ("htmltext", Seq(s)) => Some(CExpr(
+      graft.pipeline.TextAnalysis.htmlToText(s.col), TText))
     case ("blength", Seq(b))      => Some(CExpr(Builtins.blength(b.col).cast(AndlValues.numType), TNum))
     case ("bget", Seq(b, i))      => Some(CExpr(Builtins.bget(b.col, i.col.cast("int")).cast(AndlValues.numType), TNum))
     case ("bset", Seq(b, i, v))   => Some(CExpr(Builtins.bset(b.col, i.col.cast("int"), v.col), TBin))

@@ -509,6 +509,13 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       Some(TextV(java.text.Normalizer.normalize(
         s.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
         .replaceAll("\\s+", " ").trim))
+    // driver-tier replicas of the engine-tier pipeline signals (AndlCols):
+    // identical formulas/regexes so small driver-local relations and
+    // Spark-lowered ones agree bit-for-bit
+    case ("quality", Seq(TextV(s))) => Some(NumV(DriverSignals.quality(s)))
+    case ("langid", Seq(TextV(s))) => Some(TextV(DriverSignals.langId(s)))
+    case ("scrub", Seq(TextV(s))) => Some(TextV(DriverSignals.scrubAll(s)))
+    case ("htmltext", Seq(TextV(s))) => Some(TextV(DriverSignals.htmlToText(s)))
     case ("number", Seq(TextV(s))) => Some(NumV(s.trim.toDouble))
     case ("number", Seq(NumV(d)))  => Some(NumV(d))
     case ("text", Seq(x))   => Some(TextV(render(x)))
@@ -1392,4 +1399,57 @@ object AndlInterp {
   }
 
   def rootEnv(): Env = new Env(None)
+}
+
+/** Driver-tier scalar replicas of the engine-tier pipeline signals
+  * ([[graft.pipeline.TextAnalysis]]): the SAME formulas and regexes, so a
+  * `quality`/`langid`/`scrub`/`htmltext` call over a tiny driver-local
+  * relation agrees bit-for-bit with the Spark-lowered Column. */
+private[lang] object DriverSignals {
+
+  /** Spark's round(double, 6): HALF_UP over the canonical decimal form. */
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def quality(s: String): Double = {
+    val len = s.length
+    val lenScore = math.min(len / 500.0, 1.0)
+    val punct = if (len == 0) 0.0
+      else (len - s.replaceAll("[\\p{Punct}]", "").length).toDouble / len
+    val punctScore = math.max(1.0 - punct * 4.0, 0.0)
+    val nTok = if (s.trim.isEmpty) 0 else s.trim.split("\\s+").length
+    val hits = s.trim.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+")
+      .count(graft.pipeline.TextAnalysis.enStopwords.contains)
+    val stopScore =
+      if (nTok == 0) 0.0 else math.min(hits.toDouble / nTok * 5.0, 1.0)
+    round6((lenScore + punctScore + stopScore) / 3.0)
+  }
+
+  def langId(s: String): String = {
+    val toks = s.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-zàâäéèêëîïôöùûüÿçáíóúñß]+")
+    val best = graft.pipeline.TextAnalysis.langStopwords
+      .map { case (code, words) => (toks.count(words.contains), code) }.max
+    if (best._1 == 0) "und" else best._2
+  }
+
+  def scrubAll(s: String): String =
+    s.replaceAll("https?://\\S+", "<URL>")
+      .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      .replaceAll("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+      .replaceAll("\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>")
+
+  def htmlToText(s: String): String = {
+    def visible(l: String): String =
+      l.replaceAll("<[^>]*>", " ")
+        .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+        .replaceAll("\\s+", " ").trim
+    s.replaceAll("(?is)<script[^>]*>.*?</script>", " ")
+      .replaceAll("(?is)<style[^>]*>.*?</style>", " ")
+      .replaceAll("(?s)<!--.*?-->", " ")
+      .replaceAll("(?i)<(?:br|hr)[^>]*>|</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)[^>]*>", "\n")
+      .split("\n", -1).map(visible).filter(_.nonEmpty).mkString("\n")
+  }
 }

@@ -117,6 +117,50 @@ class InterpFuzzSpec extends SparkSpec {
     assert(i5.output.toString.trim === want, i5.output.toString)
   }
 
+  test("round-11 builtins: engine tier and driver tier agree exactly") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox is running to the old mill and it was fine",
+      "der schnelle fuchs ist nicht mit dem hund",
+      "mail a@b.co or see https://x.io/p and call 555-123-4567 from 10.0.0.1",
+      "<p>one &amp; two</p><script>var a = 1 < 2;</script><div>tail</div>",
+      "")
+    // engine tier: builtins over a relvar
+    val interp = new graft.lang.AndlInterp(spark, "/tmp")
+    interp.defineRelvar("d",
+      texts.zipWithIndex.map { case (t, i) => (i.toDouble, t) }.toDF("i", "text"))
+    interp.run("result := d .{ i, q := quality(text), lg := langid(text), " +
+      "sc := scrub(text), ht := htmltext(text) }", "t.andl")
+    val engine = interp.relvar("result").collect()
+      .map(r => r.getDouble(r.fieldIndex("i")).toInt ->
+        (r.getDouble(r.fieldIndex("q")), r.getString(r.fieldIndex("lg")),
+          r.getString(r.fieldIndex("sc")), r.getString(r.fieldIndex("ht"))))
+      .toMap
+    // driver tier: the same builtins as top-level scalar calls
+    texts.zipWithIndex.foreach { case (t, i) =>
+      def scalar(call: String): String = {
+        val x = new graft.lang.AndlInterp(spark, "/tmp")
+        x.noisy = 1
+        x.run(call, "t.andl")
+        x.output.toString.trim
+      }
+      val lit = "'" + t.replace("'", "''") + "'"
+      assert(scalar(s"langid($lit)") === engine(i)._2, s"langid tier split on: $t")
+      assert(scalar(s"scrub($lit)") === engine(i)._3, s"scrub tier split on: $t")
+      def ws(s: String): String = s.replaceAll("\\s+", " ").trim
+      assert(ws(scalar(s"htmltext($lit)")) === ws(engine(i)._4),
+        s"htmltext tier split on: $t")
+      val dq = scalar(s"quality($lit)").toDouble
+      assert(math.abs(dq - engine(i)._1) < 1e-12, s"quality tier split on: $t")
+    }
+    // spot-check the engine answers themselves
+    assert(engine(0)._2 === "en" && engine(1)._2 === "de")
+    assert(engine(2)._3.contains("<EMAIL>") && engine(2)._3.contains("<URL>")
+      && engine(2)._3.contains("<PHONE>") && engine(2)._3.contains("<IP>"))
+    assert(engine(3)._4 === "one & two\ntail")
+    assert(engine(4)._1 === 0.333333) // empty text: punct score 1, rest 0
+  }
+
   test("broken scripts raise controlled errors and leave the next run clean") {
     broken.foreach { src =>
       run(src) match {
