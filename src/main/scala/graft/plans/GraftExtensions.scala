@@ -70,5 +70,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_sig(hashes[, numHashes[, seed]])")
       }))
+
+    // the Column-combinator pipeline signals, composed into expression
+    // trees at analysis time — spark.sql users get the same codegen'd
+    // chains the DataFrame API builds
+    import org.apache.spark.sql.graftbridge.GraftExprBridge.{column => col1, convert => ex}
+    def inject1(name: String, f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name(text)")
+          ex(f(col1(args.head)))
+        }))
+    inject1("quality", graft.pipeline.TextAnalysis.qualityScore)
+    inject1("lang_id", graft.pipeline.TextAnalysis.langId)
+    inject1("scrub_all", graft.pipeline.TextAnalysis.scrubAll)
+    inject1("html_text", graft.pipeline.TextAnalysis.htmlToText)
+    inject1("url_canon", graft.pipeline.TextAnalysis.canonicalizeUrl)
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "zorder_key(x, y[, bits])")
+        val bits = if (args.length == 3) intArg(args(2), "bits") else 16
+        ex(graft.sources.Layout.zorderKey(col1(args(0)), col1(args(1)), bits))
+      }))
   }
 }

@@ -38,4 +38,27 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(sig.length === 8 && sig.forall(_ >= 0))
   }
+
+  test("pipeline signal combinators are callable from SQL") {
+    val r = spark.sql(
+      "SELECT quality('the cat and the dog sat on the mat') AS q, " +
+        "lang_id('der hund ist nicht da und das ist gut') AS lg, " +
+        "scrub_all('mail a@b.co from 10.0.0.1') AS sc, " +
+        "html_text('<p>one &amp; two</p><script>var a=1<2;</script>') AS ht, " +
+        "url_canon('HTTPS://Example.COM:443/P?utm_source=x') AS u, " +
+        "zorder_key(3, 5, 8) AS z").collect()(0)
+    // SQL answers match the DataFrame-API combinators exactly
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(1).select(
+      graft.pipeline.TextAnalysis.qualityScore(
+        lit("the cat and the dog sat on the mat")).as("q"),
+      graft.pipeline.TextAnalysis.langId(
+        lit("der hund ist nicht da und das ist gut")).as("lg")).collect()(0)
+    assert(r.getDouble(0) === df.getDouble(0))
+    assert(r.getString(1) === df.getString(1) && r.getString(1) === "de")
+    assert(r.getString(2) === "mail <EMAIL> from <IP>")
+    assert(r.getString(3) === "one & two")
+    assert(r.getString(4) === "https://example.com/P")
+    assert(r.getLong(5) === 39L)
+  }
 }
