@@ -199,6 +199,26 @@ object BenchScale {
           TextAnalysis.qualityScore(col("text")).as("q")),
         col("source"), col("q"), 40, 100).count()
     run("quality_floor", floor40(docs1), floor40(scaleDocs(mult)))
+    // HTML extraction: pure narrow regexp map + explode — strictly linear
+    def html(df: DataFrame): Long =
+      TextAnalysis.htmlMainText(
+        df.select(col("doc_id"),
+          concat(lit("<body><h1>T</h1><p>"), col("text"),
+            lit("</p><ul><li><a href=\"/x\">nav</a></li></ul></body>"))
+            .as("h")), col("h")).count()
+    run("html_extract", html(docs1), html(scaleDocs(mult)))
+    // full PII scrub: one codegen'd regexp chain over the scan
+    run("scrub_pii",
+      docs1.select(TextAnalysis.scrubAll(col("text"))).count(),
+      scaleDocs(mult).select(TextAnalysis.scrubAll(col("text"))).count())
+    // PSI drift: bucket-cardinality aggregates only — replication
+    // densifies counts without growing the aggregate
+    def drift(df: DataFrame): Long =
+      graft.pipeline.Profile.driftReport(df,
+        df.where(col("doc_id") % 3 =!= 0), Seq(
+          "len" -> least(floor(length(col("text")) / 200).cast("long"), lit(9L)),
+          "lang" -> col("lang"), "source" -> col("source"))).count()
+    run("drift_report", drift(docs1), drift(scaleDocs(mult)))
     spark.stop()
   }
 }

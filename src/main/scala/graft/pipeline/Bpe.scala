@@ -142,4 +142,23 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
     coalesce(aggregate(encodeWords(text, merges), lit(0L),
       (acc, w) => acc + size(w)), lit(0L))
+
+  /** CORPUS-scale per-document token counting: explode each document's
+    * words and join them against the trained vocabulary's symbol counts —
+    * a hash join on the word key instead of re-running the merge folds per
+    * occurrence. The vocab side is Heaps'-law small (broadcast when it
+    * fits; AQE picks otherwise), the doc side never shuffles more than
+    * (id, word) pairs, and out-of-vocabulary words fall back to their
+    * character count (what an untrained BPE would emit). This is the path
+    * to size a 100 TB corpus in tokens; the fold-chain [[tokenCount]] is
+    * the spot-validation tool. */
+  def tokenCountViaVocab(docs: DataFrame, textCol: Column, vocab: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val wordsOut = docs.select(col(idCol), explode(words(textCol)).as("word"))
+    val sizes = vocab.select(col("word"), size(col("syms")).as("__ntok"))
+    wordsOut.join(sizes, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__ntok"), length(col("word"))).cast("long"))
+        .as("n_tokens"))
+  }
 }

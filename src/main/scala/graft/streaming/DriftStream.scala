@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming distribution-drift monitor: the live-ingest face of
+  * [[graft.pipeline.Profile.driftReport]]. A REFERENCE bucket profile is
+  * computed once from the frozen corpus; every arriving micro-batch's
+  * bucket counts fold into a running stream profile, and after each batch
+  * the monitor emits per-bucket PSI of accumulated-stream vs reference —
+  * the "is the new crawl drifting away from what we trained on" alarm,
+  * evaluated continuously instead of at snapshot time.
+  *
+  * Scale shape: per batch, ONE distributed hash aggregate per dimension
+  * (cardinality = buckets, not rows) runs inside `foreachBatch`; only the
+  * bucket-count rows (a few dozen) reach the driver, where the running
+  * profile lives as a map keyed by (dim, bucket). The stream engine holds
+  * ZERO state — the monitor is a plain batch aggregation per micro-batch,
+  * so watermarks, state-store sizing, and output modes never enter the
+  * picture. PSI math matches Profile.driftReport bit-for-bit (same ε, the
+  * same HALF_UP 6dp rounding Spark's `round` applies).
+  */
+object DriftStream {
+
+  final case class DriftRow(dim: String, bucket: String, nRef: Long,
+                            nStream: Long, shareRef: Double,
+                            shareStream: Double, psi: Double)
+
+  /** (dim, bucket, n) counts — the same shape driftReport aggregates. */
+  def bucketCounts(df: DataFrame, dims: Seq[(String, Column)]): DataFrame =
+    dims.map { case (name, bucket) =>
+      df.select(lit(name).as("dim"), bucket.cast("string").as("bucket"))
+        .groupBy("dim", "bucket").agg(count(lit(1)).as("n"))
+    }.reduce(_ unionByName _)
+
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver-side running profile. State = one counter per observed
+    * (dim, bucket) — bounded by bucket cardinality at any corpus scale. */
+  final class Monitor(reference: DataFrame, dims: Seq[(String, Column)],
+                      eps: Double = 1e-6) extends Serializable {
+    private val refCounts: Map[(String, String), Long] =
+      bucketCounts(reference, dims).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    private val refTot: Map[String, Long] =
+      refCounts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    private var acc = Map.empty[(String, String), Long]
+
+    /** Fold one micro-batch into the running profile (one distributed
+      * aggregate per dim; bucket-cardinality rows collected). */
+    def ingest(batch: DataFrame): Unit = synchronized {
+      bucketCounts(batch, dims).collect().foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        acc = acc.updated(k, acc.getOrElse(k, 0L) + r.getLong(2))
+      }
+    }
+
+    /** Per-bucket PSI of accumulated stream vs reference, over the union
+      * of observed buckets; rows sorted (dim, bucket). */
+    def report(): Seq[DriftRow] = synchronized {
+      val streamTot = acc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      (refCounts.keySet ++ acc.keySet).toSeq.sorted.map { case k@(dim, b) =>
+        val n1 = refCounts.getOrElse(k, 0L)
+        val n2 = acc.getOrElse(k, 0L)
+        val p1 = n1.toDouble / refTot.getOrElse(dim, 1L).max(1L)
+        val p2 = n2.toDouble / streamTot.getOrElse(dim, 1L).max(1L)
+        DriftRow(dim, b, n1, n2, round6(p1), round6(p2),
+          round6((p2 - p1) * math.log((p2 + eps) / (p1 + eps))))
+      }
+    }
+
+    /** Per-dimension PSI totals — the alarm-threshold view
+      * (<0.1 stable, 0.1–0.25 drifting, >0.25 changed). */
+    def totals(): Map[String, Double] =
+      report().groupBy(_.dim).view
+        .mapValues(rows => round6(rows.map(_.psi).sum)).toMap
+  }
+
+  /** Run the monitor over a streaming DataFrame: each micro-batch is
+    * ingested and the refreshed report handed to `sink`. The stream
+    * engine stays stateless (foreachBatch); exactly-once ingestion of a
+    * replayed batch is the caller's concern only if the source replays —
+    * with file sources + checkpointLocation, batches are not re-delivered. */
+  def start(stream: DataFrame, monitor: Monitor,
+            sink: Seq[DriftRow] => Unit, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        monitor.ingest(batch)
+        sink(monitor.report())
+      }
+      .start()
+}

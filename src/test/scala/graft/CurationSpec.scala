@@ -103,6 +103,24 @@ class CurationSpec extends SparkSpec {
     assert(vocabTotal === corpusTotal)
   }
 
+  test("BPE vocab-join token counting agrees with the fold-chain encode") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest lowest"), (3L, ""))
+      .toDF("doc_id", "text")
+    val (rounds, vocab) = Bpe.train(Bpe.wordVocab(docs, col("text")), 3)
+    val merges = rounds.map(_.merge)
+    val viaVocab = Bpe.tokenCountViaVocab(docs, col("text"), vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFold = docs
+      .select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // empty doc has no words → absent from the join path, 0 in the fold
+    assert(viaVocab === viaFold.filter(_._2 > 0))
+    // an out-of-vocabulary word falls back to its character count
+    val oov = Seq((9L, "zzzz")).toDF("doc_id", "text")
+    val got = Bpe.tokenCountViaVocab(oov, col("text"), vocab).collect().head
+    assert(got.getLong(1) === 4L)
+  }
+
   test("plan: BPE pair counting is a partial (map-side) aggregation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = Bpe.pairCounts(Bpe.wordVocab(docs, col("text")))

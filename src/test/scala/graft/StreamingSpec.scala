@@ -141,6 +141,46 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1002L), s"noise matched: $got")
   }
 
+  test("streaming drift monitor equals the batch PSI report") {
+    import graft.streaming.DriftStream
+    implicit val sq = spark.sqlContext
+    val ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val dims = Seq(
+      "len" -> least(floor(length(col("text")) / 200).cast("long"), lit(9L)),
+      "lang" -> col("lang"), "source" -> col("source"))
+    // a skewed "new crawl": drop every 3rd doc, so shares shift
+    val v2 = ref.where(col("doc_id") % 3 =!= 0)
+    val rows = v2.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3)))
+    val mon = new DriftStream.Monitor(ref, dims)
+    val in = MemoryStream[(Long, String, String, String)]
+    var last: Seq[DriftStream.DriftRow] = Nil
+    val ckpt = java.nio.file.Files.createTempDirectory("drift").toString
+    val q = DriftStream.start(
+      in.toDF.toDF("doc_id", "text", "lang", "source"), mon,
+      rep => last = rep, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the monitor's accumulated report == the batch driftReport over the
+    // same reference and the same (fully-arrived) v2
+    val batch = graft.pipeline.Profile.driftReport(ref, v2, dims)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    val streamed = last.map(d => (d.dim, d.bucket) ->
+      (d.nRef, d.nStream, d.psi)).toMap
+    assert(streamed === batch)
+    // ingesting the reference itself drifts nowhere
+    val self = new DriftStream.Monitor(ref, dims)
+    self.ingest(ref)
+    assert(self.totals().values.forall(_ === 0.0), self.totals().toString)
+  }
+
   test("incremental index maintenance: batch 2 matches dups planted against batch 1") {
     import graft.streaming.DocStream
     implicit val sq = spark.sqlContext
