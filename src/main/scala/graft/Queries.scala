@@ -1851,6 +1851,35 @@ object Queries {
       "source" -> col("source")))
   }
 
+  /** Dataset card: the per-source datasheet a corpus release ships with —
+    * document/token/char volumes, mean quality, language spread, and the
+    * exact-duplicate rate (1 − distinct fingerprints / docs), in ONE
+    * grouped aggregate over a single corpus scan (every signal is a
+    * narrow column expression; the only exchange is the groupBy source).
+    * Exactness discipline: per-doc quality is 6dp-rounded then decimal-
+    * summed so the mean is order-independent; counts are longs. The two
+    * COUNT(DISTINCT)s lower to one Expand (3× the slim enriched rows) —
+    * exact is right at report time; a 100 TB continuous dashboard would
+    * swap them for the no-Expand HLL path (Profile.tableProfileApprox). */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val enriched = docs.select(col("source"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__ntok"),
+      length(col("text")).cast("long").as("__nchr"),
+      TextAnalysis.qualityScore(col("text"))
+        .cast(DecimalType(18, 6)).as("__q"),
+      TextAnalysis.fingerprint(col("text")).as("__fp"))
+    enriched.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__ntok")).as("n_tokens"),
+      sum(col("__nchr")).as("n_chars"),
+      round(sum(col("__q")).cast("double") / count(lit(1)), 6)
+        .as("mean_quality"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
+        .as("dup_rate"))
+  }
+
   /** The round-11 pipeline signals FROM THE LANGUAGE: `quality` and
     * `langid` builtins (AndlCols engine tier — the same Columns the gated
     * q_quality/q_langid use) applied to documents in an Andl script; the
@@ -1939,7 +1968,8 @@ object Queries {
     "q_zorder" -> qZorder, "q_bpe_check" -> qBpeCheck,
     "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor,
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
-    "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals)
+    "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals,
+    "q_dataset_card" -> qDatasetCard)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2952,5 +2982,21 @@ object Queries {
       "SELECT CAST(doc_id AS DOUBLE) AS doc_id, " + qualitySql + " AS q, " +
       "CASE WHEN mx = 0 THEN 'und' WHEN h_fr = mx THEN 'fr' " +
       "WHEN h_es = mx THEN 'es' WHEN h_en = mx THEN 'en' ELSE 'de' END AS lg " +
-      "FROM m"))
+      "FROM m"),
+
+    // the per-source datasheet: every signal recomputed from scratch
+    "q_dataset_card" -> ("WITH e AS (SELECT source, lang, " +
+      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok, " +
+      "CAST(length(text) AS BIGINT) AS nchr, " +
+      "CAST(" + qualitySql + " AS DECIMAL(18,6)) AS q, " +
+      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+      "FROM documents) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(ntok) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(nchr) AS BIGINT) AS n_chars, " +
+      "round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality, " +
+      "count(DISTINCT lang) AS n_langs, " +
+      "round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate " +
+      "FROM e GROUP BY source"))
 }
