@@ -1851,6 +1851,23 @@ object Queries {
       "source" -> col("source")))
   }
 
+  /** PII column profile (Profile.piiProfile) over a two-column view: the
+    * text column carries the SAME planted PII families as q_scrub_pii
+    * (so each detector fires on a known ~1/7 of rows), the source column
+    * is clean (all fractions 0.0) — the pre-release privacy scan. The
+    * oracle recomputes every fraction with DuckDB's regexp_matches. */
+  def qPiiProfile(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" contact bob@example.com now"))
+        .when(col("doc_id") % 7 === 1, lit(" see https://10.0.0.1/path?x=1 there"))
+        .when(col("doc_id") % 7 === 2, lit(" call 555-123-4567 or +14155552671 today"))
+        .when(col("doc_id") % 7 === 3, lit(" from 192.168.1.100 port 8080"))
+        .otherwise(lit("")))
+    Profile.piiProfile(
+      t(s, dir, "documents").bagDF.select(planted.as("text"), col("source")),
+      Seq("text", "source"))
+  }
+
   /** Dataset card: the per-source datasheet a corpus release ships with —
     * document/token/char volumes, mean quality, language spread, and the
     * exact-duplicate rate (1 − distinct fingerprints / docs), in ONE
@@ -1969,7 +1986,7 @@ object Queries {
     "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor,
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
     "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals,
-    "q_dataset_card" -> qDatasetCard)
+    "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2998,5 +3015,21 @@ object Queries {
       "round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality, " +
       "count(DISTINCT lang) AS n_langs, " +
       "round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate " +
-      "FROM e GROUP BY source"))
+      "FROM e GROUP BY source"),
+
+    // the privacy scan, every fraction recomputed with regexp_matches
+    "q_pii_profile" -> ("WITH p AS (SELECT text || CASE " +
+      "WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now' " +
+      "WHEN doc_id % 7 = 1 THEN ' see https://10.0.0.1/path?x=1 there' " +
+      "WHEN doc_id % 7 = 2 THEN ' call 555-123-4567 or +14155552671 today' " +
+      "WHEN doc_id % 7 = 3 THEN ' from 192.168.1.100 port 8080' " +
+      "ELSE '' END AS text, source FROM documents), " +
+      "f AS (SELECT 'text' AS col, text AS v FROM p " +
+      "UNION ALL SELECT 'source', source FROM p) " +
+      "SELECT col AS \"column\", count(*) AS n_rows, " +
+      "round(CAST(sum(CASE WHEN regexp_matches(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS email_frac, " +
+      "round(CAST(sum(CASE WHEN regexp_matches(v, 'https?://\\S+') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS url_frac, " +
+      "round(CAST(sum(CASE WHEN regexp_matches(v, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS ip_frac, " +
+      "round(CAST(sum(CASE WHEN regexp_matches(v, '\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS phone_frac " +
+      "FROM f GROUP BY col"))
 }

@@ -169,6 +169,33 @@ object Profile {
       .limit(k)
   }
 
+  /** PII column profile: which string columns of a table contain personal
+    * data, and how much — the scan a privacy review runs before a corpus
+    * ships. Per column: row count and the fraction of rows containing at
+    * least one email / URL / IPv4 / phone match (the same RE2-compatible
+    * patterns [[TextAnalysis.scrubAll]] masks, so profile-then-scrub is
+    * consistent by construction). One aggregate over one scan — each
+    * detector is a codegen'd `rlike`, no shuffle beyond the final
+    * single-row-per-column rollup. */
+  def piiProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "piiProfile: no columns")
+    val detectors = Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "url" -> "https?://\\S+",
+      "ip" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+      "phone" -> "\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        detectors.map { case (name, re) =>
+          round(sum(when(col(c).rlike(re), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as(s"${name}_frac")
+        }: _*)
+        .select(lit(c).as("column"), col("n_rows"),
+          col("email_frac"), col("url_frac"), col("ip_frac"), col("phone_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Distribution drift between two corpus versions: the population
     * stability index (PSI), per named bucket dimension — the "did the
     * refreshed crawl change what we're training on" monitor that runs

@@ -57,6 +57,19 @@ class ProfileSpec extends SparkSpec {
     assert(got === Seq("a", "b"))
   }
 
+  test("piiProfile: detectors fire per column, clean columns report zero") {
+    val df = Seq(
+      ("mail a@b.co now", "clean"),
+      ("see https://x.io/y", "clean"),
+      ("from 10.0.0.1", "clean"),
+      ("call 555-123-4567", "clean")).toDF("t", "s")
+    val got = Profile.piiProfile(df, Seq("t", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("t") === ((4L, 0.25, 0.25, 0.25, 0.25)))
+    assert(got("s") === ((4L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("driftReport: hand-computed PSI, zero for identical corpora") {
     val v1 = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).toDF("k")
     val v2 = (Seq.fill(5)("a") ++ Seq.fill(15)("b")).toDF("k")
