@@ -1851,6 +1851,24 @@ object Queries {
       "source" -> col("source")))
   }
 
+  /** Fixed-iteration PageRank (rel/Graph.scala) over the supplier↔customer
+    * trade graph (both directions of every lineitem×orders pairing): three
+    * power-method steps with 12dp-rounded decimal-summed contributions,
+    * so the DuckDB oracle replays every iteration bit-for-bit as three
+    * unrolled CTEs. The damping base is written `(1.0 - 0.85)` on BOTH
+    * sides — the computed double differs from a literal `0.15` in the
+    * last ulp, which a 12dp replay would catch. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").bagDF.select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").bagDF.select(col("o_orderkey"), col("o_custkey"))
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("s"),
+        concat(lit("c"), col("o_custkey")).as("c"))
+    val edges = joined.select(col("s").as("src"), col("c").as("dst"))
+      .unionByName(joined.select(col("c").as("src"), col("s").as("dst")))
+    graft.rel.Graph.pageRank(edges, iters = 3)
+  }
+
   /** PII column profile (Profile.piiProfile) over a two-column view: the
     * text column carries the SAME planted PII families as q_scrub_pii
     * (so each detector fires on a known ~1/7 of rows), the source column
@@ -1986,7 +2004,8 @@ object Queries {
     "q_kcenter_check" -> qKcenterCheck, "q_quality_floor" -> qQualityFloor,
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
     "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals,
-    "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile)
+    "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile,
+    "q_pagerank" -> qPagerank)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3031,5 +3050,29 @@ object Queries {
       "round(CAST(sum(CASE WHEN regexp_matches(v, 'https?://\\S+') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS url_frac, " +
       "round(CAST(sum(CASE WHEN regexp_matches(v, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS ip_frac, " +
       "round(CAST(sum(CASE WHEN regexp_matches(v, '\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS phone_frac " +
-      "FROM f GROUP BY col"))
+      "FROM f GROUP BY col"),
+
+    // three unrolled power-method iterations, identical rounding/summing
+    "q_pagerank" -> ("WITH j AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s, " +
+      "'c' || CAST(o_custkey AS VARCHAR) AS c " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT s AS src, c AS dst FROM j UNION ALL SELECT c, s FROM j)), " +
+      "n AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e), " +
+      "t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
+      "od AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "p0 AS (SELECT node, round(1.0 / nn, 12) AS pr FROM n CROSS JOIN t), " +
+      "m1 AS (SELECT e.dst, CAST(sum(CAST(round(p.pr / od.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS m " +
+      "FROM p0 p JOIN e ON p.node = e.src JOIN od ON e.src = od.src GROUP BY e.dst), " +
+      "p1 AS (SELECT n.node, round((1.0 - 0.85) / t.nn + 0.85 * coalesce(m.m, 0.0), 12) AS pr " +
+      "FROM n CROSS JOIN t LEFT JOIN m1 m ON n.node = m.dst), " +
+      "m2 AS (SELECT e.dst, CAST(sum(CAST(round(p.pr / od.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS m " +
+      "FROM p1 p JOIN e ON p.node = e.src JOIN od ON e.src = od.src GROUP BY e.dst), " +
+      "p2 AS (SELECT n.node, round((1.0 - 0.85) / t.nn + 0.85 * coalesce(m.m, 0.0), 12) AS pr " +
+      "FROM n CROSS JOIN t LEFT JOIN m2 m ON n.node = m.dst), " +
+      "m3 AS (SELECT e.dst, CAST(sum(CAST(round(p.pr / od.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS m " +
+      "FROM p2 p JOIN e ON p.node = e.src JOIN od ON e.src = od.src GROUP BY e.dst), " +
+      "p3 AS (SELECT n.node, round((1.0 - 0.85) / t.nn + 0.85 * coalesce(m.m, 0.0), 12) AS pr " +
+      "FROM n CROSS JOIN t LEFT JOIN m3 m ON n.node = m.dst) " +
+      "SELECT node, round(pr, 6) AS pr FROM p3"))
 }

@@ -168,6 +168,23 @@ class CurationSpec extends SparkSpec {
     assert(!sep)
   }
 
+  // ------------------------------------------------------------ pagerank
+
+  test("pageRank: 2-cycle is stationary at 0.5; star centre dominates") {
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val pr = graft.rel.Graph.pageRank(cycle, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr === Map("a" -> 0.5, "b" -> 0.5))
+
+    // star: one step moves the leaves' full mass to the hub
+    // (hub = 0.0375 + 0.85·(3·0.25) = 0.675, each leaf = base 0.0375)
+    val star = Seq(("a", "hub"), ("b", "hub"), ("c", "hub")).toDF("src", "dst")
+    val ps = graft.rel.Graph.pageRank(star, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ps("hub") === 0.675 && ps("a") === 0.0375)
+    assert(ps("a") === ps("b") && ps("b") === ps("c"))
+  }
+
   // ------------------------------------------------------ adaptive floor
 
   test("adaptiveFloor keeps each group's top part by its own quantile") {
