@@ -35,22 +35,28 @@ object Graph {
   def pageRank(edges0: DataFrame, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val edgesRaw = edges0.select(col("src"), col("dst")).distinct()
+    val outdeg = edgesRaw.groupBy("src").agg(count(lit(1)).as("deg"))
+    // fold the out-degree INTO the pinned edge layout up front — one join
+    // per iteration instead of two, against an unchanging src-partitioned
+    // artifact
+    val edges = edgesRaw.join(outdeg, "src")
       .repartition(col("src")).pin()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct().pin()
     val n = nodes.count().toDouble
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
 
     var pr = nodes.withColumn("pr", round(lit(1.0) / n, 12)).pin()
     var i = 0
     while (i < iters) {
       val contrib = pr.join(edges, pr("node") === edges("src"))
-        .join(outdeg, "src")
         .select(col("dst"),
           round(col("pr") / col("deg"), 12)
             .cast(DecimalType(28, 12)).as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("double").as("m"))
+      // pin each iteration: measured FASTER than one deep dag here (the
+      // rank vector is node-sized — tiny — while an unpinned tree makes
+      // every AQE stage re-optimize the whole accumulated plan)
       pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           round(lit((1.0 - damping)) / n +
