@@ -168,6 +168,40 @@ class CurationSpec extends SparkSpec {
     assert(!sep)
   }
 
+  // ------------------------------------------------------------- release
+
+  test("release bundle: data splits, card, pii scan, drift baseline, meta") {
+    import graft.pipeline.Release
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("release").toString
+    val m = Release.publish(docs, dir)
+    assert(m.rows === docs.count())
+    assert(m.splits.keySet === Set("train", "val", "test"))
+    assert(m.splits.values.sum === m.rows)
+    // data/ round-trips with the split column; per-split sizes agree
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() === m.rows)
+    val sizes = data.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === m.splits)
+    // card: one row per source; pii: one row for the text column
+    val card = spark.read.parquet(s"$dir/card")
+    assert(card.count() === docs.select("source").distinct().count())
+    val pii = spark.read.parquet(s"$dir/pii").collect()
+    assert(pii.length === 1 && pii.head.getString(0) === "text")
+    // drift baseline == bucketCounts over the same corpus
+    val base = Release.driftBaseline(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.streaming.DriftStream.bucketCounts(docs, Seq(
+      "len" -> least(floor(length(col("text")) / 200).cast("long"), lit(9L)),
+      "lang" -> col("lang"), "source" -> col("source")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(base === want)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/meta.json"))
+    assert(meta.contains(s""""rows":${m.rows}""") && meta.contains(""""doc_id""""))
+  }
+
   // ------------------------------------------------------------ pagerank
 
   test("pageRank: 2-cycle is stationary at 0.5; star centre dominates") {
