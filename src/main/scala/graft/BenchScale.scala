@@ -219,6 +219,26 @@ object BenchScale {
           "len" -> least(floor(length(col("text")) / 200).cast("long"), lit(9L)),
           "lang" -> col("lang"), "source" -> col("source"))).count()
     run("drift_report", drift(docs1), drift(scaleDocs(mult)))
+    // PageRank: N disjoint copies of the trade graph (prefixed node ids)
+    // — 16x nodes AND edges through the same k iterations; per-iteration
+    // work is one join + one aggregation, so per-row must stay flat
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("s"),
+        concat(lit("c"), col("o_custkey")).as("c"))
+    def prEdges(n: Int): DataFrame =
+      (0 until n).map(i => pairs.select(
+        concat(lit(i + "_"), col("s")).as("src"),
+        concat(lit(i + "_"), col("c")).as("dst")))
+        .reduce(_ unionByName _)
+    def pr(e: DataFrame): Long =
+      graft.rel.Graph.pageRank(
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))),
+        iters = 3).count()
+    run("pagerank", pr(prEdges(1)), pr(prEdges(mult)))
     spark.stop()
   }
 }
