@@ -1869,6 +1869,17 @@ object Queries {
     graft.rel.Graph.pageRank(edges, iters = 3)
   }
 
+  /** EXACT corpus-wide top-10 words via Misra–Gries candidates + exact
+    * recount (pipeline/Heavy.scala) — identical output to a full
+    * groupBy top-k (the oracle IS that groupBy), but the distinct item
+    * space never shuffles: per-partition bounded summaries nominate
+    * candidates, a broadcast join recounts only those. */
+  def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Heavy.topKExact(
+      t(s, dir, "documents").bagDF
+        .select(explode(Bpe.words(col("text"))).as("item")),
+      "item", k = 10, slack = 32)
+
   /** PII column profile (Profile.piiProfile) over a two-column view: the
     * text column carries the SAME planted PII families as q_scrub_pii
     * (so each detector fires on a known ~1/7 of rows), the source column
@@ -2005,7 +2016,7 @@ object Queries {
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
     "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals,
     "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile,
-    "q_pagerank" -> qPagerank)
+    "q_pagerank" -> qPagerank, "q_top_ngrams" -> qTopNgrams)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3074,5 +3085,11 @@ object Queries {
       "FROM p2 p JOIN e ON p.node = e.src JOIN od ON e.src = od.src GROUP BY e.dst), " +
       "p3 AS (SELECT n.node, round((1.0 - 0.85) / t.nn + 0.85 * coalesce(m.m, 0.0), 12) AS pr " +
       "FROM n CROSS JOIN t LEFT JOIN m3 m ON n.node = m.dst) " +
-      "SELECT node, round(pr, 6) AS pr FROM p3"))
+      "SELECT node, round(pr, 6) AS pr FROM p3"),
+
+    // the oracle IS the full groupBy top-k the sketch path must equal
+    "q_top_ngrams" -> ("WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item FROM documents), " +
+      "c AS (SELECT item, count(*) AS n FROM w GROUP BY item) " +
+      "SELECT item, n, CAST(row_number() OVER (ORDER BY n DESC, item) AS INTEGER) AS rank " +
+      "FROM c ORDER BY n DESC, item LIMIT 10"))
 }

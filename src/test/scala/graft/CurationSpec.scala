@@ -168,6 +168,28 @@ class CurationSpec extends SparkSpec {
     assert(!sep)
   }
 
+  // -------------------------------------------------------- heavy hitters
+
+  test("topKExact equals the full groupBy top-k; guarantee fails loud") {
+    import graft.pipeline.Heavy
+    // skewed stream with a long distinct tail (forces MG decrements:
+    // slack*k = 16 slots vs tail cardinality 500)
+    val items = (Seq.fill(200)("alpha") ++ Seq.fill(120)("beta") ++
+      Seq.fill(40)("gamma") ++ (1 to 500).map(i => s"tail$i"))
+    val df = items.toDF("item").repartition(7)
+    val got = Heavy.topKExact(df, "item", k = 2, slack = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq(("alpha", 200L, 1), ("beta", 120L, 2)))
+    // near-uniform data cannot honor the guarantee at tiny capacity: the
+    // operator must refuse rather than return a plausible wrong answer
+    val uniform = (1 to 400).flatMap(i => Seq.fill(3)(s"u$i")).toDF("item")
+      .repartition(7)
+    val e = intercept[IllegalArgumentException] {
+      Heavy.topKExact(uniform, "item", k = 5, slack = 2)
+    }
+    assert(e.getMessage.contains("guarantee not met"), e.getMessage)
+  }
+
   // ------------------------------------------------------------- release
 
   test("release bundle: data splits, card, pii scan, drift baseline, meta") {
