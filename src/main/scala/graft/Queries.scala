@@ -1869,6 +1869,67 @@ object Queries {
     graft.rel.Graph.pageRank(edges, iters = 3)
   }
 
+  /** CANONICAL PageRank (dangling-mass redistribution) on the DIRECTED
+    * supplier→customer graph — customers never appear as src, so every
+    * customer is dangling and the per-iteration D/N fold-back is actually
+    * exercised (ranks sum to 1 at every step, unlike the simple variant).
+    * The oracle replays both unrolled iterations including the scalar
+    * dangling term with identical 12dp rounding. */
+  def qPagerankFull(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").bagDF.select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").bagDF.select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+    graft.rel.Graph.pageRank(edges, iters = 2, dangling = true)
+  }
+
+  /** Duplicated-span REMOVAL ([[Dedup.spanRebuild]] — the ExactSubstr
+    * transform completing the report in q_dup_spans): global-first-owner
+    * election per stride-1 window fingerprint, non-owner windows' covered
+    * tokens dropped, per-doc ordered reassembly. The oracle replays owner
+    * election, coverage explosion, and the string_agg rebuild. */
+  def qSpanRebuild(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanRebuild(t(s, dir, "documents").bagDF, spanTokens = 8)
+
+  /** Okapi BM25 top-5 per query over the documents corpus
+    * ([[graft.pipeline.Retrieval.bm25]]): three fixed probes against the
+    * synthetic vocabulary; the oracle replays tokenize → tf/df/dl →
+    * the full BM25 formula → row_number ranking with identical 6dp
+    * decimal-sum discipline. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq((1L, "spark hash join"), (2L, "window agg stream"),
+      (3L, "fast table scan merge vector")).toDF("query_id", "qtext")
+    graft.pipeline.Retrieval.bm25(t(s, dir, "documents").bagDF, probes, k = 5)
+  }
+
+  /** Interpolated Kneser–Ney bigram score per document
+    * ([[TextAnalysis.knScore]]) — the production-grade perplexity-filter
+    * smoothing; oracle replays the discounted/continuation formula. */
+  def qKnScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knScore(t(s, dir, "documents").bagDF)
+
+  /** LIVE JDBC import (DataSourceSql.cs:29-80): the supplier table is
+    * round-tripped through an embedded Derby database — a DISTRIBUTED
+    * `df.write.jdbc` populates it (no driver-side loop), then
+    * [[Sources.jdbc]] reads it back through Spark's JDBC source. The
+    * oracle reads the same rows straight from parquet, so the gate proves
+    * the imported relation is value-identical to the source of truth. */
+  def qImportJdbc(s: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftq;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    t(s, dir, "supplier").bagDF
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").jdbc(url, "SUP_IMPORT", props)
+    Sources.jdbc(s, url, "SUP_IMPORT", props)
+      .transform("s_suppkey" -> col("s_suppkey").cast("long"),
+        "s_name" -> col("s_name"),
+        "s_nationkey" -> col("s_nationkey").cast("int"),
+        "s_acctbal" -> col("s_acctbal").cast("double")).df
+  }
+
   /** EXACT corpus-wide top-10 words via Misra–Gries candidates + exact
     * recount (pipeline/Heavy.scala) — identical output to a full
     * groupBy top-k (the oracle IS that groupBy), but the distinct item
@@ -2016,7 +2077,10 @@ object Queries {
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
     "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals,
     "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile,
-    "q_pagerank" -> qPagerank, "q_top_ngrams" -> qTopNgrams)
+    "q_pagerank" -> qPagerank, "q_top_ngrams" -> qTopNgrams,
+    "q_pagerank_full" -> qPagerankFull, "q_span_rebuild" -> qSpanRebuild,
+    "q_import_jdbc" -> qImportJdbc,
+    "q_bm25" -> qBm25, "q_kn_score" -> qKnScore)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3091,5 +3155,114 @@ object Queries {
     "q_top_ngrams" -> ("WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item FROM documents), " +
       "c AS (SELECT item, count(*) AS n FROM w GROUP BY item) " +
       "SELECT item, n, CAST(row_number() OVER (ORDER BY n DESC, item) AS INTEGER) AS rank " +
-      "FROM c ORDER BY n DESC, item LIMIT 10"))
+      "FROM c ORDER BY n DESC, item LIMIT 10"),
+
+    // --- round-12 additions ---
+
+    // two unrolled canonical-PageRank iterations on the DIRECTED s→c
+    // graph: every customer is dangling, so the scalar D/N fold-back term
+    // is replayed each iteration with identical 12dp rounding/DECIMAL sums
+    "q_pagerank_full" -> ("WITH j AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
+      "'c' || CAST(o_custkey AS VARCHAR) AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "n AS (SELECT DISTINCT src AS node FROM j UNION SELECT dst FROM j), " +
+      "srcs AS (SELECT DISTINCT src AS node FROM j), " +
+      "nd AS (SELECT n.node, s.node IS NULL AS dang FROM n LEFT JOIN srcs s ON n.node = s.node), " +
+      "t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
+      "od AS (SELECT src, count(*) AS deg FROM j GROUP BY src), " +
+      "p0 AS (SELECT node, dang, round(1.0 / nn, 12) AS pr FROM nd CROSS JOIN t), " +
+      "d1 AS (SELECT CAST(coalesce(sum(CAST(round(pr, 12) AS DECIMAL(28,12))), 0) AS DOUBLE) AS d FROM p0 WHERE dang), " +
+      "m1 AS (SELECT j.dst, CAST(sum(CAST(round(p.pr / od.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS m " +
+      "FROM p0 p JOIN j ON p.node = j.src JOIN od ON j.src = od.src GROUP BY j.dst), " +
+      "p1 AS (SELECT nd.node, nd.dang, round((1.0 - 0.85) / t.nn + 0.85 * round(d1.d / t.nn, 12) + 0.85 * coalesce(m.m, 0.0), 12) AS pr " +
+      "FROM nd CROSS JOIN t CROSS JOIN d1 LEFT JOIN m1 m ON nd.node = m.dst), " +
+      "d2 AS (SELECT CAST(coalesce(sum(CAST(round(pr, 12) AS DECIMAL(28,12))), 0) AS DOUBLE) AS d FROM p1 WHERE dang), " +
+      "m2 AS (SELECT j.dst, CAST(sum(CAST(round(p.pr / od.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS m " +
+      "FROM p1 p JOIN j ON p.node = j.src JOIN od ON j.src = od.src GROUP BY j.dst), " +
+      "p2 AS (SELECT nd.node, nd.dang, round((1.0 - 0.85) / t.nn + 0.85 * round(d2.d / t.nn, 12) + 0.85 * coalesce(m.m, 0.0), 12) AS pr " +
+      "FROM nd CROSS JOIN t CROSS JOIN d2 LEFT JOIN m2 m ON nd.node = m.dst) " +
+      "SELECT node, round(pr, 6) AS pr FROM p2"),
+
+    // ExactSubstr-style span removal: global-first owner per stride-1
+    // window fp, non-owner windows' covered token positions dropped,
+    // ordered string_agg rebuild; non-dup docs rebuild to their
+    // normalized text verbatim
+    "q_span_rebuild" -> ("WITH tok AS (SELECT doc_id, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+      "WHERE length(trim(text)) > 0), " +
+      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp, " +
+      "doc_id*1000000 + i AS gpos " +
+      "FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) " +
+      "WHERE len(t) >= 8), " +
+      "own AS (SELECT fp, min(gpos) AS fst FROM w GROUP BY fp), " +
+      "dp AS (SELECT DISTINCT w.doc_id, w.win_idx + o.j AS p " +
+      "FROM w JOIN own USING (fp), LATERAL (SELECT unnest(generate_series(0, 7)) AS j) AS o " +
+      "WHERE w.gpos <> own.fst), " +
+      "drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_drop FROM dp GROUP BY doc_id), " +
+      "tokens AS (SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) AS pos FROM tok), " +
+      "surv AS (SELECT tk.doc_id, tk.token, tk.pos FROM tokens tk " +
+      "LEFT JOIN dp ON tk.doc_id = dp.doc_id AND tk.pos = dp.p WHERE dp.p IS NULL), " +
+      "agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text FROM surv GROUP BY doc_id) " +
+      "SELECT tok.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tok, " +
+      "CAST(COALESCE(drops.n_drop, 0) AS BIGINT) AS n_drop, " +
+      "COALESCE(agg.clean_text, '') AS clean_text " +
+      "FROM tok LEFT JOIN drops ON tok.doc_id = drops.doc_id " +
+      "LEFT JOIN agg ON tok.doc_id = agg.doc_id"),
+
+    // the JDBC round-trip must hand back exactly the parquet rows
+    "q_import_jdbc" -> ("SELECT DISTINCT s_suppkey, s_name, s_nationkey, s_acctbal " +
+      "FROM supplier"),
+
+    // full BM25 replay: tokenize → tf/df/dl/avgdl → Okapi formula with the
+    // (k1+1) numerator → row_number ranking; identical 6dp decimal sums
+    "q_bm25" -> ("WITH q(query_id, qtext) AS (SELECT * FROM (VALUES " +
+      "(1, 'spark hash join'), (2, 'window agg stream'), " +
+      "(3, 'fast table scan merge vector'))), " +
+      "dt AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM dt), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(ts) AS term FROM dt) GROUP BY 1, 2), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl), " +
+      "qt AS (SELECT DISTINCT query_id, term FROM (SELECT query_id, " +
+      "unnest(list_filter(string_split_regex(lower(trim(qtext)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0)) AS term FROM q)), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf " +
+      "WHERE term IN (SELECT term FROM qt) GROUP BY 1), " +
+      "w AS (SELECT qt.query_id, tf.doc_id, " +
+      "CAST(round(ln((st.n - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "(tf * (1.2 + 1.0)) / " +
+      "(tf + 1.2 * (0.25 + 0.75 * (dl / st.avgdl))), 6) AS DECIMAL(18,6)) AS w " +
+      "FROM tf JOIN qt USING (term) JOIN dfq USING (term) " +
+      "JOIN dl USING (doc_id), st), " +
+      "sc AS (SELECT query_id, doc_id, " +
+      "round(CAST(sum(w) AS DOUBLE), 6) AS score FROM w GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, doc_id, score, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, " +
+      "CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"),
+
+    // interpolated Kneser–Ney: discounted bigram mass + continuation
+    // backoff, identical count tables and 6dp log/decimal discipline
+    "q_kn_score" -> ("WITH tok AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "b AS (SELECT doc_id, " +
+      "unnest([ts[i] for i in range(1, len(ts))]) AS w1, " +
+      "unnest([ts[i+1] for i in range(1, len(ts))]) AS w2 FROM tok), " +
+      "c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2), " +
+      "hist AS (SELECT w1, count(*) AS n1, count(DISTINCT w2) AS nf " +
+      "FROM b GROUP BY 1), " +
+      "cont AS (SELECT w2, count(*) AS nb FROM c2 GROUP BY 1), " +
+      "ty AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c2), " +
+      "sc AS (SELECT b.doc_id, CAST(round(ln(" +
+      "(greatest(n2 - 0.75, 0.0) + 0.75 * nf * (nb / tt)) / n1), 6) " +
+      "AS DECIMAL(18,6)) AS lp " +
+      "FROM b JOIN c2 USING (w1, w2) JOIN hist USING (w1) " +
+      "JOIN cont USING (w2), ty) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      "round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS kn_score " +
+      "FROM sc GROUP BY doc_id"))
 }

@@ -39,6 +39,14 @@ object AndlValues {
   def sortFields(fields: Seq[(String, AType)]): Seq[(String, AType)] =
     fields.sortBy(_._1)
 
+  /** Loud ceiling on relation values lifted into the driver-tier
+    * interpreter (nested-relation literals, tuple contexts) — the one
+    * place the language tier materializes a DataFrame on the driver.
+    * Session-tunable: `spark.graft.maxDriverRelRows`. */
+  def maxDriverRelRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.maxDriverRelRows")
+      .map(_.toInt).getOrElse(1048576)
+
   def typeName(t: AType): String = t match {
     case TText => "text"
     case TNum => "number"
@@ -213,7 +221,18 @@ object AndlValues {
     case TupV(f) => Row(f.map(x => toSpark(x._2)): _*)
     case UdtV(_, f) => Row(f.map(x => toSpark(x._2)): _*)
     case RelV(h, rel) =>
-      val rows = rel.df.collect().toSeq.map(r => rowToValue(r, h))
+      // lifting a relation value into the driver tier materializes it on
+      // the driver; a corpus-sized relation here would OOM with no clue.
+      // Loud row-cap (same pattern as Fold.maxGroupRows): fetch cap+1,
+      // fail with the knob name if the relation exceeds it.
+      val cap = maxDriverRelRows(rel.df.sparkSession)
+      val rows0 = rel.df.limit(cap + 1).collect().toSeq
+      if (rows0.size > cap)
+        sys.error(s"relation lift: more than $cap rows would materialize " +
+          "on the driver (spark.graft.maxDriverRelRows) — nested-relation " +
+          "literals and tuple contexts are script-sized by design; keep " +
+          "corpus-sized relations in engine space or raise the cap")
+      val rows = rows0.map(r => rowToValue(r, h))
       rows.map(t => toSpark(t)).sortBy(_.toString)
     case LRelV(h, rows) =>
       rows.distinct.map { t =>

@@ -108,9 +108,13 @@ object Bpe {
     var round = 0
     while (round < nMerges && pending.isDefined) {
       val (m, pairsBefore) = pending.get
+      val prev = vocab
       vocab = vocab
         .withColumn("syms", applyMerge(col("syms"), m.a, m.b))
         .localCheckpoint(true)
+      // eager checkpoint has materialized — drop the superseded round's
+      // blocks instead of pinning nMerges vocab copies
+      prev.unpersist(blocking = false)
       round += 1
       pending = if (round < nMerges) sweep(vocab) else None
       // the NEXT sweep's Σcnt is this round's "after" total — no extra scan

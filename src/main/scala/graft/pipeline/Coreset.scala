@@ -69,12 +69,18 @@ object Coreset {
       val c = Center(round, far.getAs[Long]("id"), far.getAs[Double]("md"),
         vecOf(far))
       centers :+= c
+      val prev = pts
       pts = pts
         .withColumn("md", least(col("md"), distToLit(col("vec"), col("n"), c.vec)))
         .localCheckpoint(true)
+      // the new checkpoint has materialized (eager) — release the
+      // superseded round's blocks now instead of pinning k copies of the
+      // per-point state until the ContextCleaner notices
+      prev.unpersist(blocking = false)
       round += 1
     }
     val radius = pts.agg(max(col("md"))).collect().head.getDouble(0)
+    pts.unpersist(blocking = false)
     (centers, radius)
   }
 

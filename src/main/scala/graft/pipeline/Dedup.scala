@@ -510,6 +510,62 @@ object Dedup {
     * a window), and a final doc_id-grouped rollup. No all-pairs stage at
     * any step. Output: (doc_id, n_win, n_dup, dup_frac) over docs with
     * ≥ spanTokens tokens; windows are counted distinct-per-doc. */
+  /** Cross-document duplicated-span REMOVAL — the transform behind
+    * [[dupSpanReport]]'s detection (Lee et al. 2022's ExactSubstr dedup,
+    * window-granular): every `spanTokens`-token stride-1 window
+    * fingerprints; the globally FIRST occurrence of each fingerprint
+    * (lowest packed (doc, window) position) is the owner; every token
+    * covered by a NON-owner window is dropped, and each document's
+    * surviving tokens reassemble in order. The first global occurrence of
+    * any duplicated span survives intact; later copies lose exactly the
+    * duplicated token range (plus window-granularity slop < spanTokens at
+    * the edges), not the whole document — the precision argument of the
+    * paper versus document-level dedup.
+    *
+    * Scale shape: windows are a narrow explode of the scan; owner election
+    * is ONE map-side-combinable `min` per fingerprint; non-owner windows
+    * (the DUP mass, not the corpus mass) explode ×spanTokens into covered
+    * token positions, dedup, and roll up to ONE sorted drop-array per
+    * document (bounded by the doc's own token count). The rebuild is then
+    * a narrow higher-order-function map over the original scan — the full
+    * token stream never shuffles. Reconstruction law: a document with no
+    * duplicated windows rebuilds byte-identical to its normalized
+    * (lowercased, whitespace-collapsed) text.
+    *
+    * Output: (doc_id, n_tok, n_drop, clean_text) over non-empty docs. */
+  def spanRebuild(docs: DataFrame, spanTokens: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = spanTokens
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__t"))
+    val wins = toks
+      .where(size(col("__t")) >= st)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__t")) - (st - 1)),
+          i => md5(array_join(slice(col("__t"), i, lit(st)), " "))))
+          .as(Seq("__j", "__fp")))
+      .select(col("doc_id"), (col("__j") + 1).as("win_idx"), col("__fp"),
+        (col("doc_id") * 1000000L + col("__j") + 1).as("__gpos"))
+    val owners = wins.groupBy("__fp").agg(min(col("__gpos")).as("__first"))
+    val dropPos = wins.join(owners, "__fp")
+      .where(col("__gpos") =!= col("__first"))
+      .select(col("doc_id"),
+        explode(sequence(col("win_idx"), col("win_idx") + (st - 1))).as("__p"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_set(col("__p"))).as("__drops"))
+    toks.join(dropPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tok"),
+        when(col("__drops").isNull, lit(0)).otherwise(size(col("__drops")))
+          .cast("long").as("n_drop"),
+        array_join(filter(col("__t"),
+          (_, i) => col("__drops").isNull ||
+            !array_contains(col("__drops"), i + 1)), " ").as("clean_text"))
+  }
+
   def dupSpanReport(docs: DataFrame, spanTokens: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pairs = docs

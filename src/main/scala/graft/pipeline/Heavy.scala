@@ -65,12 +65,26 @@ object Heavy {
       .collect()
 
     // guarantee check: the k-th count must clear the N/m threshold, else
-    // an item outside the candidate set could in principle beat it
-    val total = ds.count()
-    val kth = if (top.length < k) 0L else top.last.getAs[Long]("n")
-    require(top.length < k || kth > total.toDouble / m,
-      s"topKExact: guarantee not met (k-th count $kth <= N/m = ${total.toDouble / m}); " +
-        s"raise slack (=$slack)")
+    // an item outside the candidate set could in principle beat it.
+    // When fewer than k candidates survive (near-uniform data can empty
+    // the per-partition summaries via decrement cascades), the short
+    // result is only exact if the candidates cover EVERY item in the
+    // corpus — verified by a broadcast anti-join (one narrow pass, rare
+    // path only); otherwise fail as loudly as the main path does.
+    if (top.length < k) {
+      val uncovered = ds.toDF("item")
+        .join(broadcast(candDF), Seq("item"), "left_anti").count()
+      require(uncovered == 0L,
+        s"topKExact: guarantee not met (only ${top.length} < k=$k candidates " +
+          s"survived and $uncovered rows are outside the candidate set); " +
+          s"raise slack (=$slack)")
+    } else {
+      val total = ds.count()
+      val kth = top.last.getAs[Long]("n")
+      require(kth > total.toDouble / m,
+        s"topKExact: guarantee not met (k-th count $kth <= N/m = ${total.toDouble / m}); " +
+          s"raise slack (=$slack)")
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(top.zipWithIndex.map { case (r, i) =>
         Row(r.getString(0), r.getLong(1), i + 1)

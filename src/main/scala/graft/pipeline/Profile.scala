@@ -174,9 +174,11 @@ object Profile {
     * ships. Per column: row count and the fraction of rows containing at
     * least one email / URL / IPv4 / phone match (the same RE2-compatible
     * patterns [[TextAnalysis.scrubAll]] masks, so profile-then-scrub is
-    * consistent by construction). One aggregate over one scan — each
-    * detector is a codegen'd `rlike`, no shuffle beyond the final
-    * single-row-per-column rollup. */
+    * consistent by construction). ONE aggregate over ONE scan for ALL
+    * columns — every (column × detector) fraction is an expression in a
+    * single `agg`, each detector a codegen'd `rlike`; the one result row
+    * is then unpivoted driver-side to the per-column report shape (the
+    * unpivot touches cols.length values, never the table). */
   def piiProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "piiProfile: no columns")
     val detectors = Seq(
@@ -184,16 +186,32 @@ object Profile {
       "url" -> "https?://\\S+",
       "ip" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
       "phone" -> "\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b")
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        detectors.map { case (name, re) =>
-          round(sum(when(col(c).rlike(re), 1L).otherwise(0L)).cast("double") /
-            count(lit(1)), 6).as(s"${name}_frac")
-        }: _*)
-        .select(lit(c).as("column"), col("n_rows"),
-          col("email_frac"), col("url_frac"), col("ip_frac"), col("phone_frac"))
-    }.reduce(_ unionByName _)
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      detectors.map { case (name, re) =>
+        round(sum(when(col(c).rlike(re), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as(s"${c}__$name")
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = row.getAs[Long]("n_rows")
+    def frac(n: String): java.lang.Double = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) null else java.lang.Double.valueOf(row.getDouble(i))
+    }
+    val spark = df.sparkSession
+    val out = cols.map { c =>
+      org.apache.spark.sql.Row(c, nRows,
+        frac(s"${c}__email"), frac(s"${c}__url"),
+        frac(s"${c}__ip"), frac(s"${c}__phone"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("email_frac", org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("url_frac", org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("ip_frac", org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("phone_frac", org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
   /** Distribution drift between two corpus versions: the population

@@ -75,9 +75,31 @@ object Release {
       manifest.splits.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${q(k)}:$v" }.mkString(",") +
       s"""},"columns":[${manifest.columns.map(q).mkString(",")}]}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/meta.json"), json)
+    writeTextFile(docs.sparkSession, s"$outDir/meta.json", json)
     manifest
+  }
+
+  /** Small-file write through the session's Hadoop FS layer, so the
+    * release dir can live on ANY filesystem the cluster sees (s3a://,
+    * hdfs://, file://) — the sibling parquet tables already do; a
+    * java.nio local write here would break every non-local outDir. */
+  def writeTextFile(spark: org.apache.spark.sql.SparkSession,
+                    path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Counterpart read for [[writeTextFile]] — same FS resolution. */
+  def readTextFile(spark: org.apache.spark.sql.SparkSession,
+                   path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** Load a published release's drift baseline as the reference side of a

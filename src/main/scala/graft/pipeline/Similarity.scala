@@ -534,15 +534,16 @@ object Similarity {
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
     val meta = s"""{"m":${index.m},"nCodes":${index.nCodes},""" +
       s""""cId":${graft.types.Json.str(index.cId)}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/meta.json"), meta)
+    // through the Hadoop FS layer (not java.nio) so the index dir can
+    // live wherever the parquet tables do — s3a://, hdfs://, file://
+    Release.writeTextFile(index.centroids.sparkSession,
+      s"$path/meta.json", meta)
   }
 
   /** Load a persisted index. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
                 path: String): IvfPqIndex = {
-    val meta = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/meta.json"))
+    val meta = Release.readTextFile(spark, s"$path/meta.json")
     def num(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
     val cId = s""""cId":"([^"]*)"""".r.findFirstMatchIn(meta).get.group(1)

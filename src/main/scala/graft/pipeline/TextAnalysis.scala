@@ -368,6 +368,60 @@ object TextAnalysis {
         round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("lm_score"))
   }
 
+  /** Interpolated Kneser–Ney bigram score per document — the smoothing the
+    * production perplexity filters actually use (KenLM/CCNet lineage):
+    * unlike add-k ([[lmScore]]), KN discounts observed bigrams by a fixed
+    * D and backs the freed mass off to the CONTINUATION unigram
+    * distribution ("how many distinct histories precede w2"), which scores
+    * burstily-repeated tokens far more honestly than raw frequency.
+    *
+    *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1,·)
+    *   Pcont(w2) = N1+(·,w2) / |distinct bigram types|
+    *
+    * Trained on the corpus itself (so every scored bigram is observed and
+    * P > 0 with 0 < D < 1; at 100 TB the count tables would come from a
+    * held-out sample — the plan is identical). Plan shape is lmScore's:
+    * one bigram explode feeds three map-side-combinable count tables
+    * (c(w1,w2); c(w1,·) with distinct-continuation fan-out N1+(w1,·); the
+    * continuation table N1+(·,w2)), which join back onto the scoring
+    * stream as hash equi-joins — AQE broadcasts small LMs, web-scale
+    * vocabularies stay shuffle joins. One scalar (bigram type count) to
+    * the driver. 6dp-rounded logs, decimal sums: bit-deterministic, SQL
+    * oracle replays ranks exactly.
+    *
+    * Returns (idCol, n_bigrams, kn_score); docs with < 2 tokens absent. */
+  def knScore(docs: org.apache.spark.sql.DataFrame, discount: Double = 0.75,
+              idCol: String = "doc_id",
+              textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"knScore: discount=$discount")
+    val toks = filter(split(lower(trim(col(textCol))), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val pairs = docs.select(col(idCol), explode(bind(toks) { ts =>
+        arrays_zip(
+          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))).as("w1"),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))).as("w2"))
+      }).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("n1"),
+      countDistinct(col("w2")).as("nf"))          // c(w1,·), N1+(w1,·)
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("nb")) // N1+(·,w2)
+    val types = c2.count().toDouble                          // |bigram types|
+    val d = discount
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .select(col(idCol),
+        round(log(
+          (greatest(col("n2") - d, lit(0.0)) +
+            lit(d) * col("nf") * (col("nb") / lit(types))) / col("n1")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("kn_score"))
+  }
+
   /** TF-IDF term weights over a corpus: one row per (doc, term) with term
     * frequency, document frequency and tf·ln(N/df), for terms with
     * tf ≥ minTf. df (one row per distinct term) joins back to tf on the

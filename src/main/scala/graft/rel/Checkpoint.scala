@@ -36,5 +36,11 @@ object Checkpoint {
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pin(): DataFrame = Checkpoint.pin(df, eager = true)
     def pinLazy(): DataFrame = Checkpoint.pin(df, eager = false)
+    /** Release a superseded pin's blocks. Iterative operators call this on
+      * round i's frame once round i+1's pin has materialized, so a k-round
+      * loop holds TWO copies of the per-row state, not k, without waiting
+      * on the ContextCleaner. No-op for directory-based reliable
+      * checkpoints (nothing is persisted in block storage there). */
+    def unpin(): Unit = df.unpersist(blocking = false)
   }
 }

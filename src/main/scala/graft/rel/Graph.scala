@@ -28,12 +28,29 @@ import graft.rel.Checkpoint.PinOps
 object Graph {
 
   /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`
-    * string columns; duplicate edges are collapsed). Simple variant:
-    * rank = (1−d)/N + d·Σ rank(in)/outdeg(in); dangling mass is not
-    * redistributed (nodes with no in-edges keep the base term). Returns
-    * (node, pr) with pr rounded to 6dp. */
+    * string columns; duplicate edges are collapsed). Simple variant
+    * (`dangling = false`, the default): rank = (1−d)/N +
+    * d·Σ rank(in)/outdeg(in); dangling mass is not redistributed (nodes
+    * with no in-edges keep the base term), so ranks do NOT sum to 1.
+    *
+    * Canonical variant (`dangling = true`): each iteration also folds the
+    * total rank sitting on out-degree-0 nodes back into every node's base
+    * term — rank = (1−d)/N + d·(Σ rank(in)/outdeg(in) + D/N) where
+    * D = Σ rank(dangling). One extra SCALAR aggregate per iteration over
+    * the node-sized rank vector (a broadcast anti-join marks the dangling
+    * set once, up front) — the edge-sized work is unchanged, and ranks
+    * sum to 1 at every step. The D term is 12dp-rounded like every other
+    * contribution so a SQL oracle replays it bit-for-bit.
+    *
+    * Early termination (`tol > 0`): stops when the L1 delta
+    * Σ|pr_i − pr_{i-1}| (computed on the 12dp values, summed as DECIMAL)
+    * drops below `tol` — one node-sized join per iteration, only the
+    * scalar reaches the driver. `iters` stays the hard cap.
+    *
+    * Returns (node, pr) with pr rounded to 6dp. */
   def pageRank(edges0: DataFrame, iters: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, dangling: Boolean = false,
+               tol: Double = 0.0): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
     val edgesRaw = edges0.select(col("src"), col("dst")).distinct()
     val outdeg = edgesRaw.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -42,13 +59,31 @@ object Graph {
     // artifact
     val edges = edgesRaw.join(outdeg, "src")
       .repartition(col("src")).pin()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().pin()
+    val nodes0 = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    // mark the dangling set once (no out-edges = never appears as src);
+    // per-iteration D is then a flat scalar aggregate, no join
+    val nodes = nodes0.join(edges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .withColumn("dang", lit(true))
+      .unionByName(edges.select(col("src").as("node")).distinct()
+        .withColumn("dang", lit(false)))
+      .pin()
     val n = nodes.count().toDouble
 
     var pr = nodes.withColumn("pr", round(lit(1.0) / n, 12)).pin()
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
+      val base =
+        if (!dangling) lit((1.0 - damping) / n)
+        else {
+          val d = pr.where(col("dang"))
+            .agg(coalesce(sum(round(col("pr"), 12).cast(DecimalType(28, 12))),
+              lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12))))
+            .collect()(0).getDecimal(0).doubleValue()
+          lit((1.0 - damping) / n) + lit(damping) * round(lit(d / n), 12)
+        }
       val contrib = pr.join(edges, pr("node") === edges("src"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12)
@@ -57,13 +92,23 @@ object Graph {
       // pin each iteration: measured FASTER than one deep dag here (the
       // rank vector is node-sized — tiny — while an unpinned tree makes
       // every AQE stage re-optimize the whole accumulated plan)
+      val prev = pr
       pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          round(lit((1.0 - damping)) / n +
-            lit(damping) * coalesce(col("m"), lit(0.0)), 12).as("pr"))
+        .select(col("node"), col("dang"),
+          round(base + lit(damping) * coalesce(col("m"), lit(0.0)), 12)
+            .as("pr"))
         .pin()
+      if (tol > 0.0) {
+        val delta = pr.select(col("node"), col("pr"))
+          .join(prev.select(col("node"), col("pr").as("pp")), "node")
+          .agg(sum(abs(col("pr") - col("pp")).cast(DecimalType(28, 12))))
+          .collect()(0).getDecimal(0).doubleValue()
+        converged = delta < tol
+      }
+      prev.unpin()
       i += 1
     }
-    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+    val out = pr.select(col("node"), round(col("pr"), 6).as("pr"))
+    out
   }
 }

@@ -48,14 +48,22 @@ object DriftStream {
     private val refTot: Map[String, Long] =
       refCounts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     private var acc = Map.empty[(String, String), Long]
+    private var ingestedBatches = Set.empty[Long]
 
     /** Fold one micro-batch into the running profile (one distributed
-      * aggregate per dim; bucket-cardinality rows collected). */
-    def ingest(batch: DataFrame): Unit = synchronized {
+      * aggregate per dim; bucket-cardinality rows collected).
+      * `batchId` makes ingestion idempotent: foreachBatch is
+      * at-least-once (a batch retried after a mid-batch failure or
+      * restart is RE-delivered with the same id), so a replayed batch
+      * must not double-count. Pass a negative id to skip dedup (batch
+      * callers outside a stream). */
+    def ingest(batch: DataFrame, batchId: Long = -1L): Unit = synchronized {
+      if (batchId >= 0L && ingestedBatches.contains(batchId)) return
       bucketCounts(batch, dims).collect().foreach { r =>
         val k = (r.getString(0), r.getString(1))
         acc = acc.updated(k, acc.getOrElse(k, 0L) + r.getLong(2))
       }
+      if (batchId >= 0L) ingestedBatches += batchId
     }
 
     /** Per-bucket PSI of accumulated stream vs reference, over the union
@@ -81,9 +89,10 @@ object DriftStream {
 
   /** Run the monitor over a streaming DataFrame: each micro-batch is
     * ingested and the refreshed report handed to `sink`. The stream
-    * engine stays stateless (foreachBatch); exactly-once ingestion of a
-    * replayed batch is the caller's concern only if the source replays —
-    * with file sources + checkpointLocation, batches are not re-delivered. */
+    * engine stays stateless (foreachBatch); foreachBatch is
+    * AT-LEAST-ONCE (a micro-batch retried after a mid-batch failure or
+    * restart is re-delivered under the same batchId), so the monitor
+    * dedups on batchId inside the closure to keep counts exactly-once. */
   def start(stream: DataFrame, monitor: Monitor,
             sink: Seq[DriftRow] => Unit, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -91,8 +100,8 @@ object DriftStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        monitor.ingest(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        monitor.ingest(batch, batchId)
         sink(monitor.report())
       }
       .start()

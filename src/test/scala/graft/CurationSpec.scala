@@ -190,6 +190,26 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("guarantee not met"), e.getMessage)
   }
 
+  test("topKExact with fewer than k candidates: exact when candidates cover the " +
+    "corpus, loud when decrement cascades dropped items") {
+    import graft.pipeline.Heavy
+    // 3 distinct items < k=5: short top-k is EXACT (everything is a candidate)
+    val tiny = Seq("a", "a", "b", "c").toDF("item").repartition(2)
+    val got = Heavy.topKExact(tiny, "item", k = 5, slack = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq(("a", 2L, 1), ("b", 1L, 2), ("c", 1L, 3)))
+    // 23 singletons through one m=10 summary: items 11 and 22 trigger
+    // decrement-all wipes, leaving ONE candidate — the operator must
+    // refuse the silently-short answer (this skipped the guarantee check
+    // entirely before the round-11 fix)
+    val cascade = (1 to 23).map(i => s"s$i").toDF("item").repartition(1)
+    val e2 = intercept[IllegalArgumentException] {
+      Heavy.topKExact(cascade, "item", k = 5, slack = 2)
+    }
+    assert(e2.getMessage.contains("guarantee not met") &&
+      e2.getMessage.contains("outside the candidate set"), e2.getMessage)
+  }
+
   // ------------------------------------------------------------- release
 
   test("release bundle: data splits, card, pii scan, drift baseline, meta") {
@@ -239,6 +259,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(ps("hub") === 0.675 && ps("a") === 0.0375)
     assert(ps("a") === ps("b") && ps("b") === ps("c"))
+  }
+
+  test("pageRank dangling=true: mass redistributes, ranks sum to 1") {
+    // directed star: hub has no out-edges, so its whole rank is dangling
+    // mass; iter 1: D = 0.25, base = 0.15/4 + 0.85·(0.25/4) = 0.090625,
+    // hub = base + 0.85·(3·0.25) = 0.728125; leaves keep base
+    val star = Seq(("a", "hub"), ("b", "hub"), ("c", "hub")).toDF("src", "dst")
+    val pr = graft.rel.Graph.pageRank(star, iters = 1, dangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") === 0.728125 && pr("a") === 0.090625, pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"ranks must sum to 1: $pr")
+    // simple variant on the same graph leaks the dangling mass (sum < 1)
+    val simple = graft.rel.Graph.pageRank(star, iters = 1)
+      .collect().map(_.getDouble(1)).sum
+    assert(simple < 1.0 - 1e-6)
+  }
+
+  test("pageRank tol: a stationary distribution stops the iteration early") {
+    // 2-cycle is stationary from iter 1 → L1 delta 0 < tol; with the cap
+    // at 50 this returns promptly and exactly
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val pr = graft.rel.Graph.pageRank(cycle, iters = 50, tol = 1e-9)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pr === Map("a" -> 0.5, "b" -> 0.5))
+    // 50 pinned iterations of even a 2-node graph take far longer than 2
+    assert(secs < 30.0, s"early termination did not kick in ($secs s)")
   }
 
   // ------------------------------------------------------ adaptive floor

@@ -698,6 +698,81 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == 3 && r(2L) == 3, s"wrong shared-window count: $r")
   }
 
+  test("spanRebuild: first occurrence survives intact, later copy loses the span, " +
+    "non-dup docs reconstruct byte-identical") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared"),               // FIRST global occurrence
+      (2L, s"$shared gamma delta epsilon zeta"), // later copy — span dropped
+      (3L, "entirely different words " + (1 to 10).map(i => s"other$i").mkString(" ")),
+      (4L, "Short  Doc   With   Weird Spacing") // < 8 tokens: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRebuild(docs, spanTokens = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    // reconstruction law: docs without duplicated windows rebuild to their
+    // normalized (lowercased, whitespace-collapsed) text verbatim
+    assert(out(1L) === ((12L, 0L, s"alpha beta $shared")))
+    assert(out(3L)._2 === 0L &&
+      out(3L)._3 === "entirely different words " + (1 to 10).map(i => s"other$i").mkString(" "))
+    assert(out(4L) === ((5L, 0L, "short doc with weird spacing")))
+    // the later copy drops exactly the covered token range: windows 1..3
+    // (the shared 10 tokens) → tokens 1..10 dropped, tail survives
+    assert(out(2L)._1 === 14L && out(2L)._2 === 10L)
+    assert(out(2L)._3 === "gamma delta epsilon zeta", out(2L)._3)
+  }
+
+  test("bm25: tf/length saturation ranks correctly; ranks dense per query; " +
+    "tie breaks by ascending doc id") {
+    import spark.implicits._
+    import graft.pipeline.Retrieval
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "banana cherry date"),
+      (4L, "apple banana")      // exact dup of 1 → same score, id tie-break
+    ).toDF("doc_id", "text")
+    val probes = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25(docs, probes, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // doc 2 has tf=2 (higher even after length normalization); docs 1 and
+    // 4 are identical → identical score, ascending-id tie-break
+    assert(got.map(_._1).toSeq === Seq(2L, 1L, 4L), got.mkString(", "))
+    assert(got(1)._2 === got(2)._2)
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3))
+    // hand check: N=4, avgdl=2.5, df(apple)=3 → idf=ln((4−3+0.5)/3.5+1)
+    val idf = math.log((4.0 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    val w2 = BigDecimal(idf * (2 * (1.2 + 1.0)) /
+        (2 + 1.2 * (0.25 + 0.75 * (3 / 2.5))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._2 === w2, s"got ${got(0)._2} want $w2")
+  }
+
+  test("knScore: hand-computed interpolated Kneser–Ney on 'a b a b'") {
+    import spark.implicits._
+    val out = TextAnalysis.knScore(Seq((1L, "a b a b")).toDF("doc_id", "text"))
+      .collect()(0)
+    // c2: (a,b)=2,(b,a)=1; c(a)=2 nf(a)=1; c(b)=1 nf(b)=1; Pcont=1/2 each;
+    // P(b|a)=(1.25+0.375)/2=0.8125, P(a|b)=0.25+0.375=0.625
+    // lps: ln(.8125)→-0.207639 ×2, ln(.625)→-0.470004; mean=-0.295094
+    assert(out.getAs[Long]("n_bigrams") === 3L)
+    assert(out.getAs[Double]("kn_score") === -0.295094, out.toString)
+  }
+
+  test("spanRebuild: intra-doc repeated span — second occurrence dropped by the " +
+    "same global-first rule") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, s"$span middle filler words $span")).toDF("doc_id", "text")
+    val out = Dedup.spanRebuild(docs, spanTokens = 8).collect()(0)
+    // tokens: 8 span + 3 filler + 8 span = 19; second span occurrence
+    // (positions 12..19) is a non-owner window → 8 tokens dropped
+    assert(out.getLong(1) === 19L && out.getLong(2) === 8L)
+    assert(out.getString(3) === s"$span middle filler words")
+  }
+
   test("BloomContains: zero false negatives; bloom decontamination equals the exact path") {
     import spark.implicits._
     val members = (1L to 1000L).map(_ * 7919L)

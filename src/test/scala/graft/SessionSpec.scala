@@ -24,6 +24,24 @@ class SessionSpec extends SparkSpec {
     assert(viaSql.count() === 3)
   }
 
+  test("driver-tier relation lift refuses past spark.graft.maxDriverRelRows") {
+    import graft.lang.AndlValues
+    import AndlValues.{RelV, TText}
+    val rel = graft.rel.Rel.distinct {
+      import spark.implicits._
+      (1 to 10).map(i => f"row$i%02d").toDF("A")
+    }
+    val v = RelV(Seq("A" -> TText), rel)
+    spark.conf.set("spark.graft.maxDriverRelRows", "5")
+    try {
+      val e = intercept[RuntimeException](AndlValues.toSpark(v))
+      assert(e.getMessage.contains("spark.graft.maxDriverRelRows"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.maxDriverRelRows")
+    // under the default cap the same lift succeeds
+    val lifted = AndlValues.toSpark(v).asInstanceOf[Seq[Any]]
+    assert(lifted.size === 10)
+  }
+
   test("JSON verbs: setValueJson/getValueJson round-trip (Gateway.cs JsonCall)") {
     val ses = Session.open(spark)
     // inbound payload, schema inferred

@@ -181,6 +181,22 @@ class StreamingSpec extends SparkSpec {
     assert(self.totals().values.forall(_ === 0.0), self.totals().toString)
   }
 
+  test("drift monitor is exactly-once under foreachBatch replay (same batchId " +
+    "re-delivered after a mid-batch failure must not double-count)") {
+    import graft.streaming.DriftStream
+    val ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dims = Seq("lang" -> col("lang"))
+    val mon = new DriftStream.Monitor(ref, dims)
+    mon.ingest(ref, batchId = 0L)
+    val once = mon.report()
+    // foreachBatch is at-least-once: replaying batch 0 is a no-op
+    mon.ingest(ref, batchId = 0L)
+    assert(mon.report() === once, "replayed batchId double-counted")
+    // a genuinely new batch still folds in
+    mon.ingest(ref, batchId = 1L)
+    assert(mon.report().map(_.nStream).sum === 2 * once.map(_.nStream).sum)
+  }
+
   test("incremental index maintenance: batch 2 matches dups planted against batch 1") {
     import graft.streaming.DocStream
     implicit val sq = spark.sqlContext
@@ -243,6 +259,71 @@ class StreamingSpec extends SparkSpec {
       val batch = Queries.qEventsHour(spark, dir).collect().map(key).toSet
       assert(streamed.nonEmpty && streamed === batch)
     } finally q.stop()
+  }
+
+  test("fault injection: crash between offset log and commit log replays the " +
+    "batch, file sink stays exactly-once vs the batch plan") {
+    // the round-9 incident class: a query dies mid-batch and the restart
+    // RE-DELIVERS the batch. The crash window that matters is after the
+    // offset log records batch 0 but before the commit log does — on
+    // restart the engine re-executes batch 0, and the FileStreamSink's own
+    // transaction log must refuse the duplicate write. Injected here by
+    // deleting checkpoint/commits/0 after a clean run (byte-identical to
+    // dying at that point), then restarting against the same sink.
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val src = java.nio.file.Files.createTempDirectory("fi-src").toString
+    val out = java.nio.file.Files.createTempDirectory("fi-out").toString + "/sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("fi-ckpt").toString
+    // stage inputs as top-level single files (the file source lists the
+    // directory's leaves, not nested non-partition subdirs)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("fi-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    stage(events.where(col("event_id") % 2 === 0), "part1")
+
+    def run(): Unit = {
+      val q = EventStream.fromParquetDir(spark, src)
+        .where(col("value") > 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // AvailableNow termination races the checkpoint-path lock release;
+      // a restart before deregistration trips the "multiple streaming
+      // queries concurrently using <ckpt>" guard — wait it out
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    run()
+    val afterBatch0 = spark.read.parquet(out).count()
+    assert(afterBatch0 > 0)
+    // crash injection: offsets/0 exists, commits/0 vanishes (including the
+    // local-FS checksum sidecar — a lost commit loses both)
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0), "commit log layout moved")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    // more input arrives while "down"
+    stage(events.where(col("event_id") % 2 =!= 0), "part2")
+    run() // restart: re-executes batch 0 (re-delivery), then batch 1
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sorted.toSeq
+    val want = graft.sources.Sources.nanosTsToMicros(
+        spark.read.schema(spark.read.parquet(src).schema).parquet(src))
+      .where(col("value") > 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got === want, "file sink not exactly-once under batch re-delivery")
   }
 
   test("stateless corpus ops (scrub, quality, split, weighted sample) run unchanged on a doc stream") {
