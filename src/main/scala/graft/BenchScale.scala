@@ -239,6 +239,35 @@ object BenchScale {
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))),
         iters = 3).count()
     run("pagerank", pr(prEdges(1)), pr(prEdges(mult)))
+    // span removal: replication makes EVERY window a cross-doc duplicate,
+    // so the drop-position explode (the ×spanTokens stage that normally
+    // touches only the dup mass) sees its absolute worst case — the whole
+    // corpus is dup mass; owner election itself stays map-side combinable
+    run("span_rebuild",
+      Dedup.spanRebuild(docs1).count(),
+      Dedup.spanRebuild(scaleDocs(mult)).count())
+    // BM25 with a FIXED probe set against a growing corpus (queries don't
+    // grow with training data): the broadcast query-term filter must keep
+    // scoring candidate-sized — only tf building scales with rows
+    val probes = spark.range(1).select(lit(1L).as("query_id"),
+        lit("spark hash join").as("qtext"))
+      .unionByName(spark.range(1).select(lit(2L).as("query_id"),
+        lit("window agg stream").as("qtext")))
+    run("bm25",
+      graft.pipeline.Retrieval.bm25(docs1, probes, k = 10).count(),
+      graft.pipeline.Retrieval.bm25(scaleDocs(mult), probes, k = 10).count())
+    // KN scoring: same two-table-join shape as lm_score; replication
+    // multiplies counts, not the vocabulary, so the model tables are fixed
+    run("kn_score",
+      TextAnalysis.knScore(docs1).count(),
+      TextAnalysis.knScore(scaleDocs(mult)).count())
+    // DSIR with a FIXED target against a growing raw corpus: both bucket
+    // models are ≤ B rows regardless of load; only the gram explode and
+    // the (doc, bucket) count scale
+    val dsirTarget = docs1.where(col("lang") === "fr").localCheckpoint()
+    run("dsir",
+      graft.pipeline.Selection.dsirWeights(docs1, dsirTarget).count(),
+      graft.pipeline.Selection.dsirWeights(scaleDocs(mult), dsirTarget).count())
     spark.stop()
   }
 }

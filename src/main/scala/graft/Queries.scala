@@ -1910,6 +1910,43 @@ object Queries {
   def qKnScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.knScore(t(s, dir, "documents").bagDF)
 
+  /** DSIR data selection ([[graft.pipeline.Selection.dsirSelect]],
+    * arXiv:2302.03169): the French-labeled slice is the target
+    * distribution, the whole corpus is raw; top-50 docs by hashed-n-gram
+    * importance log-weight. The oracle replays gram hashing, both add-λ
+    * bucket models, the decimal-summed log-ratio, and the ranking. */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    graft.pipeline.Selection.dsirSelect(
+      docs, docs.where(col("lang") === "fr"), n = 50)
+  }
+
+  /** Quality-classifier contract ([[graft.pipeline.Classifier]] — the
+    * fasttext-style hashed-n-gram logistic filter): trains on a label the
+    * features fully determine (doc mentions "spark"), then asserts the
+    * three properties that make a distributed trainer trustworthy:
+    * training accuracy ≥ 0.9 (the signal is learnable and learned),
+    * per-iteration log-loss non-increasing (the GD actually descends),
+    * and bit-identical models under repartitioning (the decimal dot
+    * products make training order-free). Contract row, oracle-style
+    * `SELECT true …` like q_compress_check. */
+  def qQualityClfCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Classifier
+    val docs = t(s, dir, "documents").bagDF
+    val label = col("text").contains("spark")
+    val (model, losses) = Classifier.trainLogistic(docs, label, iters = 15, buckets = 4096)
+    val joined = Classifier.predict(docs, model)
+      .join(docs.select(col("doc_id"), label.as("y")), "doc_id")
+    val acc = joined.where(col("pred") === col("y")).count().toDouble /
+      math.max(joined.count(), 1L)
+    val monotone = losses.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-9)
+    val (m1, _) = Classifier.trainLogistic(docs, label, iters = 3, buckets = 4096)
+    val (m2, _) = Classifier.trainLogistic(docs.repartition(13), label, iters = 3, buckets = 4096)
+    Seq((acc >= 0.9, monotone, m1 == m2))
+      .toDF("ok_acc", "ok_loss_monotone", "ok_deterministic")
+  }
+
   /** LIVE JDBC import (DataSourceSql.cs:29-80): the supplier table is
     * round-tripped through an embedded Derby database — a DISTRIBUTED
     * `df.write.jdbc` populates it (no driver-side loop), then
@@ -2080,7 +2117,8 @@ object Queries {
     "q_pagerank" -> qPagerank, "q_top_ngrams" -> qTopNgrams,
     "q_pagerank_full" -> qPagerankFull, "q_span_rebuild" -> qSpanRebuild,
     "q_import_jdbc" -> qImportJdbc,
-    "q_bm25" -> qBm25, "q_kn_score" -> qKnScore)
+    "q_bm25" -> qBm25, "q_kn_score" -> qKnScore, "q_dsir" -> qDsir,
+    "q_quality_clf_check" -> qQualityClfCheck)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3264,5 +3302,35 @@ object Queries {
       "JOIN cont USING (w2), ty) " +
       "SELECT doc_id, count(*) AS n_bigrams, " +
       "round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS kn_score " +
-      "FROM sc GROUP BY doc_id"))
+      "FROM sc GROUP BY doc_id"),
+
+    // DSIR replay: unigram+bigram md5 buckets, add-1 smoothed target/raw
+    // models, decimal-summed 6dp log-ratios, top-50 ranking
+    "q_dsir" -> ("WITH dt AS (SELECT doc_id, lang, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "g AS (SELECT doc_id, lang, unnest(list_concat(ts, " +
+      "[ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS g FROM dt), " +
+      "gb AS (SELECT doc_id, lang, " +
+      "CAST('0x' || substring(md5(g), 1, 4) AS INTEGER) % 512 AS bucket FROM g), " +
+      "tc AS (SELECT bucket, count(*) AS ct FROM gb WHERE lang = 'fr' GROUP BY 1), " +
+      "tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) + 512.0 AS den FROM tc), " +
+      "rc AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY 1), " +
+      "rt AS (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) + 512.0 AS den FROM rc), " +
+      "db AS (SELECT doc_id, bucket, count(*) AS n FROM gb GROUP BY 1, 2), " +
+      "w AS (SELECT doc_id, n, CAST(" +
+      "round(ln((coalesce(ct, 0) + 1.0) / tt.den), 6) - " +
+      "round(ln((coalesce(cr, 0) + 1.0) / rt.den), 6) AS DECIMAL(18,6)) * n AS w " +
+      "FROM db LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt), " +
+      "sw AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams, " +
+      "round(CAST(sum(w) AS DOUBLE), 6) AS dsir_logw FROM w GROUP BY 1), " +
+      "r AS (SELECT doc_id, n_grams, dsir_logw, row_number() OVER " +
+      "(ORDER BY dsir_logw DESC, doc_id) AS rank FROM sw) " +
+      "SELECT doc_id, n_grams, dsir_logw, CAST(rank AS INTEGER) AS rank " +
+      "FROM r WHERE rank <= 50"),
+
+    // contract row (the assertions run inside the query, q_compress_check
+    // style): learnability, descent, and partitioning-invariant training
+    "q_quality_clf_check" -> ("SELECT true AS ok_acc, " +
+      "true AS ok_loss_monotone, true AS ok_deterministic"))
 }

@@ -177,8 +177,8 @@ object Profile {
     * consistent by construction). ONE aggregate over ONE scan for ALL
     * columns — every (column × detector) fraction is an expression in a
     * single `agg`, each detector a codegen'd `rlike`; the one result row
-    * is then unpivoted driver-side to the per-column report shape (the
-    * unpivot touches cols.length values, never the table). */
+    * unpivots to the per-column report shape INSIDE the plan (an explode
+    * of cols.length structs — no driver round trip, one job). */
   def piiProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "piiProfile: no columns")
     val detectors = Seq(
@@ -192,26 +192,16 @@ object Profile {
           count(lit(1)), 6).as(s"${c}__$name")
       }
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val nRows = row.getAs[Long]("n_rows")
-    def frac(n: String): java.lang.Double = {
-      val i = row.fieldIndex(n)
-      if (row.isNullAt(i)) null else java.lang.Double.valueOf(row.getDouble(i))
-    }
-    val spark = df.sparkSession
-    val out = cols.map { c =>
-      org.apache.spark.sql.Row(c, nRows,
-        frac(s"${c}__email"), frac(s"${c}__url"),
-        frac(s"${c}__ip"), frac(s"${c}__phone"))
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("email_frac", org.apache.spark.sql.types.DoubleType, nullable = true),
-        org.apache.spark.sql.types.StructField("url_frac", org.apache.spark.sql.types.DoubleType, nullable = true),
-        org.apache.spark.sql.types.StructField("ip_frac", org.apache.spark.sql.types.DoubleType, nullable = true),
-        org.apache.spark.sql.types.StructField("phone_frac", org.apache.spark.sql.types.DoubleType, nullable = true))))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("n_rows"),
+          col(s"${c}__email").as("email_frac"),
+          col(s"${c}__url").as("url_frac"),
+          col(s"${c}__ip").as("ip_frac"),
+          col(s"${c}__phone").as("phone_frac"))
+      }: _*)).as("r"))
+      .select(col("r.column"), col("r.n_rows"), col("r.email_frac"),
+        col("r.url_frac"), col("r.ip_frac"), col("r.phone_frac"))
   }
 
   /** Distribution drift between two corpus versions: the population

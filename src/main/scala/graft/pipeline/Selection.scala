@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** Data selection via importance resampling — DSIR (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169): score every raw-corpus document by how much more
+  * likely its hashed n-gram bag is under a TARGET distribution (the data
+  * you wish you had more of — a curated corpus, an eval domain) than under
+  * the RAW distribution, then keep the top of the ranking. The importance
+  * log-weight of doc x is
+  *
+  *   log w(x) = Σ_{g ∈ grams(x)} [ ln p_target(h(g)) − ln p_raw(h(g)) ]
+  *
+  * with grams = unigrams + bigrams, h = a B-bucket feature hash (the
+  * paper's hashed generative model), and each bucket model add-λ smoothed:
+  * p(b) = (c_b + λ)/(C + λB).
+  *
+  * Scale shape: the ONLY corpus-sized work is the gram explode and one
+  * (doc, bucket) count aggregation (map-side combinable). Both bucket
+  * models are ≤ B rows — BROADCAST — so scoring is a narrow map-side join
+  * over the doc-bucket counts; nothing doc×target ever forms. Selection is
+  * a bounded TakeOrdered (top-n), not a global sort.
+  *
+  * Determinism: per-bucket log-ratios are 6dp-rounded and the per-doc sum
+  * runs in DECIMAL (the lmScore discipline), so scores and ranks replay
+  * bit-for-bit in a SQL oracle; the feature hash is the same md5 bucket
+  * as [[Sampling.hashBucket]] — engine-portable, partitioning-invariant. */
+object Selection {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(trim(c)), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Unigram + bigram stream: one row per gram OCCURRENCE. */
+  private def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = toks(col(textCol))
+    df.select(col(idCol).as("doc_id"), ts.as("__t"))
+      .select(col("doc_id"), explode(concat(col("__t"),
+        zip_with(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)))).as("g"))
+  }
+
+  /** Per-bucket smoothed log-probability table for one corpus:
+    * (bucket, lp). ≤ `buckets` rows. */
+  private def bucketModel(df: DataFrame, buckets: Int, lambda: Double,
+                          idCol: String, textCol: String): (DataFrame, Long) = {
+    val g = grams(df, idCol, textCol)
+      .select(Sampling.hashBucket(col("g"), buckets).as("bucket"))
+    val counts = g.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    (counts, total)
+  }
+
+  /** DSIR importance log-weights for every raw doc with ≥ 1 gram:
+    * (doc_id, n_grams, dsir_logw). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 512,
+                  lambda: Double = 1.0, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && lambda > 0.0, s"dsir: buckets=$buckets lambda=$lambda")
+    val (tc, tTot) = bucketModel(target, buckets, lambda, idCol, textCol)
+    val (rc, rTot) = bucketModel(raw, buckets, lambda, idCol, textCol)
+    val tDen = tTot.toDouble + lambda * buckets
+    val rDen = rTot.toDouble + lambda * buckets
+
+    val docBuckets = grams(raw, idCol, textCol)
+      .select(col("doc_id"), Sampling.hashBucket(col("g"), buckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+    docBuckets
+      .join(broadcast(tc.withColumnRenamed("c", "ct")), Seq("bucket"), "left")
+      .join(broadcast(rc.withColumnRenamed("c", "cr")), Seq("bucket"), "left")
+      .select(col("doc_id"), col("n"),
+        ((round(log((coalesce(col("ct"), lit(0L)) + lambda) / lit(tDen)), 6) -
+          round(log((coalesce(col("cr"), lit(0L)) + lambda) / lit(rDen)), 6))
+          .cast(DecimalType(18, 6)) * col("n")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_grams"),
+        round(sum(col("w")).cast("double"), 6).as("dsir_logw"))
+  }
+
+  /** Top-`n` raw docs by importance weight (desc, doc_id asc tie-break),
+    * with 1-based rank — the deterministic "take the most target-like
+    * slice" selection (the paper's Gumbel resampling variant adds
+    * per-doc noise before the same top-n; plug it in via a noise column
+    * if proportional-without-replacement sampling is wanted). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
+                 buckets: Int = 512, lambda: Double = 1.0,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = raw.sparkSession
+    val top = dsirWeights(raw, target, buckets, lambda, idCol, textCol)
+      .orderBy(desc("dsir_logw"), asc("doc_id")).limit(n)  // TakeOrdered
+      .collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(top.zipWithIndex.map { case (r, i) =>
+        Row(r.getLong(0), r.getLong(1), r.getDouble(2), i + 1)
+      }.toSeq, 1),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_grams", LongType, nullable = false),
+        StructField("dsir_logw", DoubleType, nullable = false),
+        StructField("rank", IntegerType, nullable = false))))
+  }
+}

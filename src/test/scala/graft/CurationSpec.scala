@@ -244,6 +244,49 @@ class CurationSpec extends SparkSpec {
     assert(meta.contains(s""""rows":${m.rows}""") && meta.contains(""""doc_id""""))
   }
 
+  test("logistic classifier: separable planted labels reach accuracy 1, loss " +
+    "descends, training is partitioning-invariant") {
+    import graft.pipeline.Classifier
+    val good = (1L to 12L).map(i =>
+      (i, s"clean prose sentence number $i with informative words", 1))
+    val bad = (13L to 24L).map(i =>
+      (i, s"zzz spam garbage casino pills $i click buy now", 0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "label")
+    val (model, losses) = Classifier.trainLogistic(docs, col("label") === 1,
+      iters = 12)
+    // descent certificate
+    assert(losses.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-9),
+      losses.toString)
+    // separable vocabularies → training accuracy 1
+    val pred = Classifier.predict(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((1L to 12L).forall(pred(_)), pred.toString)
+    assert((13L to 24L).forall(!pred(_)), pred.toString)
+    // decimal dot products: identical model from a reshuffled corpus
+    val (m2, l2) = Classifier.trainLogistic(docs.repartition(7),
+      col("label") === 1, iters = 12)
+    assert(m2 === model && l2 === losses)
+  }
+
+  test("dsirSelect: docs matching the planted target vocabulary outrank the rest") {
+    import graft.pipeline.Selection
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val vocabB = Seq("zork", "quux", "fnord", "blarg", "wibble")
+    def doc(id: Long, vocab: Seq[String]): (Long, String) =
+      id -> (0 until 12).map(i => vocab((i + id.toInt) % vocab.size)).mkString(" ")
+    val raw = ((1L to 10L).map(doc(_, vocabA)) ++ (11L to 20L).map(doc(_, vocabB)))
+      .toDF("doc_id", "text")
+    val target = (101L to 103L).map(doc(_, vocabA)).toDF("doc_id", "text")
+    val top = Selection.dsirSelect(raw, target, n = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(top.map(_._1).forall(_ <= 10L), s"non-target-like doc selected: ${top.toSeq}")
+    assert(top.map(_._3).toSeq === (1 to 5), "ranks must be dense 1-based")
+    // full separation: every A-doc weight strictly above every B-doc weight
+    val all = Selection.dsirWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(all.filter(_._1 <= 10).values.min > all.filter(_._1 > 10).values.max)
+  }
+
   // ------------------------------------------------------------ pagerank
 
   test("pageRank: 2-cycle is stationary at 0.5; star centre dominates") {
