@@ -1947,6 +1947,45 @@ object Queries {
       .toDF("ok_acc", "ok_loss_monotone", "ok_deterministic")
   }
 
+  /** DSIR Gumbel-max RESAMPLING ([[graft.pipeline.Selection.dsirSample]]):
+    * proportional-to-weight selection without replacement via
+    * content-hash Gumbel noise — deterministic, so the oracle replays the
+    * noise, the perturbed keys, and the ranking exactly. */
+  def qDsirSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    graft.pipeline.Selection.dsirSample(
+      docs, docs.where(col("lang") === "fr"), n = 50)
+  }
+
+  /** Precision/recall curve ([[Profile.prCurve]]) of a deterministic
+    * length score against a "mentions spark" label at four cutoffs — the
+    * filter-threshold report; oracle replays every counter and the
+    * rounded p/r/f1 math. */
+  def qPrCurve(s: SparkSession, dir: String): DataFrame =
+    Profile.prCurve(t(s, dir, "documents").bagDF,
+      least(col("n_chars").cast("double") / 500.0, lit(1.0)),
+      col("text").contains("spark"),
+      Seq(0.2, 0.4, 0.6, 0.8))
+
+  /** Small-file compaction contract ([[graft.sources.Layout.compact]]):
+    * fragment the documents table into 64 tiny parquet files, compact to
+    * byte-targeted output, and assert the three invariants a table
+    * OPTIMIZE must never break — fewer files, identical row count, and
+    * bag-identical data (exceptAll both ways empty). Contract row. */
+  def qCompactCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").bagDF
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/in")
+    val (before, after, rows) = graft.sources.Layout.compact(
+      s, s"$tmp/in", s"$tmp/out", targetFileBytes = 64L << 20)
+    val a = s.read.parquet(s"$tmp/in")
+    val b = s.read.parquet(s"$tmp/out")
+    val identical = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    Seq((before >= 64L, after < before, rows == docs.count(), identical))
+      .toDF("ok_fragmented", "ok_fewer_files", "ok_rows", "ok_identical")
+  }
+
   /** LIVE JDBC import (DataSourceSql.cs:29-80): the supplier table is
     * round-tripped through an embedded Derby database — a DISTRIBUTED
     * `df.write.jdbc` populates it (no driver-side loop), then
@@ -2118,7 +2157,8 @@ object Queries {
     "q_pagerank_full" -> qPagerankFull, "q_span_rebuild" -> qSpanRebuild,
     "q_import_jdbc" -> qImportJdbc,
     "q_bm25" -> qBm25, "q_kn_score" -> qKnScore, "q_dsir" -> qDsir,
-    "q_quality_clf_check" -> qQualityClfCheck)
+    "q_quality_clf_check" -> qQualityClfCheck, "q_pr_curve" -> qPrCurve,
+    "q_compact_check" -> qCompactCheck, "q_dsir_sample" -> qDsirSample)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3329,8 +3369,57 @@ object Queries {
       "SELECT doc_id, n_grams, dsir_logw, CAST(rank AS INTEGER) AS rank " +
       "FROM r WHERE rank <= 50"),
 
+    // same model chain as q_dsir, then the content-hash Gumbel perturbation
+    "q_dsir_sample" -> ("WITH dt AS (SELECT doc_id, lang, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "g AS (SELECT doc_id, lang, unnest(list_concat(ts, " +
+      "[ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS g FROM dt), " +
+      "gb AS (SELECT doc_id, lang, " +
+      "CAST('0x' || substring(md5(g), 1, 4) AS INTEGER) % 512 AS bucket FROM g), " +
+      "tc AS (SELECT bucket, count(*) AS ct FROM gb WHERE lang = 'fr' GROUP BY 1), " +
+      "tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) + 512.0 AS den FROM tc), " +
+      "rc AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY 1), " +
+      "rt AS (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) + 512.0 AS den FROM rc), " +
+      "db AS (SELECT doc_id, bucket, count(*) AS n FROM gb GROUP BY 1, 2), " +
+      "w AS (SELECT doc_id, n, CAST(" +
+      "round(ln((coalesce(ct, 0) + 1.0) / tt.den), 6) - " +
+      "round(ln((coalesce(cr, 0) + 1.0) / rt.den), 6) AS DECIMAL(18,6)) * n AS w " +
+      "FROM db LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt), " +
+      "sw AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams, " +
+      "round(CAST(sum(w) AS DOUBLE), 6) AS dsir_logw FROM w GROUP BY 1), " +
+      "k AS (SELECT doc_id, n_grams, dsir_logw, " +
+      "round(dsir_logw - ln(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) AS key " +
+      "FROM sw), " +
+      "r AS (SELECT doc_id, n_grams, dsir_logw, key, row_number() OVER " +
+      "(ORDER BY key DESC, doc_id) AS rank FROM k) " +
+      "SELECT doc_id, n_grams, dsir_logw, key, CAST(rank AS INTEGER) AS rank " +
+      "FROM r WHERE rank <= 50"),
+
     // contract row (the assertions run inside the query, q_compress_check
     // style): learnability, descent, and partitioning-invariant training
     "q_quality_clf_check" -> ("SELECT true AS ok_acc, " +
-      "true AS ok_loss_monotone, true AS ok_deterministic"))
+      "true AS ok_loss_monotone, true AS ok_deterministic"),
+
+    // fragmentation/compaction invariants run inside the query
+    "q_compact_check" -> ("SELECT true AS ok_fragmented, true AS ok_fewer_files, " +
+      "true AS ok_rows, true AS ok_identical"),
+
+    // every counter + the rounded p/r/f1 math replayed per threshold
+    "q_pr_curve" -> ("WITH s AS (SELECT least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS score, " +
+      "(text LIKE '%spark%') AS y FROM documents), " +
+      "t(thr) AS (SELECT CAST(v AS DOUBLE) FROM (VALUES (0.2), (0.4), (0.6), (0.8)) x(v)), " +
+      "c AS (SELECT thr, " +
+      "CAST(sum(CASE WHEN score >= thr AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN score >= thr AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN score < thr AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn " +
+      "FROM s, t GROUP BY thr), " +
+      "pr AS (SELECT thr, tp, fp, fn, " +
+      "CASE WHEN tp + fp = 0 THEN 0.0 ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision, " +
+      "CASE WHEN tp + fn = 0 THEN 0.0 ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall " +
+      "FROM c) " +
+      "SELECT thr, tp, fp, fn, precision, recall, " +
+      "CASE WHEN precision + recall = 0.0 THEN 0.0 " +
+      "ELSE round(2.0 * precision * recall / (precision + recall), 6) END AS f1 " +
+      "FROM pr"))
 }

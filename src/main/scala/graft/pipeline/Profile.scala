@@ -159,6 +159,41 @@ object Profile {
     * pre-join skew report. Deterministic under ties (count desc, key asc).
     * `key` must be a simple column or expression; the output names it
     * `key`. */
+  /** Precision/recall curve of a score column against a boolean label at
+    * fixed thresholds — the "where do I set the quality-filter cutoff"
+    * report every classifier-gated pipeline needs before it throws data
+    * away. ONE scan: every (threshold × {tp, fp, fn}) counter is an
+    * expression in a single aggregate, and the one result row unpivots to
+    * per-threshold rows inside the plan (explode of structs — the
+    * [[piiProfile]] shape, zero driver hops). precision/recall are
+    * 6dp-rounded; f1 is computed FROM the rounded p/r (so a SQL oracle
+    * replays all three bit-for-bit). Thresholds apply as score ≥ t. */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve: no thresholds")
+    val aggs: Seq[Column] = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(score >= t && label, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(score >= t && !label, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(score < t && label, 1L).otherwise(0L)).as(s"fn_$i"))
+    }
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0))
+        .otherwise(round(num.cast("double") / den, 6))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        val (tp, fp, fn) = (col(s"tp_$i"), col(s"fp_$i"), col(s"fn_$i"))
+        val p = ratio(tp, tp + fp)
+        val r = ratio(tp, tp + fn)
+        struct(lit(t).as("thr"), tp.as("tp"), fp.as("fp"), fn.as("fn"),
+          p.as("precision"), r.as("recall"),
+          when(p + r === 0.0, lit(0.0))
+            .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+      }: _*)).as("r"))
+      .select(col("r.thr"), col("r.tp"), col("r.fp"), col("r.fn"),
+        col("r.precision"), col("r.recall"), col("r.f1"))
+  }
+
   def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("__tot"))

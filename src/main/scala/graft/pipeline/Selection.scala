@@ -81,11 +81,40 @@ object Selection {
         round(sum(col("w")).cast("double"), 6).as("dsir_logw"))
   }
 
+  /** Gumbel-max importance RESAMPLING — the paper's actual selection mode:
+    * draw n docs WITHOUT replacement with probability ∝ exp(logw) by
+    * taking the top n of logw + Gumbel(0,1) noise (the Gumbel-max trick).
+    * The "noise" is content-hash derived (md5 of the doc id → uniform in
+    * (0,1) → −ln(−ln u)), so the sample is DETERMINISTIC, partitioning-
+    * invariant, and SQL-replayable — rerunning the pipeline reselects the
+    * same docs, and growing the corpus only perturbs selection where
+    * weights actually compete. Output (doc_id, n_grams, dsir_logw, key,
+    * rank) ranked by the perturbed key. */
+  def dsirSample(raw: DataFrame, target: DataFrame, n: Int,
+                 buckets: Int = 512, lambda: Double = 1.0,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = raw.sparkSession
+    // uniform in (0,1): 8 md5 hex chars → [0, 2^32), then (x+0.5)/2^32
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / lit(4294967296.0)
+    val keyed = dsirWeights(raw, target, buckets, lambda, idCol, textCol)
+      .withColumn("key", round(col("dsir_logw") - log(-log(u)), 6))
+    val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(n).collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(top.zipWithIndex.map { case (r, i) =>
+        Row(r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), i + 1)
+      }.toSeq, 1),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_grams", LongType, nullable = false),
+        StructField("dsir_logw", DoubleType, nullable = false),
+        StructField("key", DoubleType, nullable = false),
+        StructField("rank", IntegerType, nullable = false))))
+  }
+
   /** Top-`n` raw docs by importance weight (desc, doc_id asc tie-break),
     * with 1-based rank — the deterministic "take the most target-like
-    * slice" selection (the paper's Gumbel resampling variant adds
-    * per-doc noise before the same top-n; plug it in via a noise column
-    * if proportional-without-replacement sampling is wanted). */
+    * slice" selection; [[dsirSample]] is the proportional variant. */
   def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
                  buckets: Int = 512, lambda: Double = 1.0,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

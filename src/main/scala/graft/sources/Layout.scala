@@ -84,4 +84,38 @@ object Layout {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
   }
+
+  /** Small-file compaction — the `OPTIMIZE` primitive every long-lived
+    * table needs: streaming ingests, per-batch writers, and fine-grained
+    * partitioning all accrete kilobyte parquet files whose open/footer
+    * cost eventually dominates scans (the classic small-file problem).
+    * Rewrites `inDir` into ceil(bytes/targetFileBytes) files (actual
+    * on-disk bytes, not row counts — the statistic that matters for
+    * scan cost), optionally sorted within each output file so min/max
+    * row-group pruning keeps working after the rewrite.
+    *
+    * Scale shape: ONE round-robin exchange (or a range exchange when
+    * `sortBy` is given — identical cost to the zorderArrange writer).
+    * Writes to `outDir` (write-then-swap is the caller's move; compaction
+    * must never destroy its input on failure). Returns
+    * (filesBefore, filesAfter, rows). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[Column] = Nil): (Long, Long, Long) = {
+    require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(inPath).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val arranged =
+      if (sortBy.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortBy: _*).sortWithinPartitions(sortBy: _*)
+    arranged.write.mode("overwrite").parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length.toLong, after.toLong, spark.read.parquet(outDir).count())
+  }
 }

@@ -392,4 +392,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"image pair join degenerated to all-pairs:\n${p.take(4000)}")
   }
+
+  test("spanRebuild: owner election partial, fp/doc equi-joins only, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.spanRebuild(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("Window"), s"spanRebuild plan wrong:\n${p.take(4000)}")
+    // the global-first owner election must combine map-side (partial min)
+    assert(p.contains("partial_min"), s"owner election not partial:\n${p.take(4000)}")
+  }
+
+  test("bm25: query terms broadcast onto the tf stream, ranking is windowless") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val probes = Seq((1L, "spark hash join")).toDF("query_id", "qtext")
+    val p = plan(graft.pipeline.Retrieval.bm25(docs, probes, k = 5))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term filter is not a broadcast:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"bm25 plan wrong:\n${p.take(4000)}")
+    assert(p.contains("partial_count"), s"tf not map-side combined:\n${p.take(4000)}")
+  }
+
+  test("knScore: KN count tables equi-join back, aggregations partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.knScore(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knScore planned an all-pairs join:\n${p.take(3000)}")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"KN count tables not map-side combined:\n${p.take(3000)}")
+  }
+
+  test("dsirWeights: both bucket models broadcast; gram aggregation partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Selection.dsirWeights(
+      docs, docs.filter(col("lang") === "fr")))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"bucket models not broadcast:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"dsir plan wrong:\n${p.take(4000)}")
+    assert(p.contains("partial_count"),
+      s"doc-bucket counts not map-side combined:\n${p.take(4000)}")
+  }
 }

@@ -11,6 +11,24 @@ class ProfileSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("prCurve: hand-computed counters, rounded p/r/f1, degenerate thresholds") {
+    // scores 0.1..0.4, labels on the top two
+    val df = Seq((0.1, false), (0.2, false), (0.3, true), (0.4, true))
+      .toDF("s", "y")
+    val out = Profile.prCurve(df, col("s"), col("y"), Seq(0.25, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // thr 0.25: tp=2 fp=0 fn=0 → p=r=f1=1
+    assert(out(0.25) === ((2L, 0L, 0L, 1.0, 1.0, 1.0)))
+    // thr 0.9: nothing passes → tp=0 fp=0 fn=2; p=0 (guarded), r=0, f1=0
+    assert(out(0.9) === ((0L, 0L, 2L, 0.0, 0.0, 0.0)))
+    // single scan: the plan has exactly one aggregate pair over one source
+    val plan = Profile.prCurve(df, col("s"), col("y"), Seq(0.25, 0.9))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"prCurve re-scans per threshold:\n$plan")
+  }
+
   test("tableProfile: one scan, correct stats per column") {
     val df = Seq(("a", 1), ("b", 2), ("b", 3)).toDF("s", "n")
     val p = Profile.tableProfile(df, Seq("s", "n"))

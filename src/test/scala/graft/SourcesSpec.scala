@@ -69,6 +69,32 @@ class SourcesSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("compact: byte-targeted rewrite preserves the bag, honors sortBy clustering") {
+    import spark.implicits._
+    import graft.sources.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("compact-unit").toString
+    val df = (1L to 2000L).map(i => (i, s"row $i payload ${"x" * 50}"))
+      .toDF("id", "payload")
+    df.repartition(32).write.parquet(s"$tmp/in")
+    val (before, after, rows) = Layout.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 1L << 30, sortBy = Seq(col("id")))
+    assert(before === 32L && after === 1L && rows === 2000L)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.exceptAll(df).isEmpty && df.exceptAll(out).isEmpty)
+    // sortBy: the single output file is globally id-sorted (row-group
+    // min/max pruning survives the rewrite)
+    val ids = out.collect().map(_.getLong(0)).toSeq
+    assert(ids === ids.sorted)
+    // multi-file path: force several outputs, bag still identical
+    val (_, after2, _) = Layout.compact(spark, s"$tmp/in", s"$tmp/out2",
+      targetFileBytes = math.max(1L,
+        new java.io.File(s"$tmp/in").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 4))
+    assert(after2 >= 2L && after2 < 32L)
+    val out2 = spark.read.parquet(s"$tmp/out2")
+    assert(out2.exceptAll(df).isEmpty && df.exceptAll(out2).isEmpty)
+  }
+
   test("embedding ingest guard: array<double> producer drift casts to float at the scan") {
     import spark.implicits._
     val dbl = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
