@@ -87,9 +87,12 @@ object Classifier {
     * Returns the model and the loss after each accepted step. */
   def trainLogistic(docs: DataFrame, labelCol: Column, buckets: Int = 512,
                     iters: Int = 20, lr: Double = 16.0,
-                    idCol: String = "doc_id", textCol: String = "text"):
+                    idCol: String = "doc_id", textCol: String = "text",
+                    init: Option[Model] = None):
       (Model, Seq[Double]) = {
     require(iters >= 1 && buckets > 0, s"trainLogistic: iters=$iters buckets=$buckets")
+    require(init.forall(_.buckets == buckets),
+      "trainLogistic: warm-start model has a different bucket count")
     import graft.rel.Checkpoint.PinOps
     val labels = docs.select(col(idCol).as("doc_id"),
       labelCol.cast("double").as("y"))
@@ -97,7 +100,14 @@ object Classifier {
     val feats = featsOnly.join(labels, "doc_id")
     val nDocs = labels.count().toDouble
 
-    var model = Model(0.0, Map.empty, buckets)
+    // one synthetic bias row per doc (bucket −1, x = 1): the bias gradient
+    // Σe falls out of the SAME per-bucket aggregation as the weight
+    // gradients — one job per iteration instead of two
+    val featsBias = feats.unionByName(
+      labels.select(col("doc_id"), lit(-1).as("bucket"), lit(1.0).as("x"),
+        col("y")))
+
+    var model = init.getOrElse(Model(0.0, Map.empty, buckets))
     var curLoss = lossOf(featsOnly, labels, model, nDocs)
     var step = lr
     val losses = Seq.newBuilder[Double]
@@ -106,13 +116,13 @@ object Classifier {
       // gradient at the CURRENT model: one scoring pass + one B-sized agg
       val err = scores(featsOnly, model).join(labels, "doc_id")
         .select(col("doc_id"), round(col("p") - col("y"), 6).as("e"))
-      val gb = feats.join(err, "doc_id")
+      val gAll = featsBias.join(err, "doc_id")
         .groupBy("bucket")
         .agg(sum((col("e") * col("x")).cast(DecimalType(24, 12)))
           .cast("double").as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val ge = err.agg(sum(col("e").cast(DecimalType(18, 6))).cast("double"))
-        .collect()(0).getDouble(0)
+      val ge = gAll.getOrElse(-1, 0.0)
+      val gb = gAll - (-1)
 
       def candidate(s: Double): Model = Model(
         round6(model.bias - s * ge / nDocs),

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming heavy hitters — the "trending tokens/URLs/n-grams in the live
+  * crawl" monitor: the streaming face of [[graft.pipeline.Heavy.topKExact]],
+  * built from the MERGEABLE form of the same Misra–Gries summary.
+  *
+  * Per micro-batch the cluster runs exactly the batch operator's candidate
+  * machinery — per-partition bounded MG summaries, then one broadcast-join
+  * exact recount of the ≤ m·P candidates — so only a bounded
+  * (item, batch-count) table ever reaches the driver. The driver folds each
+  * batch table into its own capacity-m summary with the standard MG merge
+  * (add weights; while over capacity, subtract the (m+1)-th largest weight
+  * and drop non-positives). Classic guarantees compose: every item with
+  * TOTAL stream frequency > 2·N/m is present, and every reported weight
+  * undercounts its true frequency by at most N/m (per-batch candidate
+  * error + merge error). State is O(m) on the driver, zero in the stream
+  * engine — the [[DriftStream.Monitor]] shape, including the batchId dedup
+  * that keeps at-least-once foreachBatch delivery exactly-once. */
+object HeavyStream {
+
+  final class TopKMonitor(m: Int) extends Serializable {
+    require(m >= 1, s"TopKMonitor: m=$m")
+    private var counts = Map.empty[String, Long]
+    private var ingested = Set.empty[Long]
+    private var totalRows = 0L
+
+    /** Fold one micro-batch of items (one string column) into the summary. */
+    def ingest(batch: DataFrame, batchId: Long = -1L,
+               itemCol: String = "item"): Unit = synchronized {
+      if (batchId >= 0L && ingested.contains(batchId)) return
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val ds = batch.select(col(itemCol).cast("string").as("item")).as[String]
+      // batch-local candidates: the SAME bounded per-partition MG pass the
+      // batch operator runs (the one legitimate mapPartitions)
+      val cands = ds.mapPartitions { it =>
+        val c = new scala.collection.mutable.HashMap[String, Long]
+        it.foreach { item =>
+          if (c.contains(item)) c(item) += 1
+          else if (c.size < m) c(item) = 1
+          else c.keys.toArray.foreach { k =>
+            val v = c(k) - 1; if (v == 0) c.remove(k) else c(k) = v
+          }
+        }
+        c.keysIterator
+      }.distinct().toDF("item")
+      val batchCounts = ds.toDF("item").join(broadcast(cands), "item")
+        .groupBy("item").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      totalRows += ds.count()
+      // mergeable-MG fold: add weights, then shrink back to capacity m
+      var merged = counts
+      batchCounts.foreach { case (i, n) =>
+        merged = merged.updated(i, merged.getOrElse(i, 0L) + n)
+      }
+      if (merged.size > m) {
+        val cut = merged.values.toSeq.sorted(Ordering[Long].reverse)(m)
+        merged = merged.flatMap { case (i, n) =>
+          if (n - cut > 0) Some(i -> (n - cut)) else None
+        }
+      }
+      counts = merged
+      if (batchId >= 0L) ingested += batchId
+    }
+
+    /** Current top-k by summary weight (desc, item asc). Weights
+      * UNDERCOUNT true frequencies by at most [[error]]. */
+    def topK(k: Int): Seq[(String, Long)] = synchronized {
+      counts.toSeq.sortBy { case (i, n) => (-n, i) }.take(k)
+    }
+
+    /** The additive undercount bound N/m for the rows seen so far. */
+    def error: Double = synchronized { totalRows.toDouble / m }
+    def rowsSeen: Long = synchronized { totalRows }
+  }
+
+  /** Run the monitor over a streaming item column; `sink` receives the
+    * refreshed top-k after each batch. */
+  def start(items: DataFrame, monitor: TopKMonitor, k: Int,
+            sink: Seq[(String, Long)] => Unit, checkpointDir: String,
+            itemCol: String = "item",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        monitor.ingest(batch, batchId, itemCol)
+        sink(monitor.topK(k))
+      }
+      .start()
+}

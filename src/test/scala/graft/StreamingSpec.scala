@@ -261,6 +261,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: finite stream's top-k equals the batch " +
+    "operator; replayed batches don't double-count; MG shrink keeps the head") {
+    import graft.streaming.HeavyStream
+    import graft.pipeline.{Bpe, Heavy}
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val items = docs.select(explode(Bpe.words(col("text"))).as("item"))
+    val words = items.collect().map(_.getString(0))
+    // capacity far above the distinct-word count → summary is exact
+    val mon = new HeavyStream.TopKMonitor(m = 2048)
+    val in = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("hh").toString
+    var last: Seq[(String, Long)] = Nil
+    val q = HeavyStream.start(in.toDF.toDF("item"), mon, k = 10,
+      rep => last = rep, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(words.take(words.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(words.drop(words.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Heavy.topKExact(items, "item", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(last === batch, s"stream top-k diverged:\n$last\nvs\n$batch")
+    assert(mon.rowsSeen === words.length.toLong)
+    // replay: a batchId the monitor already folded is a strict no-op
+    val before = mon.topK(10)
+    mon.ingest(items, batchId = 0L)
+    assert(mon.topK(10) === before && mon.rowsSeen === words.length.toLong,
+      "replayed batchId double-counted")
+    // shrink path: tiny capacity still keeps the dominant item on top
+    val small = new HeavyStream.TopKMonitor(m = 4)
+    val skew = (Seq.fill(500)("hot") ++ (1 to 100).map(i => s"cold$i"))
+    small.ingest(skew.toDF("item"), batchId = 0L)
+    assert(small.topK(1).head._1 === "hot")
+    assert(small.error === (600.0 / 4))
+  }
+
   test("fault injection: crash between offset log and commit log replays the " +
     "batch, file sink stays exactly-once vs the batch plan") {
     // the round-9 incident class: a query dies mid-batch and the restart
