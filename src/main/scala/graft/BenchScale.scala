@@ -268,6 +268,19 @@ object BenchScale {
     run("dsir",
       graft.pipeline.Selection.dsirWeights(docs1, dsirTarget).count(),
       graft.pipeline.Selection.dsirWeights(scaleDocs(mult), dsirTarget).count())
+    // classifier training, FIXED 3 iterations: per iteration one gradient
+    // aggregation + one loss pass over the feature frame — the model and
+    // job count are load-invariant, only the scanned rows grow
+    def clf(df: DataFrame): Long =
+      graft.pipeline.Classifier.trainLogistic(df,
+        col("text").contains("spark"), iters = 3)._2.size.toLong
+    run("clf_train", clf(docs1), clf(scaleDocs(mult)))
+    // PR curve: every (threshold × counter) in ONE aggregate over one scan
+    def prc(df: DataFrame): Long =
+      graft.pipeline.Profile.prCurve(df,
+        least(col("n_chars").cast("double") / 500.0, lit(1.0)),
+        col("text").contains("spark"), Seq(0.2, 0.4, 0.6, 0.8)).count()
+    run("pr_curve", prc(docs1), prc(scaleDocs(mult)))
     spark.stop()
   }
 }
