@@ -1974,6 +1974,24 @@ object Queries {
       docs, docs.where(col("lang") === "fr"), n = 50)
   }
 
+  /** End-to-end curation CAPSTONE, fully oracle-replayed: duplicated-span
+    * removal rebuilds every document ([[Dedup.spanRebuild]]), a survivor
+    * floor drops docs left with < 10 tokens, and DSIR
+    * ([[graft.pipeline.Selection.dsirSelect]]) ranks the REBUILT corpus
+    * against its French-labeled slice — three operators composed into one
+    * plan whose final top-30 hash-matches DuckDB replaying the whole
+    * chain. The point: the operators compose as DataFrames (no
+    * materialization boundaries), and determinism survives composition. */
+  def qE2eCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val clean = Dedup.spanRebuild(docs, spanTokens = 8)
+      .where(col("n_tok") - col("n_drop") >= 10)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    graft.pipeline.Selection.dsirSelect(
+      clean, clean.where(col("lang") === "fr"), n = 30)
+  }
+
   /** Precision/recall curve ([[Profile.prCurve]]) of a deterministic
     * length score against a "mentions spark" label at four cutoffs — the
     * filter-threshold report; oracle replays every counter and the
@@ -2175,7 +2193,8 @@ object Queries {
     "q_import_jdbc" -> qImportJdbc,
     "q_bm25" -> qBm25, "q_kn_score" -> qKnScore, "q_dsir" -> qDsir,
     "q_quality_clf_check" -> qQualityClfCheck, "q_pr_curve" -> qPrCurve,
-    "q_compact_check" -> qCompactCheck, "q_dsir_sample" -> qDsirSample)
+    "q_compact_check" -> qCompactCheck, "q_dsir_sample" -> qDsirSample,
+    "q_e2e_curate" -> qE2eCurate)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3304,6 +3323,51 @@ object Queries {
       "FROM tok LEFT JOIN drops ON tok.doc_id = drops.doc_id " +
       "LEFT JOIN agg ON tok.doc_id = agg.doc_id"),
 
+
+    // the whole three-operator chain replayed: span rebuild -> floor -> DSIR
+    "q_e2e_curate" -> ("WITH tok AS (SELECT doc_id, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+      "WHERE length(trim(text)) > 0), " +
+      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp, " +
+      "doc_id*1000000 + i AS gpos " +
+      "FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) " +
+      "WHERE len(t) >= 8), " +
+      "own AS (SELECT fp, min(gpos) AS fst FROM w GROUP BY fp), " +
+      "dp AS (SELECT DISTINCT w.doc_id, w.win_idx + o.j AS p " +
+      "FROM w JOIN own USING (fp), LATERAL (SELECT unnest(generate_series(0, 7)) AS j) AS o " +
+      "WHERE w.gpos <> own.fst), " +
+      "drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_drop FROM dp GROUP BY doc_id), " +
+      "tokens AS (SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) AS pos FROM tok), " +
+      "surv AS (SELECT tk.doc_id, tk.token, tk.pos FROM tokens tk " +
+      "LEFT JOIN dp ON tk.doc_id = dp.doc_id AND tk.pos = dp.p WHERE dp.p IS NULL), " +
+      "agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text FROM surv GROUP BY doc_id), " +
+      "clean AS (SELECT tok.doc_id, COALESCE(agg.clean_text, '') AS text, d.lang " +
+      "FROM tok LEFT JOIN drops ON tok.doc_id = drops.doc_id " +
+      "LEFT JOIN agg ON tok.doc_id = agg.doc_id " +
+      "JOIN documents d ON tok.doc_id = d.doc_id " +
+      "WHERE CAST(len(tok.t) AS BIGINT) - COALESCE(drops.n_drop, 0) >= 10), " +
+      "dt AS (SELECT doc_id, lang, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM clean), " +
+      "g AS (SELECT doc_id, lang, unnest(list_concat(ts, " +
+      "[ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS g FROM dt), " +
+      "gb AS (SELECT doc_id, lang, " +
+      "CAST('0x' || substring(md5(g), 1, 4) AS INTEGER) % 512 AS bucket FROM g), " +
+      "tc AS (SELECT bucket, count(*) AS ct FROM gb WHERE lang = 'fr' GROUP BY 1), " +
+      "tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) + 512.0 AS den FROM tc), " +
+      "rc AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY 1), " +
+      "rt AS (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) + 512.0 AS den FROM rc), " +
+      "db AS (SELECT doc_id, bucket, count(*) AS n FROM gb GROUP BY 1, 2), " +
+      "wgt AS (SELECT doc_id, n, CAST(" +
+      "round(ln((coalesce(ct, 0) + 1.0) / tt.den), 6) - " +
+      "round(ln((coalesce(cr, 0) + 1.0) / rt.den), 6) AS DECIMAL(18,6)) * n AS w " +
+      "FROM db LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt), " +
+      "sw AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams, " +
+      "round(CAST(sum(w) AS DOUBLE), 6) AS dsir_logw FROM wgt GROUP BY 1), " +
+      "r AS (SELECT doc_id, n_grams, dsir_logw, row_number() OVER " +
+      "(ORDER BY dsir_logw DESC, doc_id) AS rank FROM sw) " +
+      "SELECT doc_id, n_grams, dsir_logw, CAST(rank AS INTEGER) AS rank " +
+      "FROM r WHERE rank <= 30"),
     // the JDBC round-trip must hand back exactly the parquet rows
     "q_import_jdbc" -> ("SELECT DISTINCT s_suppkey, s_name, s_nationkey, s_acctbal " +
       "FROM supplier"),

@@ -57,6 +57,30 @@ class CurationSpec extends SparkSpec {
       s"z-order per-file y-span $z not clearly tighter than x-sort $oneCol")
   }
 
+  test("zorder layout: a 2-D box predicate touches fewer FILES on disk than " +
+    "a one-column sort (the pruning the layout exists for)") {
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zprune").toString
+    Layout.zorderArrange(grid, col("x"), col("y"), bits = 6, numFiles = 16)
+      .write.parquet(s"$base/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/one")
+    // the box selects an 8×8 tile; count the DISTINCT files that actually
+    // hold matching rows — the file-level locality min/max pruning exploits
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .where(col("x").between(16, 23) && col("y").between(16, 23))
+        .select(input_file_name()).distinct().count()
+    val zf = filesTouched(s"$base/z")
+    val of = filesTouched(s"$base/one")
+    // x-sort puts every y in every x-file: the box's x-range spans ≥ its
+    // share of files AND each holds the full y sweep; z-order confines the
+    // tile to 1–2 files
+    assert(zf < of, s"z-order touched $zf files vs $of for one-column sort")
+    assert(zf <= 2, s"8×8 tile should live in at most 2 z-ordered files, got $zf")
+  }
+
   test("plan: zorderArrange is one range exchange, no UDF") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val arranged = Layout.zorderArrange(docs,
