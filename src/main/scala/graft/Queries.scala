@@ -1974,6 +1974,14 @@ object Queries {
       docs, docs.where(col("lang") === "fr"), n = 50)
   }
 
+  /** Hashed random-projection doc embeddings
+    * ([[graft.pipeline.Embed.docEmbedLong]]): the model-free text→vector
+    * bridge into the ANN stack. Long (doc, dim, v) shape; the oracle
+    * replays gram hashing, the ±1 signs, integer component sums, and the
+    * L2 normalize. */
+  def qDocEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Embed.docEmbedLong(t(s, dir, "documents").bagDF, dims = 8)
+
   /** End-to-end curation CAPSTONE, fully oracle-replayed: duplicated-span
     * removal rebuilds every document ([[Dedup.spanRebuild]]), a survivor
     * floor drops docs left with < 10 tokens, and DSIR
@@ -2194,7 +2202,7 @@ object Queries {
     "q_bm25" -> qBm25, "q_kn_score" -> qKnScore, "q_dsir" -> qDsir,
     "q_quality_clf_check" -> qQualityClfCheck, "q_pr_curve" -> qPrCurve,
     "q_compact_check" -> qCompactCheck, "q_dsir_sample" -> qDsirSample,
-    "q_e2e_curate" -> qE2eCurate)
+    "q_e2e_curate" -> qE2eCurate, "q_doc_embed" -> qDocEmbed)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -3368,6 +3376,22 @@ object Queries {
       "(ORDER BY dsir_logw DESC, doc_id) AS rank FROM sw) " +
       "SELECT doc_id, n_grams, dsir_logw, CAST(rank AS INTEGER) AS rank " +
       "FROM r WHERE rank <= 30"),
+
+    // gram hashing, +-1 signs, integer sums, L2 normalize — all replayed
+    "q_doc_embed" -> ("WITH dt AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(trim(text)), '[^a-z0-9]+'), " +
+      "t -> length(t) > 0) AS ts FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_concat(ts, " +
+      "[ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS g FROM dt), " +
+      "gd AS (SELECT doc_id, g, unnest(generate_series(0, 7)) AS dim FROM g), " +
+      "sg AS (SELECT doc_id, dim, " +
+      "CAST('0x' || substring(md5(g || '|' || CAST(dim AS VARCHAR)), 1, 4) AS INTEGER) % 2 * 2 - 1 AS s " +
+      "FROM gd), " +
+      "comp AS (SELECT doc_id, dim, sum(s) AS c FROM sg GROUP BY 1, 2), " +
+      "nm AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS n FROM comp GROUP BY 1) " +
+      "SELECT comp.doc_id, CAST(dim AS INTEGER) AS dim, " +
+      "round(CAST(c AS DOUBLE) / n, 6) AS v " +
+      "FROM comp JOIN nm ON comp.doc_id = nm.doc_id WHERE n > 0.0"),
     // the JDBC round-trip must hand back exactly the parquet rows
     "q_import_jdbc" -> ("SELECT DISTINCT s_suppkey, s_name, s_nationkey, s_acctbal " +
       "FROM supplier"),

@@ -34,7 +34,7 @@ object Selection {
     filter(split(lower(trim(c)), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Unigram + bigram stream: one row per gram OCCURRENCE. */
-  private def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[pipeline] def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ts = toks(col(textCol))
     df.select(col(idCol).as("doc_id"), ts.as("__t"))
       .select(col("doc_id"), explode(concat(col("__t"),

@@ -698,6 +698,31 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == 3 && r(2L) == 3, s"wrong shared-window count: $r")
   }
 
+  test("docEmbed: near-duplicate texts at high cosine, unrelated texts apart; " +
+    "vectors feed the ANN stack directly") {
+    import graft.pipeline.Embed
+    val vecs = Embed.docEmbed(docs, dims = 32)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val v = vecs.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d // embeddings are L2-normalized already
+    }
+    assert(cos(v(1L), v(4L)) > 0.999, "exact dup texts must coincide")
+    assert(cos(v(1L), v(2L)) > 0.8, "near-dup texts must stay close")
+    assert(cos(v(1L), v(3L)) < cos(v(1L), v(2L)),
+      "unrelated text must be farther than the near-dup")
+    // drop-in for the ANN stack: self is nearest at cosine 1
+    val q = vecs.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = graft.pipeline.Similarity.bruteForceKnn(q, vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(knn(0).getAs[Long]("vec_id") === 1L ||
+      knn(0).getAs[Long]("vec_id") === 4L) // its exact clone ties at 1.0
+    assert(math.abs(knn(0).getAs[Double]("cosine") - 1.0) < 1e-5)
+  }
+
   test("spanRebuild: first occurrence survives intact, later copy loses the span, " +
     "non-dup docs reconstruct byte-identical") {
     import spark.implicits._
