@@ -281,6 +281,11 @@ object BenchScale {
         least(col("n_chars").cast("double") / 500.0, lit(1.0)),
         col("text").contains("spark"), Seq(0.2, 0.4, 0.6, 0.8)).count()
     run("pr_curve", prc(docs1), prc(scaleDocs(mult)))
+    // doc embeddings: gram explode × dims + one (doc, dim) integer sum —
+    // strictly linear, no pairwise stage anywhere
+    run("doc_embed",
+      graft.pipeline.Embed.docEmbed(docs1).count(),
+      graft.pipeline.Embed.docEmbed(scaleDocs(mult)).count())
     spark.stop()
   }
 }
