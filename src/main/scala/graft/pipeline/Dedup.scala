@@ -510,17 +510,46 @@ object Dedup {
     * a window), and a final doc_id-grouped rollup. No all-pairs stage at
     * any step. Output: (doc_id, n_win, n_dup, dup_frac) over docs with
     * ≥ spanTokens tokens; windows are counted distinct-per-doc. */
+  /** Dropped-token positions per document, shared by [[spanRebuild]] and
+    * [[spanRebuildBytes]]: stride-1 `st`-token window fingerprints over
+    * the (doc_id, __t token-array) frame, owner election per fingerprint
+    * as `min(struct(doc_id, win_idx))` — lexicographic on the REAL key,
+    * so any orderable id type works and no packed-arithmetic ceiling
+    * exists (a 10⁶⁺-token document cannot overflow into a neighboring
+    * doc's range, which the previous `doc_id·10⁶+idx` packing allowed) —
+    * then non-owner windows explode into covered token positions and roll
+    * up to one sorted drop-array per doc: (doc_id, __drops). */
+  private def dropArrays(toks: DataFrame, st: Int): DataFrame = {
+    val wins = toks
+      .where(size(col("__t")) >= st)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__t")) - (st - 1)),
+          i => md5(array_join(slice(col("__t"), i, lit(st)), " "))))
+          .as(Seq("__j", "__fp")))
+      .select(col("doc_id"), (col("__j") + 1).as("win_idx"), col("__fp"))
+    val owners = wins.groupBy("__fp")
+      .agg(min(struct(col("doc_id"), col("win_idx"))).as("__first"))
+    wins.join(owners, "__fp")
+      .where(struct(col("doc_id"), col("win_idx")) =!= col("__first"))
+      .select(col("doc_id"),
+        explode(sequence(col("win_idx"), col("win_idx") + (st - 1))).as("__p"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_set(col("__p"))).as("__drops"))
+  }
+
   /** Cross-document duplicated-span REMOVAL — the transform behind
     * [[dupSpanReport]]'s detection (Lee et al. 2022's ExactSubstr dedup,
     * window-granular): every `spanTokens`-token stride-1 window
     * fingerprints; the globally FIRST occurrence of each fingerprint
-    * (lowest packed (doc, window) position) is the owner; every token
-    * covered by a NON-owner window is dropped, and each document's
-    * surviving tokens reassemble in order. The first global occurrence of
-    * any duplicated span survives intact; later copies lose exactly the
-    * duplicated token range (plus window-granularity slop < spanTokens at
-    * the edges), not the whole document — the precision argument of the
-    * paper versus document-level dedup.
+    * (minimal (doc_id, win_idx) — struct ordering, so ids of any
+    * orderable type work) is the owner; every token covered by a
+    * NON-owner window is dropped, and each document's surviving tokens
+    * reassemble in order. The first global occurrence of any duplicated
+    * span survives intact; later copies lose exactly the duplicated token
+    * range (plus window-granularity slop < spanTokens at the edges), not
+    * the whole document — the precision argument of the paper versus
+    * document-level dedup.
     *
     * Scale shape: windows are a narrow explode of the scan; owner election
     * is ONE map-side-combinable `min` per fingerprint; non-owner windows
@@ -530,7 +559,8 @@ object Dedup {
     * a narrow higher-order-function map over the original scan — the full
     * token stream never shuffles. Reconstruction law: a document with no
     * duplicated windows rebuilds byte-identical to its normalized
-    * (lowercased, whitespace-collapsed) text.
+    * (lowercased, whitespace-collapsed) text; [[spanRebuildBytes]] is the
+    * original-byte-preserving variant.
     *
     * Output: (doc_id, n_tok, n_drop, clean_text) over non-empty docs. */
   def spanRebuild(docs: DataFrame, spanTokens: Int = 8,
@@ -540,23 +570,7 @@ object Dedup {
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("__t"))
-    val wins = toks
-      .where(size(col("__t")) >= st)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("__t")) - (st - 1)),
-          i => md5(array_join(slice(col("__t"), i, lit(st)), " "))))
-          .as(Seq("__j", "__fp")))
-      .select(col("doc_id"), (col("__j") + 1).as("win_idx"), col("__fp"),
-        (col("doc_id") * 1000000L + col("__j") + 1).as("__gpos"))
-    val owners = wins.groupBy("__fp").agg(min(col("__gpos")).as("__first"))
-    val dropPos = wins.join(owners, "__fp")
-      .where(col("__gpos") =!= col("__first"))
-      .select(col("doc_id"),
-        explode(sequence(col("win_idx"), col("win_idx") + (st - 1))).as("__p"))
-      .distinct()
-      .groupBy("doc_id").agg(sort_array(collect_set(col("__p"))).as("__drops"))
-    toks.join(dropPos, Seq("doc_id"), "left")
+    toks.join(dropArrays(toks, st), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("__t")).cast("long").as("n_tok"),
         when(col("__drops").isNull, lit(0)).otherwise(size(col("__drops")))
@@ -564,6 +578,64 @@ object Dedup {
         array_join(filter(col("__t"),
           (_, i) => col("__drops").isNull ||
             !array_contains(col("__drops"), i + 1)), " ").as("clean_text"))
+  }
+
+  /** [[spanRebuild]] with ORIGINAL-byte splicing: the same window
+    * fingerprints (over lowercased whitespace-split tokens) and the same
+    * struct owner election decide which token positions drop, but the
+    * rebuild keeps the document's own bytes — case, punctuation, and the
+    * exact whitespace runs between surviving tokens — instead of the
+    * normalized token stream.
+    *
+    * Mechanics: `regexp_extract_all(text, "\\S+|\\s+")` cuts the text into
+    * ALTERNATING token/whitespace segments whose concatenation is the
+    * original string byte-for-byte. Token segments map 1:1 (in order) onto
+    * the normalized tokens the fingerprints use, so the drop positions
+    * from [[spanRebuild]]'s election apply directly; a whitespace segment
+    * is kept iff the token segment immediately before it survives (leading
+    * whitespace always survives). Everything is narrow per-row
+    * higher-order-function work over the scan — the segment stream never
+    * shuffles.
+    *
+    * Reconstruction law (the byte-level strengthening of spanRebuild's):
+    * a document with NO duplicated windows rebuilds BYTE-IDENTICAL to its
+    * original text — tabs, newlines, trailing spaces and all.
+    *
+    * Output: (doc_id, n_tok, n_drop, clean_text) over non-blank docs. */
+  def spanRebuildBytes(docs: DataFrame, spanTokens: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = spanTokens
+    val base = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        regexp_extract_all(col(textCol), lit("\\S+|\\s+"), lit(0)).as("__segs"))
+      .withColumn("__t",
+        transform(filter(col("__segs"), s => s.rlike("^\\S")), s => lower(s)))
+    val toks = base.select(col("doc_id"), col("__t"))
+    // does the text START with a token (vs leading whitespace)? fixes the
+    // parity of token/whitespace alternation below
+    val firstIsTok = element_at(col("__segs"), 1).rlike("^\\S")
+    // 0-based segment index → is-token flag and 1-based ordinals:
+    //   firstIsTok : tokens at even i (ord i/2+1), ws at odd i follows
+    //                token ord (i+1)/2
+    //   !firstIsTok: ws at even i (i=0 leading, else follows token ord
+    //                i/2), tokens at odd i (ord (i+1)/2)
+    def tokOrd(i: Column): Column =
+      when(firstIsTok, floor(i / 2) + 1).otherwise(floor((i + 1) / 2)).cast("int")
+    def prevTokOrd(i: Column): Column =
+      when(firstIsTok, floor((i + 1) / 2)).otherwise(floor(i / 2)).cast("int")
+    val kept = filter(col("__segs"), (s, i) => {
+      val isTok = (i % 2 === 0) === firstIsTok
+      val checkOrd = when(isTok, tokOrd(i)).otherwise(prevTokOrd(i))
+      col("__drops").isNull || checkOrd === 0 ||
+        !array_contains(col("__drops"), checkOrd)
+    })
+    base.join(dropArrays(toks, st), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tok"),
+        when(col("__drops").isNull, lit(0)).otherwise(size(col("__drops")))
+          .cast("long").as("n_drop"),
+        array_join(kept, "").as("clean_text"))
   }
 
   def dupSpanReport(docs: DataFrame, spanTokens: Int = 8,
