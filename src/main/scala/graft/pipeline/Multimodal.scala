@@ -242,6 +242,31 @@ object Multimodal {
     Dedup.hammingPairs(audioHashes(assets).pin(), maxDist, bucketCap)
   }
 
+  /** 64-bit perceptual VIDEO hash: the [[dHash64]] of the first decodable
+    * MJPEG-AVI frame (the thumbnail-hash signature — re-encoded or
+    * re-contained copies of the same footage keep their first frame's
+    * gradient structure). None for non-AVI bytes or frameless files. */
+  def vHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      aviFrames(bytes).iterator.flatMap { case (off, len) =>
+        dHash64(java.util.Arrays.copyOfRange(bytes, off, off + len))
+      }.nextOption()
+    } catch { case _: Exception => None }
+
+  /** Per-asset video-hash frame (id, sh) — same batched contract as
+    * [[dHashes]]; undecodable clips drop out. */
+  def videoHashes(assets: DataFrame): DataFrame = hashFrame(assets, vHash64)
+
+  /** Video near-duplicate pairs: [[vHash64]] per clip, then the shared
+    * pigeonhole blocking ([[Dedup.hammingPairs]]) — identical machinery
+    * and guarantees as [[imageNearDup]]/[[audioNearDup]], over the
+    * first-frame dHash. */
+  def videoNearDup(assets: DataFrame, maxDist: Int = 4,
+                   bucketCap: Int = 8192): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    Dedup.hammingPairs(videoHashes(assets).pin(), maxDist, bucketCap)
+  }
+
   // ------------------------------------------------- video decoder seam
 
   /** Result of a video decode: frame dims/channels from the stream, the
@@ -274,29 +299,37 @@ object Multimodal {
     * ImageIO path as still images ([[imageDecode]]). Work per asset is
     * bounded: dims from the first decodable frame, feature averaged over
     * ≤8 evenly-sampled frames regardless of video length. */
-  object MjpegAviDecoder extends VideoDecoder {
-    def decode(bytes: Array[Byte]): Option[VideoInfo] = try {
-      if (!(magic(bytes, 0, 0x52, 0x49, 0x46, 0x46) &&
-            magic(bytes, 8, 0x41, 0x56, 0x49, 0x20))) return None
-      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
-      def walk(start: Int, end: Int): Unit = {
-        var pos = start
-        var ok = true
-        while (ok && pos + 8 <= end) {
-          val id = new String(bytes, pos, 4, "US-ASCII")
-          val len = bb.getInt(pos + 4)
-          if (len < 0) ok = false
-          else {
-            if (id == "LIST" && pos + 12 <= end)
-              walk(pos + 12, math.min(end, pos + 8 + len))
-            else if ((id.endsWith("dc") || id.endsWith("db")) && len > 0)
-              frames += ((pos + 8, math.min(len, end - pos - 8)))
-            pos += 8 + len + (len & 1)
-          }
+  /** RIFF/AVI walk shared by [[MjpegAviDecoder]] and [[vHash64]]: the
+    * (offset, length) of every `..dc`/`..db` frame chunk inside the file,
+    * empty for non-AVI bytes. */
+  private def aviFrames(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    if (!(magic(bytes, 0, 0x52, 0x49, 0x46, 0x46) &&
+          magic(bytes, 8, 0x41, 0x56, 0x49, 0x20))) return Nil
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4)
+        if (len < 0) ok = false
+        else {
+          if (id == "LIST" && pos + 12 <= end)
+            walk(pos + 12, math.min(end, pos + 8 + len))
+          else if ((id.endsWith("dc") || id.endsWith("db")) && len > 0)
+            frames += ((pos + 8, math.min(len, end - pos - 8)))
+          pos += 8 + len + (len & 1)
         }
       }
-      walk(12, bytes.length)
+    }
+    walk(12, bytes.length)
+    frames.toSeq
+  }
+
+  object MjpegAviDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte]): Option[VideoInfo] = try {
+      val frames = aviFrames(bytes)
       if (frames.isEmpty) return None
       // ≤8 evenly-sampled frames through the bounded-grid image path
       val stride = math.max(1, frames.length / 8)
@@ -317,9 +350,11 @@ object Multimodal {
   }
 
   /** Dispatch: real decoders by magic bytes; video payloads go through the
-    * pluggable seam; anything unhandled falls to the deterministic stub. */
+    * pluggable seam — [[MjpegAviDecoder]] by DEFAULT, so the one container
+    * the stock JVM can fully decode takes the real path out of the box;
+    * anything unhandled falls to the deterministic stub. */
   def decodeBytes(bytes: Array[Byte],
-                  video: VideoDecoder = StubVideoDecoder): (Int, Int, Int, Array[Float]) =
+                  video: VideoDecoder = MjpegAviDecoder): (Int, Int, Int, Array[Float]) =
     (if (isImage(bytes)) imageDecode(bytes)
      else if (isWav(bytes)) wavDecode(bytes)
      else video.decode(bytes).map(v => (v.width, v.height, v.channels, v.feature)))
@@ -328,10 +363,11 @@ object Multimodal {
   /** Decode stage: per-partition batched map over assets → decoded rows.
     * (Scala analogue of mapInPandas: one iterator per partition, library
     * init once per task, rows streamed not materialized.) Pass a
-    * [[VideoDecoder]] to activate real video decode — the default stub
-    * keeps the documented deterministic fallback. */
+    * [[VideoDecoder]] to swap the video path — [[MjpegAviDecoder]] by
+    * default; [[StubVideoDecoder]] opts back into the deterministic
+    * fallback for every video payload. */
   def decode(assets: DataFrame,
-             video: VideoDecoder = StubVideoDecoder): DataFrame = {
+             video: VideoDecoder = MjpegAviDecoder): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
     assets.select("asset_id", "payload").mapPartitions { it =>
       // codec-library init would go HERE, once per task
@@ -405,6 +441,25 @@ object Multimodal {
     * input-string equality (callers pass single-byte printable-ASCII
     * prefixes ≤ side²−2 chars). That equivalence is what lets the image
     * dedup contract gate derive ground truth from the TEXT in SQL. */
+  /** The injective gray-pixel layout shared by the image and video
+    * renderers: 2 length-header pixels, one pixel per byte, then
+    * index·length-keyed filler — pixel equality ⇔ input-string equality. */
+  private def injectiveImage(bytes: Array[Byte], side: Int): java.awt.image.BufferedImage = {
+    val cap = side * side - 2
+    val n = math.min(bytes.length, cap)
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def set(i: Int, l: Int): Unit =
+      img.setRGB(i % side, i / side, (l << 16) | (l << 8) | l)
+    set(0, (n >> 8) & 0xff); set(1, n & 0xff)
+    var i = 0
+    while (i < cap) {
+      set(i + 2, if (i < n) bytes(i) & 0xff else (i * 31 + n * 7) & 0xff)
+      i += 1
+    }
+    img
+  }
+
   def renderTextImages(df: DataFrame, idCol: String, textCol: String,
                        side: Int = 32): DataFrame = {
     val schema = StructType(Seq(
@@ -414,22 +469,54 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("asset_id"), col(textCol))
       .mapPartitions { it =>
         it.map { r =>
-          val bytes = r.getString(1).getBytes("UTF-8")
-          val cap = side * side - 2
-          val n = math.min(bytes.length, cap)
-          val img = new java.awt.image.BufferedImage(side, side,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          def set(i: Int, l: Int): Unit =
-            img.setRGB(i % side, i / side, (l << 16) | (l << 8) | l)
-          set(0, (n >> 8) & 0xff); set(1, n & 0xff)
-          var i = 0
-          while (i < cap) {
-            set(i + 2, if (i < n) bytes(i) & 0xff else (i * 31 + n * 7) & 0xff)
-            i += 1
-          }
+          val img = injectiveImage(r.getString(1).getBytes("UTF-8"), side)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           Row(r.getLong(0), bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Deterministic text→MJPEG-AVI renderer — the video member of the
+    * render family: `frames` JPEG encodes of the SAME injective pixel
+    * layout as [[renderTextImages]], wrapped in a RIFF/AVI `movi` LIST of
+    * `00dc` chunks (the container [[MjpegAviDecoder]] decodes). JPEG is
+    * lossy, so the layout's injectivity weakens to DETERMINISM — equal
+    * prefixes still produce byte-identical videos (hamming 0 through any
+    * perceptual hash), which is exactly what the plants contract needs. */
+  def renderTextAvis(df: DataFrame, idCol: String, textCol: String,
+                     side: Int = 32, frames: Int = 3): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("avi", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    df.select(col(idCol).cast("long").as("asset_id"), col(textCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = injectiveImage(r.getString(1).getBytes("UTF-8"), side)
+          val jb = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", jb)
+          val jpeg = jb.toByteArray
+          def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+            val o = new java.io.ByteArrayOutputStream()
+            val h = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            h.put(id.getBytes("US-ASCII")); h.putInt(body.length)
+            o.write(h.array()); o.write(body)
+            if (body.length % 2 == 1) o.write(0) // RIFF word alignment
+            o.toByteArray
+          }
+          val movi = new java.io.ByteArrayOutputStream()
+          movi.write("movi".getBytes("US-ASCII"))
+          (0 until frames).foreach(_ => movi.write(chunk("00dc", jpeg)))
+          val body = chunk("LIST", movi.toByteArray)
+          val out = new java.io.ByteArrayOutputStream()
+          val h = java.nio.ByteBuffer.allocate(12)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          h.put("RIFF".getBytes("US-ASCII")); h.putInt(4 + body.length)
+          h.put("AVI ".getBytes("US-ASCII"))
+          out.write(h.array()); out.write(body)
+          Row(r.getLong(0), out.toByteArray)
         }
       }(enc)
   }
