@@ -19,6 +19,18 @@ import org.apache.spark.sql.types.DecimalType
   * unigram+bigram PRESENCE indicators ([[Sampling.hashBucket]]), computed
   * once and reused across iterations via one pinned frame.
   *
+  * The backtracking line search is FUSED: all 12 candidate-step losses
+  * come out of ONE scoring pass (the per-trial margin is
+  * Σ_b round6(w_b − s·g_b/n) — computable for every trial s from the same
+  * broadcast (w, g) table), so an iteration costs exactly two Spark jobs
+  * (gradient + fused trial losses) no matter how many halvings the search
+  * needs — previously each halving re-ran a full scoring pass.
+  *
+  * Documents whose text hashes to ZERO grams still count: their margin is
+  * the bias alone, so they contribute sigmoid(bias) to the loss mean and
+  * (sigmoid(bias) − y) to the bias gradient — the loss is normalized over
+  * exactly the docs that feed the gradients.
+  *
   * Determinism: weights are 6dp-quantized after every update and all
   * dot-product/gradient sums run in DECIMAL over 6dp-rounded terms, so
   * margins, losses, and predictions are partitioning-invariant —
@@ -50,8 +62,10 @@ object Classifier {
       .withColumn("x", lit(1.0))
   }
 
-  /** Margin + sigmoid for one weight snapshot: (doc_id, p). The decimal
-    * dot product makes p partitioning-invariant. */
+  /** Margin + sigmoid for one weight snapshot: (doc_id, p) over docs WITH
+    * features — callers left-join from the label frame and default absent
+    * docs to sigmoid(bias). The decimal dot product makes p
+    * partitioning-invariant. */
   private def scores(feats: DataFrame, model: Model): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
@@ -65,26 +79,55 @@ object Classifier {
       .select(col("doc_id"), (lit(1.0) / (exp(-col("m")) + 1.0)).as("p"))
   }
 
-  /** Mean log-loss of one weight snapshot (decimal-summed 6dp terms). */
-  private def lossOf(feats: DataFrame, labels: DataFrame, model: Model,
-                     nDocs: Double): Double = {
-    val l = scores(feats, model).join(labels, "doc_id")
-      .select(round(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
-        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12)))), 6)
-        .as("l"))
-      .agg(sum(col("l").cast(DecimalType(18, 6))).cast("double"))
-      .collect()(0).getDouble(0)
-    round6(l / nDocs)
+  /** Mean log-loss of the candidate models w − s·g/n for EVERY trial step
+    * `s` in `steps`, in ONE Spark job: the per-trial candidate weight
+    * round6(w_b − s·g_b/n) replicates `candidate`'s driver arithmetic
+    * bit-for-bit from a broadcast (bucket, w, g) table, each trial's
+    * margin is its own decimal column of the same per-doc aggregation, and
+    * docs without features enter through the labels left-join with margin
+    * = the trial's candidate bias. With `g = 0, steps = Seq(0.0)` this
+    * evaluates the CURRENT model's loss. */
+  private def candidateLosses(featsOnly: DataFrame, labels: DataFrame,
+                              model: Model, gw: Map[Int, Double], ge: Double,
+                              steps: Seq[Double], nDocs: Double): Seq[Double] = {
+    val spark = featsOnly.sparkSession
+    import spark.implicits._
+    val keys = (model.weights.keySet ++ gw.keySet).toSeq
+    val wg = keys.map(b =>
+      (b, model.weights.getOrElse(b, 0.0), gw.getOrElse(b, 0.0))).toDF("bucket", "w", "g")
+    val candBias = steps.map(s => round6(model.bias - s * ge / nDocs))
+    val termCols = steps.zipWithIndex.map { case (s, j) =>
+      (round(coalesce(col("w"), lit(0.0)) -
+          lit(s) * coalesce(col("g"), lit(0.0)) / lit(nDocs), 6) * col("x"))
+        .cast(DecimalType(24, 12)).as(s"t$j")
+    }
+    val marginCols = steps.indices.map(j =>
+      (sum(col(s"t$j")).cast("double") + lit(candBias(j))).as(s"m$j"))
+    val margins = featsOnly.join(broadcast(wg), Seq("bucket"), "left")
+      .select(col("doc_id") +: termCols: _*)
+      .groupBy("doc_id")
+      .agg(marginCols.head, marginCols.tail: _*)
+    val lossCols = steps.indices.map { j =>
+      val m = coalesce(col(s"m$j"), lit(candBias(j)))
+      val p = lit(1.0) / (exp(-m) + 1.0)
+      sum(round(-(col("y") * log(greatest(p, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))), 6)
+        .cast(DecimalType(18, 6))).cast("double").as(s"l$j")
+    }
+    val row = labels.join(margins, Seq("doc_id"), "left")
+      .agg(lossCols.head, lossCols.tail: _*).collect()(0)
+    steps.indices.map(j => round6(row.getDouble(j) / nDocs))
   }
 
   /** Train on `docs` with a 0/1 `labelCol`: full-batch gradient descent
-    * with BACKTRACKING LINE SEARCH — each iteration halves the step until
-    * the candidate's loss does not exceed the current loss, so the
-    * returned loss sequence is non-increasing BY CONSTRUCTION (the
+    * with BACKTRACKING LINE SEARCH — each iteration evaluates the whole
+    * halving ladder `step, step/2, …, step/2¹¹` in one fused pass and
+    * accepts the first trial whose loss does not exceed the current loss,
+    * so the returned loss sequence is non-increasing BY CONSTRUCTION (the
     * descent certificate is structural, not hoped-for) and training
-    * remains fully deterministic. Each backtrack costs one extra scoring
-    * pass; steps that succeed grow the next trial step back toward `lr`.
-    * Returns the model and the loss after each accepted step. */
+    * remains fully deterministic. Steps that succeed grow the next trial
+    * step back toward `lr`. Returns the model and the loss after each
+    * accepted step. */
   def trainLogistic(docs: DataFrame, labelCol: Column, buckets: Int = 512,
                     iters: Int = 20, lr: Double = 16.0,
                     idCol: String = "doc_id", textCol: String = "text",
@@ -95,27 +138,32 @@ object Classifier {
       "trainLogistic: warm-start model has a different bucket count")
     import graft.rel.Checkpoint.PinOps
     val labels = docs.select(col(idCol).as("doc_id"),
-      labelCol.cast("double").as("y"))
+      labelCol.cast("double").as("y")).pin()
     val featsOnly = features(docs, buckets, idCol, textCol).pin()
-    val feats = featsOnly.join(labels, "doc_id")
     val nDocs = labels.count().toDouble
 
     // one synthetic bias row per doc (bucket −1, x = 1): the bias gradient
     // Σe falls out of the SAME per-bucket aggregation as the weight
-    // gradients — one job per iteration instead of two
-    val featsBias = feats.unionByName(
+    // gradients — one job per iteration instead of two. Sourced from
+    // labels, so zero-gram docs feed the bias gradient too.
+    val featsBias = featsOnly.join(labels, "doc_id").unionByName(
       labels.select(col("doc_id"), lit(-1).as("bucket"), lit(1.0).as("x"),
         col("y")))
 
     var model = init.getOrElse(Model(0.0, Map.empty, buckets))
-    var curLoss = lossOf(featsOnly, labels, model, nDocs)
+    var curLoss = candidateLosses(featsOnly, labels, model,
+      Map.empty, 0.0, Seq(0.0), nDocs).head
     var step = lr
     val losses = Seq.newBuilder[Double]
     var i = 0
     while (i < iters) {
-      // gradient at the CURRENT model: one scoring pass + one B-sized agg
-      val err = scores(featsOnly, model).join(labels, "doc_id")
-        .select(col("doc_id"), round(col("p") - col("y"), 6).as("e"))
+      // gradient at the CURRENT model: one scoring pass + one B-sized agg;
+      // docs without features default to p = sigmoid(bias) via the
+      // labels left-join so their error reaches the bias row
+      val pDef = lit(1.0) / (exp(-lit(model.bias)) + 1.0)
+      val err = labels.join(scores(featsOnly, model), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("p"), pDef) - col("y"), 6).as("e"))
       val gAll = featsBias.join(err, "doc_id")
         .groupBy("bucket")
         .agg(sum((col("e") * col("x")).cast(DecimalType(24, 12)))
@@ -131,29 +179,33 @@ object Classifier {
             s * gb.getOrElse(b, 0.0) / nDocs)
         }.toMap, buckets)
 
-      // backtrack: halve until the loss does not increase (≤ 12 trials)
-      var tries = 0
-      var accepted = false
-      while (!accepted && tries < 12) {
-        val cand = candidate(step)
-        val l = lossOf(featsOnly, labels, cand, nDocs)
-        if (l <= curLoss) {
-          model = cand; curLoss = l; accepted = true
-          step = math.min(step * 2.0, lr) // re-grow toward the ceiling
-        } else { step = step / 2.0; tries += 1 }
+      // fused backtrack: all 12 halvings' losses in ONE job, accept the
+      // first that does not increase the loss
+      val trialSteps = Seq.iterate(step, 12)(_ / 2.0)
+      val trialLosses = candidateLosses(featsOnly, labels, model,
+        gb, ge, trialSteps, nDocs)
+      trialSteps.zip(trialLosses).find(_._2 <= curLoss) match {
+        case Some((s, l)) =>
+          model = candidate(s); curLoss = l
+          step = math.min(s * 2.0, lr) // re-grow toward the ceiling
+        case None => i = iters // gradient no longer descends — stop
       }
       losses += curLoss
-      if (!accepted) i = iters // gradient no longer descends — stop
       i += 1
     }
-    featsOnly.unpin()
+    featsOnly.unpin(); labels.unpin()
     (model, losses.result())
   }
 
-  /** Score docs with a trained model: (doc_id, p, pred). */
+  /** Score docs with a trained model: (doc_id, p, pred). Zero-gram docs
+    * score at sigmoid(bias) — every input doc gets a row. */
   def predict(docs: DataFrame, model: Model, threshold: Double = 0.5,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    scores(features(docs, model.buckets, idCol, textCol), model)
-      .select(col("doc_id"), round(col("p"), 6).as("p"),
-        (col("p") >= threshold).as("pred"))
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pDef = lit(1.0) / (exp(-lit(model.bias)) + 1.0)
+    docs.select(col(idCol).as("doc_id"))
+      .join(scores(features(docs, model.buckets, idCol, textCol), model),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), round(coalesce(col("p"), pDef), 6).as("p"),
+        (coalesce(col("p"), pDef) >= threshold).as("pred"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 /** Data selection via importance resampling — DSIR (Xie et al. 2023,
   * "Data Selection for Language Models via Importance Resampling",
@@ -90,26 +90,30 @@ object Selection {
     * same docs, and growing the corpus only perturbs selection where
     * weights actually compete. Output (doc_id, n_grams, dsir_logw, key,
     * rank) ranked by the perturbed key. */
+  /** Materialize a bounded TakeOrdered result with a dense 1-based rank
+    * column, CARRYING the input id column's type (string URLs rank as
+    * happily as bigint ids — no hardcoded LongType). The collect is a
+    * driver-side top-n of ≤ n rows, not a corpus materialization. */
+  private def withRank(ordered: DataFrame, n: Int): DataFrame = {
+    val spark = ordered.sparkSession
+    val top = ordered.limit(n).collect()
+    val schema = StructType(ordered.schema.fields.map(_.copy(nullable = false)) :+
+      StructField("rank", IntegerType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(top.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1))
+      }.toSeq, 1), schema)
+  }
+
   def dsirSample(raw: DataFrame, target: DataFrame, n: Int,
                  buckets: Int = 512, lambda: Double = 1.0,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = raw.sparkSession
     // uniform in (0,1): 8 md5 hex chars → [0, 2^32), then (x+0.5)/2^32
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / lit(4294967296.0)
     val keyed = dsirWeights(raw, target, buckets, lambda, idCol, textCol)
       .withColumn("key", round(col("dsir_logw") - log(-log(u)), 6))
-    val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(n).collect()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(top.zipWithIndex.map { case (r, i) =>
-        Row(r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), i + 1)
-      }.toSeq, 1),
-      StructType(Seq(
-        StructField("doc_id", LongType, nullable = false),
-        StructField("n_grams", LongType, nullable = false),
-        StructField("dsir_logw", DoubleType, nullable = false),
-        StructField("key", DoubleType, nullable = false),
-        StructField("rank", IntegerType, nullable = false))))
+    withRank(keyed.orderBy(desc("key"), asc("doc_id")), n)
   }
 
   /** Top-`n` raw docs by importance weight (desc, doc_id asc tie-break),
@@ -117,19 +121,7 @@ object Selection {
     * slice" selection; [[dsirSample]] is the proportional variant. */
   def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
                  buckets: Int = 512, lambda: Double = 1.0,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = raw.sparkSession
-    val top = dsirWeights(raw, target, buckets, lambda, idCol, textCol)
-      .orderBy(desc("dsir_logw"), asc("doc_id")).limit(n)  // TakeOrdered
-      .collect()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(top.zipWithIndex.map { case (r, i) =>
-        Row(r.getLong(0), r.getLong(1), r.getDouble(2), i + 1)
-      }.toSeq, 1),
-      StructType(Seq(
-        StructField("doc_id", LongType, nullable = false),
-        StructField("n_grams", LongType, nullable = false),
-        StructField("dsir_logw", DoubleType, nullable = false),
-        StructField("rank", IntegerType, nullable = false))))
-  }
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withRank(dsirWeights(raw, target, buckets, lambda, idCol, textCol)
+      .orderBy(desc("dsir_logw"), asc("doc_id")), n)  // TakeOrdered
 }
