@@ -99,23 +99,49 @@ object Layout {
     * Writes to `outDir` (write-then-swap is the caller's move; compaction
     * must never destroy its input on failure). Returns
     * (filesBefore, filesAfter, rows). */
+  /** All .parquet data files under `dir`, RECURSIVELY — partitioned
+    * (`k=v` subdirectory) tables count their real files and bytes, not
+    * the empty top level. */
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path):
+      Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) out += s
+    }
+    out.result()
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
               outDir: String, targetFileBytes: Long = 128L << 20,
               sortBy: Seq[Column] = Nil): (Long, Long, Long) = {
     require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(inPath).filter(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val parts = parquetFiles(fs, inPath)
+    require(parts.nonEmpty, s"compact: no .parquet data files under $inDir")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // Hive-style partition columns from the data files' directory path
+    // (`k=v` segments relative to the root, in order): a partitioned
+    // input rewrites partitioned — the layout survives compaction instead
+    // of silently flattening into data columns.
+    val rel = parts.head.getPath.getParent.toUri.getPath
+      .stripPrefix(inPath.toUri.getPath).split("/").filter(_.contains("="))
+    val partCols = rel.map(_.takeWhile(_ != '=')).toSeq
     val df = spark.read.parquet(inDir)
     val arranged =
-      if (sortBy.isEmpty) df.repartition(nOut)
-      else df.repartitionByRange(nOut, sortBy: _*).sortWithinPartitions(sortBy: _*)
-    arranged.write.mode("overwrite").parquet(outDir)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (parts.length.toLong, after.toLong, spark.read.parquet(outDir).count())
+      if (sortBy.isEmpty) {
+        if (partCols.isEmpty) df.repartition(nOut)
+        // co-locate rows of a partition dir so each dir gets few writers
+        else df.repartitionByRange(nOut, partCols.map(col): _*)
+      } else df.repartitionByRange(nOut, (partCols.map(col) ++ sortBy): _*)
+        .sortWithinPartitions((partCols.map(col) ++ sortBy): _*)
+    val w = arranged.write.mode("overwrite")
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(outDir)
+    val after = parquetFiles(fs, new org.apache.hadoop.fs.Path(outDir)).size
+    (parts.size.toLong, after.toLong, spark.read.parquet(outDir).count())
   }
 }

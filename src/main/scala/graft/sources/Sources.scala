@@ -150,11 +150,11 @@ object Sources {
     }
 
   def nanosTsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    df.schema(tsCol).dataType match {
-      case LongType =>
+    df.schema.find(_.name == tsCol).map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
-      case TimestampNTZType =>
+      case Some(TimestampNTZType) =>
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
-      case _ => df
+      case _ => df // no such column (non-event table) or already micros
     }
 }
