@@ -14,10 +14,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (item, batch-count) table ever reaches the driver. The driver folds each
   * batch table into its own capacity-m summary with the standard MG merge
   * (add weights; while over capacity, subtract the (m+1)-th largest weight
-  * and drop non-positives). Classic guarantees compose: every item with
-  * TOTAL stream frequency > 2·N/m is present, and every reported weight
-  * undercounts its true frequency by at most N/m (per-batch candidate
-  * error + merge error). State is O(m) on the driver, zero in the stream
+  * and drop non-positives). Classic guarantees compose: every reported
+  * weight undercounts its true frequency by at most the TRACKED bound
+  * `error` = Σ_b N_b/m (candidate loss) + Σ merge cuts — up to 2·N/m in
+  * the worst case, so items with TOTAL stream frequency > `error` are
+  * guaranteed present. State is O(m) on the driver, zero in the stream
   * engine — the [[DriftStream.Monitor]] shape, including the batchId dedup
   * that keeps at-least-once foreachBatch delivery exactly-once. */
 object HeavyStream {
@@ -27,6 +28,13 @@ object HeavyStream {
     private var counts = Map.empty[String, Long]
     private var ingested = Set.empty[Long]
     private var totalRows = 0L
+    // the TWO undercount sources, tracked separately so error() is the
+    // real bound, not the single-source N/m underestimate: per-batch
+    // candidate loss (an item absent from every partition summary of
+    // batch b hides ≤ N_b/m occurrences) and driver-side merge shrinks
+    // (each over-capacity cut subtracts `cut` from every survivor)
+    private var batchErr = 0.0
+    private var mergeErr = 0L
 
     /** Fold one micro-batch of items (one string column) into the summary. */
     def ingest(batch: DataFrame, batchId: Long = -1L,
@@ -51,7 +59,9 @@ object HeavyStream {
       val batchCounts = ds.toDF("item").join(broadcast(cands), "item")
         .groupBy("item").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      totalRows += ds.count()
+      val nb = ds.count()
+      totalRows += nb
+      batchErr += nb.toDouble / m
       // mergeable-MG fold: add weights, then shrink back to capacity m
       var merged = counts
       batchCounts.foreach { case (i, n) =>
@@ -59,6 +69,7 @@ object HeavyStream {
       }
       if (merged.size > m) {
         val cut = merged.values.toSeq.sorted(Ordering[Long].reverse)(m)
+        mergeErr += cut
         merged = merged.flatMap { case (i, n) =>
           if (n - cut > 0) Some(i -> (n - cut)) else None
         }
@@ -73,8 +84,14 @@ object HeavyStream {
       counts.toSeq.sortBy { case (i, n) => (-n, i) }.take(k)
     }
 
-    /** The additive undercount bound N/m for the rows seen so far. */
-    def error: Double = synchronized { totalRows.toDouble / m }
+    /** The additive undercount bound for the rows seen so far: the SUM of
+      * both tracked sources — Σ_b N_b/m (per-batch candidate loss, totals
+      * N/m) plus the cumulative merge-shrink cuts (≤ N/m more), so the
+      * true bound can approach 2N/m and this reports the exact tracked
+      * value, not the single-source N/m underestimate. Every reported
+      * weight undercounts its true frequency by at most [[error]];
+      * presence is guaranteed for items with frequency > [[error]]. */
+    def error: Double = synchronized { batchErr + mergeErr }
     def rowsSeen: Long = synchronized { totalRows }
   }
 
