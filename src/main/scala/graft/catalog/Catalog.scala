@@ -32,10 +32,51 @@ final class Catalog(val spark: SparkSession) {
   private val scalars = TrieMap.empty[String, Any]
   private val funcs   = TrieMap.empty[String, Vector[RegisteredFun]]
   private val udts    = TrieMap.empty[String, UdtDef]
+  // archived snapshots per relvar, oldest first — version v of a relvar
+  // with k archived writes is history(v−1) for v ≤ k, current for v = k+1
+  private val history = TrieMap.empty[String, Vector[Rel]]
 
   // ------------------------------------------------------------- relvars
 
-  def define(name: String, r: Rel): Unit = { relvars(name) = r }
+  /** Archive the current snapshot and swap in the new one: EVERY write
+    * goes through here, so the full version chain is retained
+    * (snapshot-on-write — the Delta/Iceberg discipline minus the log).
+    * Snapshots are immutable lazy plans over immutable inputs; nothing
+    * materializes until a versioned read runs, so history is O(plans),
+    * not O(data), and [[relvarAt]]/[[versionDiff]] make the catalog an
+    * honest incremental-curation substrate. */
+  private def swap(name: String, r: Rel): Unit = {
+    relvars.get(name).foreach { old =>
+      history(name) = history.getOrElse(name, Vector.empty) :+ old }
+    relvars(name) = r
+  }
+
+  def define(name: String, r: Rel): Unit = swap(name, r)
+
+  /** Current version of a relvar: 1 + the number of archived writes. */
+  def version(name: String): Int = {
+    relvar(name) // throws for unknown names
+    history.getOrElse(name, Vector.empty).size + 1
+  }
+
+  /** Time travel: the relvar AS OF `v` (1-based; `v = version(name)` is
+    * the current snapshot). */
+  def relvarAt(name: String, v: Int): Rel = {
+    val cur = relvar(name)
+    val past = history.getOrElse(name, Vector.empty)
+    require(v >= 1 && v <= past.size + 1,
+      s"relvar $name has versions 1..${past.size + 1}, asked for $v")
+    if (v == past.size + 1) cur else past(v - 1)
+  }
+
+  /** What changed between two versions, keyed by `idCol` with content
+    * fingerprinted from `contentCol` — delegates to the
+    * [[graft.pipeline.Snapshot]] delta primitive:
+    * (doc_id, status ∈ added|removed|changed|unchanged). */
+  def versionDiff(name: String, v1: Int, v2: Int, idCol: String,
+                  contentCol: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Snapshot.diff(relvarAt(name, v1).df, relvarAt(name, v2).df,
+      idCol, contentCol)
 
   /** Define a relvar persisted as a BUCKETED (and per-bucket sorted) table:
     * the declared-key scale path (SURVEY §7.4 hard part #1). Two relvars
@@ -63,7 +104,7 @@ final class Catalog(val spark: SparkSession) {
       .saveAsTable(name)
     // r.df deduplicates on write when the source wasn't known distinct, so
     // the stored table is distinct by construction either way
-    relvars(name) = Rel.distinct(spark.table(name))
+    swap(name, Rel.distinct(spark.table(name)))
   }
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
@@ -71,16 +112,16 @@ final class Catalog(val spark: SparkSession) {
 
   /** update R union r — insert (Builtin.UpdateJoin:625-633). */
   def insert(name: String, rows: Rel): Unit =
-    relvars(name) = relvar(name).union(rows)
+    swap(name, relvar(name).union(rows))
 
   /** update R minus r — delete by value. */
   def deleteRows(name: String, rows: Rel): Unit =
-    relvars(name) = relvar(name).minus(rows)
+    swap(name, relvar(name).minus(rows))
 
   /** update R .where(p) .{} — delete by predicate
     * (Builtin.cs:615-622, DataTableLocal.cs:834-857). */
   def deleteWhere(name: String, pred: Column): Unit =
-    relvars(name) = relvar(name).where(!pred)
+    swap(name, relvar(name).where(!pred))
 
   /** update R .where(p) .{A:=e} — in-place update: rewrite matching rows,
     * keep the rest (same three-way split the reference does). */
@@ -89,7 +130,7 @@ final class Catalog(val spark: SparkSession) {
     val updated = r.where(pred).extend(sets.map { case (n, c) => (s"__new_$n", c) }: _*)
       .transform(r.attrs.map(a =>
         a -> (if (sets.exists(_._1 == a)) col(s"__new_$a") else col(a))): _*)
-    relvars(name) = r.where(!pred).union(updated)
+    swap(name, r.where(!pred).union(updated))
   }
 
   // ------------------------------------------------------------- scalars
