@@ -281,11 +281,17 @@ object BenchScale {
         least(col("n_chars").cast("double") / 500.0, lit(1.0)),
         col("text").contains("spark"), Seq(0.2, 0.4, 0.6, 0.8)).count()
     run("pr_curve", prc(docs1), prc(scaleDocs(mult)))
-    // doc embeddings: gram explode × dims + one (doc, dim) integer sum —
-    // strictly linear, no pairwise stage anywhere
+    // doc embeddings: one ±1 sign VECTOR per gram + dims map-side sum
+    // slots — the shuffle carries dims-wide partials, never grams×dims
+    // rows; strictly linear, no pairwise stage anywhere
     run("doc_embed",
       graft.pipeline.Embed.docEmbed(docs1).count(),
       graft.pipeline.Embed.docEmbed(scaleDocs(mult)).count())
+    // the wide-vector shape where the old exploded formulation would
+    // shuffle 64× the gram stream — per_row must hold at dims=64 too
+    run("doc_embed_d64",
+      graft.pipeline.Embed.docEmbed(docs1, dims = 64).count(),
+      graft.pipeline.Embed.docEmbed(scaleDocs(mult), dims = 64).count())
     spark.stop()
   }
 }

@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic hashed random-projection document embeddings — the
   * model-free text→vector bridge into the ANN/semantic-dedup stack
@@ -16,12 +15,21 @@ import org.apache.spark.sql.types.DecimalType
   * any external model, and a drop-in `(id, Array[Float])` for the
   * embedding operators.
   *
-  * Scale shape: one gram explode × dims (dims is small — 16/32/64), ONE
-  * map-side-combinable (doc, dim) sum of ±1 ints, one doc-grouped
-  * normalize. Components are exact INTEGER sums, so the result is
-  * bit-deterministic under any partitioning, and the md5-derived signs
-  * replay in SQL. */
+  * Scale shape: each gram emits its ±1 sign VECTOR once (a single array
+  * column — no dims× row explosion), and the per-doc elementwise sum is
+  * `dims` map-side-combinable integer `sum` slots of ONE hash aggregate,
+  * so the shuffle carries one `dims`-wide partial row per (doc,
+  * partition) instead of grams×dims rows — at dims=64 that is a 64×
+  * smaller shuffle than the exploded formulation. Components are exact
+  * INTEGER sums, so the result is bit-deterministic under any
+  * partitioning, and the md5-derived signs replay in SQL. */
 object Embed {
+
+  /** The gram's ±1 sign for one dimension: md5("<gram>|<dim>") first 4
+    * hex chars' parity — content-addressed, engine-portable. */
+  private def sign(g: Column, dim: Int): Column =
+    (conv(substring(md5(concat_ws("|", g, lit(dim))), 1, 4), 16, 10)
+      .cast("int") % 2 * 2 - 1).cast("long")
 
   /** Long form: (doc_id, dim, v) with v = round(component/‖·‖₂, 6) —
     * the oracle-friendly shape. */
@@ -29,17 +37,18 @@ object Embed {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dims >= 2 && dims <= 256, s"docEmbed: dims=$dims")
     val g = Selection.grams(docs, idCol, textCol)
-    val comp = g.select(col("doc_id"),
-        explode(sequence(lit(0), lit(dims - 1))).as("dim"),
-        col("g"))
-      .select(col("doc_id"), col("dim"),
-        // content-hash sign: md5("<gram>|<dim>") parity → ±1
-        (conv(substring(md5(concat_ws("|", col("g"), col("dim"))), 1, 4), 16, 10)
-          .cast("int") % 2 * 2 - 1).as("s"))
-      .groupBy("doc_id", "dim").agg(sum(col("s")).as("c"))
-    val norms = comp.groupBy("doc_id")
-      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("n"))
-    comp.join(norms, "doc_id")
+    // one ±1 per dimension as `dims` columns of the SAME row — the sum
+    // aggregate below combines map-side, so no row ever multiplies
+    val comp = g.groupBy("doc_id")
+      .agg(sum(sign(col("g"), 0)).as("c0"),
+        (1 until dims).map(d => sum(sign(col("g"), d)).as(s"c$d")): _*)
+      .select(col("doc_id"),
+        array((0 until dims).map(d => col(s"c$d")): _*).as("cs"))
+    comp
+      .select(col("doc_id"),
+        sqrt(aggregate(col("cs"), lit(0L), (a, x) => a + x * x).cast("double"))
+          .as("n"),
+        posexplode(col("cs")).as(Seq("dim", "c")))
       .where(col("n") > 0.0)
       .select(col("doc_id"), col("dim").cast("int").as("dim"),
         round(col("c").cast("double") / col("n"), 6).as("v"))
