@@ -303,6 +303,27 @@ object Queries {
     cat.relvar("region").df
   }
 
+  /** Relvar VERSION HISTORY (snapshot-on-write + time travel): define,
+    * insert, delete-by-predicate, and update each archive the previous
+    * snapshot; every version then reads back AS-OF via
+    * [[graft.catalog.Catalog.relvarAt]] and the union of the four
+    * versioned reads hash-matches DuckDB replaying the same write
+    * sequence — the catalog keeps its whole history, not just the head. */
+  def qCatalogHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = new Catalog(s)
+    cat.define("region", t(s, dir, "region"))
+    cat.insert("region",
+      Rel.distinct(Seq((99, "NEWLAND")).toDF("r_regionkey", "r_name")))
+    cat.deleteWhere("region", col("r_regionkey") === 0)
+    cat.updateWhere("region", col("r_regionkey") === 1,
+      "r_name" -> concat(lit("V4_"), col("r_name")))
+    (1 to cat.version("region")).map { v =>
+      cat.relvarAt("region", v).df
+        .select(lit(v).as("version"), col("r_regionkey"), col("r_name"))
+    }.reduce(_ unionByName _)
+  }
+
   // ================================================== §2.7 scalar library
 
   def qScalarText(s: SparkSession, dir: String): DataFrame =
@@ -537,6 +558,24 @@ object Queries {
       "asset_id", "wav", "audio", "check")
     perceptualVerdict(docs, Multimodal.audioNearDup(assets, maxDist = 4),
       Multimodal.audioHashes(assets), maxDist = 4)
+  }
+
+  /** Video member of the perceptual-dedup contract family: docs render to
+    * MJPEG-AVI clips ([[Multimodal.renderTextAvis]] — real RIFF container,
+    * real JPEG frames, decoded end-to-end by the default
+    * [[Multimodal.MjpegAviDecoder]] path, no stub anywhere), the
+    * first-frame dHash ([[Multimodal.vHash64]]) blocks via the shared
+    * pigeonhole join, and the verdict is the same complete/sound/plants
+    * differential — so all FOUR modalities' dedup paths are DuckDB-gated.
+    * JPEG lossiness demotes injectivity to determinism, which plants
+    * need: equal prefixes ⇒ byte-identical clips ⇒ hamming 0. */
+  def qVideoDedupCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = prefixDocs(s, dir)
+    val assets = Multimodal.toAssets(
+      Multimodal.renderTextAvis(docs, "doc_id", "p"),
+      "asset_id", "avi", "video", "check")
+    perceptualVerdict(docs, Multimodal.videoNearDup(assets, maxDist = 4),
+      Multimodal.videoHashes(assets), maxDist = 4)
   }
 
   /** Exact all-pairs ground truth on a bounded subset — DuckDB-oracled
@@ -1315,6 +1354,36 @@ object Queries {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** STREAMING heavy hitters, oracle-gated like q_stream_window: the
+    * documents parquet replays through readStream, each micro-batch runs
+    * the bounded per-partition Misra–Gries candidate pass + broadcast
+    * exact recount, and the driver folds batch tables with the mergeable
+    * MG merge ([[graft.streaming.HeavyStream.TopKMonitor]]). For the
+    * ORACLE the capacity is set ABOVE the corpus vocabulary (no eviction
+    * ever fires ⇒ the summary is provably the exact counts), so the final
+    * top-10 must hash-match DuckDB's full groupBy top-k — the same
+    * "sketch path equals the exact relation" discipline as q_top_ngrams,
+    * now through the streaming merge. At real scale m drops to k·slack
+    * and the tracked `error` bound takes over. */
+  def qStreamHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = graft.streaming.EventStream
+      .fromParquetDir(s, s"$dir/documents.parquet")
+      .select(explode(Bpe.words(col("text"))).as("item"))
+    val mon = new graft.streaming.HeavyStream.TopKMonitor(m = 1 << 17)
+    val ckpt = java.nio.file.Files.createTempDirectory("q-stream-heavy").toString
+    val q = graft.streaming.HeavyStream.start(words, mon, k = 10,
+      _ => (), ckpt)
+    try q.awaitTermination() finally q.stop()
+    // capacity above |vocab| ⇒ zero evictions ⇒ exact — fail loud if the
+    // premise broke rather than hand DuckDB an approximate answer
+    require(mon.topK(1 << 17).size < (1 << 17),
+      "q_stream_heavy: vocabulary filled the summary — counts no longer exact")
+    mon.topK(10).zipWithIndex
+      .map { case ((item, n), i) => (item, n, i + 1) }
+      .toDF("item", "n", "rank")
+  }
+
   /** Corpus-wide word-bigram frequencies (count ≥ 10): the corpus-stats
     * primitive behind boilerplate detection and vocabulary reports. One
     * explode + one map-side-combinable aggregation; the min-count filter
@@ -1892,6 +1961,17 @@ object Queries {
   def qSpanRebuild(s: SparkSession, dir: String): DataFrame =
     Dedup.spanRebuild(t(s, dir, "documents").bagDF, spanTokens = 8)
 
+  /** Byte-preserving duplicated-span removal
+    * ([[Dedup.spanRebuildBytes]]): the same struct owner election as
+    * q_span_rebuild, but clean_text splices the document's ORIGINAL bytes
+    * (case, punctuation, exact whitespace runs) around the dropped token
+    * ranges. The oracle replays the alternating token/whitespace segment
+    * cut, the parity arithmetic mapping segments to token ordinals, and
+    * the ordered byte splice; docs with no duplicated windows come back
+    * byte-identical to their source text. */
+  def qSpanRebuildBytes(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanRebuildBytes(t(s, dir, "documents").bagDF, spanTokens = 8)
+
   /** Okapi BM25 top-5 per query over the documents corpus
     * ([[graft.pipeline.Retrieval.bm25]]): three fixed probes against the
     * synthetic vocabulary; the oracle replays tokenize → tf/df/dl →
@@ -2141,6 +2221,7 @@ object Queries {
     "q_simhash_check" -> qSimhashCheck, "q_dedup_ngram" -> qDedupNgram,
     "q_image_dedup_check" -> qImageDedupCheck, "q_cdc_check" -> qCdcCheck,
     "q_audio_dedup_check" -> qAudioDedupCheck,
+    "q_video_dedup_check" -> qVideoDedupCheck,
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh_check" -> qKnnLshCheck, "q_knn_ivf_check" -> qKnnIvfCheck,
@@ -2155,7 +2236,7 @@ object Queries {
     "q_schema" -> qSchema, "q_seq" -> qSeq, "q_tuple" -> qTuple,
     "q_binary" -> qBinary, "q_convert" -> qConvert,
     "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
-    "q_catalog_var" -> qCatalogVar,
+    "q_catalog_var" -> qCatalogVar, "q_catalog_history" -> qCatalogHistory,
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
     "q_fold_ordered" -> qFoldOrdered,
     "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact,
@@ -2174,7 +2255,8 @@ object Queries {
     "q_chunk_split" -> qChunkSplit, "q_pack" -> qPack,
     "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck,
     "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
-    "q_stream_join" -> qStreamJoin, "q_ngram_stats" -> qNgramStats,
+    "q_stream_join" -> qStreamJoin, "q_stream_heavy" -> qStreamHeavy,
+    "q_ngram_stats" -> qNgramStats,
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
     "q_e2e_prepare" -> qE2ePrepare, "q_split" -> qSplit,
@@ -2198,6 +2280,7 @@ object Queries {
     "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile,
     "q_pagerank" -> qPagerank, "q_top_ngrams" -> qTopNgrams,
     "q_pagerank_full" -> qPagerankFull, "q_span_rebuild" -> qSpanRebuild,
+    "q_span_rebuild_bytes" -> qSpanRebuildBytes,
     "q_import_jdbc" -> qImportJdbc,
     "q_bm25" -> qBm25, "q_kn_score" -> qKnScore, "q_dsir" -> qDsir,
     "q_quality_clf_check" -> qQualityClfCheck, "q_pr_curve" -> qPrCurve,
@@ -2371,6 +2454,15 @@ object Queries {
       "SELECT (SELECT count(*) FROM p WHERE length(pfx) > 0) AS n_docs, " +
       "CAST((SELECT coalesce(sum(c*(c-1)//2), 0) FROM q) AS BIGINT) AS n_prefix_pairs, " +
       "true AS blocking_complete, true AS blocking_sound, true AS plants_found"),
+    // video member: same prefixes, same replay — the booleans are the
+    // in-query MJPEG-AVI first-frame-dHash differential's verdict
+    "q_video_dedup_check" -> ("WITH p AS (SELECT doc_id, " +
+      "regexp_replace(substring(text, 1, 200), '[^ -~]', '', 'g') AS pfx " +
+      "FROM documents WHERE doc_id < 200), " +
+      "q AS (SELECT pfx, count(*) AS c FROM p WHERE length(pfx) > 0 GROUP BY pfx) " +
+      "SELECT (SELECT count(*) FROM p WHERE length(pfx) > 0) AS n_docs, " +
+      "CAST((SELECT coalesce(sum(c*(c-1)//2), 0) FROM q) AS BIGINT) AS n_prefix_pairs, " +
+      "true AS blocking_complete, true AS blocking_sound, true AS plants_found"),
     "q_knn_lsh_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
     "q_knn_ivf_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
@@ -2421,6 +2513,15 @@ object Queries {
     "q_udt" -> "SELECT p_partkey, p_retailprice AS px, CAST(p_size AS DOUBLE) AS py FROM part",
     "q_catalog_var" -> ("SELECT 10 AS threshold_value, " +
       "(SELECT count(*) FROM nation WHERE n_nationkey < 10) AS n_below"),
+    // snapshot-on-write replay: the same define→insert→delete→update
+    // chain, each version read back as-of
+    "q_catalog_history" -> ("WITH v1 AS (SELECT r_regionkey, r_name FROM region), " +
+      "v2 AS (SELECT * FROM v1 UNION SELECT 99, 'NEWLAND'), " +
+      "v3 AS (SELECT * FROM v2 WHERE NOT (r_regionkey = 0)), " +
+      "v4 AS (SELECT r_regionkey, CASE WHEN r_regionkey = 1 " +
+      "THEN 'V4_' || r_name ELSE r_name END AS r_name FROM v3) " +
+      "SELECT 1 AS version, * FROM v1 UNION ALL SELECT 2, * FROM v2 " +
+      "UNION ALL SELECT 3, * FROM v3 UNION ALL SELECT 4, * FROM v4"),
     "q_fold_bool" -> ("SELECT o_orderpriority, bool_and(o_totalprice > 1000.0) AS all_mid, " +
       "bool_or(o_totalprice > 400000.0) AS any_big, " +
       "(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1)) % 2 = 1 AS odd_count " +
@@ -3279,6 +3380,12 @@ object Queries {
       "SELECT item, n, CAST(row_number() OVER (ORDER BY n DESC, item) AS INTEGER) AS rank " +
       "FROM c ORDER BY n DESC, item LIMIT 10"),
 
+    // the STREAMING MG merge must land on the same exact relation
+    "q_stream_heavy" -> ("WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item FROM documents), " +
+      "c AS (SELECT item, count(*) AS n FROM w GROUP BY item) " +
+      "SELECT item, n, CAST(row_number() OVER (ORDER BY n DESC, item) AS INTEGER) AS rank " +
+      "FROM c ORDER BY n DESC, item LIMIT 10"),
+
     // --- round-12 additions ---
 
     // two unrolled canonical-PageRank iterations on the DIRECTED s→c
@@ -3312,14 +3419,13 @@ object Queries {
     "q_span_rebuild" -> ("WITH tok AS (SELECT doc_id, " +
       "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
       "WHERE length(trim(text)) > 0), " +
-      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp, " +
-      "doc_id*1000000 + i AS gpos " +
+      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp " +
       "FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) " +
       "WHERE len(t) >= 8), " +
-      "own AS (SELECT fp, min(gpos) AS fst FROM w GROUP BY fp), " +
+      "own AS (SELECT fp, min(ROW(doc_id, win_idx)) AS fst FROM w GROUP BY fp), " +
       "dp AS (SELECT DISTINCT w.doc_id, w.win_idx + o.j AS p " +
       "FROM w JOIN own USING (fp), LATERAL (SELECT unnest(generate_series(0, 7)) AS j) AS o " +
-      "WHERE w.gpos <> own.fst), " +
+      "WHERE ROW(w.doc_id, w.win_idx) <> own.fst), " +
       "drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_drop FROM dp GROUP BY doc_id), " +
       "tokens AS (SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) AS pos FROM tok), " +
       "surv AS (SELECT tk.doc_id, tk.token, tk.pos FROM tokens tk " +
@@ -3331,19 +3437,51 @@ object Queries {
       "FROM tok LEFT JOIN drops ON tok.doc_id = drops.doc_id " +
       "LEFT JOIN agg ON tok.doc_id = agg.doc_id"),
 
+    // byte-preserving variant: same election, but the rebuild splices the
+    // ORIGINAL alternating token/whitespace segments (parity arithmetic
+    // maps each segment to its token ordinal; a whitespace run survives
+    // iff the token before it does)
+    "q_span_rebuild_bytes" -> ("WITH base AS (SELECT doc_id, text, " +
+      "regexp_extract_all(text, '\\S+|\\s+') AS sg FROM documents " +
+      "WHERE length(trim(text)) > 0), " +
+      "tok AS (SELECT doc_id, list_transform(list_filter(sg, " +
+      "s -> NOT regexp_matches(s, '^\\s')), s -> lower(s)) AS t FROM base), " +
+      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp " +
+      "FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) " +
+      "WHERE len(t) >= 8), " +
+      "own AS (SELECT fp, min(ROW(doc_id, win_idx)) AS fst FROM w GROUP BY fp), " +
+      "dp AS (SELECT DISTINCT w.doc_id, w.win_idx + o.j AS p " +
+      "FROM w JOIN own USING (fp), LATERAL (SELECT unnest(generate_series(0, 7)) AS j) AS o " +
+      "WHERE ROW(w.doc_id, w.win_idx) <> own.fst), " +
+      "drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_drop FROM dp GROUP BY doc_id), " +
+      "seg AS (SELECT doc_id, unnest(sg) AS s, generate_subscripts(sg, 1) AS si, " +
+      "regexp_matches(sg[1], '^\\S') AS fit FROM base), " +
+      "keep AS (SELECT g.doc_id, g.s, g.si FROM seg g " +
+      "LEFT JOIN dp d ON d.doc_id = g.doc_id AND d.p = " +
+      "CASE WHEN ((g.si % 2 = 1) = g.fit) " +
+      "THEN (CASE WHEN g.fit THEN (g.si + 1) // 2 ELSE g.si // 2 END) " +
+      "ELSE (CASE WHEN g.fit THEN g.si // 2 ELSE (g.si - 1) // 2 END) END " +
+      "WHERE d.p IS NULL), " +
+      "agg AS (SELECT doc_id, string_agg(s, '' ORDER BY si) AS clean_text " +
+      "FROM keep GROUP BY doc_id) " +
+      "SELECT b.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tok, " +
+      "CAST(COALESCE(drops.n_drop, 0) AS BIGINT) AS n_drop, " +
+      "COALESCE(agg.clean_text, '') AS clean_text " +
+      "FROM base b JOIN tok ON b.doc_id = tok.doc_id " +
+      "LEFT JOIN drops ON b.doc_id = drops.doc_id " +
+      "LEFT JOIN agg ON b.doc_id = agg.doc_id"),
 
     // the whole three-operator chain replayed: span rebuild -> floor -> DSIR
     "q_e2e_curate" -> ("WITH tok AS (SELECT doc_id, " +
       "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
       "WHERE length(trim(text)) > 0), " +
-      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp, " +
-      "doc_id*1000000 + i AS gpos " +
+      "w AS (SELECT doc_id, i AS win_idx, md5(array_to_string(t[i : i+7], ' ')) AS fp " +
       "FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) " +
       "WHERE len(t) >= 8), " +
-      "own AS (SELECT fp, min(gpos) AS fst FROM w GROUP BY fp), " +
+      "own AS (SELECT fp, min(ROW(doc_id, win_idx)) AS fst FROM w GROUP BY fp), " +
       "dp AS (SELECT DISTINCT w.doc_id, w.win_idx + o.j AS p " +
       "FROM w JOIN own USING (fp), LATERAL (SELECT unnest(generate_series(0, 7)) AS j) AS o " +
-      "WHERE w.gpos <> own.fst), " +
+      "WHERE ROW(w.doc_id, w.win_idx) <> own.fst), " +
       "drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_drop FROM dp GROUP BY doc_id), " +
       "tokens AS (SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) AS pos FROM tok), " +
       "surv AS (SELECT tk.doc_id, tk.token, tk.pos FROM tokens tk " +

@@ -47,4 +47,31 @@ class CatalogSpec extends SparkSpec {
     val vars = cat.variables.collect().map(_.getString(0)).toSet
     assert(vars === Set("S", "SP"))
   }
+
+  test("version history: every write archives a snapshot; as-of reads and " +
+    "version diffs replay the chain") {
+    val cat = new Catalog(spark)
+    cat.define("S", S)
+    assert(cat.version("S") === 1)
+    cat.insert("S", Rel.distinct(
+      Seq(("S6", "Smyth", 15, "Berlin")).toDF("S#", "SNAME", "STATUS", "CITY")))
+    cat.deleteWhere("S", col("CITY") === "Paris")
+    cat.updateWhere("S", col("S#") === "S1", "STATUS" -> (col("STATUS") + 5))
+    assert(cat.version("S") === 4)
+    // as-of reads: v1 is the original, untouched by the later writes
+    assert(cat.relvarAt("S", 1).relEquals(S), "v1 must be the pristine define")
+    assert(cat.relvarAt("S", 2).count() === 6)
+    assert(cat.relvarAt("S", 3).count() === 4)
+    assert(cat.relvarAt("S", 4).relEquals(cat.relvar("S")))
+    // diff between versions: the insert shows up as `added`
+    val d12 = cat.versionDiff("S", 1, 2, "S#", "SNAME")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d12("S6") === "added" && d12("S1") === "unchanged")
+    // out-of-range versions fail loud
+    val ex = intercept[IllegalArgumentException] { cat.relvarAt("S", 5) }
+    assert(ex.getMessage.contains("versions 1..4"))
+    // redefinition archives too
+    cat.define("S", S)
+    assert(cat.version("S") === 5 && cat.relvarAt("S", 5).relEquals(S))
+  }
 }

@@ -292,6 +292,29 @@ class CurationSpec extends SparkSpec {
     assert(m2 === model && l2 === losses)
   }
 
+  test("logistic classifier: zero-gram docs train the bias and appear in " +
+    "predict (loss normalized over ALL docs)") {
+    import graft.pipeline.Classifier
+    // an all-empty corpus with y=1 has ONLY the bias to learn: the fixed
+    // loss mean must fall below ln 2 and the bias must move positive —
+    // with empty docs excluded from the gradient (the old bug) it stays 0
+    val empties = (1L to 8L).map(i => (i, if (i % 2 == 0) "" else "  \t ", 1))
+      .toDF("doc_id", "text", "label")
+    val (m0, l0) = Classifier.trainLogistic(empties, col("label") === 1, iters = 6)
+    assert(m0.bias > 0.0, s"bias did not learn from featureless docs: $m0")
+    assert(l0.last < math.log(2.0), s"loss stuck at ln2: $l0")
+    val pr = Classifier.predict(empties, m0).collect()
+    assert(pr.length === 8 && pr.forall(_.getBoolean(2)), pr.mkString(","))
+    // mixed corpus: an empty doc neither crashes nor breaks the descent
+    // certificate, and every doc gets a prediction row
+    val mixed = (Seq((100L, "   ", 1)) ++ (1L to 6L).map(i =>
+      (i, s"real words here number $i", if (i <= 3) 1 else 0)))
+      .toDF("doc_id", "text", "label")
+    val (m1, l1) = Classifier.trainLogistic(mixed, col("label") === 1, iters = 8)
+    assert(l1.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-9), l1.toString)
+    assert(Classifier.predict(mixed, m1).count() === 7L)
+  }
+
   test("dsirSelect: docs matching the planted target vocabulary outrank the rest") {
     import graft.pipeline.Selection
     val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
@@ -309,6 +332,21 @@ class CurationSpec extends SparkSpec {
     val all = Selection.dsirWeights(raw, target)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(all.filter(_._1 <= 10).values.min > all.filter(_._1 > 10).values.max)
+  }
+
+  test("dsirSelect/dsirSample: string doc ids (URLs) carry through — the " +
+    "result keeps the input id type") {
+    import graft.pipeline.Selection
+    val raw = Seq(("http://a/1", "alpha beta gamma alpha"),
+      ("http://b/2", "zork quux fnord blarg"),
+      ("http://a/3", "alpha gamma beta delta")).toDF("doc_id", "text")
+    val target = Seq(("t1", "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val sel = Selection.dsirSelect(raw, target, n = 2)
+    assert(sel.schema("doc_id").dataType.typeName === "string")
+    val ids = sel.orderBy("rank").collect().map(_.getString(0)).toSeq
+    assert(ids === Seq("http://a/1", "http://a/3"), ids.toString)
+    val samp = Selection.dsirSample(raw, target, n = 3).collect()
+    assert(samp.length === 3 && samp.forall(_.getString(0).startsWith("http://")))
   }
 
   // ------------------------------------------------------------ pagerank

@@ -672,14 +672,25 @@ class PipelineSpec extends SparkSpec {
     assert(info.nFrames === 3)
     assert(math.abs(info.feature(0) - 1.0) < 0.05, s"meanR ${info.feature(0)}")
     assert(info.feature(2) < 0.1, s"meanB ${info.feature(2)}")
-    // through the distributed decode stage with the decoder plugged in:
-    // real dims come back; the default stub still returns the fake ones
+    // through the distributed decode stage: the MJPEG decoder is the
+    // DEFAULT video path now — real dims come back without opting in;
+    // the stub seam still works when explicitly selected
     val assets = Multimodal.toAssets(
       Seq((7L, avi)).toDF("id", "bytes"), "id", "bytes", "video", "test")
-    val real = Multimodal.decode(assets, Multimodal.MjpegAviDecoder).collect()(0)
+    val real = Multimodal.decode(assets).collect()(0)
     assert(real.getInt(1) === 32 && real.getInt(2) === 24 && real.getInt(3) === 3)
-    val stubbed = Multimodal.decode(assets).collect()(0)
-    assert(stubbed.getInt(1) !== 32, "default stub must stay deterministic-fake")
+    val stubbed = Multimodal.decode(assets, Multimodal.StubVideoDecoder).collect()(0)
+    assert(stubbed.getInt(1) !== 32, "explicit stub must stay deterministic-fake")
+    // the video perceptual hash IS the first frame's dHash — and the
+    // text→AVI renderer is deterministic: equal inputs, equal hashes
+    assert(Multimodal.vHash64(avi) === Multimodal.dHash64(frames.head))
+    val avis = Multimodal.renderTextAvis(
+      Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("id", "p"),
+      "id", "p")
+    val hs = Multimodal.videoHashes(Multimodal.toAssets(avis, "asset_id", "avi", "video", "t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L), "equal prefixes must hash identically")
+    assert(hs.size === 3)
   }
 
   test("dupSpanReport: shared span found at ANY offset; disjoint docs report zero") {
@@ -796,6 +807,58 @@ class PipelineSpec extends SparkSpec {
     // (positions 12..19) is a non-owner window → 8 tokens dropped
     assert(out.getLong(1) === 19L && out.getLong(2) === 8L)
     assert(out.getString(3) === s"$span middle filler words")
+  }
+
+  test("spanRebuild: a 1M+-window document cannot overflow into a neighbor's " +
+    "election range (struct owner key has no packed-arithmetic ceiling)") {
+    import spark.implicits._
+    // doc 1 carries 1,000,010 unique tokens, THEN the shared 8-token span:
+    // its shared window sits at win_idx > 10^6, which the old
+    // doc_id*10^6+idx packing would order AFTER doc 2's window at idx 1 —
+    // electing the wrong owner. struct(doc_id, win_idx) orders by the real
+    // key, so doc 1 owns the span and survives intact.
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val big = (1 to 1000010).map(i => s"t$i").mkString(" ") + " " + shared
+    val docs = Seq((1L, big), (2L, s"$shared " + (1 to 12).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRebuild(docs, spanTokens = 8)
+      .select("doc_id", "n_tok", "n_drop").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((1000018L, 0L)), s"owner doc lost tokens: ${out(1L)}")
+    assert(out(2L) === ((20L, 8L)), s"later copy kept the span: ${out(2L)}")
+  }
+
+  test("spanRebuild: string doc ids elect the lexicographically first owner " +
+    "(no numeric-id assumption)") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(("urlB", s"$span bee words here tail"),
+                   ("urlA", s"ant prefix $span")).toDF("doc_id", "text")
+    val out = Dedup.spanRebuild(docs, spanTokens = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out("urlA") === ((0L, s"ant prefix $span")))
+    assert(out("urlB") === ((8L, "bee words here tail")))
+  }
+
+  test("spanRebuildBytes: non-dup docs rebuild BYTE-identical (case, tabs, " +
+    "newlines, leading/trailing runs); dup spans splice out with their " +
+    "trailing whitespace") {
+    import spark.implicits._
+    val weird = "  Hello\tWorld\n two  three FOUR five\r\n six seven eight nine  "
+    val docs = Seq(
+      (1L, "alpha beta " + (1 to 8).map(i => s"v$i").mkString(" ")), // owner
+      (2L, "  V1  V2\tV3 V4 V5 V6 V7 V8 gamma delta"), // dup span, odd bytes
+      (3L, weird)                                       // no dups: identity
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRebuildBytes(docs, spanTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(3L) === ((10L, 0L, weird)), s"byte identity broken: ${out(3L)}")
+    assert(out(1L)._2 === 0L &&
+      out(1L)._3 === "alpha beta " + (1 to 8).map(i => s"v$i").mkString(" "))
+    // doc 2: the 8 dup tokens drop with each one's FOLLOWING whitespace;
+    // the leading run (before any token) survives
+    assert(out(2L) === ((10L, 8L, "  gamma delta")), s"splice wrong: ${out(2L)}")
   }
 
   test("BloomContains: zero false negatives; bloom decontamination equals the exact path") {

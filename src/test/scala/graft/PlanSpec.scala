@@ -391,6 +391,14 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.pipeline.Multimodal.imageNearDup(assets))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"image pair join degenerated to all-pairs:\n${p.take(4000)}")
+    // video twin: same pigeonhole blocking over the first-frame dHash
+    val vAssets = graft.pipeline.Multimodal.toAssets(
+      graft.pipeline.Multimodal.renderTextAvis(
+        Seq((1L, "hello"), (2L, "hello")).toDF("doc_id", "p"), "doc_id", "p"),
+      "asset_id", "avi", "video", "t")
+    val vp = plan(graft.pipeline.Multimodal.videoNearDup(vAssets))
+    assert(!vp.contains("CartesianProduct") && !vp.contains("BroadcastNestedLoopJoin"),
+      s"video pair join degenerated to all-pairs:\n${vp.take(4000)}")
   }
 
   test("spanRebuild: owner election partial, fp/doc equi-joins only, no window") {
@@ -399,6 +407,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
       && !p.contains("Window"), s"spanRebuild plan wrong:\n${p.take(4000)}")
     // the global-first owner election must combine map-side (partial min)
+    assert(p.contains("partial_min"), s"owner election not partial:\n${p.take(4000)}")
+  }
+
+  test("spanRebuildBytes: same contract — partial owner election, no window, " +
+    "no all-pairs; the segment splice stays a narrow map") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.spanRebuildBytes(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("Window"), s"spanRebuildBytes plan wrong:\n${p.take(4000)}")
     assert(p.contains("partial_min"), s"owner election not partial:\n${p.take(4000)}")
   }
 

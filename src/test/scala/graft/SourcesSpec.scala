@@ -95,6 +95,39 @@ class SourcesSpec extends SparkSpec {
     assert(out2.exceptAll(df).isEmpty && df.exceptAll(out2).isEmpty)
   }
 
+  test("compact: partitioned (k=v subdirectory) tables count their real " +
+    "files, preserve the partition layout, and never flatten") {
+    import spark.implicits._
+    import graft.sources.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("compact-part").toString
+    val df = (1L to 1200L).map(i => (i, s"g${i % 3}", s"payload ${"y" * 40}"))
+      .toDF("id", "grp", "payload")
+    df.repartition(8).write.partitionBy("grp").parquet(s"$tmp/in")
+    val inFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$tmp/in")).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(inFiles.size >= 24, s"fixture not fragmented: ${inFiles.size}")
+    val (before, after, rows) = Layout.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 1L << 30)
+    // real recursive counts — the old top-level listStatus saw 0 files
+    assert(before === inFiles.size.toLong && rows === 1200L && after < before)
+    // layout preserved: per-group subdirectories exist in the output
+    val outDirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(outDirs === Set("grp=g0", "grp=g1", "grp=g2"), outDirs.toString)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.select("id", "grp", "payload").exceptAll(df).isEmpty &&
+      df.exceptAll(out.select("id", "grp", "payload")).isEmpty)
+    // empty input fails loud instead of writing a 1-file flattened table
+    val ex = intercept[IllegalArgumentException] {
+      val empty = java.nio.file.Files.createTempDirectory("compact-empty").toString
+      Layout.compact(spark, empty, s"$tmp/out-none")
+    }
+    assert(ex.getMessage.contains("no .parquet data files"))
+  }
+
   test("embedding ingest guard: array<double> producer drift casts to float at the scan") {
     import spark.implicits._
     val dbl = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
