@@ -19,12 +19,13 @@ import org.apache.spark.sql.types.DecimalType
   * unigram+bigram PRESENCE indicators ([[Sampling.hashBucket]]), computed
   * once and reused across iterations via one pinned frame.
   *
-  * The backtracking line search is FUSED: all 12 candidate-step losses
-  * come out of ONE scoring pass (the per-trial margin is
-  * Σ_b round6(w_b − s·g_b/n) — computable for every trial s from the same
-  * broadcast (w, g) table), so an iteration costs exactly two Spark jobs
-  * (gradient + fused trial losses) no matter how many halvings the search
-  * needs — previously each halving re-ran a full scoring pass.
+  * The backtracking line search evaluates its halving ladder in LAZY
+  * GEOMETRIC CHUNKS (1, 1, 2, 4, 4 trials per scoring pass): the
+  * per-trial margin Σ_b round6(w_b − s·g_b/n) is one decimal column of a
+  * shared pass over a broadcast (w, g) table, so an accepting iteration
+  * is two cheap jobs and a k-halving search costs ≤ 5 jobs and ≤ 2k+2
+  * trial columns — previously each halving re-ran a full scoring pass,
+  * and a flat 12-wide fusion pays 12× when the first trial accepts.
   *
   * Documents whose text hashes to ZERO grams still count: their margin is
   * the bias alone, so they contribute sigmoid(bias) to the loss mean and
@@ -79,19 +80,24 @@ object Classifier {
       .select(col("doc_id"), (lit(1.0) / (exp(-col("m")) + 1.0)).as("p"))
   }
 
-  /** Mean log-loss of the candidate models w − s·g/n for EVERY trial step
-    * `s` in `steps`, in ONE Spark job: the per-trial candidate weight
-    * round6(w_b − s·g_b/n) replicates `candidate`'s driver arithmetic
-    * bit-for-bit from a broadcast (bucket, w, g) table, each trial's
-    * margin is its own decimal column of the same per-doc aggregation, and
-    * docs without features enter through the labels left-join with margin
-    * = the trial's candidate bias. With `g = 0, steps = Seq(0.0)` this
-    * evaluates the CURRENT model's loss. */
-  private def candidateLosses(featsOnly: DataFrame, labels: DataFrame,
-                              model: Model, gw: Map[Int, Double], ge: Double,
-                              steps: Seq[Double], nDocs: Double): Seq[Double] = {
+  /** Per-doc sigmoid probabilities of the candidate models w − s·g/n for
+    * every trial step in `steps`, as ONE pinned (doc_id, y, p0…pk) frame:
+    * the per-trial candidate weight round6(w_b − s·g_b/n) replicates
+    * `candidate`'s driver arithmetic bit-for-bit from a broadcast
+    * (bucket, w, g) table, each trial's margin is its own decimal column
+    * of the same per-doc aggregation, and docs without features enter
+    * through the labels left-join with margin = the trial's candidate
+    * bias. The frame is nDocs × (2+k) doubles — pinned so the ACCEPTED
+    * trial's column doubles as the next gradient's error input (the
+    * margins of iteration i+1's model were already computed as iteration
+    * i's winning trial; re-scoring them would be a wasted pass). With
+    * `g = 0, steps = Seq(0.0)` this scores the CURRENT model. */
+  private def trialProbs(featsOnly: DataFrame, labels: DataFrame,
+                         model: Model, gw: Map[Int, Double], ge: Double,
+                         steps: Seq[Double], nDocs: Double): DataFrame = {
     val spark = featsOnly.sparkSession
     import spark.implicits._
+    import graft.rel.Checkpoint.PinOps
     val keys = (model.weights.keySet ++ gw.keySet).toSeq
     val wg = keys.map(b =>
       (b, model.weights.getOrElse(b, 0.0), gw.getOrElse(b, 0.0))).toDF("bucket", "w", "g")
@@ -107,22 +113,32 @@ object Classifier {
       .select(col("doc_id") +: termCols: _*)
       .groupBy("doc_id")
       .agg(marginCols.head, marginCols.tail: _*)
-    val lossCols = steps.indices.map { j =>
+    val pCols = steps.indices.map { j =>
       val m = coalesce(col(s"m$j"), lit(candBias(j)))
-      val p = lit(1.0) / (exp(-m) + 1.0)
+      (lit(1.0) / (exp(-m) + 1.0)).as(s"p$j")
+    }
+    labels.join(margins, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("y") +: pCols: _*)
+      .pin()
+  }
+
+  /** Mean log-losses of the trial columns of a [[trialProbs]] frame — a
+    * tiny aggregation over the pinned per-doc probabilities. */
+  private def lossesFrom(probs: DataFrame, k: Int, nDocs: Double): Seq[Double] = {
+    val lossCols = (0 until k).map { j =>
+      val p = col(s"p$j")
       sum(round(-(col("y") * log(greatest(p, lit(1e-12))) +
           (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))), 6)
         .cast(DecimalType(18, 6))).cast("double").as(s"l$j")
     }
-    val row = labels.join(margins, Seq("doc_id"), "left")
-      .agg(lossCols.head, lossCols.tail: _*).collect()(0)
-    steps.indices.map(j => round6(row.getDouble(j) / nDocs))
+    val row = probs.agg(lossCols.head, lossCols.tail: _*).collect()(0)
+    (0 until k).map(j => round6(row.getDouble(j) / nDocs))
   }
 
   /** Train on `docs` with a 0/1 `labelCol`: full-batch gradient descent
     * with BACKTRACKING LINE SEARCH — each iteration evaluates the whole
-    * halving ladder `step, step/2, …, step/2¹¹` in one fused pass and
-    * accepts the first trial whose loss does not exceed the current loss,
+    * halving ladder `step, step/2, …, step/2¹¹` in lazy geometric chunks
+    * and accepts the first trial whose loss does not exceed the current loss,
     * so the returned loss sequence is non-increasing BY CONSTRUCTION (the
     * descent certificate is structural, not hoped-for) and training
     * remains fully deterministic. Steps that succeed grow the next trial
@@ -145,25 +161,29 @@ object Classifier {
     // one synthetic bias row per doc (bucket −1, x = 1): the bias gradient
     // Σe falls out of the SAME per-bucket aggregation as the weight
     // gradients — one job per iteration instead of two. Sourced from
-    // labels, so zero-gram docs feed the bias gradient too.
+    // labels, so zero-gram docs feed the bias gradient too. Pinned: it is
+    // scanned once per iteration and must not replay its build join.
     val featsBias = featsOnly.join(labels, "doc_id").unionByName(
       labels.select(col("doc_id"), lit(-1).as("bucket"), lit(1.0).as("x"),
-        col("y")))
+        col("y"))).pin()
 
     var model = init.getOrElse(Model(0.0, Map.empty, buckets))
-    var curLoss = candidateLosses(featsOnly, labels, model,
-      Map.empty, 0.0, Seq(0.0), nDocs).head
+    // probs carries the CURRENT model's per-doc p in column `curP` — the
+    // accepted trial of each iteration becomes the next one's scoring
+    // pass for free
+    var probs = trialProbs(featsOnly, labels, model, Map.empty, 0.0,
+      Seq(0.0), nDocs)
+    var curP = "p0"
+    var curLoss = lossesFrom(probs, 1, nDocs).head
     var step = lr
     val losses = Seq.newBuilder[Double]
     var i = 0
     while (i < iters) {
-      // gradient at the CURRENT model: one scoring pass + one B-sized agg;
-      // docs without features default to p = sigmoid(bias) via the
-      // labels left-join so their error reaches the bias row
-      val pDef = lit(1.0) / (exp(-lit(model.bias)) + 1.0)
-      val err = labels.join(scores(featsOnly, model), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          round(coalesce(col("p"), pDef) - col("y"), 6).as("e"))
+      // gradient at the CURRENT model: e reads straight off the pinned
+      // probs frame (zero scoring work), then one join onto the pinned
+      // feature+bias rows and one B-sized map-side-combinable agg
+      val err = probs.select(col("doc_id"),
+        round(col(curP) - col("y"), 6).as("e"))
       val gAll = featsBias.join(err, "doc_id")
         .groupBy("bucket")
         .agg(sum((col("e") * col("x")).cast(DecimalType(24, 12)))
@@ -179,21 +199,46 @@ object Classifier {
             s * gb.getOrElse(b, 0.0) / nDocs)
         }.toMap, buckets)
 
-      // fused backtrack: all 12 halvings' losses in ONE job, accept the
-      // first that does not increase the loss
+      // lazy GEOMETRIC backtrack: trial columns cost real per-row work
+      // (a decimal margin sum each), so evaluating all 12 at once pays
+      // 12x even when the first accepts, while one job per halving pays
+      // a scheduling round-trip each. Chunks of 1,1,2,4,4 halvings give
+      // the best of both: an accepting iteration is one scoring pass, a
+      // k-halving search costs <= 5 passes and <= 2k+2 trial columns.
       val trialSteps = Seq.iterate(step, 12)(_ / 2.0)
-      val trialLosses = candidateLosses(featsOnly, labels, model,
-        gb, ge, trialSteps, nDocs)
-      trialSteps.zip(trialLosses).find(_._2 <= curLoss) match {
-        case Some((s, l)) =>
-          model = candidate(s); curLoss = l
-          step = math.min(s * 2.0, lr) // re-grow toward the ceiling
-        case None => i = iters // gradient no longer descends — stop
+      var accepted = -1   // ladder index of the accepted trial
+      var acceptedInChunk = -1 // its column index within the winning chunk
+      var acceptedLoss = 0.0
+      var tried = 0
+      var chunkProbs: DataFrame = null
+      val chunkIt = Seq(1, 1, 2, 4, 4).iterator
+      while (accepted < 0 && chunkIt.hasNext) {
+        val chunk = chunkIt.next()
+        if (chunkProbs != null) chunkProbs.unpin() // superseded reject
+        val steps = trialSteps.slice(tried, tried + chunk)
+        chunkProbs = trialProbs(featsOnly, labels, model, gb, ge, steps, nDocs)
+        val ls = lossesFrom(chunkProbs, steps.size, nDocs)
+        ls.zipWithIndex.find(_._1 <= curLoss).foreach { case (l, j) =>
+          accepted = tried + j; acceptedInChunk = j; acceptedLoss = l
+        }
+        tried += chunk
+      }
+      if (accepted >= 0) {
+        val s = trialSteps(accepted)
+        model = candidate(s)
+        curLoss = acceptedLoss
+        step = math.min(s * 2.0, lr) // re-grow toward the ceiling
+        probs.unpin()
+        probs = chunkProbs // accepted trial's p column scores next round
+        curP = s"p$acceptedInChunk"
+      } else {
+        if (chunkProbs != null) chunkProbs.unpin()
+        i = iters // gradient no longer descends — stop
       }
       losses += curLoss
       i += 1
     }
-    featsOnly.unpin(); labels.unpin()
+    probs.unpin(); featsBias.unpin(); featsOnly.unpin(); labels.unpin()
     (model, losses.result())
   }
 
