@@ -72,7 +72,12 @@ object Bench {
       }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
+    // SPARK_GRAFT_BENCH_FILTER: comma-separated query names (exact match)
+    // for single-query perf iteration; unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // per-query samples across sweeps; a query that fails in one sweep is
     // reported in errors but keeps the samples from sweeps that succeeded
     val samples = scala.collection.mutable.LinkedHashMap(

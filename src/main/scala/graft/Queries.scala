@@ -2027,10 +2027,13 @@ object Queries {
       val (m, l) = Classifier.trainLogistic(docs, label, iters = 8,
         buckets = 4096, init = model)
       model = Some(m); losses = losses ++ l; rounds += 1
-      val joined = Classifier.predict(docs, m)
+      // one aggregate: two separate count() jobs would each replay the
+      // whole predict scoring pass
+      val a = Classifier.predict(docs, m)
         .join(docs.select(col("doc_id"), label.as("y")), "doc_id")
-      acc = joined.where(col("pred") === col("y")).count().toDouble /
-        math.max(joined.count(), 1L)
+        .agg(sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("hit"),
+          count(lit(1)).as("n")).collect()(0)
+      acc = a.getLong(0).toDouble / math.max(a.getLong(1), 1L)
     }
     val monotone = losses.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-9)
     // partitioning-invariance on a content-hash sample with a short run —

@@ -2,40 +2,44 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 /** Hashed-n-gram logistic-regression document classifier — the
   * "fasttext-style quality filter" primitive (GPT-3/LLaMA-lineage
   * pipelines score every crawl page with exactly this shape: bag of
   * hashed word n-grams → linear model → sigmoid → keep/drop). Training
   * is full-batch gradient descent run AS SPARK JOBS:
   *
-  *   per iteration: broadcast the B-bucket weight vector, one narrow join
-  *   scores every doc (margin = Σ w_b·x_b), one map-side-combinable
-  *   aggregation produces the B-sized gradient, the driver updates w.
+  *   once per run: ONE corpus pass hashes each doc's unigram+bigram
+  *   PRESENCE set ([[Sampling.hashBucket]]) into a sorted bucket ARRAY,
+  *   pinned as an nDocs-row (doc_id, y, bs) frame;
+  *
+  *   per iteration: exactly TWO narrow jobs over that frame. The
+  *   gradient job scores every doc by traversing its bucket array
+  *   against the model's ×10⁶ fixed-point weight vector (the codegen'd
+  *   [[graft.functions.BucketDotSums]] — no join, no corpus-sized
+  *   shuffle), explodes buckets onto the 6dp error, and reduces to the
+  *   B-sized gradient with a map-side-combinable long sum. The
+  *   line-search job evaluates the ENTIRE 12-step backtracking ladder:
+  *   one BucketDotSums call dots each doc against all candidate models
+  *   w − s·g/n at once (an extra candidate costs one more in-row array
+  *   traversal, not a pass), and a single aggregate returns every trial
+  *   loss — the driver accepts the first non-increasing one.
   *
   * Driver state is the model only (B doubles — bounded, like the k-means
-  * codebooks in [[Similarity]]); per-doc features are hashed
-  * unigram+bigram PRESENCE indicators ([[Sampling.hashBucket]]), computed
-  * once and reused across iterations via one pinned frame.
+  * codebooks in [[Similarity]]).
   *
-  * The backtracking line search evaluates its halving ladder in LAZY
-  * GEOMETRIC CHUNKS (1, 1, 2, 4, 4 trials per scoring pass): the
-  * per-trial margin Σ_b round6(w_b − s·g_b/n) is one decimal column of a
-  * shared pass over a broadcast (w, g) table, so an accepting iteration
-  * is two cheap jobs and a k-halving search costs ≤ 5 jobs and ≤ 2k+2
-  * trial columns — previously each halving re-ran a full scoring pass,
-  * and a flat 12-wide fusion pays 12× when the first trial accepts.
+  * Documents whose text hashes to ZERO grams still count: their bucket
+  * array is empty, so their margin is the bias alone — they contribute
+  * sigmoid(bias) to the loss mean and (sigmoid(bias) − y) to the bias
+  * gradient, and the loss is normalized over exactly the docs that feed
+  * the gradients.
   *
-  * Documents whose text hashes to ZERO grams still count: their margin is
-  * the bias alone, so they contribute sigmoid(bias) to the loss mean and
-  * (sigmoid(bias) − y) to the bias gradient — the loss is normalized over
-  * exactly the docs that feed the gradients.
-  *
-  * Determinism: weights are 6dp-quantized after every update and all
-  * dot-product/gradient sums run in DECIMAL over 6dp-rounded terms, so
-  * margins, losses, and predictions are partitioning-invariant —
-  * `trainLogistic` on a repartitioned corpus yields the SAME model. */
+  * Determinism: weights are 6dp-quantized after every update and every
+  * dot-product/gradient/loss sum adds ×10⁶-scaled 6dp terms as exact
+  * LONG integers (associative, so partitioning/order-invariant — and the
+  * primitive-sum codegen fast path, where the earlier decimal sums
+  * computed the identical totals several times slower); margins, losses,
+  * and predictions are therefore order-free and `trainLogistic` on a
+  * repartitioned corpus yields the SAME model. */
 object Classifier {
 
   final case class Model(bias: Double, weights: Map[Int, Double], buckets: Int)
@@ -44,95 +48,87 @@ object Classifier {
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
-  /** (doc_id, bucket, x) with x = 1.0 — hashed-BoW PRESENCE features (the
-    * hashing-trick standard for linear text classifiers: count scaling
-    * only shrinks gradients on short docs, presence keeps every feature
-    * O(1) and the margin well-conditioned). One distinct per doc. */
-  private[pipeline] def features(docs: DataFrame, buckets: Int,
-                                 idCol: String, textCol: String): DataFrame = {
+  /** Each doc's sorted distinct hashed-feature bucket set as an IN-ROW
+    * array<int> column — hashed-BoW PRESENCE features (the hashing-trick
+    * standard for linear text classifiers: count scaling only shrinks
+    * gradients on short docs, presence keeps every feature O(1) and the
+    * margin well-conditioned). Entirely narrow: tokenize → unigram+bigram
+    * grams → bucket hash → distinct → sort happen per row, so building
+    * the feature frame costs ZERO shuffles (the previous exploded
+    * (doc, bucket) layout paid a distinct shuffle plus a re-group, and
+    * then a join + corpus-wide re-shuffle on every scoring pass).
+    * Zero-gram docs get an empty array. */
+  private[pipeline] def bucketSet(buckets: Int, textCol: String): Column = {
     val ts = filter(split(lower(trim(col(textCol))), "[^a-z0-9]+"),
       t => length(t) > 0)
-    docs.select(col(idCol).as("doc_id"), ts.as("__t"))
-      .select(col("doc_id"), explode(concat(col("__t"),
-        zip_with(
-          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b)))).as("g"))
-      .select(col("doc_id"), Sampling.hashBucket(col("g"), buckets).as("bucket"))
-      .distinct()
-      .withColumn("x", lit(1.0))
+    val grams = concat(ts,
+      zip_with(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+    array_sort(array_distinct(transform(grams,
+      g => Sampling.hashBucket(g, buckets))))
   }
 
-  /** Margin + sigmoid for one weight snapshot: (doc_id, p) over docs WITH
-    * features — callers left-join from the label frame and default absent
-    * docs to sigmoid(bias). The decimal dot product makes p
-    * partitioning-invariant. */
-  private def scores(feats: DataFrame, model: Model): DataFrame = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val w = model.weights.toSeq.toDF("bucket", "w")
-    feats.join(broadcast(w), Seq("bucket"), "left")
-      .select(col("doc_id"),
-        (round(coalesce(col("w"), lit(0.0)), 6) * col("x"))
-          .cast(DecimalType(24, 12)).as("t"))
-      .groupBy("doc_id")
-      .agg((sum(col("t")).cast("double") + model.bias).as("m"))
-      .select(col("doc_id"), (lit(1.0) / (exp(-col("m")) + 1.0)).as("p"))
+  /** A model's dense micro-unit weight vector: w6[b] = round6(w_b)·10⁶ as
+    * an exact long (absent buckets are 0). The task-side representation
+    * [[graft.functions.BucketDotSums]] dots each doc's bucket set against. */
+  private def toW6(m: Model): Array[Long] = {
+    val a = new Array[Long](m.buckets)
+    m.weights.foreach { case (b, w) => a(b) = math.round(w * 1e6) }
+    a
   }
 
-  /** Per-doc sigmoid probabilities of the candidate models w − s·g/n for
-    * every trial step in `steps`, as ONE pinned (doc_id, y, p0…pk) frame:
-    * the per-trial candidate weight round6(w_b − s·g_b/n) replicates
-    * `candidate`'s driver arithmetic bit-for-bit from a broadcast
-    * (bucket, w, g) table, each trial's margin is its own decimal column
-    * of the same per-doc aggregation, and docs without features enter
-    * through the labels left-join with margin = the trial's candidate
-    * bias. The frame is nDocs × (2+k) doubles — pinned so the ACCEPTED
-    * trial's column doubles as the next gradient's error input (the
-    * margins of iteration i+1's model were already computed as iteration
-    * i's winning trial; re-scoring them would be a wasted pass). With
-    * `g = 0, steps = Seq(0.0)` this scores the CURRENT model. */
-  private def trialProbs(featsOnly: DataFrame, labels: DataFrame,
-                         model: Model, gw: Map[Int, Double], ge: Double,
-                         steps: Seq[Double], nDocs: Double): DataFrame = {
-    val spark = featsOnly.sparkSession
-    import spark.implicits._
-    import graft.rel.Checkpoint.PinOps
-    val keys = (model.weights.keySet ++ gw.keySet).toSeq
-    val wg = keys.map(b =>
-      (b, model.weights.getOrElse(b, 0.0), gw.getOrElse(b, 0.0))).toDF("bucket", "w", "g")
-    val candBias = steps.map(s => round6(model.bias - s * ge / nDocs))
-    val termCols = steps.zipWithIndex.map { case (s, j) =>
-      (round(coalesce(col("w"), lit(0.0)) -
-          lit(s) * coalesce(col("g"), lit(0.0)) / lit(nDocs), 6) * col("x"))
-        .cast(DecimalType(24, 12)).as(s"t$j")
-    }
-    val marginCols = steps.indices.map(j =>
-      (sum(col(s"t$j")).cast("double") + lit(candBias(j))).as(s"m$j"))
-    val margins = featsOnly.join(broadcast(wg), Seq("bucket"), "left")
-      .select(col("doc_id") +: termCols: _*)
-      .groupBy("doc_id")
-      .agg(marginCols.head, marginCols.tail: _*)
-    val pCols = steps.indices.map { j =>
-      val m = coalesce(col(s"m$j"), lit(candBias(j)))
+  /** Mean log-loss of every candidate model in ONE narrow job over the
+    * pinned (doc_id, y, bs) frame: a single [[BucketDotSums]] traversal
+    * of each doc's bucket array yields all k candidate margins as exact
+    * micro-unit longs, the per-trial sigmoid/log-loss are plain columns,
+    * and one aggregate collects k losses. Zero-gram docs have empty
+    * arrays, so their margin is the candidate bias — they enter every
+    * loss at sigmoid(bias). */
+  private def lossesOf(feats: DataFrame, cands: Seq[Model],
+                       nDocs: Double): Seq[Double] = {
+    import graft.functions.BucketDotSums
+    val pCols = cands.zipWithIndex.map { case (c, j) =>
+      val m = element_at(col("ms"), j + 1).cast("double") / 1e6 + lit(c.bias)
       (lit(1.0) / (exp(-m) + 1.0)).as(s"p$j")
     }
-    labels.join(margins, Seq("doc_id"), "left")
-      .select(col("doc_id") +: col("y") +: pCols: _*)
-      .pin()
+    val lossCols = cands.indices.map { j =>
+      val p = col(s"p$j")
+      sum(round(round(-(col("y") * log(greatest(p, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))), 6) * 1e6)
+        .cast("long")).cast("double").as(s"l$j")
+    }
+    val row = feats
+      .select(col("y"), BucketDotSums(col("bs"), cands.map(toW6).toArray).as("ms"))
+      .select(col("y") +: pCols: _*)
+      .agg(lossCols.head, lossCols.tail: _*)
+      .collect()(0)
+    cands.indices.map(j => round6(row.getDouble(j) / 1e6 / nDocs))
   }
 
-  /** Mean log-losses of the trial columns of a [[trialProbs]] frame — a
-    * tiny aggregation over the pinned per-doc probabilities. */
-  private def lossesFrom(probs: DataFrame, k: Int, nDocs: Double): Seq[Double] = {
-    val lossCols = (0 until k).map { j =>
-      val p = col(s"p$j")
-      sum(round(-(col("y") * log(greatest(p, lit(1e-12))) +
-          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))), 6)
-        .cast(DecimalType(18, 6))).cast("double").as(s"l$j")
-    }
-    val row = probs.agg(lossCols.head, lossCols.tail: _*).collect()(0)
-    (0 until k).map(j => round6(row.getDouble(j) / nDocs))
+  /** Full-batch gradient at `model` in ONE narrow job: the same
+    * bucket-array traversal scores each doc (margin → p → 6dp error e6),
+    * then [[graft.functions.BucketErrSumAgg]] scatter-adds e6 into a
+    * dense long[B+1] partition accumulator — no explode, no
+    * corpus-sized shuffle; the only moving data is numPartitions dense
+    * vectors. Slot B is the bias gradient: every doc lands there, so
+    * zero-gram docs drive the bias at sigmoid(bias). The returned map
+    * keys the bias as −1 and keeps only touched buckets. */
+  private def gradient(feats: DataFrame, model: Model,
+                       nDocs: Double): Map[Int, Double] = {
+    import graft.functions.{BucketDotSums, BucketErrSumAgg}
+    val b = model.buckets
+    val m = element_at(BucketDotSums(col("bs"), Array(toW6(model))), 1)
+      .cast("double") / 1e6 + lit(model.bias)
+    val p = lit(1.0) / (exp(-m) + 1.0)
+    val e6 = round(round(p - col("y"), 6) * 1e6).cast("long")
+    val g6 = feats.select(col("bs"), e6.as("e6"))
+      .agg(BucketErrSumAgg(col("bs"), col("e6"), b).as("g6"))
+      .collect()(0).getSeq[Long](0)
+    val touched = (0 until b).iterator.filter(g6(_) != 0L)
+      .map(bk => bk -> g6(bk) / 1e6).toMap
+    touched + (-1 -> g6(b) / 1e6)
   }
 
   /** Train on `docs` with a 0/1 `labelCol`: full-batch gradient descent
@@ -150,45 +146,34 @@ object Classifier {
                     init: Option[Model] = None):
       (Model, Seq[Double]) = {
     require(iters >= 1 && buckets > 0, s"trainLogistic: iters=$iters buckets=$buckets")
+    // the trial job ships the 13-candidate micro-unit matrix as a task
+    // reference (13·B longs) — fine through fasttext-scale bucket counts;
+    // past this ceiling the matrix should ride a Broadcast handle instead
+    require(buckets <= (1 << 18),
+      s"trainLogistic: buckets=$buckets exceeds 2^18 — the candidate weight " +
+        "matrix would need a Broadcast handle rather than a task reference")
     require(init.forall(_.buckets == buckets),
       "trainLogistic: warm-start model has a different bucket count")
     import graft.rel.Checkpoint.PinOps
-    val labels = docs.select(col(idCol).as("doc_id"),
-      labelCol.cast("double").as("y")).pin()
-    val featsOnly = features(docs, buckets, idCol, textCol).pin()
-    val nDocs = labels.count().toDouble
 
-    // one synthetic bias row per doc (bucket −1, x = 1): the bias gradient
-    // Σe falls out of the SAME per-bucket aggregation as the weight
-    // gradients — one job per iteration instead of two. Sourced from
-    // labels, so zero-gram docs feed the bias gradient too. Pinned: it is
-    // scanned once per iteration and must not replay its build join.
-    val featsBias = featsOnly.join(labels, "doc_id").unionByName(
-      labels.select(col("doc_id"), lit(-1).as("bucket"), lit(1.0).as("x"),
-        col("y"))).pin()
+    // ONE shuffle-free corpus pass for the whole training run: grams →
+    // buckets → each doc's sorted distinct bucket ARRAY, computed IN-ROW
+    // next to the label (zero-gram docs get an empty array). Every
+    // iteration after this is a narrow scan of these nDocs rows —
+    // margins come from in-row array traversal (BucketDotSums), never
+    // from re-joining or re-shuffling an exploded (doc, bucket) frame.
+    val feats = docs.select(col(idCol).as("doc_id"),
+      labelCol.cast("double").as("y"),
+      bucketSet(buckets, textCol).as("bs")).pin()
+    val nDocs = feats.count().toDouble
 
     var model = init.getOrElse(Model(0.0, Map.empty, buckets))
-    // probs carries the CURRENT model's per-doc p in column `curP` — the
-    // accepted trial of each iteration becomes the next one's scoring
-    // pass for free
-    var probs = trialProbs(featsOnly, labels, model, Map.empty, 0.0,
-      Seq(0.0), nDocs)
-    var curP = "p0"
-    var curLoss = lossesFrom(probs, 1, nDocs).head
+    var curLoss = lossesOf(feats, Seq(model), nDocs).head
     var step = lr
     val losses = Seq.newBuilder[Double]
     var i = 0
     while (i < iters) {
-      // gradient at the CURRENT model: e reads straight off the pinned
-      // probs frame (zero scoring work), then one join onto the pinned
-      // feature+bias rows and one B-sized map-side-combinable agg
-      val err = probs.select(col("doc_id"),
-        round(col(curP) - col("y"), 6).as("e"))
-      val gAll = featsBias.join(err, "doc_id")
-        .groupBy("bucket")
-        .agg(sum((col("e") * col("x")).cast(DecimalType(24, 12)))
-          .cast("double").as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val gAll = gradient(feats, model, nDocs)
       val ge = gAll.getOrElse(-1, 0.0)
       val gb = gAll - (-1)
 
@@ -199,58 +184,40 @@ object Classifier {
             s * gb.getOrElse(b, 0.0) / nDocs)
         }.toMap, buckets)
 
-      // lazy GEOMETRIC backtrack: trial columns cost real per-row work
-      // (a decimal margin sum each), so evaluating all 12 at once pays
-      // 12x even when the first accepts, while one job per halving pays
-      // a scheduling round-trip each. Chunks of 1,1,2,4,4 halvings give
-      // the best of both: an accepting iteration is one scoring pass, a
-      // k-halving search costs <= 5 passes and <= 2k+2 trial columns.
+      // the WHOLE halving ladder in one job: with in-row array margins a
+      // trial costs one extra traversal of each doc's bucket array (~µs),
+      // so 12 candidates in a single scan beat any chunked scheme whose
+      // every chunk pays a full job round-trip
       val trialSteps = Seq.iterate(step, 12)(_ / 2.0)
-      var accepted = -1   // ladder index of the accepted trial
-      var acceptedInChunk = -1 // its column index within the winning chunk
-      var acceptedLoss = 0.0
-      var tried = 0
-      var chunkProbs: DataFrame = null
-      val chunkIt = Seq(1, 1, 2, 4, 4).iterator
-      while (accepted < 0 && chunkIt.hasNext) {
-        val chunk = chunkIt.next()
-        if (chunkProbs != null) chunkProbs.unpin() // superseded reject
-        val steps = trialSteps.slice(tried, tried + chunk)
-        chunkProbs = trialProbs(featsOnly, labels, model, gb, ge, steps, nDocs)
-        val ls = lossesFrom(chunkProbs, steps.size, nDocs)
-        ls.zipWithIndex.find(_._1 <= curLoss).foreach { case (l, j) =>
-          accepted = tried + j; acceptedInChunk = j; acceptedLoss = l
-        }
-        tried += chunk
-      }
-      if (accepted >= 0) {
-        val s = trialSteps(accepted)
-        model = candidate(s)
-        curLoss = acceptedLoss
-        step = math.min(s * 2.0, lr) // re-grow toward the ceiling
-        probs.unpin()
-        probs = chunkProbs // accepted trial's p column scores next round
-        curP = s"p$acceptedInChunk"
-      } else {
-        if (chunkProbs != null) chunkProbs.unpin()
-        i = iters // gradient no longer descends — stop
+      val cands = trialSteps.map(candidate)
+      val ls = lossesOf(feats, cands, nDocs)
+      ls.zipWithIndex.find(_._1 <= curLoss) match {
+        case Some((l, j)) =>
+          model = cands(j)
+          curLoss = l
+          step = math.min(trialSteps(j) * 2.0, lr) // re-grow toward the ceiling
+        case None =>
+          i = iters // gradient no longer descends — stop
       }
       losses += curLoss
       i += 1
     }
-    probs.unpin(); featsBias.unpin(); featsOnly.unpin(); labels.unpin()
+    feats.unpin()
     (model, losses.result())
   }
 
-  /** Score docs with a trained model: (doc_id, p, pred). Zero-gram docs
-    * score at sigmoid(bias) — every input doc gets a row. */
+  /** Score docs with a trained model: (doc_id, p, pred) — one narrow
+    * pass (in-row bucket set → fixed-point dot → sigmoid), no join, no
+    * shuffle. Zero-gram docs have an empty bucket set, so they score at
+    * sigmoid(bias); every input doc gets a row. */
   def predict(docs: DataFrame, model: Model, threshold: Double = 0.5,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pDef = lit(1.0) / (exp(-lit(model.bias)) + 1.0)
-    docs.select(col(idCol).as("doc_id"))
-      .join(scores(features(docs, model.buckets, idCol, textCol), model),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), round(coalesce(col("p"), pDef), 6).as("p"),
-        (coalesce(col("p"), pDef) >= threshold).as("pred"))
+    import graft.functions.BucketDotSums
+    val m = element_at(
+        BucketDotSums(bucketSet(model.buckets, textCol), Array(toW6(model))), 1)
+      .cast("double") / 1e6 + lit(model.bias)
+    val p = lit(1.0) / (exp(-m) + 1.0)
+    docs.select(col(idCol).as("doc_id"), round(p, 6).as("p"),
+      (p >= threshold).as("pred"))
   }
 }

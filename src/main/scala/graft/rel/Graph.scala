@@ -2,7 +2,6 @@ package graft.rel
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.rel.Checkpoint.PinOps
 
 /** Iterative graph analytics on DataFrames. Companion to the
@@ -21,9 +20,11 @@ import graft.rel.Checkpoint.PinOps
   * on that side; ranks — one double per node — are the only moving data).
   *
   * Determinism: per-edge contributions are 12dp-rounded then summed as
-  * DECIMAL, so parallel aggregation order cannot change a rank — the same
-  * discipline the LM-score and centered-norm operators use, and what lets
-  * a SQL oracle replay the iterations bit-for-bit.
+  * exact ×10¹² LONG integers (total rank mass is 1, so every sum stays
+  * ~10¹² ≪ 2⁵³ — the long total and a decimal sum round to the SAME
+  * double), so parallel aggregation order cannot change a rank, at
+  * primitive-sum codegen speed; a SQL oracle replays the iterations
+  * bit-for-bit with plain decimal sums.
   */
 object Graph {
 
@@ -43,9 +44,9 @@ object Graph {
     * contribution so a SQL oracle replays it bit-for-bit.
     *
     * Early termination (`tol > 0`): stops when the L1 delta
-    * Σ|pr_i − pr_{i-1}| (computed on the 12dp values, summed as DECIMAL)
-    * drops below `tol` — one node-sized join per iteration, only the
-    * scalar reaches the driver. `iters` stays the hard cap.
+    * Σ|pr_i − pr_{i-1}| (computed on the 12dp values, summed as exact
+    * ×10¹² longs) drops below `tol` — one node-sized join per iteration,
+    * only the scalar reaches the driver. `iters` stays the hard cap.
     *
     * Returns (node, pr) with pr rounded to 6dp. */
   def pageRank(edges0: DataFrame, iters: Int = 3,
@@ -75,20 +76,24 @@ object Graph {
     var i = 0
     var converged = false
     while (i < iters && !converged) {
+      // every rank term is 12dp-quantized, so ×10¹² it is an exact LONG
+      // (total mass is 1 → any sum stays ≤ ~10¹², far under 2⁵³): plain
+      // long sums add the identical totals order-invariantly on the
+      // codegen primitive fast path, where the previous DecimalType(28,12)
+      // aggregation paid decimal arithmetic on every edge row
       val base =
         if (!dangling) lit((1.0 - damping) / n)
         else {
           val d = pr.where(col("dang"))
-            .agg(coalesce(sum(round(col("pr"), 12).cast(DecimalType(28, 12))),
-              lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12))))
-            .collect()(0).getDecimal(0).doubleValue()
+            .agg(coalesce(sum(round(round(col("pr"), 12) * 1e12).cast("long")),
+              lit(0L)))
+            .collect()(0).getLong(0) / 1e12
           lit((1.0 - damping) / n) + lit(damping) * round(lit(d / n), 12)
         }
       val contrib = pr.join(edges, pr("node") === edges("src"))
         .select(col("dst"),
-          round(col("pr") / col("deg"), 12)
-            .cast(DecimalType(28, 12)).as("c"))
-        .groupBy("dst").agg(sum(col("c")).cast("double").as("m"))
+          round(round(col("pr") / col("deg"), 12) * 1e12).cast("long").as("c"))
+        .groupBy("dst").agg((sum(col("c")).cast("double") / 1e12).as("m"))
       // pin each iteration: measured FASTER than one deep dag here (the
       // rank vector is node-sized — tiny — while an unpinned tree makes
       // every AQE stage re-optimize the whole accumulated plan)
@@ -101,8 +106,8 @@ object Graph {
       if (tol > 0.0) {
         val delta = pr.select(col("node"), col("pr"))
           .join(prev.select(col("node"), col("pr").as("pp")), "node")
-          .agg(sum(abs(col("pr") - col("pp")).cast(DecimalType(28, 12))))
-          .collect()(0).getDecimal(0).doubleValue()
+          .agg(sum(round(abs(col("pr") - col("pp")) * 1e12).cast("long")))
+          .collect()(0).getLong(0) / 1e12
         converged = delta < tol
       }
       prev.unpin()
