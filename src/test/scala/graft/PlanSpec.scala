@@ -451,4 +451,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       s"doc-bucket counts not map-side combined:\n${p.take(4000)}")
   }
+
+  test("classifier predict: one narrow pass — no join, no shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.pipeline.Classifier.Model(
+      0.1, Map(3 -> 0.5, 17 -> -0.25), buckets = 512)
+    val p = plan(graft.pipeline.Classifier.predict(docs, model))
+    // scoring is in-row (bucket set + BucketDotSums): any Exchange or
+    // join here means the corpus is being re-shuffled per model apply
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"predict is not a narrow pass:\n${p.take(3000)}")
+    assert(p.contains("bucket_dot_sums"),
+      s"predict not using the fixed-point kernel:\n${p.take(3000)}")
+  }
 }
