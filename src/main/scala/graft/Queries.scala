@@ -2074,11 +2074,18 @@ object Queries {
     * chain. The point: the operators compose as DataFrames (no
     * materialization boundaries), and determinism survives composition. */
   def qE2eCurate(s: SparkSession, dir: String): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
     val docs = t(s, dir, "documents").bagDF
+    // pin the rebuilt corpus: DSIR reads its raw input twice (bucket
+    // model + doc-bucket counts) and the target slice once more — without
+    // the pin the whole span-removal chain recomputes per pass (measured
+    // ~4x the query). At 100 TB this is the checkpoint you'd write
+    // between the destructive rebuild and the multi-pass selection.
     val clean = Dedup.spanRebuild(docs, spanTokens = 8)
       .where(col("n_tok") - col("n_drop") >= 10)
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .pin()
     graft.pipeline.Selection.dsirSelect(
       clean, clean.where(col("lang") === "fr"), n = 30)
   }

@@ -44,34 +44,53 @@ object Selection {
           (a, b) => concat_ws(" ", a, b)))).as("g"))
   }
 
-  /** Per-bucket smoothed log-probability table for one corpus:
-    * (bucket, lp). ≤ `buckets` rows. */
-  private def bucketModel(df: DataFrame, buckets: Int, lambda: Double,
-                          idCol: String, textCol: String): (DataFrame, Long) = {
-    val g = grams(df, idCol, textCol)
-      .select(Sampling.hashBucket(col("g"), buckets).as("bucket"))
-    val counts = g.groupBy("bucket").agg(count(lit(1)).as("c"))
-    val total = counts.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
-    (counts, total)
-  }
+  /** Each corpus's raw-corpus-side artifact: the (doc_id, bucket, n)
+    * count frame, one gram pass, map-side-combinable aggregation. Public
+    * to the plan contract tests: this prepass is where the corpus-sized
+    * work (and the partial aggregation) lives. */
+  private[graft] def docBucketCounts(df: DataFrame, buckets: Int,
+                                        idCol: String, textCol: String): DataFrame =
+    grams(df, idCol, textCol)
+      .select(col("doc_id"), Sampling.hashBucket(col("g"), buckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
 
   /** DSIR importance log-weights for every raw doc with ≥ 1 gram:
-    * (doc_id, n_grams, dsir_logw). */
+    * (doc_id, n_grams, dsir_logw).
+    *
+    * ONE gram pass per corpus: the raw corpus's (doc, bucket, n) counts
+    * are pinned and BOTH reused — the raw bucket model is their per-bucket
+    * roll-up (collected: ≤ B rows), and scoring joins the pinned counts
+    * against the two broadcast model tables. The previous shape exploded
+    * the raw gram stream twice (model pass + scoring pass) and ran two
+    * extra total-count jobs. */
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 512,
                   lambda: Double = 1.0, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(buckets > 0 && lambda > 0.0, s"dsir: buckets=$buckets lambda=$lambda")
-    val (tc, tTot) = bucketModel(target, buckets, lambda, idCol, textCol)
-    val (rc, rTot) = bucketModel(raw, buckets, lambda, idCol, textCol)
+    import graft.rel.Checkpoint.PinOps
+    val spark = raw.sparkSession
+    import spark.implicits._
+
+    // target model: one gram pass, ≤ B rows collected; total in driver
+    val tcRows = grams(target, idCol, textCol)
+      .select(Sampling.hashBucket(col("g"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val tTot = tcRows.map(_._2).sum
+    // raw corpus: ONE gram pass into pinned (doc, bucket, n); the raw
+    // model rolls up from it instead of re-exploding the corpus
+    val docBuckets = docBucketCounts(raw, buckets, idCol, textCol).pin()
+    val rcRows = docBuckets.groupBy("bucket").agg(sum(col("n")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val rTot = rcRows.map(_._2).sum
     val tDen = tTot.toDouble + lambda * buckets
     val rDen = rTot.toDouble + lambda * buckets
+    val tc = tcRows.toSeq.toDF("bucket", "ct")
+    val rc = rcRows.toSeq.toDF("bucket", "cr")
 
-    val docBuckets = grams(raw, idCol, textCol)
-      .select(col("doc_id"), Sampling.hashBucket(col("g"), buckets).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
     docBuckets
-      .join(broadcast(tc.withColumnRenamed("c", "ct")), Seq("bucket"), "left")
-      .join(broadcast(rc.withColumnRenamed("c", "cr")), Seq("bucket"), "left")
+      .join(broadcast(tc), Seq("bucket"), "left")
+      .join(broadcast(rc), Seq("bucket"), "left")
       .select(col("doc_id"), col("n"),
         ((round(log((coalesce(col("ct"), lit(0L)) + lambda) / lit(tDen)), 6) -
           round(log((coalesce(col("cr"), lit(0L)) + lambda) / lit(rDen)), 6))

@@ -442,14 +442,24 @@ class PlanSpec extends SparkSpec {
 
   test("dsirWeights: both bucket models broadcast; gram aggregation partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the corpus-sized work lives in the ONE doc-bucket prepass — that is
+    // where the map-side combine must be
+    val pre = plan(graft.pipeline.Selection.docBucketCounts(
+      docs, 512, "doc_id", "text"))
+    assert(pre.contains("partial_count"),
+      s"doc-bucket counts not map-side combined:\n${pre.take(4000)}")
+    // the scoring plan reads the PINNED counts (no gram re-explode) and
+    // joins two driver-built model tables by broadcast
     val p = plan(graft.pipeline.Selection.dsirWeights(
       docs, docs.filter(col("lang") === "fr")))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"bucket models not broadcast:\n${p.take(4000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       s"dsir plan wrong:\n${p.take(4000)}")
-    assert(p.contains("partial_count"),
-      s"doc-bucket counts not map-side combined:\n${p.take(4000)}")
+    assert(!p.contains("Generate"),
+      s"scoring pass re-explodes the gram stream:\n${p.take(4000)}")
+    assert(p.contains("partial_sum"),
+      s"per-doc weight sum not map-side combined:\n${p.take(4000)}")
   }
 
   test("classifier predict: one narrow pass — no join, no shuffle") {
