@@ -2167,6 +2167,32 @@ object Queries {
       Seq("text", "source"))
   }
 
+  /** Data-contract report ([[graft.pipeline.Contract.check]]): the
+    * release-gating expectations sweep — eight rules over the documents
+    * table (null/shape/membership fractions, exact key uniqueness,
+    * row-count bounds, broadcast referential containment against an
+    * approved-source dim that deliberately covers only half the sources,
+    * so the report carries a FAILING row too). All row-local metrics fold
+    * into one scan; the oracle recomputes every metric, threshold, and
+    * pass verdict as a UNION ALL of the same aggregates. */
+  def qContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Contract
+    import graft.pipeline.Contract._
+    val docs = t(s, dir, "documents").bagDF
+      .withColumn("text_len", length(col("text")))
+    val approved = (0 until 10).map(i => s"src$i").toDF("source_name")
+    Contract.check(docs, Seq(
+      NotNull("text"),
+      NotNull("lang"),
+      InRange("text_len", 1, 400, minFraction = 0.5),
+      Matches("lang", "^[a-z]{2}$"),
+      IsIn("lang", Seq("en", "fr", "de"), minFraction = 0.5),
+      Unique(Seq("doc_id")),
+      RowCount(10, 100000000L),
+      RefIn("source", approved, "source_name", minFraction = 0.99)))
+  }
+
   /** Dataset card: the per-source datasheet a corpus release ships with —
     * document/token/char volumes, mean quality, language spread, and the
     * exact-duplicate rate (1 − distinct fingerprints / docs), in ONE
@@ -2288,6 +2314,7 @@ object Queries {
     "q_html_extract" -> qHtmlExtract, "q_drift" -> qDrift,
     "q_scrub_pii" -> qScrubPii, "q_lang_signals" -> qLangSignals,
     "q_dataset_card" -> qDatasetCard, "q_pii_profile" -> qPiiProfile,
+    "q_contract" -> qContract,
     "q_pagerank" -> qPagerank, "q_top_ngrams" -> qTopNgrams,
     "q_pagerank_full" -> qPagerankFull, "q_span_rebuild" -> qSpanRebuild,
     "q_span_rebuild_bytes" -> qSpanRebuildBytes,
@@ -3359,6 +3386,36 @@ object Queries {
       "round(CAST(sum(CASE WHEN regexp_matches(v, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS ip_frac, " +
       "round(CAST(sum(CASE WHEN regexp_matches(v, '\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS phone_frac " +
       "FROM f GROUP BY col"),
+
+    // every expectation's metric/threshold/pass replayed as UNION ALL
+    // rows over the same aggregates (RefIn's broadcast dim is the literal
+    // src0..src9 set, so containment = membership for the oracle)
+    "q_contract" -> ("WITH d AS (SELECT *, length(text) AS text_len " +
+      "FROM documents) " +
+      "SELECT 'not_null' AS rule, 'text' AS target, " +
+      "round(CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) AS metric, " +
+      "1.0 AS threshold, " +
+      "round(CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 1.0 AS pass FROM d " +
+      "UNION ALL SELECT 'not_null', 'lang', " +
+      "round(CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 1.0, " +
+      "round(CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 1.0 FROM d " +
+      "UNION ALL SELECT 'in_range[1.0,400.0]', 'text_len', " +
+      "round(CAST(sum(CASE WHEN text_len IS NOT NULL AND text_len >= 1 AND text_len <= 400 THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.5, " +
+      "round(CAST(sum(CASE WHEN text_len IS NOT NULL AND text_len >= 1 AND text_len <= 400 THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.5 FROM d " +
+      "UNION ALL SELECT 'matches[^[a-z]{2}$]', 'lang', " +
+      "round(CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 1.0, " +
+      "round(CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 1.0 FROM d " +
+      "UNION ALL SELECT 'is_in[en|fr|de]', 'lang', " +
+      "round(CAST(sum(CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.5, " +
+      "round(CAST(sum(CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.5 FROM d " +
+      "UNION ALL SELECT 'unique', 'doc_id', " +
+      "round(CAST(count(DISTINCT doc_id) AS DOUBLE)/count(*),6), 1.0, " +
+      "round(CAST(count(DISTINCT doc_id) AS DOUBLE)/count(*),6) >= 1.0 FROM d " +
+      "UNION ALL SELECT 'row_count[10,100000000]', '*', " +
+      "CAST(count(*) AS DOUBLE), 10.0, count(*) >= 10 AND count(*) <= 100000000 FROM d " +
+      "UNION ALL SELECT 'ref_in[source_name]', 'source', " +
+      "round(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.99, " +
+      "round(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.99 FROM d"),
 
     // three unrolled power-method iterations, identical rounding/summing
     "q_pagerank" -> ("WITH j AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s, " +

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-contract validation — the "expectations" gate a release pipeline
+  * runs before shipping a corpus (the Deequ/Great-Expectations shape,
+  * re-expressed as ONE Spark aggregation): declare what must hold of a
+  * table (null fractions, value ranges, regex shape, membership,
+  * uniqueness, referential containment, row-count bounds), evaluate every
+  * expectation's metric in a single pass, and emit a per-expectation
+  * report row (rule, target, metric, threshold, pass).
+  *
+  * Scale shape: all row-local expectations (not-null / in-range / matches
+  * / is-in / row-count) fold into ONE aggregate over ONE scan — adding an
+  * expectation adds a conditional-sum column, not a pass. Referential
+  * checks join their (small) dimension by BROADCAST into the same scan.
+  * The one deliberate exception is [[Contract.Unique]]: exact uniqueness
+  * needs a distinct aggregate, which Spark plans via Expand (one extra
+  * duplicate of the scan per check) — declared, not hidden; at
+  * 100 TB prefer key-partitioned layouts where uniqueness is a bucketed
+  * groupBy, or sketch-based monitoring ([[graft.functions.Sketches]]).
+  *
+  * Determinism: every metric is an integer-conditional sum divided by the
+  * row count, rounded to 6dp — partitioning-invariant and replayable
+  * verbatim by a SQL oracle. */
+object Contract {
+
+  sealed trait Expectation
+
+  /** Fraction of rows with a non-null `column` must be ≥ `minFraction`. */
+  final case class NotNull(column: String, minFraction: Double = 1.0)
+      extends Expectation
+
+  /** Fraction of rows with `lo ≤ column ≤ hi` (nulls fail) ≥ `minFraction`. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+                           minFraction: Double = 1.0) extends Expectation
+
+  /** Fraction of rows whose `column` matches `regex` (nulls fail)
+    * ≥ `minFraction`. */
+  final case class Matches(column: String, regex: String,
+                           minFraction: Double = 1.0) extends Expectation
+
+  /** Fraction of rows whose `column` is one of `values` (nulls fail)
+    * ≥ `minFraction`. */
+  final case class IsIn(column: String, values: Seq[String],
+                        minFraction: Double = 1.0) extends Expectation
+
+  /** Total row count must lie in [lo, hi]. Metric is the count. */
+  final case class RowCount(lo: Long, hi: Long) extends Expectation
+
+  /** distinct(columns)/count must be 1.0 — exact, so rows where any key
+    * component is null are EXCLUDED from the distinct (Spark's
+    * count_distinct semantics); pair with [[NotNull]] on the key. Adds an
+    * Expand duplicate of the scan (see object doc). */
+  final case class Unique(columns: Seq[String]) extends Expectation
+
+  /** Fraction of rows whose `column` appears in `dim.dimColumn`
+    * (broadcast; nulls fail) ≥ `minFraction`. */
+  final case class RefIn(column: String, dim: DataFrame, dimColumn: String,
+                         minFraction: Double = 1.0) extends Expectation
+
+  private def frac(cond: Column): Column =
+    round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+
+  /** Evaluate every expectation: (rule, target, metric, threshold, pass),
+    * one report row per expectation, in expectation order. */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "contract: no expectations")
+
+    // referential dims broadcast-join into the same scan, one marker
+    // column per RefIn
+    val withRefs = expectations.zipWithIndex.foldLeft(df) {
+      case (acc, (RefIn(c, dim, dc, _), i)) =>
+        acc.join(broadcast(dim.select(col(dc).as(s"__ref$i")).distinct()),
+          acc(c) === col(s"__ref$i"), "left")
+      case (acc, _) => acc
+    }
+
+    val aggs: Seq[Column] = expectations.zipWithIndex.map {
+      case (NotNull(c, _), i)       => frac(col(c).isNotNull).as(s"m$i")
+      case (InRange(c, lo, hi, _), i) =>
+        frac(col(c).isNotNull && col(c) >= lo && col(c) <= hi).as(s"m$i")
+      case (Matches(c, re, _), i)   => frac(col(c).rlike(re)).as(s"m$i")
+      case (IsIn(c, vs, _), i)      => frac(col(c).isin(vs: _*)).as(s"m$i")
+      case (RowCount(_, _), i)      => count(lit(1)).cast("double").as(s"m$i")
+      case (Unique(cs), i) =>
+        round(countDistinct(col(cs.head), cs.tail.map(col): _*).cast("double") /
+          count(lit(1)), 6).as(s"m$i")
+      case (RefIn(_, _, _, _), i)   => frac(col(s"__ref$i").isNotNull).as(s"m$i")
+    }
+
+    val reportRows = expectations.zipWithIndex.map { case (e, i) =>
+      val m = col(s"m$i")
+      val (rule, target, threshold, pass) = e match {
+        case NotNull(c, f)       => ("not_null", c, f, m >= f)
+        case InRange(c, lo, hi, f) =>
+          (s"in_range[$lo,$hi]", c, f, m >= f)
+        case Matches(c, re, f)   => (s"matches[$re]", c, f, m >= f)
+        case IsIn(c, vs, f)      => (s"is_in[${vs.mkString("|")}]", c, f, m >= f)
+        case RowCount(lo, hi)    =>
+          (s"row_count[$lo,$hi]", "*", lo.toDouble, m >= lo && m <= hi)
+        case Unique(cs)          => ("unique", cs.mkString(","), 1.0, m >= 1.0)
+        case RefIn(c, _, dc, f)  => (s"ref_in[$dc]", c, f, m >= f)
+      }
+      struct(lit(rule).as("rule"), lit(target).as("target"),
+        m.as("metric"), lit(threshold).as("threshold"), pass.as("pass"))
+    }
+
+    withRefs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(reportRows: _*)).as("r"))
+      .select(col("r.rule"), col("r.target"), col("r.metric"),
+        col("r.threshold"), col("r.pass"))
+  }
+
+  /** Hard gate: run [[check]] and throw (listing every violated rule and
+    * its metric) if any expectation fails — the release-blocking mode. */
+  def validate(df: DataFrame, expectations: Seq[Expectation]): Unit = {
+    val bad = check(df, expectations).where(!col("pass")).collect()
+    require(bad.isEmpty, "contract violated: " + bad.map(r =>
+      s"${r.getString(0)}(${r.getString(1)}) metric=${r.getDouble(2)} " +
+        s"threshold=${r.getDouble(3)}").mkString("; "))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Contract
+import graft.pipeline.Contract._
+
+/** Data-contract validation semantics: metric math, null discipline,
+  * pass verdicts, the hard gate, and the one-scan plan shape. */
+class ContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta", "en", "s1"),
+    (2L, "gamma", "fr", "s2"),
+    (3L, null: String, "en", "s1"),
+    (4L, "delta epsilon zeta", "xx", "s9"))
+    .toDF("id", "text", "lang", "src")
+
+  private def report = Contract.check(docs, Seq(
+    NotNull("text", minFraction = 0.9),
+    Matches("lang", "^[a-z]{2}$"),
+    IsIn("lang", Seq("en", "fr"), minFraction = 0.7),
+    Unique(Seq("id")),
+    RowCount(2, 10),
+    RefIn("src", Seq("s1", "s2").toDF("k"), "k", minFraction = 0.9)))
+    .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(4))).toList
+
+  test("metrics and verdicts: fractions over ALL rows, nulls fail checks") {
+    assert(report === List(
+      ("not_null", 0.75, false),            // 3/4 non-null < 0.9
+      ("matches[^[a-z]{2}$]", 1.0, true),
+      ("is_in[en|fr]", 0.75, true),         // 'xx' outside the set
+      ("unique", 1.0, true),
+      ("row_count[2,10]", 4.0, true),
+      ("ref_in[k]", 0.75, false)))          // s9 not in the dim
+  }
+
+  test("unique catches duplicate keys; null key rows leave the distinct") {
+    val dup = docs.union(docs.limit(1))
+    val m = Contract.check(dup, Seq(Unique(Seq("id"))))
+      .collect()(0)
+    assert(m.getDouble(2) === 0.8 && !m.getBoolean(4)) // 4 distinct / 5 rows
+  }
+
+  test("validate throws listing every violated rule") {
+    val e = intercept[IllegalArgumentException] {
+      Contract.validate(docs, Seq(NotNull("text"), RowCount(100, 200)))
+    }
+    assert(e.getMessage.contains("not_null(text)"))
+    assert(e.getMessage.contains("row_count[100,200](*)"))
+    // and a passing contract is silent
+    Contract.validate(docs, Seq(RowCount(1, 10), Unique(Seq("id"))))
+  }
+
+  test("plan: row-local expectations are ONE scan — no Expand, no join") {
+    val p = Contract.check(docs, Seq(
+      NotNull("text"), Matches("lang", "^[a-z]{2}$"),
+      IsIn("lang", Seq("en")), RowCount(1, 10)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand") && !p.contains("Join"),
+      s"row-local contract not a single narrow scan:\n${p.take(3000)}")
+  }
+
+  test("plan: referential containment joins its dim by broadcast") {
+    val p = Contract.check(docs,
+      Seq(RefIn("src", Seq("s1").toDF("k"), "k")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"RefIn dim not broadcast:\n${p.take(3000)}")
+  }
+}
