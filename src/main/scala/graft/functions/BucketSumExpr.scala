@@ -23,19 +23,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * exploded (doc, bucket) frame, no corpus-sized shuffle, and exact
   * integer sums keep the result partitioning/order-invariant.
   *
-  * The weight matrix rides along as a task reference object (k·B longs —
-  * at the fasttext-standard bucket counts, k=13 ladders × 2²⁰ buckets is
-  * ~100 MB and would want a Broadcast handle instead; the classifier
-  * guards its bucket ceiling accordingly). Buckets outside [0, B) are
-  * ignored (contribute 0) so a sentinel can never read out of bounds. */
-case class BucketDotSums(child: Expression, weights: Array[Array[Long]])
+  * The weight matrix ships as a BROADCAST (k·B longs — one torrent
+  * transfer per executor, not a per-task closure payload, so the
+  * fasttext-standard 2M-bucket models are first-class): the generated
+  * code pulls `bc.value()` into a lazily-initialized mutable slot on
+  * first row. Buckets outside [0, B) are ignored (contribute 0) so a
+  * sentinel can never read out of bounds. */
+case class BucketDotSums(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]],
+    k: Int, b: Int)
     extends UnaryExpression {
 
-  private val k = weights.length
   require(k >= 1, "bucket_dot_sums: need at least one weight vector")
-  private val b = weights.head.length
-  require(weights.forall(_.length == b),
-    "bucket_dot_sums: candidate weight vectors differ in length")
+
+  @transient private lazy val weights: Array[Array[Long]] = bc.value
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
@@ -62,7 +63,11 @@ case class BucketDotSums(child: Expression, weights: Array[Array[Long]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("bucketWeights", weights, "long[][]")
+    val bcRef = ctx.addReferenceObj("bucketWeightsBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    // materialize the broadcast ONCE per task, not per row
+    val wVar = ctx.addMutableState("long[][]", "bucketWeights",
+      forceInline = true, useFreshName = true)
     nullSafeCodeGen(ctx, ev, arr => {
       val sums = ctx.freshName("sums")
       val i = ctx.freshName("i")
@@ -70,12 +75,13 @@ case class BucketDotSums(child: Expression, weights: Array[Array[Long]])
       val bk = ctx.freshName("bk")
       val n = ctx.freshName("n")
       s"""
+         |if ($wVar == null) $wVar = (long[][]) $bcRef.value();
          |long[] $sums = new long[$k];
          |final int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  final int $bk = $arr.getInt($i);
          |  if ($bk >= 0 && $bk < $b) {
-         |    for (int $j = 0; $j < $k; $j++) $sums[$j] += $wRef[$j][$bk];
+         |    for (int $j = 0; $j < $k; $j++) $sums[$j] += $wVar[$j][$bk];
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sums);
@@ -88,9 +94,17 @@ case class BucketDotSums(child: Expression, weights: Array[Array[Long]])
 }
 
 object BucketDotSums {
-  def apply(buckets: Column, weights: Array[Array[Long]]): Column =
+  /** Broadcast `weights` (k dense micro-unit vectors of equal length) and
+    * bind the kernel over `buckets`. */
+  def apply(spark: org.apache.spark.sql.SparkSession, buckets: Column,
+            weights: Array[Array[Long]]): Column = {
+    require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+      "bucket_dot_sums: candidate weight vectors differ in length")
     GraftExprBridge.column(
-      BucketDotSums(GraftExprBridge.expression(buckets), weights))
+      BucketDotSums(GraftExprBridge.expression(buckets),
+        spark.sparkContext.broadcast(weights),
+        weights.length, weights.head.length))
+  }
 }
 
 /** The gradient-side dual of [[BucketDotSums]]: scatter-add each doc's

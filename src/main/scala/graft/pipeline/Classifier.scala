@@ -100,7 +100,8 @@ object Classifier {
         .cast("long")).cast("double").as(s"l$j")
     }
     val row = feats
-      .select(col("y"), BucketDotSums(col("bs"), cands.map(toW6).toArray).as("ms"))
+      .select(col("y"), BucketDotSums(feats.sparkSession, col("bs"),
+        cands.map(toW6).toArray).as("ms"))
       .select(col("y") +: pCols: _*)
       .agg(lossCols.head, lossCols.tail: _*)
       .collect()(0)
@@ -119,7 +120,8 @@ object Classifier {
                        nDocs: Double): Map[Int, Double] = {
     import graft.functions.{BucketDotSums, BucketErrSumAgg}
     val b = model.buckets
-    val m = element_at(BucketDotSums(col("bs"), Array(toW6(model))), 1)
+    val m = element_at(
+        BucketDotSums(feats.sparkSession, col("bs"), Array(toW6(model))), 1)
       .cast("double") / 1e6 + lit(model.bias)
     val p = lit(1.0) / (exp(-m) + 1.0)
     val e6 = round(round(p - col("y"), 6) * 1e6).cast("long")
@@ -149,9 +151,13 @@ object Classifier {
     // the trial job ships the 13-candidate micro-unit matrix as a task
     // reference (13·B longs) — fine through fasttext-scale bucket counts;
     // past this ceiling the matrix should ride a Broadcast handle instead
-    require(buckets <= (1 << 18),
-      s"trainLogistic: buckets=$buckets exceeds 2^18 — the candidate weight " +
-        "matrix would need a Broadcast handle rather than a task reference")
+    // the line-search ladder builds 13 DENSE micro-unit vectors in the
+    // driver and broadcasts them (13·B longs ≈ 218 MB at the 2^21
+    // ceiling); fasttext's standard 2M-bucket models fit. Beyond it,
+    // evaluate the ladder sparsely instead of densifying.
+    require(buckets <= (1 << 21),
+      s"trainLogistic: buckets=$buckets exceeds 2^21 — densifying the " +
+        "candidate ladder would dominate driver memory; use a sparse ladder")
     require(init.forall(_.buckets == buckets),
       "trainLogistic: warm-start model has a different bucket count")
     import graft.rel.Checkpoint.PinOps
@@ -214,7 +220,8 @@ object Classifier {
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import graft.functions.BucketDotSums
     val m = element_at(
-        BucketDotSums(bucketSet(model.buckets, textCol), Array(toW6(model))), 1)
+        BucketDotSums(docs.sparkSession, bucketSet(model.buckets, textCol),
+          Array(toW6(model))), 1)
       .cast("double") / 1e6 + lit(model.bias)
     val p = lit(1.0) / (exp(-m) + 1.0)
     docs.select(col(idCol).as("doc_id"), round(p, 6).as("p"),

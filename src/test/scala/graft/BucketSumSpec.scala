@@ -20,7 +20,7 @@ class BucketSumSpec extends SparkSpec {
       (3, Seq.empty[Int]),  // 0 ; 0
       (4, Seq(0, 0, 3))     // duplicates count twice: 10+10+40 = 60 ; -6
     ).toDF("id", "bs")
-    val got = df.select(col("id"), BucketDotSums(col("bs"), w).as("s"))
+    val got = df.select(col("id"), BucketDotSums(spark, col("bs"), w).as("s"))
       .orderBy("id")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
     assert(got.map(_._2.toList).toList ===
@@ -30,7 +30,7 @@ class BucketSumSpec extends SparkSpec {
   test("BucketDotSums: out-of-range buckets contribute zero, never throw") {
     val w = Array(Array(5L, 7L))
     val got = Seq((1, Seq(-1, 0, 1, 2, 99))).toDF("id", "bs")
-      .select(BucketDotSums(col("bs"), w).as("s"))
+      .select(BucketDotSums(spark, col("bs"), w).as("s"))
       .collect()(0).getSeq[Long](0)
     assert(got === Seq(12L)) // only buckets 0 and 1 land
   }
