@@ -2023,18 +2023,22 @@ object Queries {
     var losses = Seq.empty[Double]
     var acc = 0.0
     var rounds = 0
+    // ONE prepared frame feeds every warm-start round AND the accuracy
+    // sweeps — the corpus is tokenized/hashed exactly once for the loop
+    val feats = Classifier.prepare(docs, label, buckets = 4096)
     while (acc < 0.9 && rounds < 4) {
-      val (m, l) = Classifier.trainLogistic(docs, label, iters = 8,
-        buckets = 4096, init = model)
+      val (m, l) = Classifier.trainPrepared(feats, buckets = 4096, iters = 8,
+        init = model)
       model = Some(m); losses = losses ++ l; rounds += 1
-      // one aggregate: two separate count() jobs would each replay the
-      // whole predict scoring pass
-      val a = Classifier.predict(docs, m)
-        .join(docs.select(col("doc_id"), label.as("y")), "doc_id")
-        .agg(sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("hit"),
-          count(lit(1)).as("n")).collect()(0)
+      // one aggregate over the pinned frame: separate count() jobs would
+      // each replay a scoring pass
+      val a = Classifier.predictOn(feats, m)
+        .join(feats.select(col("doc_id"), col("y")), "doc_id")
+        .agg(sum(when(col("pred") === (col("y") >= 0.5), 1L).otherwise(0L))
+          .as("hit"), count(lit(1)).as("n")).collect()(0)
       acc = a.getLong(0).toDouble / math.max(a.getLong(1), 1L)
     }
+    graft.rel.Checkpoint.PinOps(feats).unpin()
     val monotone = losses.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-9)
     // partitioning-invariance on a content-hash sample with a short run —
     // the property is per-step, so two steps witness it at any sf; the

@@ -147,10 +147,35 @@ object Classifier {
                     idCol: String = "doc_id", textCol: String = "text",
                     init: Option[Model] = None):
       (Model, Seq[Double]) = {
+    import graft.rel.Checkpoint.PinOps
+    val feats = prepare(docs, labelCol, buckets, idCol, textCol)
+    try trainPrepared(feats, buckets, iters, lr, init)
+    finally feats.unpin()
+  }
+
+  /** Build (and pin) the reusable (doc_id, y, bs) training frame — ONE
+    * shuffle-free corpus pass: grams → buckets → each doc's sorted
+    * distinct bucket ARRAY, computed IN-ROW next to the label (zero-gram
+    * docs get an empty array). Reuse it across [[trainPrepared]] warm
+    * restarts and [[predictOn]] sweeps; the caller unpins. */
+  def prepare(docs: DataFrame, labelCol: Column, buckets: Int = 512,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    require(buckets > 0, s"prepare: buckets=$buckets")
+    docs.select(col(idCol).as("doc_id"),
+      labelCol.cast("double").as("y"),
+      bucketSet(buckets, textCol).as("bs")).pin()
+  }
+
+  /** [[trainLogistic]] on an already-[[prepare]]d frame: every iteration
+    * is a narrow scan of the pinned nDocs rows — margins come from
+    * in-row array traversal (BucketDotSums), never from re-joining or
+    * re-shuffling an exploded (doc, bucket) frame. Does NOT unpin. */
+  def trainPrepared(feats: DataFrame, buckets: Int,
+                    iters: Int = 20, lr: Double = 16.0,
+                    init: Option[Model] = None):
+      (Model, Seq[Double]) = {
     require(iters >= 1 && buckets > 0, s"trainLogistic: iters=$iters buckets=$buckets")
-    // the trial job ships the 13-candidate micro-unit matrix as a task
-    // reference (13·B longs) — fine through fasttext-scale bucket counts;
-    // past this ceiling the matrix should ride a Broadcast handle instead
     // the line-search ladder builds 13 DENSE micro-unit vectors in the
     // driver and broadcasts them (13·B longs ≈ 218 MB at the 2^21
     // ceiling); fasttext's standard 2M-bucket models fit. Beyond it,
@@ -160,17 +185,6 @@ object Classifier {
         "candidate ladder would dominate driver memory; use a sparse ladder")
     require(init.forall(_.buckets == buckets),
       "trainLogistic: warm-start model has a different bucket count")
-    import graft.rel.Checkpoint.PinOps
-
-    // ONE shuffle-free corpus pass for the whole training run: grams →
-    // buckets → each doc's sorted distinct bucket ARRAY, computed IN-ROW
-    // next to the label (zero-gram docs get an empty array). Every
-    // iteration after this is a narrow scan of these nDocs rows —
-    // margins come from in-row array traversal (BucketDotSums), never
-    // from re-joining or re-shuffling an exploded (doc, bucket) frame.
-    val feats = docs.select(col(idCol).as("doc_id"),
-      labelCol.cast("double").as("y"),
-      bucketSet(buckets, textCol).as("bs")).pin()
     val nDocs = feats.count().toDouble
 
     var model = init.getOrElse(Model(0.0, Map.empty, buckets))
@@ -208,8 +222,20 @@ object Classifier {
       losses += curLoss
       i += 1
     }
-    feats.unpin()
     (model, losses.result())
+  }
+
+  /** [[predict]] over an already-[[prepare]]d frame: (doc_id, p, pred)
+    * from one narrow scan of the pinned rows — no re-tokenization. */
+  def predictOn(feats: DataFrame, model: Model,
+                threshold: Double = 0.5): DataFrame = {
+    import graft.functions.BucketDotSums
+    val m = element_at(
+        BucketDotSums(feats.sparkSession, col("bs"), Array(toW6(model))), 1)
+      .cast("double") / 1e6 + lit(model.bias)
+    val p = lit(1.0) / (exp(-m) + 1.0)
+    feats.select(col("doc_id"), round(p, 6).as("p"),
+      (p >= threshold).as("pred"))
   }
 
   /** Score docs with a trained model: (doc_id, p, pred) — one narrow
