@@ -60,8 +60,14 @@ object Contract {
   final case class RefIn(column: String, dim: DataFrame, dimColumn: String,
                          minFraction: Double = 1.0) extends Expectation
 
+  // empty-table discipline: a fraction over zero rows is VACUOUSLY 1.0 —
+  // guarded with `when` (ANSI division would throw, and a null metric
+  // would make pass null and slip through validate's filter silently);
+  // guard emptiness itself with RowCount, which stays exact
   private def frac(cond: Column): Column =
-    round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+    when(count(lit(1)) > 0,
+      round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6))
+      .otherwise(lit(1.0))
 
   /** Evaluate every expectation: (rule, target, metric, threshold, pass),
     * one report row per expectation, in expectation order. */
@@ -85,8 +91,9 @@ object Contract {
       case (IsIn(c, vs, _), i)      => frac(col(c).isin(vs: _*)).as(s"m$i")
       case (RowCount(_, _), i)      => count(lit(1)).cast("double").as(s"m$i")
       case (Unique(cs), i) =>
-        round(countDistinct(col(cs.head), cs.tail.map(col): _*).cast("double") /
-          count(lit(1)), 6).as(s"m$i")
+        when(count(lit(1)) > 0, round(
+          countDistinct(col(cs.head), cs.tail.map(col): _*).cast("double") /
+            count(lit(1)), 6)).otherwise(lit(1.0)).as(s"m$i")
       case (RefIn(_, _, _, _), i)   => frac(col(s"__ref$i").isNotNull).as(s"m$i")
     }
 

@@ -52,6 +52,20 @@ class ContractSpec extends SparkSpec {
     Contract.validate(docs, Seq(RowCount(1, 10), Unique(Seq("id"))))
   }
 
+  test("empty table: fractions are vacuously 1.0, RowCount still bites") {
+    val empty = docs.where(lit(false))
+    val r = Contract.check(empty, Seq(
+      NotNull("text"), Unique(Seq("id")), RowCount(1, 10)))
+      .collect().map(x => (x.getString(0), x.getDouble(2), x.getBoolean(4)))
+    assert(r(0) === ("not_null", 1.0, true))   // vacuous, never null
+    assert(r(1) === ("unique", 1.0, true))
+    assert(r(2) === ("row_count[1,10]", 0.0, false)) // emptiness caught here
+    val e = intercept[IllegalArgumentException] {
+      Contract.validate(empty, Seq(NotNull("text"), RowCount(1, 10)))
+    }
+    assert(e.getMessage.contains("row_count"))
+  }
+
   test("plan: row-local expectations are ONE scan — no Expand, no join") {
     val p = Contract.check(docs, Seq(
       NotNull("text"), Matches("lang", "^[a-z]{2}$"),
