@@ -2119,8 +2119,12 @@ object Queries {
     val a = s.read.parquet(s"$tmp/in")
     val b = s.read.parquet(s"$tmp/out")
     val identical = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-    Seq((before >= 64L, after < before, rows == docs.count(), identical))
+    val out = Seq((before >= 64L, after < before, rows == docs.count(), identical))
       .toDF("ok_fragmented", "ok_fewer_files", "ok_rows", "ok_identical")
+    // every check above materialized eagerly — drop the scratch dirs so
+    // repeated sweeps don't accumulate dead parquet in the temp FS
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
   }
 
   /** LIVE JDBC import (DataSourceSql.cs:29-80): the supplier table is
