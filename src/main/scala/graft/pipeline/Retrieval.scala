@@ -37,12 +37,19 @@ object Retrieval {
            idCol: String = "doc_id", textCol: String = "text",
            qIdCol: String = "query_id", qTextCol: String = "qtext"): DataFrame = {
     val spark = docs.sparkSession
+    import graft.rel.Checkpoint.PinOps
 
-    val docToks = docs.select(col(idCol).as("doc_id"),
-      toks(col(textCol)).as("__t"))
-    val dl = docToks.select(col("doc_id"), size(col("__t")).cast("long").as("dl"))
-    val tf = docToks.select(col("doc_id"), explode(col("__t")).as("term"))
+    // ONE tokenize pass + ONE (doc, term) aggregation, PINNED — this is
+    // the inverted-index artifact a retrieval deployment persists anyway;
+    // unpinned, the stats scalar, the df count, and the scoring join each
+    // replayed the whole corpus explode (three tokenize passes measured)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .pin()
+    // doc length = Σ tf over the doc's terms — derived from the pinned
+    // index, no re-tokenization (identical to counting the token array)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")).pin()
 
     // corpus stats: two scalars (rows, Σdl) to the driver — same pattern
     // as tfidf's N
@@ -56,10 +63,12 @@ object Retrieval {
     val qTerms = queries.select(col(qIdCol).as("query_id"),
         explode(toks(col(qTextCol))).as("term"))
       .distinct()
-    val dfreq = tf.join(broadcast(qTerms.select("term").distinct()), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // candidate slice of the index (rows whose term some query mentions) —
+    // pinned so df counting and scoring share one filter pass
+    val cand = tf.join(broadcast(qTerms.select("term").distinct()), "term").pin()
+    val dfreq = cand.groupBy("term").agg(count(lit(1)).as("df"))
 
-    val contrib = tf.join(broadcast(qTerms), "term")
+    val contrib = cand.join(broadcast(qTerms), "term")
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .select(col("query_id"), col("doc_id"),
