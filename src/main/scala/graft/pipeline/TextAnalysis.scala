@@ -352,8 +352,13 @@ object TextAnalysis {
           slice(ts, lit(2), greatest(size(ts) - 1, lit(0))).as("w2"))
       }).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // the bigram count table is the LM artifact — PIN it (vocab-sized)
+    // and derive c(w1,·) as its per-history roll-up, so the corpus-sized
+    // bigram explode runs once for the tables and once for scoring,
+    // instead of once per table
+    val c2 = { import graft.rel.Checkpoint.PinOps
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2")).pin() }
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
     // vocabulary size: one scalar to the driver (like tfidf's N)
     val v = docs.select(explode(toks).as("t")).agg(countDistinct(col("t")))
       .collect()(0).getLong(0).toDouble
@@ -402,9 +407,15 @@ object TextAnalysis {
           slice(ts, lit(2), greatest(size(ts) - 1, lit(0))).as("w2"))
       }).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("n1"),
-      countDistinct(col("w2")).as("nf"))          // c(w1,·), N1+(w1,·)
+    // pin the bigram table (the LM artifact, vocab-sized) and derive
+    // EVERY other KN table from it — c(w1,·) = Σ n2, N1+(w1,·) = row
+    // count per history, N1+(·,w2) = row count per continuation, and the
+    // type count — so the corpus-sized bigram explode runs once for the
+    // tables and once for scoring
+    val c2 = { import graft.rel.Checkpoint.PinOps
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2")).pin() }
+    val hist = c2.groupBy("w1").agg(sum(col("n2")).as("n1"),
+      count(lit(1)).as("nf"))                     // c(w1,·), N1+(w1,·)
     val cont = c2.groupBy("w2").agg(count(lit(1)).as("nb")) // N1+(·,w2)
     val types = c2.count().toDouble                          // |bigram types|
     val d = discount
@@ -438,8 +449,11 @@ object TextAnalysis {
     val terms = docs.select(col(idCol),
         explode(split(lower(trim(col(textCol))), "[^a-z0-9]+")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // pin the (doc, term, tf) matrix: df derivation and the score join
+    // both read it, so the term explode + aggregation run once
+    val tf = { import graft.rel.Checkpoint.PinOps
+      terms.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf")).pin() }
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.filter(col("tf") >= minTf)
       .join(dfreq, "term")

@@ -252,8 +252,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.pipeline.TextAnalysis.lmScore(docs))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"lmScore planned an all-pairs join:\n${p.take(3000)}")
-    assert("partial_count".r.findAllIn(p).size >= 2,
-      s"LM count tables not map-side combined:\n${p.take(3000)}")
+    // the bigram table is PINNED (scoring reads the materialized LM
+    // artifact, not a re-explode) and the remaining aggregations — c1
+    // roll-up and the per-doc score — are map-side combinable
+    assert(p.contains("Scan ExistingRDD"),
+      s"LM table not pinned:\n${p.take(3000)}")
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2,
+      s"LM aggregations not map-side combined:\n${p.take(3000)}")
   }
 
   test("tfidf: no cartesian, no per-doc window; both aggregations partial") {
@@ -261,9 +266,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.pipeline.TextAnalysis.tfidf(docs))
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       s"tfidf plan wrong:\n${p.take(3000)}")
-    // tf and df aggregations must both be partial (map-side combine)
-    assert("partial_count".r.findAllIn(p).size >= 2,
-      s"tfidf aggregations not partial:\n${p.take(3000)}")
+    // the (doc, term, tf) matrix is PINNED; df derives from it (its own
+    // partial aggregation lives in the prepass) and the score join reads
+    // the materialized matrix, not a term re-explode
+    assert(p.contains("Scan ExistingRDD"),
+      s"tf matrix not pinned:\n${p.take(3000)}")
+    assert(p.contains("Join"), s"df not joined back:\n${p.take(3000)}")
   }
 
   test("sessionize: one shuffle on user_id, no window over the event stream") {
