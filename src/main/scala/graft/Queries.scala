@@ -1384,6 +1384,37 @@ object Queries {
       .toDF("item", "n", "rank")
   }
 
+  /** Streaming data-contract monitor gate
+    * ([[graft.streaming.ContractStream]]): the documents table replays
+    * through the streaming file source into the cumulative-counter
+    * monitor (same expectations as q_contract minus Unique, which does
+    * not stream exactly), and the FINAL report must hash-match DuckDB
+    * recomputing every metric, threshold, and pass verdict over the whole
+    * table — the "cumulative streaming report equals the batch check"
+    * identity, exercised end-to-end through a real StreamingQuery with
+    * batchId-idempotent ingestion. */
+  def qStreamContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Contract._
+    val approved = (0 until 10).map(i => s"src$i").toDF("source_name")
+    val exps = Seq(
+      NotNull("text"),
+      NotNull("lang"),
+      InRange("text_len", 1, 400, minFraction = 0.5),
+      Matches("lang", "^[a-z]{2}$"),
+      IsIn("lang", Seq("en", "fr", "de"), minFraction = 0.5),
+      RowCount(10, 100000000L),
+      RefIn("source", approved, "source_name", minFraction = 0.99))
+    val stream = graft.streaming.EventStream
+      .fromParquetDir(s, s"$dir/documents.parquet")
+      .withColumn("text_len", length(col("text")))
+    val mon = new graft.streaming.ContractStream.Monitor(exps)
+    val ckpt = java.nio.file.Files.createTempDirectory("q-stream-contract").toString
+    val q = graft.streaming.ContractStream.start(stream, mon, _ => (), ckpt)
+    try q.awaitTermination() finally q.stop()
+    mon.report().toDF("rule", "target", "metric", "threshold", "pass")
+  }
+
   /** Corpus-wide word-bigram frequencies (count ≥ 10): the corpus-stats
     * primitive behind boilerplate detection and vocabulary reports. One
     * explode + one map-side-combinable aggregation; the min-count filter
@@ -2300,6 +2331,7 @@ object Queries {
     "q_corpus_mix" -> qCorpusMix, "q_knn_pq_check" -> qKnnPqCheck,
     "q_semdedup_check" -> qSemdedupCheck, "q_decontam_fuzzy" -> qDecontamFuzzy,
     "q_stream_join" -> qStreamJoin, "q_stream_heavy" -> qStreamHeavy,
+    "q_stream_contract" -> qStreamContract,
     "q_ngram_stats" -> qNgramStats,
     "q_intra_dedup" -> qIntraDedup, "q_lm_score" -> qLmScore,
     "q_pack_stats" -> qPackStats, "q_lang_mix" -> qLangMix,
@@ -3394,6 +3426,33 @@ object Queries {
       "round(CAST(sum(CASE WHEN regexp_matches(v, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS ip_frac, " +
       "round(CAST(sum(CASE WHEN regexp_matches(v, '\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS phone_frac " +
       "FROM f GROUP BY col"),
+
+    // the streaming monitor's cumulative report must equal the batch
+    // check over the whole table — same oracle shape as q_contract minus
+    // the unique row (exact distinctness does not stream)
+    "q_stream_contract" -> ("WITH d AS (SELECT *, length(text) AS text_len " +
+      "FROM documents) " +
+      "SELECT 'not_null' AS rule, 'text' AS target, " +
+      "round(CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) AS metric, " +
+      "1.0 AS threshold, " +
+      "round(CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 1.0 AS pass FROM d " +
+      "UNION ALL SELECT 'not_null', 'lang', " +
+      "round(CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 1.0, " +
+      "round(CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 1.0 FROM d " +
+      "UNION ALL SELECT 'in_range[1.0,400.0]', 'text_len', " +
+      "round(CAST(sum(CASE WHEN text_len IS NOT NULL AND text_len >= 1 AND text_len <= 400 THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.5, " +
+      "round(CAST(sum(CASE WHEN text_len IS NOT NULL AND text_len >= 1 AND text_len <= 400 THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.5 FROM d " +
+      "UNION ALL SELECT 'matches[^[a-z]{2}$]', 'lang', " +
+      "round(CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 1.0, " +
+      "round(CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 1.0 FROM d " +
+      "UNION ALL SELECT 'is_in[en|fr|de]', 'lang', " +
+      "round(CAST(sum(CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.5, " +
+      "round(CAST(sum(CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.5 FROM d " +
+      "UNION ALL SELECT 'row_count[10,100000000]', '*', " +
+      "CAST(count(*) AS DOUBLE), 10.0, count(*) >= 10 AND count(*) <= 100000000 FROM d " +
+      "UNION ALL SELECT 'ref_in[source_name]', 'source', " +
+      "round(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.99, " +
+      "round(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.99 FROM d"),
 
     // every expectation's metric/threshold/pass replayed as UNION ALL
     // rows over the same aggregates (RefIn's broadcast dim is the literal

@@ -69,46 +69,66 @@ object Contract {
       round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6))
       .otherwise(lit(1.0))
 
-  /** Evaluate every expectation: (rule, target, metric, threshold, pass),
-    * one report row per expectation, in expectation order. */
-  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
-    require(expectations.nonEmpty, "contract: no expectations")
-
-    // referential dims broadcast-join into the same scan, one marker
-    // column per RefIn
-    val withRefs = expectations.zipWithIndex.foldLeft(df) {
+  /** Broadcast-join every RefIn's (small) dimension into the scan — one
+    * marker column `__ref<i>` per referential expectation. */
+  private[graft] def refJoin(df: DataFrame,
+                             expectations: Seq[Expectation]): DataFrame =
+    expectations.zipWithIndex.foldLeft(df) {
       case (acc, (RefIn(c, dim, dc, _), i)) =>
         acc.join(broadcast(dim.select(col(dc).as(s"__ref$i")).distinct()),
           acc(c) === col(s"__ref$i"), "left")
       case (acc, _) => acc
     }
 
+  /** The per-row hit condition of a FRACTION-style expectation (evaluated
+    * on a [[refJoin]]ed frame); None for RowCount/Unique, whose metrics
+    * are not row-local conditionals. */
+  private[graft] def hitCond(e: Expectation, i: Int): Option[Column] = e match {
+    case NotNull(c, _)        => Some(col(c).isNotNull)
+    case InRange(c, lo, hi, _) =>
+      Some(col(c).isNotNull && col(c) >= lo && col(c) <= hi)
+    case Matches(c, re, _)    => Some(col(c).rlike(re))
+    case IsIn(c, vs, _)       => Some(col(c).isin(vs: _*))
+    case RefIn(_, _, _, _)    => Some(col(s"__ref$i").isNotNull)
+    case _                    => None
+  }
+
+  /** Display label, target column, and pass threshold of an expectation —
+    * shared by the batch report and the streaming monitor so their rows
+    * are comparable verbatim. */
+  private[graft] def describe(e: Expectation): (String, String, Double) =
+    e match {
+      case NotNull(c, f)         => ("not_null", c, f)
+      case InRange(c, lo, hi, f) => (s"in_range[$lo,$hi]", c, f)
+      case Matches(c, re, f)     => (s"matches[$re]", c, f)
+      case IsIn(c, vs, f)        => (s"is_in[${vs.mkString("|")}]", c, f)
+      case RowCount(lo, hi)      => (s"row_count[$lo,$hi]", "*", lo.toDouble)
+      case Unique(cs)            => ("unique", cs.mkString(","), 1.0)
+      case RefIn(c, _, dc, f)    => (s"ref_in[$dc]", c, f)
+    }
+
+  /** Evaluate every expectation: (rule, target, metric, threshold, pass),
+    * one report row per expectation, in expectation order. */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "contract: no expectations")
+
+    val withRefs = refJoin(df, expectations)
+
     val aggs: Seq[Column] = expectations.zipWithIndex.map {
-      case (NotNull(c, _), i)       => frac(col(c).isNotNull).as(s"m$i")
-      case (InRange(c, lo, hi, _), i) =>
-        frac(col(c).isNotNull && col(c) >= lo && col(c) <= hi).as(s"m$i")
-      case (Matches(c, re, _), i)   => frac(col(c).rlike(re)).as(s"m$i")
-      case (IsIn(c, vs, _), i)      => frac(col(c).isin(vs: _*)).as(s"m$i")
       case (RowCount(_, _), i)      => count(lit(1)).cast("double").as(s"m$i")
       case (Unique(cs), i) =>
         when(count(lit(1)) > 0, round(
           countDistinct(col(cs.head), cs.tail.map(col): _*).cast("double") /
             count(lit(1)), 6)).otherwise(lit(1.0)).as(s"m$i")
-      case (RefIn(_, _, _, _), i)   => frac(col(s"__ref$i").isNotNull).as(s"m$i")
+      case (e, i) => frac(hitCond(e, i).get).as(s"m$i")
     }
 
     val reportRows = expectations.zipWithIndex.map { case (e, i) =>
       val m = col(s"m$i")
-      val (rule, target, threshold, pass) = e match {
-        case NotNull(c, f)       => ("not_null", c, f, m >= f)
-        case InRange(c, lo, hi, f) =>
-          (s"in_range[$lo,$hi]", c, f, m >= f)
-        case Matches(c, re, f)   => (s"matches[$re]", c, f, m >= f)
-        case IsIn(c, vs, f)      => (s"is_in[${vs.mkString("|")}]", c, f, m >= f)
-        case RowCount(lo, hi)    =>
-          (s"row_count[$lo,$hi]", "*", lo.toDouble, m >= lo && m <= hi)
-        case Unique(cs)          => ("unique", cs.mkString(","), 1.0, m >= 1.0)
-        case RefIn(c, _, dc, f)  => (s"ref_in[$dc]", c, f, m >= f)
+      val (rule, target, threshold) = describe(e)
+      val pass = e match {
+        case RowCount(lo, hi) => m >= lo && m <= hi
+        case _                => m >= threshold
       }
       struct(lit(rule).as("rule"), lit(target).as("target"),
         m.as("metric"), lit(threshold).as("threshold"), pass.as("pass"))

@@ -452,4 +452,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming contract monitor: cumulative report equals the batch check, " +
+       "replayed batches never double-count, Unique refused") {
+    import spark.implicits._
+    import graft.pipeline.Contract
+    import graft.pipeline.Contract._
+    val exps = Seq(
+      NotNull("text", minFraction = 0.9),
+      IsIn("lang", Seq("en", "fr"), minFraction = 0.7),
+      RowCount(2, 10),
+      RefIn("src", Seq("s1", "s2").toDF("k"), "k", minFraction = 0.9))
+    val b1 = Seq((1L, "alpha", "en", "s1"), (2L, null: String, "fr", "s2"))
+      .toDF("id", "text", "lang", "src")
+    val b2 = Seq((3L, "gamma", "xx", "s9"), (4L, "delta", "en", "s1"))
+      .toDF("id", "text", "lang", "src")
+    val mon = new graft.streaming.ContractStream.Monitor(exps)
+    mon.ingest(b1, batchId = 0L)
+    mon.ingest(b1, batchId = 0L) // at-least-once redelivery: must no-op
+    mon.ingest(b2, batchId = 1L)
+    val streamed = mon.report().map(r => (r._1, r._2, r._3, r._4, r._5))
+    val batch = Contract.check(b1.unionByName(b2), exps).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(streamed === batch)
+    assert(!mon.healthy()) // not_null 0.75 < 0.9 must trip the alarm
+    intercept[IllegalArgumentException] {
+      new graft.streaming.ContractStream.Monitor(Seq(Unique(Seq("id"))))
+    }
+  }
 }
