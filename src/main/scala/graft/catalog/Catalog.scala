@@ -35,20 +35,54 @@ final class Catalog(val spark: SparkSession) {
   // archived snapshots per relvar, oldest first — version v of a relvar
   // with k archived writes is history(v−1) for v ≤ k, current for v = k+1
   private val history = TrieMap.empty[String, Vector[Rel]]
+  // parquet path the CURRENT stored plan is a pure scan of (set by load and
+  // by the post-save rebind, cleared on every swap): lets [[save]] skip the
+  // rewrite when the data already sits at the destination, and avoids
+  // overwriting a file the live plan is reading from
+  private val boundTo = TrieMap.empty[String, String]
 
   // ------------------------------------------------------------- relvars
+
+  /** Materialization cadence for long version chains:
+    * `spark.graft.catalog.materializeEvery` (default 8; 0 disables).
+    * Every k-th version is WRITTEN to parquet at swap time and the stored
+    * plan replaced by a scan of that snapshot, so a chain of n updates
+    * replays at most k−1 plan layers above a materialized base instead of
+    * n layers back to the original source — as-of read cost stays FLAT as
+    * the chain grows, at the price of one full write every k versions. */
+  private def matEvery: Int =
+    spark.conf.getOption("spark.graft.catalog.materializeEvery")
+      .map(_.toInt).getOrElse(8)
+
+  /** Where cadence snapshots land: `spark.graft.catalog.historyDir`,
+    * defaulting to `<warehouse>/_graft_history`. */
+  private def historyDir: String =
+    spark.conf.getOption("spark.graft.catalog.historyDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/_graft_history")
 
   /** Archive the current snapshot and swap in the new one: EVERY write
     * goes through here, so the full version chain is retained
     * (snapshot-on-write — the Delta/Iceberg discipline minus the log).
     * Snapshots are immutable lazy plans over immutable inputs; nothing
-    * materializes until a versioned read runs, so history is O(plans),
-    * not O(data), and [[relvarAt]]/[[versionDiff]] make the catalog an
-    * honest incremental-curation substrate. */
-  private def swap(name: String, r: Rel): Unit = {
+    * materializes until a versioned read runs (except the [[matEvery]]
+    * cadence writes), so history is O(plans) with BOUNDED replay depth,
+    * and [[relvarAt]]/[[versionDiff]] make the catalog an honest
+    * incremental-curation substrate. */
+  private def swap(name: String, r0: Rel): Unit = {
+    val newVersion = history.getOrElse(name, Vector.empty).size +
+      (if (relvars.contains(name)) 2 else 1)
+    val k = matEvery
+    val r =
+      if (k > 0 && newVersion % k == 0) {
+        val path = s"$historyDir/$name/v$newVersion.parquet"
+        r0.df.write.mode("overwrite").parquet(path)
+        Rel.distinct(spark.read.parquet(path))
+      } else r0
     relvars.get(name).foreach { old =>
       history(name) = history.getOrElse(name, Vector.empty) :+ old }
     relvars(name) = r
+    boundTo.remove(name)
   }
 
   def define(name: String, r: Rel): Unit = swap(name, r)
@@ -84,15 +118,26 @@ final class Catalog(val spark: SparkSession) {
     * no sort — the shuffle is paid once at write time, then reused by every
     * downstream stage. On a cluster this is the difference between an
     * O(data) shuffle per join and none. */
+  /** Monotonic physical-generation counter per bucketed relvar name: each
+    * [[defineBucketed]] writes a FRESH table (`name__bktN`), never the
+    * location a previous generation's archived snapshot still reads —
+    * redefining a bucketed relvar used to DROP and rewrite one shared
+    * path, silently rebinding every history version to the new data. */
+  private val bucketGen = TrieMap.empty[String, Int]
+
   def defineBucketed(name: String, r: Rel, bucketCols: Seq[String],
                      buckets: Int): Unit = {
     require(bucketCols.nonEmpty, "bucketed relvar needs at least one key column")
-    // a previous JVM may have left the managed location behind while this
-    // session's in-memory metastore has no such table — clear both, like
-    // overwrite would if the table were still registered
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val gen = bucketGen.updateWith(name)(g => Some(g.getOrElse(0) + 1)).get
+    val phys = s"${name}__bkt$gen"
+    // a previous JVM may have left this generation's managed location
+    // behind while this session's in-memory metastore has no such table —
+    // clear both, like overwrite would if the table were still registered.
+    // (Only THIS generation's path: older generations stay on disk because
+    // this session's history snapshots may read them.)
+    spark.sql(s"DROP TABLE IF EXISTS `$phys`")
     val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(name))
+      org.apache.spark.sql.catalyst.TableIdentifier(phys))
     val fs = org.apache.hadoop.fs.FileSystem.get(loc,
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(loc)
@@ -101,10 +146,10 @@ final class Catalog(val spark: SparkSession) {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(name)
+      .saveAsTable(phys)
     // r.df deduplicates on write when the source wasn't known distinct, so
     // the stored table is distinct by construction either way
-    swap(name, Rel.distinct(spark.table(name)))
+    swap(name, Rel.distinct(spark.table(phys)))
   }
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
@@ -196,11 +241,48 @@ final class Catalog(val spark: SparkSession) {
 
   private def jstr(s: String): String = graft.types.Json.str(s)
 
-  /** Persist everything: relvars as parquet, metadata as JSON lines. */
+  /** Persist everything: relvars as parquet, metadata as JSON lines.
+    * Version history persists too — each archived version to
+    * `_history/<name>/v<v>.parquet`, written ONCE (versions are
+    * immutable, so a version already on disk from a previous save is
+    * skipped; repeated saves of a long-lived relvar only pay for the
+    * versions added since the last save). */
   def save(dir: String): Unit = {
-    relvars.foreach { case (n, r) =>
-      r.df.write.mode("overwrite").parquet(s"$dir/$n.parquet") }
     val lines = Seq.newBuilder[String]
+    // history FIRST: an archived version's plan may read $dir/<n>.parquet
+    // (loaded from this dir, then mutated) — it must be materialized to its
+    // immutable _history file before the current-relvar pass replaces that
+    // file. Each archived Rel is then REBOUND to its _history scan, so
+    // later saves are free and no stored plan reads a mutable path.
+    history.toSeq.sortBy(_._1).foreach { case (n, past) =>
+      val rebound = past.zipWithIndex.map { case (r, j) =>
+        val v = j + 1
+        val path = s"$dir/_history/$n/v$v.parquet"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          r.df.write.mode("overwrite").parquet(path)
+        lines += s"""{"kind":"relvar_version","name":${jstr(n)},"version":$v}"""
+        Rel.parquet(spark, path)
+      }
+      history(n) = rebound
+    }
+    relvars.foreach { case (n, r) =>
+      val target = s"$dir/$n.parquet"
+      if (!boundTo.get(n).contains(target)) {
+        // the live plan may READ the target: write beside it, then swap
+        // directories — a direct overwrite would delete files mid-scan
+        val hfs = new org.apache.hadoop.fs.Path(target)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.saving_$n.parquet")
+        r.df.write.mode("overwrite").parquet(tmp.toString)
+        val tgt = new org.apache.hadoop.fs.Path(target)
+        if (hfs.exists(tgt)) hfs.delete(tgt, true)
+        require(hfs.rename(tmp, tgt), s"catalog save: rename $tmp -> $tgt failed")
+        // rebind the stored plan to the file just written: truncates
+        // lineage and makes the NEXT save of an unmutated relvar free
+        relvars(n) = Rel.distinct(spark.read.parquet(target))
+        boundTo(n) = target
+      }
+    }
     relvars.keys.toSeq.sorted.foreach { n =>
       lines += s"""{"kind":"relvar","name":${jstr(n)}}"""
     }
@@ -233,7 +315,9 @@ final class Catalog(val spark: SparkSession) {
 
   def load(dir: String, name: String): Rel = {
     val r = Rel.parquet(spark, s"$dir/$name.parquet")
-    define(name, r); r
+    define(name, r)
+    boundTo(name) = s"$dir/$name.parquet"
+    r
   }
 
   // --------------------------------------------------------- introspection
@@ -281,10 +365,19 @@ object Catalog {
     def seqOf(r: org.apache.spark.sql.Row, f: String): Seq[String] =
       if (meta.columns.contains(f) && !r.isNullAt(r.fieldIndex(f)))
         r.getSeq[String](r.fieldIndex(f)).toSeq else Nil
+    // history versions are installed AFTER the loop, sorted by version —
+    // JSON-line order is not a contract
+    val hist = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.TreeMap[Int, Rel]]
     rows.foreach { r =>
       val name = r.getAs[String]("name")
       r.getAs[String]("kind") match {
         case "relvar" => cat.load(dir, name)
+        case "relvar_version" =>
+          val v = r.getAs[Long]("version").toInt
+          hist.getOrElseUpdate(name,
+              scala.collection.mutable.TreeMap.empty[Int, Rel])(v) =
+            Rel.parquet(spark, s"$dir/_history/$name/v$v.parquet")
         case "scalar" =>
           val v = (opt(r, "vtype").getOrElse("text"), opt(r, "value").getOrElse(""))
           cat.set(name, v match {
@@ -302,6 +395,11 @@ object Catalog {
             seqOf(r, "compNames").zip(seqOf(r, "compTypes").map(AndlTypes.sparkOf))))
         case other => throw new IllegalStateException(s"unknown catalog kind $other")
       }
+    }
+    hist.foreach { case (n, byV) =>
+      require(byV.keys.toSeq == (1 to byV.size),
+        s"catalog load: relvar $n history versions ${byV.keys.mkString(",")} not contiguous")
+      cat.history(n) = byV.values.toVector
     }
     cat
   }
