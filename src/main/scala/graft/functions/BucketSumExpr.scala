@@ -95,16 +95,29 @@ case class BucketDotSums(child: Expression,
 
 object BucketDotSums {
   /** Broadcast `weights` (k dense micro-unit vectors of equal length) and
-    * bind the kernel over `buckets`. */
-  def apply(spark: org.apache.spark.sql.SparkSession, buckets: Column,
-            weights: Array[Array[Long]]): Column = {
+    * bind the kernel over `buckets`, returning the Broadcast handle
+    * alongside the Column so a caller that MATERIALIZES the plan (collect
+    * in the same call) can `destroy()` the broadcast immediately instead
+    * of parking k·B longs in block storage until the ContextCleaner gets
+    * to it — at the 2^21-bucket ceiling one line-search ladder is ~200 MB,
+    * and a 20-iteration trainer issues two per iteration. */
+  def tracked(spark: org.apache.spark.sql.SparkSession, buckets: Column,
+              weights: Array[Array[Long]]):
+      (Column, org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) = {
     require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
       "bucket_dot_sums: candidate weight vectors differ in length")
-    GraftExprBridge.column(
-      BucketDotSums(GraftExprBridge.expression(buckets),
-        spark.sparkContext.broadcast(weights),
-        weights.length, weights.head.length))
+    val bc = spark.sparkContext.broadcast(weights)
+    (GraftExprBridge.column(
+      BucketDotSums(GraftExprBridge.expression(buckets), bc,
+        weights.length, weights.head.length)), bc)
   }
+
+  /** [[tracked]] without the handle — for LAZY plans (predict sweeps)
+    * whose broadcast must outlive this call; the ContextCleaner reclaims
+    * it once the plan is unreferenced. */
+  def apply(spark: org.apache.spark.sql.SparkSession, buckets: Column,
+            weights: Array[Array[Long]]): Column =
+    tracked(spark, buckets, weights)._1
 }
 
 /** The gradient-side dual of [[BucketDotSums]]: scatter-add each doc's

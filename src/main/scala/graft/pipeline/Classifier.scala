@@ -99,12 +99,18 @@ object Classifier {
           (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))), 6) * 1e6)
         .cast("long")).cast("double").as(s"l$j")
     }
-    val row = feats
-      .select(col("y"), BucketDotSums(feats.sparkSession, col("bs"),
-        cands.map(toW6).toArray).as("ms"))
-      .select(col("y") +: pCols: _*)
-      .agg(lossCols.head, lossCols.tail: _*)
-      .collect()(0)
+    // tracked broadcast: the ladder is k dense vectors (~k·B·8 bytes);
+    // the job materializes right here, so destroy the blocks on exit
+    // instead of parking them for the ContextCleaner
+    val (ms, bc) = BucketDotSums.tracked(feats.sparkSession, col("bs"),
+      cands.map(toW6).toArray)
+    val row =
+      try feats
+        .select(col("y"), ms.as("ms"))
+        .select(col("y") +: pCols: _*)
+        .agg(lossCols.head, lossCols.tail: _*)
+        .collect()(0)
+      finally bc.destroy()
     cands.indices.map(j => round6(row.getDouble(j) / 1e6 / nDocs))
   }
 
@@ -120,14 +126,16 @@ object Classifier {
                        nDocs: Double): Map[Int, Double] = {
     import graft.functions.{BucketDotSums, BucketErrSumAgg}
     val b = model.buckets
-    val m = element_at(
-        BucketDotSums(feats.sparkSession, col("bs"), Array(toW6(model))), 1)
-      .cast("double") / 1e6 + lit(model.bias)
+    val (ms, bc) = BucketDotSums.tracked(feats.sparkSession, col("bs"),
+      Array(toW6(model)))
+    val m = element_at(ms, 1).cast("double") / 1e6 + lit(model.bias)
     val p = lit(1.0) / (exp(-m) + 1.0)
     val e6 = round(round(p - col("y"), 6) * 1e6).cast("long")
-    val g6 = feats.select(col("bs"), e6.as("e6"))
-      .agg(BucketErrSumAgg(col("bs"), col("e6"), b).as("g6"))
-      .collect()(0).getSeq[Long](0)
+    val g6 =
+      try feats.select(col("bs"), e6.as("e6"))
+        .agg(BucketErrSumAgg(col("bs"), col("e6"), b).as("g6"))
+        .collect()(0).getSeq[Long](0)
+      finally bc.destroy()
     val touched = (0 until b).iterator.filter(g6(_) != 0L)
       .map(bk => bk -> g6(bk) / 1e6).toMap
     touched + (-1 -> g6(b) / 1e6)

@@ -31,11 +31,33 @@ object Retrieval {
     filter(split(lower(trim(c)), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** BM25 top-k docs per query. `queries`: (query_id, qtext). Output:
-    * (query_id, doc_id, score, rank) with rank 1-based per query. */
+    * (query_id, doc_id, score, rank) with rank 1-based per query —
+    * MATERIALIZED (≤ k rows per query) so every corpus-sized intermediate
+    * pin (inverted index, doc lengths, candidate slice) is released
+    * before returning; a deployment that reuses the index across many
+    * query batches should lift the tf/dl build out and keep its own pin. */
   def bm25(docs: DataFrame, queries: DataFrame, k: Int = 10,
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text",
            qIdCol: String = "query_id", qTextCol: String = "qtext"): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    val (lazyResult, pins) =
+      bm25Lazy(docs, queries, k, k1, b, idCol, textCol, qIdCol, qTextCol)
+    // the answer is BOUNDED (≤ k rows per query): pin it eagerly so the
+    // corpus-sized intermediates can be released right now — without
+    // this, cand and dl stayed in block storage for the life of the
+    // returned (lazy) frame on every one-shot bm25 call
+    val result = lazyResult.pin()
+    pins.foreach(_.unpin())
+    result
+  }
+
+  /** The scoring PLAN without the final materialization — what the plan
+    * contract inspects; [[bm25]] is this plus pin-and-release. Returns the
+    * lazy top-k frame and the intermediate pins its lineage reads. */
+  private[graft] def bm25Lazy(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double, b: Double, idCol: String, textCol: String,
+           qIdCol: String, qTextCol: String): (DataFrame, Seq[DataFrame]) = {
     val spark = docs.sparkSession
     import graft.rel.Checkpoint.PinOps
 
@@ -66,6 +88,9 @@ object Retrieval {
     // candidate slice of the index (rows whose term some query mentions) —
     // pinned so df counting and scoring share one filter pass
     val cand = tf.join(broadcast(qTerms.select("term").distinct()), "term").pin()
+    // tf is fully consumed: dl and cand (both eager pins) absorbed it —
+    // release its blocks now instead of leaking them until GC
+    tf.unpin()
     val dfreq = cand.groupBy("term").agg(count(lit(1)).as("df"))
 
     val contrib = cand.join(broadcast(qTerms), "term")
@@ -88,8 +113,10 @@ object Retrieval {
     val merged = local.select(col("query_id"), explode(col("top")).as("t"))
       .groupBy(col("query_id"))
       .agg(slice(sort_array(collect_list(col("t"))), 1, k).as("top"))
-    merged.select(col("query_id"), posexplode(col("top")).as(Seq("__i", "t")))
+    val result = merged
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__i", "t")))
       .select(col("query_id"), col("t.d").as("doc_id"),
         (-col("t.ns")).as("score"), (col("__i") + 1).as("rank"))
+    (result, Seq(cand, dl))
   }
 }

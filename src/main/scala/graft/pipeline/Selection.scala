@@ -65,7 +65,15 @@ object Selection {
     * extra total-count jobs. */
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 512,
                   lambda: Double = 1.0, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    // the returned LAZY plan reads the pinned (doc, bucket, n) counts —
+    // the pin lives until the frame is unreferenced (ContextCleaner).
+    // The materializing selectors below release it eagerly instead.
+    dsirWeightsPinned(raw, target, buckets, lambda, idCol, textCol)._1
+
+  private def dsirWeightsPinned(raw: DataFrame, target: DataFrame,
+                  buckets: Int, lambda: Double, idCol: String,
+                  textCol: String): (DataFrame, DataFrame) = {
     require(buckets > 0 && lambda > 0.0, s"dsir: buckets=$buckets lambda=$lambda")
     import graft.rel.Checkpoint.PinOps
     val spark = raw.sparkSession
@@ -88,7 +96,7 @@ object Selection {
     val tc = tcRows.toSeq.toDF("bucket", "ct")
     val rc = rcRows.toSeq.toDF("bucket", "cr")
 
-    docBuckets
+    val weights = docBuckets
       .join(broadcast(tc), Seq("bucket"), "left")
       .join(broadcast(rc), Seq("bucket"), "left")
       .select(col("doc_id"), col("n"),
@@ -98,6 +106,7 @@ object Selection {
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_grams"),
         round(sum(col("w")).cast("double"), 6).as("dsir_logw"))
+    (weights, docBuckets)
   }
 
   /** Gumbel-max importance RESAMPLING — the paper's actual selection mode:
@@ -130,9 +139,11 @@ object Selection {
     // uniform in (0,1): 8 md5 hex chars → [0, 2^32), then (x+0.5)/2^32
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / lit(4294967296.0)
-    val keyed = dsirWeights(raw, target, buckets, lambda, idCol, textCol)
-      .withColumn("key", round(col("dsir_logw") - log(-log(u)), 6))
-    withRank(keyed.orderBy(desc("key"), asc("doc_id")), n)
+    val (w, pin) = dsirWeightsPinned(raw, target, buckets, lambda, idCol, textCol)
+    val keyed = w.withColumn("key", round(col("dsir_logw") - log(-log(u)), 6))
+    // withRank materializes the ≤ n winners — release the corpus pin now
+    try withRank(keyed.orderBy(desc("key"), asc("doc_id")), n)
+    finally { import graft.rel.Checkpoint.PinOps; pin.unpin() }
   }
 
   /** Top-`n` raw docs by importance weight (desc, doc_id asc tie-break),
@@ -140,7 +151,9 @@ object Selection {
     * slice" selection; [[dsirSample]] is the proportional variant. */
   def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
                  buckets: Int = 512, lambda: Double = 1.0,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    withRank(dsirWeights(raw, target, buckets, lambda, idCol, textCol)
-      .orderBy(desc("dsir_logw"), asc("doc_id")), n)  // TakeOrdered
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (w, pin) = dsirWeightsPinned(raw, target, buckets, lambda, idCol, textCol)
+    try withRank(w.orderBy(desc("dsir_logw"), asc("doc_id")), n)  // TakeOrdered
+    finally { import graft.rel.Checkpoint.PinOps; pin.unpin() }
+  }
 }

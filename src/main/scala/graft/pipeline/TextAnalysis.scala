@@ -339,6 +339,11 @@ object TextAnalysis {
     * aggregation sums 6dp-rounded logs in decimal, so the score is
     * bit-deterministic under any partitioning.
     *
+    *
+    * Pin lifetime: the returned LAZY frame reads the pinned count table —
+    * its executor blocks are held until the frame is unreferenced (the
+    * ContextCleaner reclaims them); a one-shot caller that materializes
+    * the scores should not retain the frame.
     * Returns (idCol, n_bigrams, lm_score); documents with < 2 tokens have
     * no bigrams and are absent. */
   def lmScore(docs: org.apache.spark.sql.DataFrame, k: Double = 0.5,
@@ -394,6 +399,11 @@ object TextAnalysis {
     * the driver. 6dp-rounded logs, decimal sums: bit-deterministic, SQL
     * oracle replays ranks exactly.
     *
+    *
+    * Pin lifetime: the returned LAZY frame reads the pinned count table —
+    * its executor blocks are held until the frame is unreferenced (the
+    * ContextCleaner reclaims them); a one-shot caller that materializes
+    * the scores should not retain the frame.
     * Returns (idCol, n_bigrams, kn_score); docs with < 2 tokens absent. */
   def knScore(docs: org.apache.spark.sql.DataFrame, discount: Double = 0.75,
               idCol: String = "doc_id",
@@ -442,6 +452,11 @@ object TextAnalysis {
     * broadcast). The full-corpus shuffles are the two term aggregations,
     * both map-side combinable. No per-doc ranking window: downstream
     * consumers pick their own top-k (scores are emitted, not argmaxed, so
+    *
+    * Pin lifetime: the returned LAZY frame reads the pinned count table —
+    * its executor blocks are held until the frame is unreferenced (the
+    * ContextCleaner reclaims them); a one-shot caller that materializes
+    * the scores should not retain the frame.
     * results stay bit-robust across engines). */
   def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
             textCol: String = "text", minTf: Int = 2): org.apache.spark.sql.DataFrame = {

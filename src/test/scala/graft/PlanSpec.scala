@@ -431,7 +431,10 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val probes = Seq((1L, "spark hash join")).toDF("query_id", "qtext")
-    val p = plan(graft.pipeline.Retrieval.bm25(docs, probes, k = 5))
+    // inspect the scoring plan itself — public bm25 materializes it so the
+    // corpus-sized pins can be released, which hides the shape from explain
+    val p = plan(graft.pipeline.Retrieval.bm25Lazy(docs, probes, 5,
+      1.2, 0.75, "doc_id", "text", "query_id", "qtext")._1)
     assert(p.contains("BroadcastHashJoin"),
       s"query-term filter is not a broadcast:\n${p.take(4000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
