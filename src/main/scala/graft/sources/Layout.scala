@@ -118,8 +118,13 @@ object Layout {
               outDir: String, targetFileBytes: Long = 128L << 20,
               sortBy: Seq[Column] = Nil): (Long, Long, Long) = {
     require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
-    val inPath = new org.apache.hadoop.fs.Path(inDir)
-    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify the root BEFORE relativizing: listFiles returns fully
+    // qualified statuses, so a relative/unqualified inDir would make a
+    // prefix-strip a no-op and leak ancestor `k=v` directory segments
+    // (e.g. /data/run=3/corpus) into the partition columns
+    val inPath = fs.makeQualified(rawPath)
     val parts = parquetFiles(fs, inPath)
     require(parts.nonEmpty, s"compact: no .parquet data files under $inDir")
     val totalBytes = parts.map(_.getLen).sum
@@ -127,10 +132,17 @@ object Layout {
     // Hive-style partition columns from the data files' directory path
     // (`k=v` segments relative to the root, in order): a partitioned
     // input rewrites partitioned — the layout survives compaction instead
-    // of silently flattening into data columns.
-    val rel = parts.head.getPath.getParent.toUri.getPath
-      .stripPrefix(inPath.toUri.getPath).split("/").filter(_.contains("="))
-    val partCols = rel.map(_.takeWhile(_ != '=')).toSeq
+    // of silently flattening into data columns. Segments are collected by
+    // walking parent links up to the qualified root, so only directories
+    // strictly BELOW inDir can contribute.
+    val rel = {
+      var segs = List.empty[String]
+      var p = parts.head.getPath.getParent
+      while (p != null && p != inPath) { segs = p.getName :: segs; p = p.getParent }
+      require(p != null, s"compact: data file ${parts.head.getPath} not under $inPath")
+      segs.filter(_.contains("="))
+    }
+    val partCols = rel.map(_.takeWhile(_ != '='))
     val df = spark.read.parquet(inDir)
     val arranged =
       if (sortBy.isEmpty) {
