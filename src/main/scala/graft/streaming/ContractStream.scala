@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.pipeline.Contract
@@ -17,37 +17,78 @@ import graft.pipeline.Contract._
   *
   * Supported rules: every fraction-style expectation (not-null /
   * in-range / matches / is-in / broadcast referential containment) plus
-  * RowCount on the cumulative count. [[Contract.Unique]] is REFUSED:
-  * exact distinctness does not decompose into mergeable per-batch
-  * counters — continuous uniqueness monitoring belongs to the HLL
-  * sketches ([[graft.functions.Sketches]]), with the exact check run at
-  * release time by the batch operator.
+  * RowCount on the cumulative count. [[Contract.Unique]] streams as a
+  * SKETCH: exact distinctness does not decompose into mergeable per-batch
+  * counters, but an HLL sketch does — each batch contributes one
+  * `hll_sketch_agg` state (riding the same single aggregate), the driver
+  * unions it into a cumulative sketch (DataSketches HLL, the library
+  * behind Spark's own hll_* functions), and the report row carries
+  * approx-distinct/rows with the sketch's published relative standard
+  * error in its rule label; pass uses the sketch's 2-std-dev upper
+  * bound, so a true-unique stream never false-alarms. The exact check
+  * still belongs to the batch operator at release time.
   *
   * Scale shape: the stream engine holds ZERO state (foreachBatch); the
   * driver holds 2 longs per rule. foreachBatch is at-least-once, so the
-  * monitor dedups on batchId — a replayed batch never double-counts. */
+  * monitor dedups on batchId — a replayed batch never double-counts.
+  *
+  * SCOPE: the counters live in DRIVER memory only, while the source's
+  * progress is checkpointed — the cumulative identity with the batch
+  * check holds within ONE process lifetime. Restarting a query from its
+  * checkpoint with a fresh Monitor skips already-committed batches (the
+  * source replays nothing) and their counts are gone; a deployment that
+  * must survive restarts persists `snapshot()` next to the checkpoint on
+  * each ingest and rebuilds the Monitor from it before restarting. */
 object ContractStream {
 
-  final class Monitor(expectations: Seq[Expectation]) extends Serializable {
+  /** The monitor's entire state: plain longs plus one compact HLL sketch
+    * per Unique rule — persist next to the checkpoint to make the
+    * counters restart-durable (see SCOPE above). */
+  final case class MonitorState(lastBatchId: Long, rows: Long,
+                                hits: Map[Int, Long],
+                                sketches: Map[Int, Array[Byte]])
+
+  final class Monitor(expectations: Seq[Expectation], lgK: Int = 12)
+      extends Serializable {
     require(expectations.nonEmpty, "contract monitor: no expectations")
-    require(!expectations.exists(_.isInstanceOf[Unique]),
-      "contract monitor: Unique does not stream exactly — use the batch " +
-        "check (or sketch-based uniqueness) instead")
+    require(lgK >= 4 && lgK <= 21, s"contract monitor: lgK=$lgK out of [4,21]")
 
     private val fracIdx = expectations.zipWithIndex
       .filter { case (e, i) => Contract.hitCond(e, i).isDefined }
+    private val uniqIdx = expectations.zipWithIndex
+      .collect { case (u: Unique, i) => (u, i) }
+    // published error of a DataSketches HLL at this lgK: rse ≈ 1.04/√(2^lgK)
+    private val rse = 1.04 / math.sqrt(math.pow(2.0, lgK))
     private var rows = 0L
     private val hits = scala.collection.mutable.Map.empty[Int, Long]
-    private var ingestedBatches = Set.empty[Long]
+    // cumulative compact HLL per Unique rule, unioned driver-side — the
+    // per-batch sketch rides the SAME single aggregate as the counters
+    private val sketches = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    // foreachBatch batchIds are MONOTONIC within a query, so the dedup
+    // state is one long, not an ever-growing Set — a replayed/retried
+    // batch re-presents an id ≤ the max already folded in
+    private var lastBatchId = -1L
+
+    /** The distinct-domain input for a Unique rule: rows where any key
+      * column is null are excluded, exactly like countDistinct in the
+      * batch check; the tuple funnels through xxhash64 (collision odds
+      * ~n²/2⁶⁵ — far below the sketch's own error). */
+    private def uniqInput(u: Unique): Column = {
+      val nn = u.columns.map(col(_).isNotNull).reduce(_ && _)
+      when(nn, xxhash64(u.columns.map(col): _*))
+    }
 
     /** Fold one micro-batch in: ONE aggregate (count + a conditional sum
-      * per fraction rule) over the RefIn-joined batch. Negative batchId
-      * skips the exactly-once dedup (plain batch callers). */
+      * per fraction rule + an HLL state per unique rule) over the
+      * RefIn-joined batch. Negative batchId skips the exactly-once dedup
+      * (plain batch callers). */
     def ingest(batch: DataFrame, batchId: Long = -1L): Unit = synchronized {
-      if (batchId >= 0L && ingestedBatches.contains(batchId)) return
+      if (batchId >= 0L && batchId <= lastBatchId) return
       val base = Contract.refJoin(batch, expectations)
-      val aggs = count(lit(1)).as("n") +: fracIdx.map { case (e, i) =>
+      val aggs = (count(lit(1)).as("n") +: fracIdx.map { case (e, i) =>
         sum(when(Contract.hitCond(e, i).get, 1L).otherwise(0L)).as(s"h$i")
+      }) ++ uniqIdx.map { case (u, i) =>
+        hll_sketch_agg(uniqInput(u), lit(lgK)).as(s"u$i")
       }
       val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
       rows += r.getLong(r.fieldIndex("n"))
@@ -55,7 +96,30 @@ object ContractStream {
         val fi = r.fieldIndex(s"h$i")
         if (!r.isNullAt(fi)) hits(i) = hits.getOrElse(i, 0L) + r.getLong(fi)
       }
-      if (batchId >= 0L) ingestedBatches += batchId
+      uniqIdx.foreach { case (_, i) =>
+        val fi = r.fieldIndex(s"u$i")
+        if (!r.isNullAt(fi)) {
+          val u = new org.apache.datasketches.hll.Union(lgK)
+          sketches.get(i).foreach(b =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            r.getAs[Array[Byte]](fi)))
+          sketches(i) = u.getResult.toCompactByteArray
+        }
+      }
+      if (batchId >= 0L) lastBatchId = batchId
+    }
+
+    def snapshot(): MonitorState = synchronized {
+      MonitorState(lastBatchId, rows, hits.toMap, sketches.toMap)
+    }
+
+    /** Rebuild driver state from a [[snapshot]] before restarting a query
+      * from its checkpoint. */
+    def restore(s: MonitorState): Unit = synchronized {
+      lastBatchId = s.lastBatchId; rows = s.rows
+      hits.clear(); s.hits.foreach { case (k, v) => hits(k) = v }
+      sketches.clear(); s.sketches.foreach { case (k, v) => sketches(k) = v }
     }
 
     private def round6(v: Double): Double =
@@ -64,20 +128,35 @@ object ContractStream {
 
     /** Cumulative report, identical row-for-row to `Contract.check` over
       * the union of ingested batches (vacuous 1.0 fractions before any
-      * row arrives — RowCount carries the emptiness verdict). */
+      * row arrives — RowCount carries the emptiness verdict). Unique rows
+      * are the one APPROXIMATE face: rule label carries the sketch's
+      * published error (`unique~hll[rse=…]`), metric is the estimate/rows
+      * ratio (capped at 1.0), and pass uses the sketch's 2-std-dev upper
+      * bound so a genuinely unique stream never false-alarms while a
+      * duplicate mass beyond the error band always trips. */
     def report(): Seq[(String, String, Double, Double, Boolean)] = synchronized {
       expectations.zipWithIndex.map { case (e, i) =>
-        val (rule, target, threshold) = Contract.describe(e)
-        val metric = e match {
-          case RowCount(_, _) => rows.toDouble
-          case _ => if (rows == 0L) 1.0
-                    else round6(hits.getOrElse(i, 0L).toDouble / rows)
+        val (rule0, target, threshold) = Contract.describe(e)
+        e match {
+          case RowCount(lo, hi) =>
+            (rule0, target, rows.toDouble, threshold, rows >= lo && rows <= hi)
+          case _: Unique =>
+            val rule = f"unique~hll[lgk=$lgK,rse=$rse%.4f]"
+            if (rows == 0L) (rule, target, 1.0, threshold, true)
+            else {
+              val sk = sketches.get(i)
+                .map(org.apache.datasketches.hll.HllSketch.heapify)
+              val est = sk.map(_.getEstimate).getOrElse(0.0)
+              val ub = sk.map(_.getUpperBound(2)).getOrElse(0.0)
+              val metric = round6(math.min(est / rows, 1.0))
+              (rule, target, metric, threshold,
+                math.min(ub / rows, 1.0) >= threshold)
+            }
+          case _ =>
+            val metric = if (rows == 0L) 1.0
+                         else round6(hits.getOrElse(i, 0L).toDouble / rows)
+            (rule0, target, metric, threshold, metric >= threshold)
         }
-        val pass = e match {
-          case RowCount(lo, hi) => rows >= lo && rows <= hi
-          case _                => metric >= threshold
-        }
-        (rule, target, metric, threshold, pass)
       }
     }
 

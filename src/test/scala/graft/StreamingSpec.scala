@@ -454,7 +454,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming contract monitor: cumulative report equals the batch check, " +
-       "replayed batches never double-count, Unique refused") {
+       "replayed batches never double-count") {
     import spark.implicits._
     import graft.pipeline.Contract
     import graft.pipeline.Contract._
@@ -477,8 +477,50 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(3), r.getBoolean(4))).toSeq
     assert(streamed === batch)
     assert(!mon.healthy()) // not_null 0.75 < 0.9 must trip the alarm
-    intercept[IllegalArgumentException] {
-      new graft.streaming.ContractStream.Monitor(Seq(Unique(Seq("id"))))
-    }
+  }
+
+  test("streaming unique monitor: the HLL ratio tracks the exact batch " +
+       "check within the sketch's published bound, a unique prefix never " +
+       "false-alarms, and a restart restores from snapshot") {
+    import spark.implicits._
+    import graft.pipeline.Contract
+    import graft.pipeline.Contract._
+    val lgK = 12
+    val bound = 3 * 1.04 / math.sqrt(math.pow(2.0, lgK)) // 3σ ≈ 0.0488
+    val exps = Seq(Unique(Seq("id")), NotNull("id"))
+    val b1 = spark.range(0, 1000).toDF("id")            // all distinct
+    val b2 = spark.range(500, 1500).toDF("id")          // 500 duplicates
+
+    val mon = new graft.streaming.ContractStream.Monitor(exps, lgK)
+    mon.ingest(b1, batchId = 0L)
+    // unique prefix: metric ~1.0 and the 2σ-upper-bound pass must HOLD
+    val pre = mon.report().head
+    assert(pre._1.startsWith("unique~hll[lgk=12,rse=0.01"), pre._1)
+    assert(math.abs(pre._3 - 1.0) <= bound && pre._5, pre.toString)
+
+    // snapshot/restore at the batch boundary: a restarted monitor must
+    // continue to the same report as the uninterrupted one
+    val resumed = new graft.streaming.ContractStream.Monitor(exps, lgK)
+    resumed.restore(mon.snapshot())
+
+    Seq(mon, resumed).foreach(_.ingest(b2, batchId = 1L))
+    assert(mon.report() === resumed.report())
+
+    // 2000 rows, 1500 distinct: exact batch metric 0.75 — the sketch
+    // ratio lands within the published 3σ band and the alarm TRIPS
+    val exact = Contract.check(b1.unionByName(b2), exps)
+      .collect().head.getDouble(2)
+    assert(exact === 0.75)
+    val row = mon.report().head
+    assert(math.abs(row._3 - exact) <= bound,
+      s"sketch ratio ${row._3} vs exact $exact — outside ±$bound")
+    assert(!row._5 && !mon.healthy(), row.toString)
+
+    // null keys leave the distinct-domain numerator, like countDistinct
+    val mon2 = new graft.streaming.ContractStream.Monitor(
+      Seq(Unique(Seq("k"))), lgK)
+    mon2.ingest(Seq(Some(1L), Some(2L), None).toDF("k"))
+    val r2 = mon2.report().head
+    assert(math.abs(r2._3 - 2.0 / 3) <= bound, r2.toString)
   }
 }
