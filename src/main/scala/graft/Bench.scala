@@ -13,12 +13,15 @@ import java.nio.file.{Files, Paths}
   *
   * SELF-ADJUDICATING against machine noise: `SPARK_GRAFT_BENCH_RUNS`
   * (default 3) back-to-back in-JVM sweeps; the reported per-query numbers
-  * are MEDIANS across sweeps, with min–max spread in a parallel "spread"
-  * map. A single contended sweep (sandbox neighbors, page-cache cold
-  * start) then moves the spread, not the headline — two rounds running,
-  * single-run driver logs cried wolf at 4–14× the quiet-machine medians
-  * on individual queries. "value" is the sum of medians; "sweeps" holds
-  * each sweep's wall-clock for the same adjudication at the total level. */
+  * are MEDIANS across QUIET sweeps (totals within 1.5× of the quietest),
+  * with min–max spread over all samples in a parallel "spread" map.
+  * Contention triggers a REACTION, not just a flag: up to
+  * `SPARK_GRAFT_BENCH_MAX_EXTRA` (default 2) replacement sweeps run until
+  * `runs` quiet sweeps exist; "contended":true in the output means even
+  * that failed — the medians are then over the quiet subset available
+  * (never inflated by sweeps known to be loaded). "value" is the sum of
+  * medians; "sweeps" holds every sweep's wall-clock and "quiet_sweeps"
+  * the indices that fed the medians. */
 object Bench {
 
   /** Real whole-stage-codegen warmup: compile-and-run the operator shapes
@@ -78,36 +81,67 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // per-query samples across sweeps; a query that fails in one sweep is
-    // reported in errors but keeps the samples from sweeps that succeeded
+    // per-query samples across sweeps, tagged with their sweep index; a
+    // query that fails in one sweep is reported in errors but keeps the
+    // samples from sweeps that succeeded
     val samples = scala.collection.mutable.LinkedHashMap(
-      names.map { case (n, _) => n -> List.empty[Double] }: _*)
+      names.map { case (n, _) => n -> List.empty[(Int, Double)] }: _*)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sweeps = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (r <- 1 to runs) {
+    def runSweep(label: String): Unit = {
+      val idx = sweeps.size
       val s0 = System.nanoTime()
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+          samples(name) = samples(name) :+ (idx -> (System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
             errors(name) = msg
-            System.err.println(s"[bench] FAILED $name (sweep $r): $msg")
+            System.err.println(s"[bench] FAILED $name ($label): $msg")
         }
       }
       sweeps += (System.nanoTime() - s0) / 1e9
-      System.err.println(f"[bench] sweep $r/$runs: ${sweeps.last}%.1f s")
+      System.err.println(f"[bench] $label: ${sweeps.last}%.1f s")
     }
+    for (r <- 1 to runs) runSweep(s"sweep $r/$runs")
+
+    // ---- contention ADJUDICATION, not just annotation: a sweep whose
+    // total exceeds 1.5x the quietest sweep was measured on a loaded
+    // machine (the r12 artifact: 247.9 then 393.0/401.4 s — neighbors
+    // arrived mid-run and every multi-job query queued). React: re-run
+    // whole sweeps (up to SPARK_GRAFT_BENCH_MAX_EXTRA, default 2) until
+    // `runs` sweeps land within the quiet band, then report medians over
+    // QUIET sweeps only. If the machine never quiets down, the medians
+    // fall back to the quiet subset we have and contended stays true —
+    // honest, but never inflated by sweeps we know were contended.
+    def quietIdx: Set[Int] = {
+      val mn = sweeps.min
+      sweeps.indices.filter(i => sweeps(i) <= mn * 1.5).toSet
+    }
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
+    var extra = 0
+    while (quietIdx.size < runs && extra < maxExtra) {
+      extra += 1
+      System.err.println(s"[bench] contended (quiet ${quietIdx.size}/${sweeps.size}) — extra sweep $extra/$maxExtra")
+      runSweep(s"extra sweep $extra")
+    }
+    val quiet = quietIdx
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val timings = samples.collect { case (n, xs) if xs.nonEmpty => n -> median(xs) }
-    val spread = samples.collect { case (n, xs) if xs.nonEmpty => n -> (xs.min, xs.max) }
+    // medians over quiet-sweep samples (every query has >=1: the quietest
+    // sweep is always in the set); spread stays over ALL samples so the
+    // contended tail remains visible in the artifact
+    val timings = samples.collect { case (n, xs) if xs.nonEmpty =>
+      val q = xs.collect { case (i, v) if quiet(i) => v }
+      n -> median(if (q.nonEmpty) q else xs.map(_._2)) }
+    val spread = samples.collect { case (n, xs) if xs.nonEmpty =>
+      n -> (xs.map(_._2).min, xs.map(_._2).max) }
     val failed = names.map(_._1).filter(n => samples(n).isEmpty)
 
     def jstr(s: String): String = graft.types.Json.str(s)
@@ -118,16 +152,16 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val sw = sweeps.map(r4).mkString("[", ",", "]")
     val total = timings.values.sum
-    // sweep-to-sweep dispersion at the total level: a quiet machine lands
-    // ≈1.0–1.2; a contended sandbox has produced 2–14× single-sweep swings
-    // two rounds running — flag it so a log reader can adjudicate without
-    // access to a quiet rerun (the medians already absorb one bad sweep)
-    val contended = sweeps.nonEmpty && sweeps.max / math.max(sweeps.min, 1e-9) > 1.5
+    // contended = could NOT assemble `runs` quiet sweeps even after the
+    // extra re-runs; the reported medians are still quiet-sweep-only, so a
+    // true flag means "fewer samples than asked for", never "inflated"
+    val contended = quiet.size < runs
+    val quietList = quiet.toSeq.sorted.mkString("[", ",", "]")
     // stdout gets a COMPACT line (4dp timings, no per-query spread): a
     // runner that keeps only a tail window of stdout must still see the
     // whole line. The full record (spread, errors) goes to bench_out.json.
     val core =
-      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
     Files.writeString(Paths.get("bench_out.json"),
       s"""{$core,"spread":$sp,"errors":$es}""" + "\n")
     println(s"{$core}")
