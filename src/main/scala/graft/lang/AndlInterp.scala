@@ -95,6 +95,15 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
       RelV(heading, Rel.distinct(df.select(colsAndTypes.map(_._1): _*))))
   }
 
+  /** Gateway GetEntryInfoDict analogue: names of globally bound relations
+    * (local literal relations included — they promote on first touch). */
+  def relvarNames: Seq[String] = global.names.filter { n =>
+    global.lookup(n).exists {
+      case _: RelV | _: LRelV => true
+      case _ => false
+    }
+  }
+
   /** Gateway GetValue: a script-bound relation as a DataFrame. */
   def relvar(name: String): DataFrame = {
     checkMode()

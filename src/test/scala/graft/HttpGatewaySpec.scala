@@ -1,0 +1,97 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.api.HttpGateway
+
+/** Integration test for the HTTP gateway: a REAL localhost round trip over
+  * jdk.httpserver + java.net.http, driving the reference's Gateway verb set
+  * (Andl.Gateway/Gateway.cs:32-102) end to end — define relvar over the
+  * wire, run a script against it, read the result back — the
+  * Readme.txt:81-98 Workbench workflow minus the UI. */
+class HttpGatewaySpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper
+  private lazy val gw = { val g = new HttpGateway(spark); g.start(); g }
+  private lazy val base = s"http://127.0.0.1:${gw.boundPort}/api"
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def send(method: String, path: String, body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, BodyPublishers.ofString(body))
+    }).build()
+    val r = http.send(req, BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("wire round trip: PUT relvar -> POST script -> GET result, " +
+    "plus Evaluate, entry info, CloseSession and loud errors") {
+    // SetValue: the S suppliers over the wire as a JSON row array
+    val sJson = """[
+      {"S#":"S1","SNAME":"Smith","STATUS":20,"CITY":"London"},
+      {"S#":"S2","SNAME":"Jones","STATUS":10,"CITY":"Paris"},
+      {"S#":"S3","SNAME":"Blake","STATUS":30,"CITY":"Paris"},
+      {"S#":"S4","SNAME":"Clark","STATUS":20,"CITY":"London"},
+      {"S#":"S5","SNAME":"Adams","STATUS":30,"CITY":"Athens"}]"""
+    val (pc, pb) = send("PUT", "/db1/S", sJson)
+    assert(pc === 200, pb)
+
+    // RunScript: derive a relvar from it and emit some output
+    val script =
+      """high := S .where(STATUS >= 20) .select{ SNAME, STATUS }
+        |def double(n:number) => n * 2
+        |write('script done')
+        |""".stripMargin
+    val (rc, rb) = send("POST", "/db1", script)
+    assert(rc === 200, rb)
+    assert(mapper.readTree(rb).get("output").asText().contains("script done"))
+
+    // GetValue: the derived relvar back as JSON rows
+    val (gc, gb) = send("GET", "/db1/high")
+    assert(gc === 200, gb)
+    val rows = mapper.readTree(gb)
+    assert(rows.isArray && rows.size === 4, gb)
+    val names = (0 until rows.size).map(i => rows.get(i).get("SNAME").asText()).toSet
+    assert(names === Set("Smith", "Blake", "Clark", "Adams"))
+
+    // Evaluate: call the stored function with JSON args
+    val (ec, eb) = send("POST", "/db1/double", "[21]")
+    assert(ec === 200, eb)
+    assert(mapper.readTree(eb).get("value").asText() === "42")
+
+    // entry info: both relvars visible
+    val (lc, lb) = send("GET", "/db1")
+    assert(lc === 200, lb)
+    assert(lb.contains("\"S\"") && lb.contains("\"high\""))
+
+    // schema-driven SetValue round trip: replacing an existing relvar
+    // parses with ITS schema, so the reread is exact
+    val (p2c, _) = send("PUT", "/db1/high", gb)
+    assert(p2c === 200)
+    assert(send("GET", "/db1/high")._2.length === gb.length)
+
+    // loud errors: unknown relvar, bad script, bad args
+    assert(send("GET", "/db1/nope")._1 === 400)
+    assert(send("POST", "/db1", "this is not andl ::=")._1 === 400)
+    assert(send("POST", "/db1/double", """{"not":"array"}""")._1 === 400)
+    assert(send("PATCH", "/db1")._1 === 404)
+
+    // databases are isolated sessions
+    assert(!send("GET", "/db2")._2.contains("high"))
+
+    // CloseSession drops the state; next touch is a fresh session
+    assert(send("DELETE", "/db1")._1 === 200)
+    assert(send("GET", "/db1/high")._1 === 400)
+  }
+
+  override def withFixture(test: NoArgTest) = {
+    try super.withFixture(test)
+    finally if (test.name.startsWith("wire round trip")) gw.stop()
+  }
+}
