@@ -324,6 +324,27 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** BUCKETED relvar join — the declared-key scale story, oracle-gated:
+    * customer and orders persist as co-bucketed tables (8 buckets on the
+    * customer key via [[graft.catalog.Catalog.defineBucketed]]), then a
+    * forced sort-merge join plus a same-key aggregation runs WITHOUT ANY
+    * Exchange (PlanSpec pins the zero-shuffle plan contract; this row
+    * pins the values). At 100 TB this is the difference between an
+    * O(data) shuffle on every join against the relvar and none — the
+    * shuffle is paid once at write time and reused by every reader. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.defineBucketed("cust_bkt", t(s, dir, "customer"), Seq("c_custkey"), 8)
+    cat.defineBucketed("ord_bkt", t(s, dir, "orders"), Seq("o_custkey"), 8)
+    val c = cat.relvar("cust_bkt").df.select("c_custkey", "c_name")
+    val o = cat.relvar("ord_bkt").df.select("o_custkey", "o_totalprice")
+    c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 6).as("min_price"),
+        round(max(col("o_totalprice")), 6).as("max_price"))
+  }
+
   // ================================================== §2.7 scalar library
 
   def qScalarText(s: SparkSession, dir: String): DataFrame =
@@ -1415,6 +1436,41 @@ object Queries {
     mon.report().toDF("rule", "target", "metric", "threshold", "pass")
   }
 
+  /** Streaming UNIQUENESS monitor gate: the documents table replays
+    * through [[graft.streaming.ContractStream]] with Unique rules — the
+    * one contract face that streams APPROXIMATELY (a cumulative HLL
+    * sketch; exact distinctness does not decompose into mergeable
+    * counters). The oracle discipline mirrors the ANN *_check rows: the
+    * sketch ratio is compared in-query against the exact batch ratio and
+    * the emitted row carries the DuckDB-replayable exact metric plus the
+    * within-published-bound verdict, so the gate pins both the exact
+    * semantics and the sketch's error contract. doc_id (unique) must
+    * PASS via the 2-std-dev upper bound; lang (duplicate-heavy) must
+    * trip the alarm. */
+  def qStreamUniq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Contract._
+    val lgK = 12
+    val exps = Seq(Unique(Seq("doc_id")), Unique(Seq("lang")))
+    val stream = graft.streaming.EventStream
+      .fromParquetDir(s, s"$dir/documents.parquet")
+    val mon = new graft.streaming.ContractStream.Monitor(exps, lgK)
+    val ckpt = java.nio.file.Files.createTempDirectory("q-stream-uniq").toString
+    val q = graft.streaming.ContractStream.start(stream, mon, _ => (), ckpt)
+    try q.awaitTermination() finally q.stop()
+    val rep = mon.report()
+    val bound = 3 * 1.04 / math.sqrt(math.pow(2.0, lgK))
+    val exact = s.read.parquet(s"$dir/documents.parquet").agg(
+      round(countDistinct(col("doc_id")).cast("double") / count(lit(1)), 6).as("e0"),
+      round(countDistinct(col("lang")).cast("double") / count(lit(1)), 6).as("e1"))
+      .collect()(0)
+    Seq(("unique_hll", "doc_id", exact.getDouble(0),
+          math.abs(rep(0)._3 - exact.getDouble(0)) <= bound, rep(0)._5),
+        ("unique_hll", "lang", exact.getDouble(1),
+          math.abs(rep(1)._3 - exact.getDouble(1)) <= bound, rep(1)._5))
+      .toDF("rule", "target", "exact_metric", "within_bound", "pass")
+  }
+
   /** Corpus-wide word-bigram frequencies (count ≥ 10): the corpus-stats
     * primitive behind boilerplate detection and vocabulary reports. One
     * explode + one map-side-combinable aggregation; the min-count filter
@@ -2312,6 +2368,7 @@ object Queries {
     "q_binary" -> qBinary, "q_convert" -> qConvert,
     "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
     "q_catalog_var" -> qCatalogVar, "q_catalog_history" -> qCatalogHistory,
+    "q_bucketed_join" -> qBucketedJoin, "q_stream_uniq" -> qStreamUniq,
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
     "q_fold_ordered" -> qFoldOrdered,
     "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact,
@@ -2599,6 +2656,13 @@ object Queries {
       "THEN 'V4_' || r_name ELSE r_name END AS r_name FROM v3) " +
       "SELECT 1 AS version, * FROM v1 UNION ALL SELECT 2, * FROM v2 " +
       "UNION ALL SELECT 3, * FROM v3 UNION ALL SELECT 4, * FROM v4"),
+    // the co-bucketed tables hold exactly the source rows, so the
+    // zero-Exchange join must value-match the plain join
+    "q_bucketed_join" -> ("SELECT c_custkey, c_name, count(*) AS n_orders, " +
+      "round(min(o_totalprice), 6) AS min_price, " +
+      "round(max(o_totalprice), 6) AS max_price " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY c_custkey, c_name"),
     "q_fold_bool" -> ("SELECT o_orderpriority, bool_and(o_totalprice > 1000.0) AS all_mid, " +
       "bool_or(o_totalprice > 400000.0) AS any_big, " +
       "(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1)) % 2 = 1 AS odd_count " +
@@ -3453,6 +3517,15 @@ object Queries {
       "UNION ALL SELECT 'ref_in[source_name]', 'source', " +
       "round(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6), 0.99, " +
       "round(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS DOUBLE)/count(*),6) >= 0.99 FROM d"),
+
+    // streaming HLL uniqueness: the emitted row carries the exact batch
+    // ratio (replayed here) plus the sketch's within-published-bound and
+    // alarm verdicts -- doc_id unique must pass, lang dup-heavy must trip
+    "q_stream_uniq" -> ("SELECT 'unique_hll' AS rule, 'doc_id' AS target, " +
+      "round(CAST(count(DISTINCT doc_id) AS DOUBLE)/count(*),6) AS exact_metric, " +
+      "true AS within_bound, true AS pass FROM documents " +
+      "UNION ALL SELECT 'unique_hll', 'lang', " +
+      "round(CAST(count(DISTINCT lang) AS DOUBLE)/count(*),6), true, false FROM documents"),
 
     // every expectation's metric/threshold/pass replayed as UNION ALL
     // rows over the same aggregates (RefIn's broadcast dim is the literal

@@ -485,4 +485,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket_dot_sums"),
       s"predict not using the fixed-point kernel:\n${p.take(3000)}")
   }
+
+  test("co-bucketed relvar join + same-key aggregation: ZERO Exchange " +
+    "(the shuffle was paid once at write time and is reused)") {
+    val q = graft.Queries.qBucketedJoin(spark, sf)
+    val p = plan(q)
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join did not sort-merge:\n${p.take(4000)}")
+    assert(!p.contains("Exchange"),
+      s"bucketed join/agg shuffled — bucket co-location lost:\n${p.take(4000)}")
+  }
 }
