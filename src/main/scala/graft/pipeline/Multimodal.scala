@@ -242,29 +242,33 @@ object Multimodal {
     Dedup.hammingPairs(audioHashes(assets).pin(), maxDist, bucketCap)
   }
 
-  /** 64-bit perceptual VIDEO hash: the [[dHash64]] of the first decodable
-    * MJPEG-AVI frame (the thumbnail-hash signature — re-encoded or
+  /** 64-bit perceptual VIDEO hash: the [[dHashImage]] of the decoder's
+    * first decodable frame (the thumbnail-hash signature — re-encoded or
     * re-contained copies of the same footage keep their first frame's
-    * gradient structure). None for non-AVI bytes or frameless files. */
-  def vHash64(bytes: Array[Byte]): Option[Long] =
-    try {
-      aviFrames(bytes).iterator.flatMap { case (off, len) =>
-        dHash64(java.util.Arrays.copyOfRange(bytes, off, off + len))
-      }.nextOption()
-    } catch { case _: Exception => None }
+    * gradient structure). The frame comes through the pluggable
+    * [[VideoDecoder.firstFrame]] seam — [[MjpegAviDecoder]] by default —
+    * so a codec plugin upgrades the hash/near-dup path and the decode
+    * path together. None when the decoder declines the bytes. */
+  def vHash64(bytes: Array[Byte],
+              video: VideoDecoder = MjpegAviDecoder): Option[Long] =
+    try video.firstFrame(bytes).map(dHashImage)
+    catch { case _: Exception => None }
 
   /** Per-asset video-hash frame (id, sh) — same batched contract as
     * [[dHashes]]; undecodable clips drop out. */
-  def videoHashes(assets: DataFrame): DataFrame = hashFrame(assets, vHash64)
+  def videoHashes(assets: DataFrame,
+                  video: VideoDecoder = MjpegAviDecoder): DataFrame =
+    hashFrame(assets, vHash64(_, video))
 
   /** Video near-duplicate pairs: [[vHash64]] per clip, then the shared
     * pigeonhole blocking ([[Dedup.hammingPairs]]) — identical machinery
     * and guarantees as [[imageNearDup]]/[[audioNearDup]], over the
     * first-frame dHash. */
   def videoNearDup(assets: DataFrame, maxDist: Int = 4,
-                   bucketCap: Int = 8192): DataFrame = {
+                   bucketCap: Int = 8192,
+                   video: VideoDecoder = MjpegAviDecoder): DataFrame = {
     import graft.rel.Checkpoint.PinOps
-    Dedup.hammingPairs(videoHashes(assets).pin(), maxDist, bucketCap)
+    Dedup.hammingPairs(videoHashes(assets, video).pin(), maxDist, bucketCap)
   }
 
   // ------------------------------------------------- video decoder seam
@@ -284,6 +288,11 @@ object Multimodal {
     * ships [[MjpegAviDecoder]] (pure JVM) as the proof of the seam. */
   trait VideoDecoder extends Serializable {
     def decode(bytes: Array[Byte]): Option[VideoInfo]
+    /** First decodable frame as pixels — feeds [[vHash64]]/[[videoNearDup]]
+      * so one plugin upgrades decode AND perceptual dedup. Default None:
+      * a decoder that only features-extracts still works; its clips just
+      * have no perceptual hash. */
+    def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = None
   }
 
   /** Default: this container has no video codec — decline everything
@@ -347,6 +356,14 @@ object Multimodal {
       var j = 0; while (j < 8) { feature(j) /= sampled.length; j += 1 }
       Some(VideoInfo(w, h, ch, frames.length, feature))
     } catch { case _: Exception => None }
+
+    override def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        aviFrames(bytes).iterator.flatMap { case (off, len) =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(bytes, off, off + len))))
+        }.nextOption()
+      } catch { case _: Exception => None }
   }
 
   /** Dispatch: real decoders by magic bytes; video payloads go through the
@@ -388,42 +405,46 @@ object Multimodal {
   def dHash64(bytes: Array[Byte]): Option[Long] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        // mean luma per cell of the 9×8 grid, ≤8×8 samples per cell
-        val grid = Array.ofDim[Double](8, 9)
-        val cnt = Array.ofDim[Int](8, 9)
-        val gw = 9 * 8; val gh = 8 * 8 // 72×64 bounded sample lattice
-        var gy = 0
-        while (gy < gh) {
-          val y = gy * h / gh
-          var gx = 0
-          while (gx < gw) {
-            val x = gx * w / gw
-            val p = img.getRGB(x, y)
-            val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
-              0.114 * (p & 0xff)
-            grid(gy / 8)(gx / 8) += l
-            cnt(gy / 8)(gx / 8) += 1
-            gx += 1
-          }
-          gy += 1
-        }
-        var hash = 0L; var bit = 0; var cy = 0
-        while (cy < 8) {
-          var cx = 0
-          while (cx < 8) {
-            val a = grid(cy)(cx) / cnt(cy)(cx)
-            val b = grid(cy)(cx + 1) / cnt(cy)(cx + 1)
-            if (a < b) hash |= 1L << bit
-            bit += 1; cx += 1
-          }
-          cy += 1
-        }
-        Some(hash)
-      }
+      if (img == null) None else Some(dHashImage(img))
     } catch { case _: Exception => None }
+
+  /** [[dHash64]] over an already-decoded frame — the shared kernel, also
+    * the hash entry point for [[VideoDecoder.firstFrame]] plugins whose
+    * container holds raw (never ImageIO-encoded) pixels. */
+  def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    // mean luma per cell of the 9×8 grid, ≤8×8 samples per cell
+    val grid = Array.ofDim[Double](8, 9)
+    val cnt = Array.ofDim[Int](8, 9)
+    val gw = 9 * 8; val gh = 8 * 8 // 72×64 bounded sample lattice
+    var gy = 0
+    while (gy < gh) {
+      val y = gy * h / gh
+      var gx = 0
+      while (gx < gw) {
+        val x = gx * w / gw
+        val p = img.getRGB(x, y)
+        val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+        grid(gy / 8)(gx / 8) += l
+        cnt(gy / 8)(gx / 8) += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L; var bit = 0; var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val a = grid(cy)(cx) / cnt(cy)(cx)
+        val b = grid(cy)(cx + 1) / cnt(cy)(cx + 1)
+        if (a < b) hash |= 1L << bit
+        bit += 1; cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
 
   private val dHashSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),

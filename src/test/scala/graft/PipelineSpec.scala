@@ -693,6 +693,81 @@ class PipelineSpec extends SparkSpec {
     assert(hs.size === 3)
   }
 
+  test("multimodal: an EXTERNAL codec plugs into the VideoDecoder seam — " +
+    "decode, vHash64 and near-dup all work through it unchanged") {
+    import spark.implicits._
+    // a raw-RGB container no built-in decoder knows: 'GRV0' magic, then
+    // LE width/height/nFrames, then nFrames planes of w*h*3 RGB bytes —
+    // the shape of a fixture-generator or FFmpeg-pipe output
+    def rawVideo(w: Int, h: Int, frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + frames.length * w * h * 3)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GRV0".getBytes("US-ASCII")); bb.putInt(w); bb.putInt(h)
+      bb.putInt(frames.length)
+      frames.foreach { f =>
+        for (y <- 0 until h; x <- 0 until w) {
+          val l = f(x, y) & 0xff
+          bb.put(l.toByte); bb.put(l.toByte); bb.put(l.toByte)
+        }
+      }
+      bb.array()
+    }
+    object RawRgbDecoder extends Multimodal.VideoDecoder {
+      private def parse(bytes: Array[Byte]): Option[(Int, Int, Int, java.nio.ByteBuffer)] = {
+        if (bytes.length < 16 || new String(bytes, 0, 4, "US-ASCII") != "GRV0") return None
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.position(4)
+        Some((bb.getInt, bb.getInt, bb.getInt, bb))
+      }
+      def decode(bytes: Array[Byte]): Option[Multimodal.VideoInfo] =
+        parse(bytes).map { case (w, h, n, bb) =>
+          // feature: mean r/g/b of frame 0 (enough for the seam proof)
+          var r = 0L; var g = 0L; var b = 0L
+          (0 until w * h).foreach { _ =>
+            r += bb.get() & 0xff; g += bb.get() & 0xff; b += bb.get() & 0xff }
+          val px = (w * h * 255).toFloat
+          Some(Multimodal.VideoInfo(w, h, 3, n,
+            Array(r / px, g / px, b / px, 0f, 0f, 0f, 0f, 0f))).get
+        }
+      override def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        parse(bytes).map { case (w, h, _, bb) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val r = bb.get() & 0xff; val g = bb.get() & 0xff; val b = bb.get() & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          }
+          img
+        }
+    }
+    // two clips sharing a first frame (horizontal luma ramp), one reversed
+    val ramp = (x: Int, _: Int) => x * 8
+    val ramp2 = (x: Int, y: Int) => x * 8 + (y % 2)   // near-identical
+    val anti = (x: Int, _: Int) => 255 - x * 8
+    val v1 = rawVideo(32, 24, Seq(ramp, anti))
+    val v2 = rawVideo(32, 24, Seq(ramp2, ramp2))
+    val v3 = rawVideo(32, 24, Seq(anti, anti, anti))
+
+    // the stock paths DECLINE this container (no crash, no fake hash)
+    assert(Multimodal.vHash64(v1).isEmpty && Multimodal.MjpegAviDecoder.decode(v1).isEmpty)
+
+    // plugged in: true dims/frames through the distributed decode stage
+    val assets = Multimodal.toAssets(
+      Seq((1L, v1), (2L, v2), (3L, v3)).toDF("id", "bytes"),
+      "id", "bytes", "video", "t")
+    val dec = Multimodal.decode(assets, RawRgbDecoder).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(dec(1L) === ((32, 24, 3)) && dec(3L) === ((32, 24, 3)))
+
+    // perceptual hash + near-dup through the SAME plugin, machinery unchanged
+    val h1 = Multimodal.vHash64(v1, RawRgbDecoder).get
+    val h2 = Multimodal.vHash64(v2, RawRgbDecoder).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4, "near-identical first frames")
+    val pairs = Multimodal.videoNearDup(assets, maxDist = 4, video = RawRgbDecoder)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"expected only the planted pair: $pairs")
+  }
+
   test("dupSpanReport: shared span found at ANY offset; disjoint docs report zero") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
