@@ -2369,6 +2369,7 @@ object Queries {
     "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
     "q_catalog_var" -> qCatalogVar, "q_catalog_history" -> qCatalogHistory,
     "q_bucketed_join" -> qBucketedJoin, "q_stream_uniq" -> qStreamUniq,
+    // relationalCore (the parity-mode sweep subset) is defined below
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
     "q_fold_ordered" -> qFoldOrdered,
     "q_ngram_exact" -> qNgramExact, "q_embed_exact" -> qEmbedExact,
@@ -2427,6 +2428,31 @@ object Queries {
     * approximate by construction). Their correctness lives in the gated
     * q_simhash_check / q_knn_*_check contract rows plus unit recall tests.
     * [[Bench]] runs `queries ++ benchExtra`. */
+  /** The relational-core §2 rows (algebra, folds, ordered ops, updates,
+    * scalars, imports, language front end) — the subset the PARITY-MODE
+    * sweeps replay under `spark.graft.decimalNumbers=true` and
+    * `spark.graft.collation=UNICODE` (`graft.Verify --subset=core
+    * --mode=…`, driven by tools/paritycheck.sh). Pipeline/stream/
+    * multimodal rows are out: they never consult the language's numeric
+    * domain or collation. */
+  val relationalCore: Set[String] = Set(
+    "q1_agg", "q_agg_scalar", "q_ajoin", "q_ajoinl", "q_binary",
+    "q_bucketed_join", "q_catalog_history", "q_catalog_var", "q_compose",
+    "q_convert", "q_count_degree", "q_divide", "q_extend", "q_fold_bool",
+    "q_fold_concat", "q_fold_minmax", "q_fold_ordered", "q_fold_product",
+    "q_fold_union_rva", "q_fold_user", "q_fun_call", "q_fun_fold", "q_if",
+    "q_import_csv", "q_import_jdbc", "q_import_txt", "q_intersect",
+    "q_join", "q_lag_lead", "q_lang_basic", "q_lang_fold", "q_lang_join",
+    "q_lang_mix", "q_lang_order", "q_lang_pipeline", "q_lang_signals",
+    "q_lang_while", "q_lift", "q_minus", "q_nest_card", "q_nest_unnest",
+    "q_nth", "q_ordg", "q_project", "q_rajoin", "q_rajoinr", "q_rank",
+    "q_rdivide", "q_releq", "q_rename", "q_rminus", "q_rsemijoin",
+    "q_running", "q_scalar_date", "q_scalar_math", "q_scalar_text",
+    "q_schema", "q_semijoin", "q_sep", "q_seq", "q_shuffle_order",
+    "q_skip", "q_sub", "q_subtotal", "q_sup", "q_symdiff", "q_take",
+    "q_tuple", "q_udt", "q_union", "q_update_delete", "q_update_insert",
+    "q_update_set", "q_where", "q_while", "q_while_dist")
+
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
     "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq,
