@@ -257,11 +257,53 @@ object Similarity {
     * largest aggregation state is one double per (cluster, dim) no matter
     * how many vectors a cluster holds. Empty clusters keep their previous
     * centroid (left join + coalesce), so nlist never shrinks. */
+  /** Cap for the quantizer-training TINY TIER (`spark.graft
+    * .kmeansDriverCap`, default 65536 vectors; 0 disables): training
+    * corpora are bounded SAMPLES by design (quality saturates at a few
+    * hundred vectors per centroid — see [[ivfCentroids]]), so when the
+    * sample fits the cap, Lloyd runs in the DRIVER over the collected
+    * sample — the FAISS discipline (quantizers train in memory, the
+    * corpus-scale work is assignment/encode, which stays distributed).
+    * At sf0.1 this turns ~10 tiny scheduler-bound Spark jobs per build
+    * into one collect; on a cluster the collected sample is ≤ cap·dims
+    * floats. The distributed Lloyd below remains the fallback for
+    * over-cap samples or exotic input types. */
+  private def kmeansDriverCap(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.kmeansDriverCap")
+      .map(_.toInt).getOrElse(65536)
+
+  private def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  private def vdot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def vnorm(a: Array[Float]): Double = math.sqrt(vdot(a, a))
+
   private[pipeline] def lloydRefine(corpus: DataFrame, seeds: DataFrame,
                                     iters: Int, cId: String, cVec: String): DataFrame = {
+    val spark = corpus.sparkSession
     val base = Dedup.widen(corpus)
       .select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
       .pin()
+    val dims = base.select(size(col(cVec)).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (iters == 0 || dims == 0) return seeds
+    val cap = kmeansDriverCap(spark)
+    if (cap > 0 && isFloatArray(base.schema(cVec).dataType) &&
+        base.count() <= cap)
+      return driverLloyd(spark, base, seeds, iters, cId, cVec, dims)
+    // distributed fallback. Element-wise means via dims-wide per-dim SUM
+    // slots in ONE map-side-combinable aggregation (the doc-embedding
+    // pattern): aggregation state stays one double per (cluster, dim) —
+    // same bound a posexplode route has — but the shuffle carries
+    // cluster-count rows instead of rows×dims, one shuffle per round
     var cents = seeds
     (0 until iters).foreach { _ =>
       val nearest = base.crossJoin(broadcast(cents))
@@ -271,12 +313,13 @@ object Similarity {
         .agg(max_by(col("centroid_id"),
             struct(col("cdist"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
           first(col(cVec)).as(cVec))
+      val sums = (0 until dims).map(i =>
+        sum(element_at(col(cVec), i + 1)).as(s"__s$i"))
       val means = nearest
-        .select(col("centroid_id"), posexplode(col(cVec)).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("v")).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("centroid"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("centroid_id"), array((0 until dims).map(i =>
+          (col(s"__s$i") / col("__n")).cast("float")): _*).as("centroid"))
         .withColumn("__kn", norm(col("centroid")))
       cents = cents.select(col("centroid_id"),
           col("centroid").as("__prev"), col("__kn").as("__pn"))
@@ -287,6 +330,55 @@ object Similarity {
         .pin()
     }
     cents
+  }
+
+  /** Tiny-tier Lloyd: the SAME rules as the distributed loop (cosine
+    * assignment with the cosinePre zero guard, ties to the smallest
+    * centroid id, double-accumulated means cast to float, empty clusters
+    * keep their previous centroid), run over the collected sample sorted
+    * by id — deterministic across runs and partitionings. */
+  private def driverLloyd(spark: org.apache.spark.sql.SparkSession,
+                          base: DataFrame, seeds: DataFrame, iters: Int,
+                          cId: String, cVec: String, dims: Int): DataFrame = {
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.doubleValue() < y.doubleValue()
+      case (x, y) => String.valueOf(x) < String.valueOf(y)
+    }
+    val seedRows = seeds.collect()
+    val ids: Array[Any] = seedRows.map(_.get(0))
+    var cents: Array[Array[Float]] =
+      seedRows.map(_.getSeq[Float](1).toArray)
+    val vecs = base.orderBy(col(cId)).select(col(cVec)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    (0 until iters).foreach { _ =>
+      val kn = cents.map(vnorm)
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val cnt = new Array[Long](cents.length)
+      vecs.foreach { v =>
+        val vn = vnorm(v)
+        var best = -1; var bd = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          val d = if (vn * kn(j) == 0.0) 0.0 else vdot(v, cents(j)) / (vn * kn(j))
+          if (d > bd || (d == bd && best >= 0 && idLt(ids(j), ids(best)))) {
+            best = j; bd = d
+          }
+          j += 1
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { j =>
+        if (cnt(j) == 0L) cents(j)
+        else Array.tabulate(dims)(i => (sums(j)(i) / cnt(j)).toFloat)
+      }.toArray
+    }
+    val rows = ids.zip(cents).toSeq.map { case (id, c) =>
+      org.apache.spark.sql.Row(id, c.toSeq, vnorm(c)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), seeds.schema)
   }
 
   // ------------------------------------------------- int8 scalar quantization
@@ -320,6 +412,13 @@ object Similarity {
 
   /** Squared L2 distance between two float-array columns (PQ codebooks are
     * trained in L2 space over raw subvectors — the standard formulation). */
+  /** The per-code LUT hits of one encoded vector: `codes` is ordered by
+    * sub_id (pqEncode's sort), the flattened per-query `__lut` array is
+    * ordered by (sub_id, code), so hit i lives at i·nCodes + code_i. */
+  private def adcHits(nCodes: Int): Column =
+    transform(col("codes"),
+      (c, i) => element_at(col("__lut"), i * nCodes + c.cast("int") + 1))
+
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
@@ -360,6 +459,18 @@ object Similarity {
       .select(col("sub_id"), col("__seed_id"), col("subvec").as("centroid"))
       .withColumn("code", (row_number().over(w) - 1).cast("byte"))
       .select(col("sub_id"), col("code"), col("centroid"))
+    val sd = subRows.select(size(col("subvec")).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (sd == 0 || lloydIters == 0) return cb
+    val spark = corpus.sparkSession
+    // tiny tier (see kmeansDriverCap): the training sample is bounded by
+    // design — refine the per-subspace codebooks in the driver
+    if (kmeansDriverCap(spark) > 0 &&
+        isFloatArray(subRows.schema("subvec").dataType) &&
+        train.count() <= kmeansDriverCap(spark))
+      return driverPqLloyd(spark, subRows, cb, lloydIters, cId, sd)
+    // distributed fallback: element-wise means via subDim-wide per-dim
+    // SUM slots, one shuffle per round (see lloydRefine)
     (0 until lloydIters).foreach { _ =>
       val nearest = subRows.join(broadcast(cb), Seq("sub_id"))
         .withColumn("d", l2sq(col("subvec"), col("centroid")))
@@ -367,12 +478,13 @@ object Similarity {
         .agg(max_by(col("code"), struct((-col("d")).as("nd"), (-col("code")).as("nc")))
             .as("code"),
           first(col("subvec")).as("subvec"))
+      val sums = (0 until sd).map(i =>
+        sum(element_at(col("subvec"), i + 1)).as(s"__s$i"))
       val means = nearest
-        .select(col("sub_id"), col("code"), posexplode(col("subvec")).as(Seq("pos", "v")))
-        .groupBy(col("sub_id"), col("code"), col("pos")).agg(avg(col("v")).as("mv"))
         .groupBy(col("sub_id"), col("code"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mv")))),
-          x => x.getField("mv").cast("float")).as("centroid"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("sub_id"), col("code"), array((0 until sd).map(i =>
+          (col(s"__s$i") / col("__n")).cast("float")): _*).as("centroid"))
       cb = cb.select(col("sub_id"), col("code"), col("centroid").as("__prev"))
         .join(means, Seq("sub_id", "code"), "left")
         .select(col("sub_id"), col("code"),
@@ -380,6 +492,69 @@ object Similarity {
         .pin()
     }
     cb
+  }
+
+  /** Tiny-tier per-subspace Lloyd (same rules as the distributed loop:
+    * l2 assignment with ties to the smallest code, double-accumulated
+    * means cast to float, empty codes keep their previous centroid),
+    * over the collected sample sorted by (sub_id, id). */
+  private def driverPqLloyd(spark: org.apache.spark.sql.SparkSession,
+                            subRows: DataFrame, cbSeed: DataFrame,
+                            iters: Int, cId: String, sd: Int): DataFrame = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val seedRows = cbSeed.select(col("sub_id"), col("code"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getByte(1), r.getSeq[Float](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    val bySub = subRows.orderBy(col("sub_id"), col(cId))
+      .select(col("sub_id"), col("subvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // cents(sub) = codes in ascending code order
+    var cents: Map[Int, Array[Array[Float]]] = seedRows.groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    (0 until iters).foreach { _ =>
+      cents = cents.map { case (sub, cs) =>
+        val vs = bySub.getOrElse(sub, Array.empty[Array[Float]])
+        val sums = Array.fill(cs.length)(new Array[Double](sd))
+        val cnt = new Array[Long](cs.length)
+        vs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val d = l2(v, cs(j))
+            if (d < bd) { best = j; bd = d } // ties keep the smaller code
+            j += 1
+          }
+          cnt(best) += 1
+          var i = 0
+          while (i < sd) { sums(best)(i) += v(i); i += 1 }
+        }
+        sub -> cs.indices.map { j =>
+          if (cnt(j) == 0L) cs(j)
+          else Array.tabulate(sd)(i => (sums(j)(i) / cnt(j)).toFloat)
+        }.toArray
+      }
+    }
+    val rows = cents.toSeq.sortBy(_._1).flatMap { case (sub, cs) =>
+      cs.zipWithIndex.map { case (c, code) =>
+        org.apache.spark.sql.Row(sub, code.toByte, c.toSeq) }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.ByteType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false))))
   }
 
   /** Encode the corpus against a trained codebook: each vector becomes `m`
@@ -436,13 +611,19 @@ object Similarity {
       .join(broadcast(cb), Seq("sub_id"))
       .select(col(qId), col("__qn"), col("sub_id"), col("code"),
         dot(col("qsub"), col("centroid")).as("lutdot"))
-    // ADC: explode codes, sum LUT hits per (query, vector)
-    val approx = enc
-      .select(col(cId), col("__cn"), posexplode(col("codes")).as(Seq("sub_id", "code")))
-      .join(broadcast(lut), Seq("sub_id", "code"))
-      .groupBy(col(qId), col(cId))
-      .agg((sum(col("lutdot")) / (first(col("__qn")) * first(col("__cn"))))
-        .as("cosine"))
+    // ADC: IN-ROW lookup-table sum — each query's m·codes LUT flattens to
+    // one broadcast array indexed by sub_id·codes+code, so scoring is a
+    // single narrow pass over the m-byte representation (no explode, no
+    // re-aggregation shuffle, fixed summation order = deterministic)
+    val lutArr = lut.groupBy(col(qId))
+      .agg(first(col("__qn")).as("__qn"),
+        transform(sort_array(collect_list(
+            struct(col("sub_id"), col("code"), col("lutdot")))),
+          x => x.getField("lutdot")).as("__lut"))
+    val approx = enc.crossJoin(broadcast(lutArr))
+      .select(col(qId), col(cId),
+        (aggregate(adcHits(codes), lit(0.0), (a, x) => a + x) /
+          (col("__qn") * col("__cn"))).as("cosine"))
     val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
     val q = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))
@@ -602,14 +783,20 @@ object Similarity {
       .join(broadcast(cb), Seq("sub_id"))
       .select(col(qId), col("sub_id"), col("code"),
         dot(col("qsub"), col("centroid")).as("lutdot"))
+    // per-query flattened LUT (ordered by sub_id, code): ADC becomes an
+    // IN-ROW array-lookup sum over the m-byte codes — no explode, no
+    // re-aggregation shuffle, fixed summation order = deterministic
+    val lutArr = lut.groupBy(col(qId))
+      .agg(transform(sort_array(collect_list(
+          struct(col("sub_id"), col("code"), col("lutdot")))),
+        x => x.getField("lutdot")).as("__lut"))
     // ADC over probed cells only: the join on centroid_id bounds the scan
-    val approx = enc.join(broadcast(probed), Seq("centroid_id"))
-      .select(col(qId), col(cId), col("qcdot"), col("__qn"), col("__ocn"),
-        posexplode(col("codes")).as(Seq("sub_id", "code")))
-      .join(broadcast(lut), Seq(qId, "sub_id", "code"))
-      .groupBy(col(qId), col(cId))
-      .agg(cosinePre(first(col("qcdot")) + sum(col("lutdot")),
-        first(col("__qn")), first(col("__ocn"))).as("cosine"))
+    val approx = enc.join(
+        broadcast(probed.join(lutArr, Seq(qId))), Seq("centroid_id"))
+      .select(col(qId), col(cId),
+        cosinePre(col("qcdot") + aggregate(adcHits(index.nCodes),
+            lit(0.0), (a, x) => a + x),
+          col("__qn"), col("__ocn")).as("cosine"))
     val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
     // exact rescore of the surviving candidates
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
