@@ -211,15 +211,26 @@ object Similarity {
                         cId: String = "vec_id",
                         cVec: String = "embedding"): DataFrame = {
     val packed = struct((-col("cdist")).as("nd"), col("centroid_id").as("c"))
-    Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
+    val scored = Dedup.widen(corpus)
+      .select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
       .crossJoin(broadcast(centroids))
       .withColumn("cdist",
         cosinePre(dot(col(cVec), col("centroid")), col("__cn"), col("__kn")))
-      .groupBy(col(cId))
-      .agg(first(col(cVec)).as(cVec), first(col("__cn")).as("__cn"),
-        slice(sort_array(collect_list(packed)), 1, p).as("__top"))
-      .select(col(cId), col(cVec), col("__cn"),
-        explode(col("__top").getField("c")).as("centroid_id"))
+    if (p == 1)
+      // plain IVF assignment: min(struct) keeps O(1) aggregation state
+      // per vector instead of an nlist-sized collect_list — same winner
+      // (largest cosine, ties to the lowest centroid id)
+      scored.groupBy(col(cId))
+        .agg(first(col(cVec)).as(cVec), first(col("__cn")).as("__cn"),
+          min(packed).as("__best"))
+        .select(col(cId), col(cVec), col("__cn"),
+          col("__best").getField("c").as("centroid_id"))
+    else
+      scored.groupBy(col(cId))
+        .agg(first(col(cVec)).as(cVec), first(col("__cn")).as("__cn"),
+          slice(sort_array(collect_list(packed)), 1, p).as("__top"))
+        .select(col(cId), col(cVec), col("__cn"),
+          explode(col("__top").getField("c")).as("centroid_id"))
   }
 
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
