@@ -134,11 +134,15 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // medians over quiet-sweep samples (every query has >=1: the quietest
-    // sweep is always in the set); spread stays over ALL samples so the
-    // contended tail remains visible in the artifact
+    // medians over quiet-sweep samples; spread stays over ALL samples so
+    // the contended tail remains visible in the artifact. A query that
+    // only ever succeeded in LOADED sweeps falls back to those samples —
+    // and is NAMED in "loaded_medians" so the artifact never passes off a
+    // loaded-machine number as a quiet one
+    val loadedMedians = scala.collection.mutable.ArrayBuffer.empty[String]
     val timings = samples.collect { case (n, xs) if xs.nonEmpty =>
       val q = xs.collect { case (i, v) if quiet(i) => v }
+      if (q.isEmpty) loadedMedians += n
       n -> median(if (q.nonEmpty) q else xs.map(_._2)) }
     val spread = samples.collect { case (n, xs) if xs.nonEmpty =>
       n -> (xs.map(_._2).min, xs.map(_._2).max) }
@@ -160,8 +164,9 @@ object Bench {
     // stdout gets a COMPACT line (4dp timings, no per-query spread): a
     // runner that keeps only a tail window of stdout must still see the
     // whole line. The full record (spread, errors) goes to bench_out.json.
+    val lm = loadedMedians.map(jstr).mkString("[", ",", "]")
     val core =
-      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
     Files.writeString(Paths.get("bench_out.json"),
       s"""{$core,"spread":$sp,"errors":$es}""" + "\n")
     println(s"{$core}")

@@ -70,12 +70,15 @@ final class HttpGateway(spark: SparkSession, port: Int = 0,
           case ("GET", Nil) =>
             200 -> sessions.keys.toSeq.sorted.map(jstr).mkString(
               """{"databases":[""", ",", "]}")
-          case ("GET", db :: Nil) => db.synchronized {
-            200 -> interp(db).relvarNames.sorted.map(jstr).mkString(
-              """{"relvars":[""", ",", "]}")
-          }
-          case ("POST", db :: Nil) => db.synchronized {
+          case ("GET", db :: Nil) =>
             val in = interp(db)
+            in.synchronized {
+              200 -> in.relvarNames.sorted.map(jstr).mkString(
+                """{"relvars":[""", ",", "]}")
+            }
+          case ("POST", db :: Nil) =>
+            val in = interp(db)
+            in.synchronized {
             val mark = in.output.length
             in.run(body, s"$db.http")
             200 -> s"""{"ok":true,"output":${jstr(in.output.substring(mark))}}"""
@@ -83,21 +86,25 @@ final class HttpGateway(spark: SparkSession, port: Int = 0,
           case ("DELETE", db :: Nil) =>
             sessions.remove(db)
             200 -> """{"ok":true}"""
-          case ("GET", db :: name :: Nil) => db.synchronized {
-            val rows = interp(db).relvar(name).toJSON.take(maxRows + 1)
+          case ("GET", db :: name :: Nil) =>
+            val in = interp(db)
+            in.synchronized {
+            val rows = in.relvar(name).toJSON.take(maxRows + 1)
             require(rows.length <= maxRows,
               s"GetValue($name): over $maxRows rows — page with where/take")
             200 -> rows.mkString("[", ",", "]")
           }
-          case ("PUT", db :: name :: Nil) => db.synchronized {
+          case ("PUT", db :: name :: Nil) =>
             val in = interp(db)
+            in.synchronized {
             val prior = if (in.relvarNames.contains(name))
               Some(in.relvar(name).schema) else None
             in.defineRelvar(name, parseRows(body, prior))
             200 -> """{"ok":true}"""
           }
-          case ("POST", db :: name :: Nil) => db.synchronized {
+          case ("POST", db :: name :: Nil) =>
             val in = interp(db)
+            in.synchronized {
             // Evaluate (AndlController.cs PostEvaluate): args as a JSON
             // array of scalars, the call routed through the language
             // itself — write(name(args…)) — so overload resolution,

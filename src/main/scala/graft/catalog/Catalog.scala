@@ -69,12 +69,16 @@ final class Catalog(val spark: SparkSession) {
     * cadence writes), so history is O(plans) with BOUNDED replay depth,
     * and [[relvarAt]]/[[versionDiff]] make the catalog an honest
     * incremental-curation substrate. */
-  private def swap(name: String, r0: Rel): Unit = {
+  private def swap(name: String, r0: Rel, alreadyStored: Boolean = false): Unit = {
     val newVersion = history.getOrElse(name, Vector.empty).size +
       (if (relvars.contains(name)) 2 else 1)
     val k = matEvery
+    // alreadyStored: the incoming plan is itself a scan of a durable table
+    // (defineBucketed) — replay depth is already 1, and replacing it with a
+    // plain parquet snapshot would DESTROY its bucketing metadata (and the
+    // zero-Exchange join contract), so the cadence never fires for it
     val r =
-      if (k > 0 && newVersion % k == 0) {
+      if (!alreadyStored && k > 0 && newVersion % k == 0) {
         val path = s"$historyDir/$name/v$newVersion.parquet"
         r0.df.write.mode("overwrite").parquet(path)
         Rel.distinct(spark.read.parquet(path))
@@ -149,7 +153,7 @@ final class Catalog(val spark: SparkSession) {
       .saveAsTable(phys)
     // r.df deduplicates on write when the source wasn't known distinct, so
     // the stored table is distinct by construction either way
-    swap(name, Rel.distinct(spark.table(phys)))
+    swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
   }
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
@@ -249,6 +253,10 @@ final class Catalog(val spark: SparkSession) {
     * versions added since the last save). */
   def save(dir: String): Unit = {
     val lines = Seq.newBuilder[String]
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String): Boolean =
+      hfs.exists(new org.apache.hadoop.fs.Path(p))
     // history FIRST: an archived version's plan may read $dir/<n>.parquet
     // (loaded from this dir, then mutated) — it must be materialized to its
     // immutable _history file before the current-relvar pass replaces that
@@ -258,30 +266,31 @@ final class Catalog(val spark: SparkSession) {
       val rebound = past.zipWithIndex.map { case (r, j) =>
         val v = j + 1
         val path = s"$dir/_history/$n/v$v.parquet"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-          r.df.write.mode("overwrite").parquet(path)
+        if (!exists(path)) r.df.write.mode("overwrite").parquet(path)
         lines += s"""{"kind":"relvar_version","name":${jstr(n)},"version":$v}"""
         Rel.parquet(spark, path)
       }
       history(n) = rebound
     }
-    relvars.foreach { case (n, r) =>
-      val target = s"$dir/$n.parquet"
-      if (!boundTo.get(n).contains(target)) {
-        // the live plan may READ the target: write beside it, then swap
-        // directories — a direct overwrite would delete files mid-scan
-        val hfs = new org.apache.hadoop.fs.Path(target)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.saving_$n.parquet")
-        r.df.write.mode("overwrite").parquet(tmp.toString)
-        val tgt = new org.apache.hadoop.fs.Path(target)
-        if (hfs.exists(tgt)) hfs.delete(tgt, true)
-        require(hfs.rename(tmp, tgt), s"catalog save: rename $tmp -> $tgt failed")
-        // rebind the stored plan to the file just written: truncates
-        // lineage and makes the NEXT save of an unmutated relvar free
-        relvars(n) = Rel.distinct(spark.read.parquet(target))
-        boundTo(n) = target
-      }
+    // current relvars in TWO phases: every plan is materialized to a tmp
+    // path while ALL originals are still intact (a relvar derived from a
+    // since-mutated loaded relvar still reads the OLD file it was defined
+    // over), and only then do the delete+rename swaps and rebinds happen
+    val pending = relvars.toSeq.collect {
+      case (n, r) if !boundTo.get(n).contains(s"$dir/$n.parquet") =>
+        val tmp = s"$dir/.saving_$n.parquet"
+        r.df.write.mode("overwrite").parquet(tmp)
+        (n, tmp, s"$dir/$n.parquet")
+    }
+    pending.foreach { case (n, tmp, target) =>
+      val tgt = new org.apache.hadoop.fs.Path(target)
+      if (hfs.exists(tgt)) hfs.delete(tgt, true)
+      require(hfs.rename(new org.apache.hadoop.fs.Path(tmp), tgt),
+        s"catalog save: rename $tmp -> $tgt failed")
+      // rebind the stored plan to the file just written: truncates
+      // lineage and makes the NEXT save of an unmutated relvar free
+      relvars(n) = Rel.distinct(spark.read.parquet(target))
+      boundTo(n) = target
     }
     relvars.keys.toSeq.sorted.foreach { n =>
       lines += s"""{"kind":"relvar","name":${jstr(n)}}"""

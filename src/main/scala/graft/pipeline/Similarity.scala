@@ -425,10 +425,23 @@ object Similarity {
     * trained in L2 space over raw subvectors — the standard formulation). */
   /** The per-code LUT hits of one encoded vector: `codes` is ordered by
     * sub_id (pqEncode's sort), the flattened per-query `__lut` array is
-    * ordered by (sub_id, code), so hit i lives at i·nCodes + code_i. */
+    * ordered by (sub_id, UNSIGNED code), so hit i lives at
+    * i·nCodes + (code_i & 0xff). Codes are stored as SIGNED bytes —
+    * at the production codes=256 setting, codes 128..255 read back as
+    * negatives, so both this index and [[lutFlat]]'s sort key mask to
+    * the unsigned value. */
   private def adcHits(nCodes: Int): Column =
-    transform(col("codes"),
-      (c, i) => element_at(col("__lut"), i * nCodes + c.cast("int") + 1))
+    transform(col("codes"), (c, i) =>
+      element_at(col("__lut"),
+        i * nCodes + c.cast("int").bitwiseAND(lit(255)) + 1))
+
+  /** Flatten a per-(sub_id, code) LUT to the per-query array [[adcHits]]
+    * indexes: ordered by (sub_id, unsigned code). */
+  private def lutFlat: Column =
+    transform(sort_array(collect_list(struct(col("sub_id"),
+        col("code").cast("int").bitwiseAND(lit(255)).as("ucode"),
+        col("lutdot")))),
+      x => x.getField("lutdot"))
 
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
@@ -468,7 +481,13 @@ object Similarity {
       .partitionBy("sub_id").orderBy("__seed_id")
     var cb = subRows.join(broadcast(seedIds), col(cId) === col("__seed_id"))
       .select(col("sub_id"), col("__seed_id"), col("subvec").as("centroid"))
-      .withColumn("code", (row_number().over(w) - 1).cast("byte"))
+      // two's-complement wrap BEFORE the byte cast: dense codes 128..255
+      // must land as negative bytes, not throw under ANSI
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("code",
+        when(col("__rn") < 128, col("__rn")).otherwise(col("__rn") - 256)
+          .cast("byte"))
+      .drop("__rn")
       .select(col("sub_id"), col("code"), col("centroid"))
     val sd = subRows.select(size(col("subvec")).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
@@ -486,7 +505,8 @@ object Similarity {
       val nearest = subRows.join(broadcast(cb), Seq("sub_id"))
         .withColumn("d", l2sq(col("subvec"), col("centroid")))
         .groupBy(col(cId), col("sub_id"))
-        .agg(max_by(col("code"), struct((-col("d")).as("nd"), (-col("code")).as("nc")))
+        .agg(max_by(col("code"), struct((-col("d")).as("nd"),
+            (-col("code").cast("int").bitwiseAND(lit(255))).as("nc")))
             .as("code"),
           first(col("subvec")).as("subvec"))
       val sums = (0 until sd).map(i =>
@@ -519,16 +539,18 @@ object Similarity {
       }
       s
     }
+    // codes are SIGNED bytes holding unsigned values 0..nCodes-1: order by
+    // the unsigned value so array position == code (idx.toByte round-trips)
     val seedRows = cbSeed.select(col("sub_id"), col("code"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getByte(1), r.getSeq[Float](2).toArray))
-      .sortBy(t => (t._1, t._2))
+      .sortBy(t => (t._1, t._2 & 0xff))
     val bySub = subRows.orderBy(col("sub_id"), col(cId))
       .select(col("sub_id"), col("subvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // cents(sub) = codes in ascending code order
     var cents: Map[Int, Array[Array[Float]]] = seedRows.groupBy(_._1)
-      .view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      .view.mapValues(_.sortBy(_._2 & 0xff).map(_._3)).toMap
     (0 until iters).foreach { _ =>
       cents = cents.map { case (sub, cs) =>
         val vs = bySub.getOrElse(sub, Array.empty[Array[Float]])
@@ -588,7 +610,8 @@ object Similarity {
       .join(broadcast(codebook), Seq("sub_id"))
       .withColumn("d", l2sq(col("subvec"), col("centroid")))
       .groupBy(col(cId), col("sub_id"))
-      .agg(max_by(col("code"), struct((-col("d")).as("nd"), (-col("code")).as("nc")))
+      .agg(max_by(col("code"), struct((-col("d")).as("nd"),
+            (-col("code").cast("int").bitwiseAND(lit(255))).as("nc")))
           .as("code"),
         first(col("__cn")).as("__cn") +: carry.map(c => first(col(c)).as(c)): _*)
       .groupBy(col(cId))
@@ -627,10 +650,7 @@ object Similarity {
     // single narrow pass over the m-byte representation (no explode, no
     // re-aggregation shuffle, fixed summation order = deterministic)
     val lutArr = lut.groupBy(col(qId))
-      .agg(first(col("__qn")).as("__qn"),
-        transform(sort_array(collect_list(
-            struct(col("sub_id"), col("code"), col("lutdot")))),
-          x => x.getField("lutdot")).as("__lut"))
+      .agg(first(col("__qn")).as("__qn"), lutFlat.as("__lut"))
     val approx = enc.crossJoin(broadcast(lutArr))
       .select(col(qId), col(cId),
         (aggregate(adcHits(codes), lit(0.0), (a, x) => a + x) /
@@ -797,10 +817,7 @@ object Similarity {
     // per-query flattened LUT (ordered by sub_id, code): ADC becomes an
     // IN-ROW array-lookup sum over the m-byte codes — no explode, no
     // re-aggregation shuffle, fixed summation order = deterministic
-    val lutArr = lut.groupBy(col(qId))
-      .agg(transform(sort_array(collect_list(
-          struct(col("sub_id"), col("code"), col("lutdot")))),
-        x => x.getField("lutdot")).as("__lut"))
+    val lutArr = lut.groupBy(col(qId)).agg(lutFlat.as("__lut"))
     // ADC over probed cells only: the join on centroid_id bounds the scan
     val approx = enc.join(
         broadcast(probed.join(lutArr, Seq(qId))), Seq("centroid_id"))

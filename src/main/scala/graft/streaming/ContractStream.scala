@@ -81,7 +81,12 @@ object ContractStream {
     /** Fold one micro-batch in: ONE aggregate (count + a conditional sum
       * per fraction rule + an HLL state per unique rule) over the
       * RefIn-joined batch. Negative batchId skips the exactly-once dedup
-      * (plain batch callers). */
+      * (plain batch callers). Non-negative ids must arrive MONOTONICALLY
+      * (foreachBatch guarantees this): any id ≤ the max already folded in
+      * is treated as an at-least-once REPLAY and skipped — a caller
+      * feeding genuinely out-of-order fresh ids would silently lose them,
+      * so such callers must use the negative-id path and dedup
+      * themselves. */
     def ingest(batch: DataFrame, batchId: Long = -1L): Unit = synchronized {
       if (batchId >= 0L && batchId <= lastBatchId) return
       val base = Contract.refJoin(batch, expectations)

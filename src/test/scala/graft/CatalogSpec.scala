@@ -92,6 +92,36 @@ class CatalogSpec extends SparkSpec {
     assert(cat.relvar("bh").df.collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("save: a relvar derived from a since-mutated loaded relvar " +
+    "persists the rows it was DEFINED over, not the mutated file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_dep").toString
+    val c1 = new Catalog(spark)
+    c1.define("A", Rel.distinct(Seq((1L, "x"), (2L, "y")).toDF("k", "v")))
+    c1.save(dir)
+    val c2 = Catalog.load(spark, dir)
+    // B's plan reads $dir/A.parquet; then A is REDEFINED in place
+    c2.define("B", Rel.distinct(c2.relvar("A").df.select(col("k"))))
+    c2.define("A", Rel.distinct(Seq((9L, "z")).toDF("k", "v")))
+    c2.save(dir) // must not let B's write observe the NEW A file
+    val c3 = Catalog.load(spark, dir)
+    assert(c3.relvar("B").df.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L), "B rebound to mutated A during save")
+    assert(c3.relvar("A").df.collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("bucketed relvars never cadence-materialize: the stored plan keeps " +
+    "reading the bucketed table (zero-Exchange contract survives v8)") {
+    val cat = new Catalog(spark)
+    (1 to 8).foreach { i =>
+      cat.defineBucketed("bc", Rel.distinct(
+        Seq((i.toLong, s"g$i")).toDF("k", "v")), Seq("k"), 2)
+    }
+    assert(cat.version("bc") === 8)
+    val plan = cat.relvar("bc").df.queryExecution.analyzed.toString
+    assert(plan.contains("__bkt8") && !plan.contains("_graft_history"),
+      s"v8 plan lost its bucketed table:\n$plan")
+  }
+
   test("bounded history: a 100-update chain stays flat to read as-of " +
     "(cadence snapshots cap plan depth) and survives save/load") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat_hist").toString

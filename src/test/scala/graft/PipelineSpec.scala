@@ -289,6 +289,41 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("pq with full-byte codebooks (codes > 127): signed-byte codes index " +
+    "the ADC LUT correctly in BOTH training tiers") {
+    import spark.implicits._
+    // 300 deterministic 16-dim vectors: enough to seed 256 codes per
+    // subspace — the production codes=256 setting where codes 128..255
+    // read back as NEGATIVE bytes (the regression this test pins: the
+    // in-row ADC index and the LUT/codebook sort must use the unsigned
+    // value, or scores are garbage and recall collapses)
+    val rnd = new scala.util.Random(42)
+    val emb = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceKnn(q, emb, k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val s = res.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s.count(brute.contains).toDouble / brute.size
+    }
+    // driver tiny tier (default cap): 256 codes per 4-dim subspace over
+    // 300 vectors is near-exact — recall must be high, not collapsed
+    val pqDriver = Similarity.pqKnn(q, emb, k = 5, m = 4, codes = 256,
+      overFetch = 8, lloydIters = 1)
+    assert(recall(pqDriver) >= 0.8, "driver-tier full-byte PQ recall collapsed")
+    // distributed tier (cap=0): same contract through the fallback Lloyd
+    spark.conf.set("spark.graft.kmeansDriverCap", "0")
+    try {
+      val pqDist = Similarity.pqKnn(q, emb, k = 5, m = 4, codes = 256,
+        overFetch = 8, lloydIters = 1)
+      assert(recall(pqDist) >= 0.8, "distributed-tier full-byte PQ recall collapsed")
+    } finally spark.conf.unset("spark.graft.kmeansDriverCap")
+  }
+
   test("pq knn (ADC + rescore): recall vs brute force ≥ 0.8, self found") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)

@@ -10,7 +10,13 @@ SF="${1:-/root/testdata/sf0.001}"
 for MODE in decimal collation; do
   OUT="/tmp/verify_parity_$MODE"
   echo "== parity mode: $MODE (sf=$SF) =="
-  sbt -batch "runMain graft.Verify $SF $OUT --subset=core --mode=$MODE" \
-    2>&1 | grep -E "\[verify\].*failed" && exit 1
-  python3 tools/diffcheck.py "$SF" "$OUT" | grep -E "PASS|FAIL" | head -1
+  LOG=$(sbt -batch "runMain graft.Verify $SF $OUT --subset=core --mode=$MODE" 2>&1) \
+    || { echo "$LOG" | tail -20; echo "parity $MODE: sbt run FAILED"; exit 1; }
+  if echo "$LOG" | grep -E "\[verify\].*failed"; then
+    echo "parity $MODE: query failures above"; exit 1
+  fi
+  SUMMARY=$(python3 tools/diffcheck.py "$SF" "$OUT" | grep -E "PASS|FAIL" | head -1)
+  echo "$SUMMARY"
+  echo "$SUMMARY" | grep -q "FAIL 0" \
+    || { echo "parity $MODE: diffcheck FAILED"; exit 1; }
 done
