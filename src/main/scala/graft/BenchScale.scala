@@ -292,6 +292,33 @@ object BenchScale {
     run("doc_embed_d64",
       graft.pipeline.Embed.docEmbed(docs1, dims = 64).count(),
       graft.pipeline.Embed.docEmbed(scaleDocs(mult), dims = 64).count())
+    // streaming-uniqueness monitor, batch face: the per-ingest cost is ONE
+    // aggregate (counters + an HLL state) over the batch — load multiplies
+    // the scanned rows, the driver state stays 2 longs + one sketch
+    def uniqMon(df: DataFrame): Long = {
+      import graft.pipeline.Contract._
+      val mon = new graft.streaming.ContractStream.Monitor(
+        Seq(Unique(Seq("doc_id")), NotNull("text")))
+      mon.ingest(df)
+      mon.report().size.toLong
+    }
+    run("stream_uniq_ingest", uniqMon(docs1), uniqMon(scaleDocs(mult)))
+    // co-bucketed relvar join: the write pays the one-time shuffle, the
+    // join+agg replays Exchange-free — per-row cost must stay flat as the
+    // bucketed tables grow
+    def bktJoin(df: DataFrame, tag: String): Long = {
+      val cat = new graft.catalog.Catalog(spark)
+      val docs = df.select(col("doc_id"), col("source"), col("n_chars"))
+      cat.defineBucketed(s"sc_docs_$tag", graft.rel.Rel.distinct(docs),
+        Seq("doc_id"), 8)
+      cat.defineBucketed(s"sc_meta_$tag", graft.rel.Rel.distinct(
+        docs.select(col("doc_id"), col("n_chars").as("len"))), Seq("doc_id"), 8)
+      val a = cat.relvar(s"sc_docs_$tag").df
+      val b = cat.relvar(s"sc_meta_$tag").df
+      a.hint("merge").join(b, "doc_id").groupBy("source")
+        .agg(sum("len")).count()
+    }
+    run("bucketed_join", bktJoin(docs1, "1x"), bktJoin(scaleDocs(mult), "nx"))
     spark.stop()
   }
 }

@@ -88,6 +88,24 @@ class HttpGatewaySpec extends SparkSpec {
     // CloseSession drops the state; next touch is a fresh session
     assert(send("DELETE", "/db1")._1 === 200)
     assert(send("GET", "/db1/high")._1 === 400)
+
+    // concurrent scripts to ONE database must serialize on the
+    // interpreter (the env is single-threaded state): 20 parallel
+    // increments may not lose updates
+    assert(send("POST", "/dbc", "n := 0")._1 === 200)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 20).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = send("POST", "/dbc", "n := n + 1")._1
+        })
+      }
+      assert(futures.map(_.get()).forall(_ === 200))
+    } finally pool.shutdown()
+    val (nc, nb) = send("POST", "/dbc", "write(n)")
+    assert(nc === 200, nb)
+    assert(mapper.readTree(nb).get("output").asText().trim === "20",
+      s"lost updates under concurrency: $nb")
   }
 
   override def withFixture(test: NoArgTest) = {
