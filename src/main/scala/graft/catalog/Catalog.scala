@@ -288,9 +288,15 @@ final class Catalog(val spark: SparkSession) {
       require(hfs.rename(new org.apache.hadoop.fs.Path(tmp), tgt),
         s"catalog save: rename $tmp -> $tgt failed")
       // rebind the stored plan to the file just written: truncates
-      // lineage and makes the NEXT save of an unmutated relvar free
-      relvars(n) = Rel.distinct(spark.read.parquet(target))
-      boundTo(n) = target
+      // lineage and makes the NEXT save of an unmutated relvar free.
+      // BUCKETED relvars are exempt — rebinding to the plain snapshot
+      // would silently drop the bucketing metadata (and the zero-Exchange
+      // join contract); their file is still written so load() restores
+      // the DATA, but the layout needs re-defineBucketed after a load
+      if (!bucketGen.contains(n)) {
+        relvars(n) = Rel.distinct(spark.read.parquet(target))
+        boundTo(n) = target
+      }
     }
     relvars.keys.toSeq.sorted.foreach { n =>
       lines += s"""{"kind":"relvar","name":${jstr(n)}}"""

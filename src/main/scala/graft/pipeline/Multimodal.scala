@@ -360,8 +360,12 @@ object Multimodal {
     override def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try {
         aviFrames(bytes).iterator.flatMap { case (off, len) =>
-          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          // per-frame guard: a truncated/corrupt early frame (ImageIO
+          // THROWS, not just returns null) must fall through to the next
+          // decodable frame, not abort the whole scan
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
             java.util.Arrays.copyOfRange(bytes, off, off + len))))
+          catch { case _: Exception => None }
         }.nextOption()
       } catch { case _: Exception => None }
   }

@@ -368,11 +368,13 @@ object Similarity {
       val cnt = new Array[Long](cents.length)
       vecs.foreach { v =>
         val vn = vnorm(v)
-        var best = -1; var bd = Double.NegativeInfinity
+        // best starts at 0, not -1: a NaN-poisoned vector (every compare
+        // false) then lands in cluster 0 instead of indexing cnt(-1)
+        var best = 0; var bd = Double.NegativeInfinity
         var j = 0
         while (j < cents.length) {
           val d = if (vn * kn(j) == 0.0) 0.0 else vdot(v, cents(j)) / (vn * kn(j))
-          if (d > bd || (d == bd && best >= 0 && idLt(ids(j), ids(best)))) {
+          if (d > bd || (d == bd && idLt(ids(j), ids(best)))) {
             best = j; bd = d
           }
           j += 1
@@ -466,6 +468,8 @@ object Similarity {
               trainFraction: Double = 1.0): DataFrame = {
     // codebooks train on a deterministic hash-sample (see ivfCentroids) —
     // the Lloyd rounds scan the sample, pqEncode scans the full corpus
+    require(codes >= 2 && codes <= 256,
+      s"pqTrain: codes=$codes out of [2,256] — codes are one BYTE each")
     val train = trainCorpus(corpus, cId, trainFraction)
     val subDim = size(col(cVec)) / m
     val subRows = Dedup.widen(train).select(col(cId),
@@ -494,10 +498,12 @@ object Similarity {
     if (sd == 0 || lloydIters == 0) return cb
     val spark = corpus.sparkSession
     // tiny tier (see kmeansDriverCap): the training sample is bounded by
-    // design — refine the per-subspace codebooks in the driver
-    if (kmeansDriverCap(spark) > 0 &&
+    // design — refine the per-subspace codebooks in the driver. The tier
+    // gate counts the PINNED subRows (÷ m), never the raw train lineage
+    val cap = kmeansDriverCap(spark)
+    if (cap > 0 &&
         isFloatArray(subRows.schema("subvec").dataType) &&
-        train.count() <= kmeansDriverCap(spark))
+        subRows.count() / m <= cap)
       return driverPqLloyd(spark, subRows, cb, lloydIters, cId, sd)
     // distributed fallback: element-wise means via subDim-wide per-dim
     // SUM slots, one shuffle per round (see lloydRefine)
@@ -635,6 +641,11 @@ object Similarity {
             cId: String = "vec_id", cVec: String = "embedding",
             trainFraction: Double = 1.0): DataFrame = {
     val cb = pqTrain(corpus, m, codes, lloydIters, cId, cVec, trainFraction)
+    // EFFECTIVE per-subspace code count: the trained codebook has
+    // min(codes, |train sample|) dense codes per sub — the ADC index
+    // stride must match IT, not the requested parameter, or a small
+    // corpus mis-indexes the flattened LUT (cb is tiny; count is free)
+    val nCodes = (cb.count() / m).toInt
     val enc = pqEncode(corpus, cb, m, cId, cVec)
     val subDim = size(col(qVec)) / m
     // per-query LUT: dot(q_sub, centroid) for every (sub_id, code)
@@ -653,7 +664,7 @@ object Similarity {
       .agg(first(col("__qn")).as("__qn"), lutFlat.as("__lut"))
     val approx = enc.crossJoin(broadcast(lutArr))
       .select(col(qId), col(cId),
-        (aggregate(adcHits(codes), lit(0.0), (a, x) => a + x) /
+        (aggregate(adcHits(nCodes), lit(0.0), (a, x) => a + x) /
           (col("__qn") * col("__cn"))).as("cosine"))
     val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
@@ -711,7 +722,9 @@ object Similarity {
     val enc = pqEncode(resid, cb, m, cId, "__rvec",
         carry = Seq("centroid_id", "__ocn"))
       .drop("__cn") // residual norm — cosine uses the carried original norm
-    IvfPqIndex(centroids, cb, enc, m, codes, cId)
+    // nCodes records the EFFECTIVE dense per-subspace code count (the
+    // sample may be smaller than `codes`) — it is the ADC index stride
+    IvfPqIndex(centroids, cb, enc, m, (cb.count() / m).toInt, cId)
   }
 
   /** residual r = x − centroid(cell); the ORIGINAL norm rides along for
@@ -818,9 +831,11 @@ object Similarity {
     // IN-ROW array-lookup sum over the m-byte codes — no explode, no
     // re-aggregation shuffle, fixed summation order = deterministic
     val lutArr = lut.groupBy(col(qId)).agg(lutFlat.as("__lut"))
-    // ADC over probed cells only: the join on centroid_id bounds the scan
-    val approx = enc.join(
-        broadcast(probed.join(lutArr, Seq(qId))), Seq("centroid_id"))
+    // ADC over probed cells only: the join on centroid_id bounds the scan.
+    // probed and lutArr broadcast SEPARATELY — pre-joining them would ship
+    // nprobe copies of every query's m·nCodes LUT in one broadcast
+    val approx = enc.join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(lutArr), Seq(qId))
       .select(col(qId), col(cId),
         cosinePre(col("qcdot") + aggregate(adcHits(index.nCodes),
             lit(0.0), (a, x) => a + x),

@@ -324,6 +324,34 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.kmeansDriverCap")
   }
 
+  test("pq with a training sample SMALLER than the codebook: the effective " +
+    "code count drives the ADC stride (no mis-indexed LUT)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 8 vectors but codes=16: the trained codebook has 8 dense codes per
+    // subspace — indexing by the requested 16 would read past (or out of)
+    // the flattened LUT
+    val emb = (0L until 8L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val res = Similarity.pqKnn(q, emb, k = 3, m = 2, codes = 16,
+      overFetch = 4, lloydIters = 1)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every query finds ITSELF (8 codes over 8 vectors is lossless enough)
+    assert(Set((0L, 0L), (1L, 1L)).subsetOf(res.toSet), res.toSeq.toString)
+    // ivfPqKnn through the same small-sample path
+    val ivf = Similarity.ivfPqKnn(q, emb, k = 3, nlist = 2, nprobe = 2,
+      m = 2, codes = 16, lloydIters = 1)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(Set((0L, 0L), (1L, 1L)).subsetOf(ivf.toSet), ivf.toSeq.toString)
+    // codes beyond one byte fail FAST, not by aliasing duplicate code ids
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, m = 2, codes = 300)
+    }
+  }
+
   test("pq knn (ADC + rescore): recall vs brute force ≥ 0.8, self found") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
