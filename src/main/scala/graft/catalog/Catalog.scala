@@ -87,6 +87,7 @@ final class Catalog(val spark: SparkSession) {
       history(name) = history.getOrElse(name, Vector.empty) :+ old }
     relvars(name) = r
     boundTo.remove(name)
+    bucketSpec.remove(name) // defineBucketed re-records after its swap
   }
 
   def define(name: String, r: Rel): Unit = swap(name, r)
@@ -128,6 +129,12 @@ final class Catalog(val spark: SparkSession) {
     * redefining a bucketed relvar used to DROP and rewrite one shared
     * path, silently rebinding every history version to the new data. */
   private val bucketGen = TrieMap.empty[String, Int]
+  // the CURRENT bucket layout per name (cols, buckets) — recorded so save()
+  // can persist the spec and load() can REBUILD the bucketed table (the
+  // shuffle is re-paid once per load, then reused by every join, exactly
+  // like the original define). A plain write to the name clears it: the
+  // new current is no longer the bucketed table.
+  private val bucketSpec = TrieMap.empty[String, (Seq[String], Int)]
 
   def defineBucketed(name: String, r: Rel, bucketCols: Seq[String],
                      buckets: Int): Unit = {
@@ -154,6 +161,7 @@ final class Catalog(val spark: SparkSession) {
     // r.df deduplicates on write when the source wasn't known distinct, so
     // the stored table is distinct by construction either way
     swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
+    bucketSpec(name) = (bucketCols, buckets)
   }
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
@@ -291,15 +299,21 @@ final class Catalog(val spark: SparkSession) {
       // lineage and makes the NEXT save of an unmutated relvar free.
       // BUCKETED relvars are exempt — rebinding to the plain snapshot
       // would silently drop the bucketing metadata (and the zero-Exchange
-      // join contract); their file is still written so load() restores
-      // the DATA, but the layout needs re-defineBucketed after a load
-      if (!bucketGen.contains(n)) {
+      // join contract); their file carries the DATA for load(), and the
+      // persisted bucket spec below makes load() rebuild the layout
+      if (!bucketSpec.contains(n)) {
         relvars(n) = Rel.distinct(spark.read.parquet(target))
         boundTo(n) = target
       }
     }
     relvars.keys.toSeq.sorted.foreach { n =>
-      lines += s"""{"kind":"relvar","name":${jstr(n)}}"""
+      bucketSpec.get(n) match {
+        case Some((cols, k)) =>
+          val cs = cols.map(jstr).mkString("[", ",", "]")
+          lines += s"""{"kind":"relvar_bucketed","name":${jstr(n)},"bucketCols":$cs,"buckets":$k}"""
+        case None =>
+          lines += s"""{"kind":"relvar","name":${jstr(n)}}"""
+      }
     }
     scalars.toSeq.sortBy(_._1).foreach { case (n, v) =>
       val (t, s) = v match {
@@ -388,6 +402,14 @@ object Catalog {
       val name = r.getAs[String]("name")
       r.getAs[String]("kind") match {
         case "relvar" => cat.load(dir, name)
+        case "relvar_bucketed" =>
+          // rebuild the bucketed table from the saved data: the shuffle is
+          // re-paid once here, then every join on the key is Exchange-free
+          // again — the layout survives save/load, not just the rows
+          cat.defineBucketed(name,
+            Rel.parquet(spark, s"$dir/$name.parquet"),
+            seqOf(r, "bucketCols"),
+            r.getAs[Long]("buckets").toInt)
         case "relvar_version" =>
           val v = r.getAs[Long]("version").toInt
           hist.getOrElseUpdate(name,

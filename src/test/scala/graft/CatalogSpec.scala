@@ -122,6 +122,24 @@ class CatalogSpec extends SparkSpec {
       s"v8 plan lost its bucketed table:\n$plan")
   }
 
+  test("bucketed LAYOUT survives save/load: the restored relvars join " +
+    "Exchange-free, not just hold the same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_bkt").toString
+    val cat = new Catalog(spark)
+    cat.defineBucketed("bl_a", Rel.distinct(
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")), Seq("k"), 4)
+    cat.defineBucketed("bl_b", Rel.distinct(
+      Seq((1L, 10L), (3L, 30L)).toDF("k", "n")), Seq("k"), 4)
+    cat.save(dir)
+    val cat2 = Catalog.load(spark, dir)
+    val joined = cat2.relvar("bl_a").df.hint("merge")
+      .join(cat2.relvar("bl_b").df, "k")
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+      s"restored bucketing lost — join shuffles:\n${plan.take(3000)}")
+  }
+
   test("bounded history: a 100-update chain stays flat to read as-of " +
     "(cadence snapshots cap plan depth) and survives save/load") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat_hist").toString
