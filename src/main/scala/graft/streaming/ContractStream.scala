@@ -32,13 +32,15 @@ import graft.pipeline.Contract._
   * driver holds 2 longs per rule. foreachBatch is at-least-once, so the
   * monitor dedups on batchId — a replayed batch never double-counts.
   *
-  * SCOPE: the counters live in DRIVER memory only, while the source's
-  * progress is checkpointed — the cumulative identity with the batch
-  * check holds within ONE process lifetime. Restarting a query from its
-  * checkpoint with a fresh Monitor skips already-committed batches (the
-  * source replays nothing) and their counts are gone; a deployment that
-  * must survive restarts persists `snapshot()` next to the checkpoint on
-  * each ingest and rebuilds the Monitor from it before restarting. */
+  * SCOPE: the counters live in DRIVER memory while the source's progress
+  * is checkpointed, so a query restarted from its checkpoint with a fresh
+  * Monitor would skip already-committed batches (the source replays
+  * nothing) and lose their counts. Pass `stateFile` to [[start]] to close
+  * that gap: the snapshot persists atomically after every batch and
+  * restores automatically before the restarted query runs — the
+  * cumulative identity with the batch check then holds across process
+  * lifetimes. Without it, the identity holds within one process and
+  * `snapshot()`/`restore` remain available for custom wiring. */
 object ContractStream {
 
   /** The monitor's entire state: plain longs plus one compact HLL sketch
@@ -171,18 +173,82 @@ object ContractStream {
 
   /** Run the monitor over a streaming DataFrame: each micro-batch is
     * ingested (exactly once, by batchId) and the refreshed report handed
-    * to `sink` — the continuous release-gate alarm. */
+    * to `sink` — the continuous release-gate alarm.
+    *
+    * `stateFile` (optional) makes the counters RESTART-DURABLE: the
+    * monitor restores from the file before the query starts (so a query
+    * restarted from its checkpoint — which replays nothing — keeps its
+    * cumulative counts) and persists a snapshot atomically (tmp + rename,
+    * through the Hadoop FS so it can sit next to the checkpoint on any
+    * filesystem) after every ingested batch. Persist-then-sink ordering
+    * means a crash between ingest and persist re-presents the batch on
+    * restart and the batchId dedup drops it — at-least-once persists,
+    * exactly-once counts. */
   def start(stream: DataFrame, monitor: Monitor,
             sink: Seq[(String, String, Double, Double, Boolean)] => Unit,
             checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            stateFile: Option[String] = None): StreamingQuery = {
+    stateFile.foreach(f => readState(stream.sparkSession, f)
+      .foreach(monitor.restore))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         monitor.ingest(batch, batchId)
+        stateFile.foreach(f =>
+          writeState(batch.sparkSession, f, monitor.snapshot()))
         sink(monitor.report())
       }
       .start()
+  }
+
+  // ------------------------------------------ durable state (JSON file)
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[streaming] def writeState(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, s: MonitorState): Unit = {
+    val b64 = java.util.Base64.getEncoder
+    def longMap(m: Map[Int, Long]) =
+      m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val sk = s.sketches.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k":"${b64.encodeToString(v)}"""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"lastBatchId":${s.lastBatchId},"rows":${s.rows},"hits":${longMap(s.hits)},"sketches":$sk}"""
+    val f = fs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val tgt = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(tgt)) f.delete(tgt, false)
+    require(f.rename(tmp, tgt), s"contract monitor: rename $tmp -> $tgt failed")
+  }
+
+  private[streaming] def readState(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Option[MonitorState] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper
+    val n = m.readTree(json)
+    def intMap[A](field: String)(f: com.fasterxml.jackson.databind.JsonNode => A): Map[Int, A] = {
+      val it = n.get(field).fields()
+      val b = Map.newBuilder[Int, A]
+      while (it.hasNext) { val e = it.next(); b += e.getKey.toInt -> f(e.getValue) }
+      b.result()
+    }
+    val b64 = java.util.Base64.getDecoder
+    Some(MonitorState(
+      n.get("lastBatchId").asLong(), n.get("rows").asLong(),
+      intMap("hits")(_.asLong()),
+      intMap("sketches")(v => b64.decode(v.asText()))))
+  }
 }

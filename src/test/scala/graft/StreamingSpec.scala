@@ -523,4 +523,43 @@ class StreamingSpec extends SparkSpec {
     val r2 = mon2.report().head
     assert(math.abs(r2._3 - 2.0 / 3) <= bound, r2.toString)
   }
+
+  test("contract monitor stateFile: a query RESTARTED from its checkpoint " +
+       "with a fresh monitor keeps the cumulative counts") {
+    import spark.implicits._
+    import graft.pipeline.Contract
+    import graft.pipeline.Contract._
+    val base = java.nio.file.Files.createTempDirectory("graft-cstate")
+    val (data, ckpt, state) =
+      (s"$base/data", s"$base/ckpt", s"$base/monitor.state.json")
+    val exps = Seq(NotNull("text"), Unique(Seq("id")), RowCount(1, 100))
+    val p1 = Seq((1L, "alpha"), (2L, null: String), (3L, "gamma"))
+      .toDF("id", "text")
+    val p2 = Seq((3L, "gamma-dup"), (4L, "delta")).toDF("id", "text")
+    def run(mon: graft.streaming.ContractStream.Monitor): Unit = {
+      val stream = spark.readStream.schema(p1.schema).parquet(data)
+      val q = graft.streaming.ContractStream.start(stream, mon, _ => (),
+        ckpt, stateFile = Some(state))
+      try q.awaitTermination() finally q.stop()
+    }
+    p1.coalesce(1).write.mode("append").parquet(data)
+    val m1 = new graft.streaming.ContractStream.Monitor(exps)
+    run(m1)
+    // process "dies"; more data lands; a FRESH monitor restarts from the
+    // same checkpoint — the source replays nothing, the state file must
+    // carry the first run's counts
+    p2.coalesce(1).write.mode("append").parquet(data)
+    val m2 = new graft.streaming.ContractStream.Monitor(exps)
+    run(m2)
+    val streamed = m2.report()
+    val batch = Contract.check(p1.unionByName(p2), exps).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    // fraction + count rows are EXACT across the restart; the unique row
+    // is the sketch face — same target/verdict, metric within its bound
+    assert(streamed(0) === batch(0) && streamed(2) === batch(2), streamed.toString)
+    assert(streamed(1)._2 === batch(1)._2 &&
+      math.abs(streamed(1)._3 - batch(1)._3) <= 0.05 &&
+      streamed(1)._5 === batch(1)._5, s"${streamed(1)} vs ${batch(1)}")
+  }
 }
