@@ -55,6 +55,16 @@ object ContractStream {
     require(expectations.nonEmpty, "contract monitor: no expectations")
     require(lgK >= 4 && lgK <= 21, s"contract monitor: lgK=$lgK out of [4,21]")
 
+    /** Order-sensitive fingerprint of the expectation list — stamped into
+      * persisted state so a restart with a CHANGED contract fails loud
+      * instead of silently misassigning per-rule counter indices. */
+    private[streaming] val contractId: String = {
+      val desc = expectations.map(Contract.describe(_).toString).mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+
     private val fracIdx = expectations.zipWithIndex
       .filter { case (e, i) => Contract.hitCond(e, i).isDefined }
     private val uniqIdx = expectations.zipWithIndex
@@ -189,16 +199,23 @@ object ContractStream {
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             stateFile: Option[String] = None): StreamingQuery = {
-    stateFile.foreach(f => readState(stream.sparkSession, f)
-      .foreach(monitor.restore))
+    stateFile.foreach { f =>
+      readState(stream.sparkSession, f).foreach { case (cid, s) =>
+        require(cid == monitor.contractId,
+          s"contract monitor: state file $f was written by a DIFFERENT " +
+            "expectation list — per-rule counters would misassign; delete " +
+            "the file (fresh counts) or restart with the original contract")
+        monitor.restore(s)
+      }
+    }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         monitor.ingest(batch, batchId)
-        stateFile.foreach(f =>
-          writeState(batch.sparkSession, f, monitor.snapshot()))
+        stateFile.foreach(f => writeState(batch.sparkSession, f,
+          monitor.contractId, monitor.snapshot()))
         sink(monitor.report())
       }
       .start()
@@ -211,14 +228,15 @@ object ContractStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private[streaming] def writeState(spark: org.apache.spark.sql.SparkSession,
-                                    path: String, s: MonitorState): Unit = {
+                                    path: String, contractId: String,
+                                    s: MonitorState): Unit = {
     val b64 = java.util.Base64.getEncoder
     def longMap(m: Map[Int, Long]) =
       m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val sk = s.sketches.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""$k":"${b64.encodeToString(v)}"""" }.mkString("{", ",", "}")
     val json =
-      s"""{"lastBatchId":${s.lastBatchId},"rows":${s.rows},"hits":${longMap(s.hits)},"sketches":$sk}"""
+      s"""{"contract":"$contractId","lastBatchId":${s.lastBatchId},"rows":${s.rows},"hits":${longMap(s.hits)},"sketches":$sk}"""
     val f = fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val out = f.create(tmp, true)
@@ -230,7 +248,7 @@ object ContractStream {
   }
 
   private[streaming] def readState(spark: org.apache.spark.sql.SparkSession,
-                                   path: String): Option[MonitorState] = {
+                                   path: String): Option[(String, MonitorState)] = {
     val f = fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(p)) return None
@@ -246,9 +264,9 @@ object ContractStream {
       b.result()
     }
     val b64 = java.util.Base64.getDecoder
-    Some(MonitorState(
+    Some((n.get("contract").asText(), MonitorState(
       n.get("lastBatchId").asLong(), n.get("rows").asLong(),
       intMap("hits")(_.asLong()),
-      intMap("sketches")(v => b64.decode(v.asText()))))
+      intMap("sketches")(v => b64.decode(v.asText())))))
   }
 }

@@ -561,5 +561,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1)._2 === batch(1)._2 &&
       math.abs(streamed(1)._3 - batch(1)._3) <= 0.05 &&
       streamed(1)._5 === batch(1)._5, s"${streamed(1)} vs ${batch(1)}")
+
+    // a restart with a CHANGED contract must refuse the state file loudly —
+    // restoring it would misassign the per-rule counter indices
+    val changed = new graft.streaming.ContractStream.Monitor(
+      Seq(Unique(Seq("id")), NotNull("text")))
+    val err = intercept[IllegalArgumentException] {
+      val stream = spark.readStream.schema(p1.schema).parquet(data)
+      graft.streaming.ContractStream.start(stream, changed, _ => (),
+        ckpt, stateFile = Some(state))
+    }
+    assert(err.getMessage.contains("DIFFERENT expectation list"))
   }
 }
