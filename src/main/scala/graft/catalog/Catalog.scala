@@ -124,11 +124,16 @@ final class Catalog(val spark: SparkSession) {
     * downstream stage. On a cluster this is the difference between an
     * O(data) shuffle per join and none. */
   /** Monotonic physical-generation counter per bucketed relvar name: each
-    * [[defineBucketed]] writes a FRESH table (`name__bktN`), never the
+    * [[defineBucketed]] writes a FRESH table (`name__cC_bktN`), never the
     * location a previous generation's archived snapshot still reads —
     * redefining a bucketed relvar used to DROP and rewrite one shared
-    * path, silently rebinding every history version to the new data. */
+    * path, silently rebinding every history version to the new data.
+    * The physical namespace also carries a per-CATALOG-instance id (C):
+    * two catalogs in one Spark session (e.g. Catalog.load twice) would
+    * otherwise both start at generation 1 and the second's DROP would
+    * delete the table the first's live relvars still read. */
   private val bucketGen = TrieMap.empty[String, Int]
+  private val catalogId = Catalog.instanceIds.incrementAndGet()
   // the CURRENT bucket layout per name (cols, buckets) — recorded so save()
   // can persist the spec and load() can REBUILD the bucketed table (the
   // shuffle is re-paid once per load, then reused by every join, exactly
@@ -140,7 +145,7 @@ final class Catalog(val spark: SparkSession) {
                      buckets: Int): Unit = {
     require(bucketCols.nonEmpty, "bucketed relvar needs at least one key column")
     val gen = bucketGen.updateWith(name)(g => Some(g.getOrElse(0) + 1)).get
-    val phys = s"${name}__bkt$gen"
+    val phys = s"${name}__c${catalogId}_bkt$gen"
     // a previous JVM may have left this generation's managed location
     // behind while this session's in-memory metastore has no such table —
     // clear both, like overwrite would if the table were still registered.
@@ -378,6 +383,11 @@ final class Catalog(val spark: SparkSession) {
 }
 
 object Catalog {
+  /** JVM-wide instance counter: namespaces each catalog's bucketed
+    * physical tables (a fresh JVM may reuse id 1, but no live reader from
+    * a dead JVM exists, and the per-generation DROP clears leftovers). */
+  private val instanceIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Restore a persisted catalog into a (possibly brand-new) session:
     * relvars re-attach lazily to their parquet, functions re-register their
     * SQL DDL, scalars and types reload from metadata. Mirrors the

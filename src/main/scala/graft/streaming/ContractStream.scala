@@ -57,11 +57,26 @@ object ContractStream {
 
     /** Order-sensitive fingerprint of the expectation list — stamped into
       * persisted state so a restart with a CHANGED contract fails loud
-      * instead of silently misassigning per-rule counter indices. */
+      * instead of silently misassigning per-rule counter indices. The
+      * encoding is INJECTIVE over the rule structure (length-prefixed
+      * fields, never delimiter joins — `IsIn(Seq("a","b"))` and
+      * `IsIn(Seq("a|b"))` must differ). Known limit: RefIn fingerprints
+      * its column names, not the reference DATA — swapping the dim
+      * relation between restarts is not detectable from here. */
     private[streaming] val contractId: String = {
-      val desc = expectations.map(Contract.describe(_).toString).mkString("|")
+      def str(s: String) = s"${s.length}:$s"
+      def strs(ss: Seq[String]) = s"${ss.length}:" + ss.map(str).mkString
+      val enc = expectations.map {
+        case NotNull(c, f)         => s"nn(${str(c)}$f)"
+        case InRange(c, lo, hi, f) => s"ir(${str(c)}$lo,$hi,$f)"
+        case Matches(c, re, f)     => s"ma(${str(c)}${str(re)}$f)"
+        case IsIn(c, vs, f)        => s"in(${str(c)}${strs(vs)}$f)"
+        case RowCount(lo, hi)      => s"rc($lo,$hi)"
+        case Unique(cs)            => s"un(${strs(cs)})"
+        case RefIn(c, _, dc, f)    => s"ri(${str(c)}${str(dc)}$f)"
+      }.mkString
       java.security.MessageDigest.getInstance("MD5")
-        .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .digest(enc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
     }
 
@@ -200,11 +215,18 @@ object ContractStream {
             trigger: Trigger = Trigger.AvailableNow(),
             stateFile: Option[String] = None): StreamingQuery = {
     stateFile.foreach { f =>
-      readState(stream.sparkSession, f).foreach { case (cid, s) =>
+      readState(stream.sparkSession, f).foreach { case (cid, ckpt, s) =>
         require(cid == monitor.contractId,
           s"contract monitor: state file $f was written by a DIFFERENT " +
             "expectation list — per-rule counters would misassign; delete " +
             "the file (fresh counts) or restart with the original contract")
+        // a wiped/relocated checkpoint restarts batchIds at 0 — restoring
+        // the old lastBatchId would silently DROP the reprocessed batches
+        // as "replays"; fail loud instead
+        require(ckpt == checkpointDir,
+          s"contract monitor: state file $f belongs to checkpoint '$ckpt', " +
+            s"not '$checkpointDir' — reprocessing from a fresh checkpoint " +
+            "needs fresh counts; delete the state file too")
         monitor.restore(s)
       }
     }
@@ -215,7 +237,7 @@ object ContractStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         monitor.ingest(batch, batchId)
         stateFile.foreach(f => writeState(batch.sparkSession, f,
-          monitor.contractId, monitor.snapshot()))
+          monitor.contractId, checkpointDir, monitor.snapshot()))
         sink(monitor.report())
       }
       .start()
@@ -229,6 +251,7 @@ object ContractStream {
 
   private[streaming] def writeState(spark: org.apache.spark.sql.SparkSession,
                                     path: String, contractId: String,
+                                    checkpointDir: String,
                                     s: MonitorState): Unit = {
     val b64 = java.util.Base64.getEncoder
     def longMap(m: Map[Int, Long]) =
@@ -236,23 +259,30 @@ object ContractStream {
     val sk = s.sketches.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""$k":"${b64.encodeToString(v)}"""" }.mkString("{", ",", "}")
     val json =
-      s"""{"contract":"$contractId","lastBatchId":${s.lastBatchId},"rows":${s.rows},"hits":${longMap(s.hits)},"sketches":$sk}"""
+      s"""{"contract":"$contractId","checkpoint":${graft.types.Json.str(checkpointDir)},"lastBatchId":${s.lastBatchId},"rows":${s.rows},"hits":${longMap(s.hits)},"sketches":$sk}"""
     val f = fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val tgt = new org.apache.hadoop.fs.Path(path)
+    // delete+rename is TWO operations; the crash window between them is
+    // covered on the read side (a complete .tmp with no main file IS the
+    // newest state — see readState), so durability never silently resets
     if (f.exists(tgt)) f.delete(tgt, false)
     require(f.rename(tmp, tgt), s"contract monitor: rename $tmp -> $tgt failed")
   }
 
   private[streaming] def readState(spark: org.apache.spark.sql.SparkSession,
-                                   path: String): Option[(String, MonitorState)] = {
+      path: String): Option[(String, String, MonitorState)] = {
     val f = fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    // crash-window recovery: main missing but a tmp present means the
+    // writer died between delete and rename — the tmp was fully written
+    // (create+close precede the delete) and IS the newest snapshot
+    val src = if (f.exists(p)) p else if (f.exists(tmp)) tmp else return None
+    val in = f.open(src)
     val json = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val m = new com.fasterxml.jackson.databind.ObjectMapper
@@ -264,9 +294,10 @@ object ContractStream {
       b.result()
     }
     val b64 = java.util.Base64.getDecoder
-    Some((n.get("contract").asText(), MonitorState(
-      n.get("lastBatchId").asLong(), n.get("rows").asLong(),
-      intMap("hits")(_.asLong()),
-      intMap("sketches")(v => b64.decode(v.asText())))))
+    Some((n.get("contract").asText(), n.get("checkpoint").asText(),
+      MonitorState(
+        n.get("lastBatchId").asLong(), n.get("rows").asLong(),
+        intMap("hits")(_.asLong()),
+        intMap("sketches")(v => b64.decode(v.asText())))))
   }
 }

@@ -118,8 +118,21 @@ class CatalogSpec extends SparkSpec {
     }
     assert(cat.version("bc") === 8)
     val plan = cat.relvar("bc").df.queryExecution.analyzed.toString
-    assert(plan.contains("__bkt8") && !plan.contains("_graft_history"),
+    assert(plan.contains("_bkt8") && !plan.contains("_graft_history"),
       s"v8 plan lost its bucketed table:\n$plan")
+  }
+
+  test("two catalogs in one session never collide on bucketed physical " +
+    "tables: the second's define must not delete what the first reads") {
+    val c1 = new Catalog(spark)
+    c1.defineBucketed("shared", Rel.distinct(
+      Seq((1L, "one")).toDF("k", "v")), Seq("k"), 2)
+    val c2 = new Catalog(spark)
+    c2.defineBucketed("shared", Rel.distinct(
+      Seq((2L, "two")).toDF("k", "v")), Seq("k"), 2)
+    // before the per-instance namespace, c2's DROP deleted c1's table
+    assert(c1.relvar("shared").df.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(c2.relvar("shared").df.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
   test("bucketed LAYOUT survives save/load: the restored relvars join " +
