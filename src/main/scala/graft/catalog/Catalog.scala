@@ -79,7 +79,11 @@ final class Catalog(val spark: SparkSession) {
     // zero-Exchange join contract), so the cadence never fires for it
     val r =
       if (!alreadyStored && k > 0 && newVersion % k == 0) {
-        val path = s"$historyDir/$name/v$newVersion.parquet"
+        // cadence snapshots are namespaced by catalogId like bucketed
+        // physical tables: two Catalog instances in one session holding a
+        // same-named relvar must not overwrite each other's v<N> files
+        // while live stored plans still scan them
+        val path = s"$historyDir/${name}__c$catalogId/v$newVersion.parquet"
         r0.df.write.mode("overwrite").parquet(path)
         Rel.distinct(spark.read.parquet(path))
       } else r0
@@ -338,10 +342,21 @@ final class Catalog(val spark: SparkSession) {
       val ct = u.components.map(c => jstr(AndlTypes.ddlOf(c._2))).mkString("[", ",", "]")
       lines += s"""{"kind":"udt","name":${jstr(u.name)},"compNames":$cn,"compTypes":$ct}"""
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/catalog.meta.json"),
-      lines.result().mkString("", "\n", "\n"))
+    // metadata goes through the SAME Hadoop FS as the relvar parquet —
+    // a catalog saved to hdfs://, s3a:// or any object store keeps data
+    // and metadata together (a java.nio write here would land the meta on
+    // the driver's local disk, or throw). Atomic tmp+rename with the
+    // crash window covered on the read side, mirroring ContractStream's
+    // durable state file.
+    val metaTmp = new org.apache.hadoop.fs.Path(s"$dir/catalog.meta.json.tmp")
+    val out = hfs.create(metaTmp, true)
+    try out.write(lines.result().mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val metaTgt = new org.apache.hadoop.fs.Path(s"$dir/catalog.meta.json")
+    if (hfs.exists(metaTgt)) hfs.delete(metaTgt, false)
+    require(hfs.rename(metaTmp, metaTgt),
+      s"catalog save: rename $metaTmp -> $metaTgt failed")
   }
 
   /** Back-compat alias. */
@@ -394,23 +409,36 @@ object Catalog {
     * two-program flow of Test/SuiteUpdateCat1/2.andl. */
   def load(spark: SparkSession, dir: String): Catalog = {
     val cat = new Catalog(spark)
-    val metaPath = java.nio.file.Paths.get(s"$dir/catalog.meta.json")
-    if (!java.nio.file.Files.exists(metaPath)) return cat
-    val meta = spark.read.json(metaPath.toString)
-    val rows = meta.collect()
-    def opt(r: org.apache.spark.sql.Row, f: String): Option[String] =
-      if (meta.columns.contains(f) && !r.isNullAt(r.fieldIndex(f)))
-        Some(r.getAs[Any](f).toString) else None
-    def seqOf(r: org.apache.spark.sql.Row, f: String): Seq[String] =
-      if (meta.columns.contains(f) && !r.isNullAt(r.fieldIndex(f)))
-        r.getSeq[String](r.fieldIndex(f)).toSeq else Nil
+    // read through the Hadoop FS (any scheme), with the tmp-file crash
+    // window covered: main missing but a complete .tmp present means the
+    // saver died between delete and rename — the tmp IS the newest meta
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(s"$dir/catalog.meta.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/catalog.meta.json.tmp")
+    val src = if (hfs.exists(main)) main
+              else if (hfs.exists(tmp)) tmp
+              else return cat
+    val in = hfs.open(src)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val rows = text.linesIterator.filter(_.trim.nonEmpty)
+      .map(mapper.readTree).toSeq
+    type Node = com.fasterxml.jackson.databind.JsonNode
+    def opt(r: Node, f: String): Option[String] =
+      Option(r.get(f)).filterNot(_.isNull).map(_.asText)
+    def seqOf(r: Node, f: String): Seq[String] =
+      Option(r.get(f)).filterNot(_.isNull).toSeq.flatMap { a =>
+        (0 until a.size).map(a.get(_).asText)
+      }
     // history versions are installed AFTER the loop, sorted by version —
     // JSON-line order is not a contract
     val hist = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.TreeMap[Int, Rel]]
     rows.foreach { r =>
-      val name = r.getAs[String]("name")
-      r.getAs[String]("kind") match {
+      val name = r.get("name").asText
+      r.get("kind").asText match {
         case "relvar" => cat.load(dir, name)
         case "relvar_bucketed" =>
           // rebuild the bucketed table from the saved data: the shuffle is
@@ -419,9 +447,9 @@ object Catalog {
           cat.defineBucketed(name,
             Rel.parquet(spark, s"$dir/$name.parquet"),
             seqOf(r, "bucketCols"),
-            r.getAs[Long]("buckets").toInt)
+            r.get("buckets").asInt)
         case "relvar_version" =>
-          val v = r.getAs[Long]("version").toInt
+          val v = r.get("version").asInt
           hist.getOrElseUpdate(name,
               scala.collection.mutable.TreeMap.empty[Int, Rel])(v) =
             Rel.parquet(spark, s"$dir/_history/$name/v$v.parquet")

@@ -184,4 +184,65 @@ class CatalogSpec extends SparkSpec {
     cat2.save(dir)
     assert(cat2.relvarAt("H", 37).count() === 37)
   }
+
+  test("cadence snapshots are namespaced per catalog instance: a second " +
+    "catalog's same-named relvar never clobbers the first's live snapshot") {
+    def chain(cat: Catalog, src: String, base: Long): Unit = {
+      cat.define("C", Rel.distinct(Seq((base, src)).toDF("id", "src")))
+      (1L to 8L).foreach(i => cat.insert("C",
+        Rel.distinct(Seq((base + i, src)).toDF("id", "src"))))
+    }
+    val a = new Catalog(spark)
+    chain(a, "a", 0L) // crosses the materialize-every-8 cadence
+    assert(a.relvar("C").count() === 9)
+    val b = new Catalog(spark)
+    chain(b, "b", 100L) // same relvar name, same warehouse historyDir
+    // a's current plan scans a's own v8 snapshot — b's cadence write must
+    // not have overwritten it
+    val rows = a.relvar("C").df.collect()
+    assert(rows.length === 9)
+    assert(rows.forall(_.getString(1) == "a"),
+      "catalog a's relvar reads catalog b's cadence snapshot")
+    assert(b.relvar("C").count() === 9)
+  }
+
+  test("save/load over a NON-file Hadoop filesystem: data AND metadata land " +
+    "on the target scheme (object-store deployment path)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_mockfs").toString
+    val dir = s"mockfs://$local" // mockfs:///<tmp>/… — resolved by MockFs only
+    val cat = new Catalog(spark)
+    cat.define("S", S)
+    cat.insert("S", Rel.distinct(
+      Seq(("S6", "Smyth", 15, "Berlin")).toDF("S#", "SNAME", "STATUS", "CITY")))
+    cat.set("answer", 42)
+    cat.save(dir)
+    // the metadata file must be AT the filesystem-resolved target — before
+    // meta went through the Hadoop FS it landed on a driver-local path
+    assert(new java.io.File(s"$local/catalog.meta.json").exists,
+      "catalog.meta.json not on the target filesystem")
+    assert(new java.io.File(s"$local/S.parquet").exists)
+    val cat2 = Catalog.load(spark, dir)
+    assert(cat2.relvar("S").relEquals(cat.relvar("S")))
+    assert(cat2.version("S") === 2)
+    assert(cat2.relvarAt("S", 1).relEquals(S))
+    assert(cat2.get("answer") === 42)
+    // crash-window recovery: a complete .tmp with no main file IS the
+    // newest metadata (saver died between delete and rename)
+    val meta = new java.io.File(s"$local/catalog.meta.json")
+    val tmpF = new java.io.File(s"$local/catalog.meta.json.tmp")
+    java.nio.file.Files.move(meta.toPath, tmpF.toPath)
+    val cat3 = Catalog.load(spark, dir)
+    assert(cat3.relvar("S").relEquals(cat.relvar("S")))
+  }
+}
+
+/** Test-only Hadoop filesystem on a scheme Spark has no default binding
+  * for: RawLocalFileSystem re-rooted at `mockfs://` — any code path that
+  * bypasses the Hadoop FS API (java.nio writes) misses it and the spec's
+  * location assertions fail. */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
