@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.rel.Checkpoint.PinOps
 
 /** Distributed BPE-merge tokenizer training over a weighted vocabulary.
   *
@@ -113,8 +114,9 @@ object Bpe {
         .withColumn("syms", applyMerge(col("syms"), m.a, m.b))
         .localCheckpoint(true)
       // eager checkpoint has materialized — drop the superseded round's
-      // blocks instead of pinning nMerges vocab copies
-      prev.unpersist(blocking = false)
+      // blocks instead of pinning nMerges vocab copies (unpin releases the
+      // UNDERLYING checkpointed RDD; Dataset.unpersist would be a no-op)
+      prev.unpin()
       round += 1
       pending = if (round < nMerges) sweep(vocab) else None
       // the NEXT sweep's Σcnt is this round's "after" total — no extra scan

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.rel.Checkpoint.PinOps
 
 /** Coreset / diversity selection over an embedding column: greedy k-center
   * (Gonzalez' farthest-point traversal) in cosine distance — the classic
@@ -75,12 +76,13 @@ object Coreset {
         .localCheckpoint(true)
       // the new checkpoint has materialized (eager) — release the
       // superseded round's blocks now instead of pinning k copies of the
-      // per-point state until the ContextCleaner notices
-      prev.unpersist(blocking = false)
+      // per-point state until the ContextCleaner notices (unpin releases
+      // the UNDERLYING checkpointed RDD; Dataset.unpersist is a no-op)
+      prev.unpin()
       round += 1
     }
     val radius = pts.agg(max(col("md"))).collect().head.getDouble(0)
-    pts.unpersist(blocking = false)
+    pts.unpin()
     (centers, radius)
   }
 

@@ -305,11 +305,17 @@ object Similarity {
       .pin()
     val dims = base.select(size(col(cVec)).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
-    if (iters == 0 || dims == 0) return seeds
+    // eager-release discipline: `base` is OUR pin — every exit path must
+    // unpin it, or the blocks sit in executor storage until the
+    // ContextCleaner happens to run
+    if (iters == 0 || dims == 0) { base.unpin(); return seeds }
     val cap = kmeansDriverCap(spark)
     if (cap > 0 && isFloatArray(base.schema(cVec).dataType) &&
-        base.count() <= cap)
-      return driverLloyd(spark, base, seeds, iters, cId, cVec, dims)
+        base.count() <= cap) {
+      val refined = driverLloyd(spark, base, seeds, iters, cId, cVec, dims)
+      base.unpin()
+      return refined
+    }
     // distributed fallback. Element-wise means via dims-wide per-dim SUM
     // slots in ONE map-side-combinable aggregation (the doc-embedding
     // pattern): aggregation state stays one double per (cluster, dim) —
@@ -332,14 +338,19 @@ object Similarity {
         .select(col("centroid_id"), array((0 until dims).map(i =>
           (col(s"__s$i") / col("__n")).cast("float")): _*).as("centroid"))
         .withColumn("__kn", norm(col("centroid")))
-      cents = cents.select(col("centroid_id"),
+      val next = cents.select(col("centroid_id"),
           col("centroid").as("__prev"), col("__kn").as("__pn"))
         .join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("centroid"), col("__prev")).as("centroid"),
           coalesce(col("__kn"), col("__pn")).as("__kn"))
         .pin()
+      // the eager pin above materialized from the previous round's cents;
+      // release that round's blocks now (never the caller's seeds)
+      if (cents ne seeds) cents.unpin()
+      cents = next
     }
+    base.unpin()
     cents
   }
 

@@ -40,7 +40,18 @@ object Checkpoint {
       * round i's frame once round i+1's pin has materialized, so a k-round
       * loop holds TWO copies of the per-row state, not k, without waiting
       * on the ContextCleaner. No-op for directory-based reliable
-      * checkpoints (nothing is persisted in block storage there). */
-    def unpin(): Unit = df.unpersist(blocking = false)
+      * checkpoints (nothing is persisted in block storage there).
+      *
+      * A localCheckpoint pins at the RDD level (the checkpointed RDD is
+      * persisted and registered in `sc.persistentRdds`), which
+      * `Dataset.unpersist` — a CacheManager operation — does NOT touch;
+      * the release must unpersist the UNDERLYING RDD out of the plan's
+      * LogicalRDD. PinLedgerSpec pins this: the Dataset-level call left
+      * every "released" checkpoint resident until the ContextCleaner. */
+    def unpin(): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
   }
 }
