@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: all row-local expectations (not-null / in-range / matches
   * / is-in / row-count) fold into ONE aggregate over ONE scan — adding an
   * expectation adds a conditional-sum column, not a pass. Referential
-  * checks join their (small) dimension by BROADCAST into the same scan.
+  * checks join their dimension into the same scan — broadcast while the
+  * dimension is small, a shuffled join past a configurable size bound
+  * (see [[refJoin]]), so a cluster-sized reference set still validates.
   * The one deliberate exception is [[Contract.Unique]]: exact uniqueness
   * needs a distinct aggregate, which Spark plans via Expand (one extra
   * duplicate of the scan per check) — declared, not hidden; at
@@ -69,13 +71,28 @@ object Contract {
       round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6))
       .otherwise(lit(1.0))
 
-  /** Broadcast-join every RefIn's (small) dimension into the scan — one
-    * marker column `__ref<i>` per referential expectation. */
+  /** Join every RefIn's dimension into the scan — one marker column
+    * `__ref<i>` per referential expectation. Small dimensions (code
+    * tables) take an explicit BROADCAST hint; a dimension whose
+    * Catalyst-estimated size exceeds `spark.graft.contract.refBroadcastBytes`
+    * (default: the session's own autoBroadcastJoinThreshold, floor 10 MB)
+    * joins WITHOUT the hint, so the planner picks a shuffled join — the
+    * path that scales to a reference set too big for executor memory.
+    * The decision is a driver-side plan-stats read, zero extra jobs, and
+    * the marker-column semantics are identical on both paths. */
   private[graft] def refJoin(df: DataFrame,
                              expectations: Seq[Expectation]): DataFrame =
     expectations.zipWithIndex.foldLeft(df) {
       case (acc, (RefIn(c, dim, dc, _), i)) =>
-        acc.join(broadcast(dim.select(col(dc).as(s"__ref$i")).distinct()),
+        val spark = df.sparkSession
+        val limit = spark.conf.getOption("spark.graft.contract.refBroadcastBytes")
+          .map(_.toLong)
+          .getOrElse(math.max(
+            spark.sessionState.conf.autoBroadcastJoinThreshold, 10L << 20))
+        val est = spark.sessionState.executePlan(dim.queryExecution.logical)
+          .optimizedPlan.stats.sizeInBytes
+        val d = dim.select(col(dc).as(s"__ref$i")).distinct()
+        acc.join(if (limit > 0 && est <= limit) broadcast(d) else d,
           acc(c) === col(s"__ref$i"), "left")
       case (acc, _) => acc
     }

@@ -16,7 +16,9 @@ import graft.pipeline.Contract._
   * That identity is what the CI gate exercises.
   *
   * Supported rules: every fraction-style expectation (not-null /
-  * in-range / matches / is-in / broadcast referential containment) plus
+  * in-range / matches / is-in / referential containment — broadcast for
+  * small reference sets, shuffled join past the [[Contract.refJoin]]
+  * size bound, batch and stream faces identical) plus
   * RowCount on the cumulative count. [[Contract.Unique]] streams as a
   * SKETCH: exact distinctness does not decompose into mergeable per-batch
   * counters, but an HLL sketch does — each batch contributes one
@@ -55,9 +57,12 @@ object ContractStream {
     require(expectations.nonEmpty, "contract monitor: no expectations")
     require(lgK >= 4 && lgK <= 21, s"contract monitor: lgK=$lgK out of [4,21]")
 
-    /** Order-sensitive fingerprint of the expectation list — stamped into
-      * persisted state so a restart with a CHANGED contract fails loud
-      * instead of silently misassigning per-rule counter indices. The
+    /** Order-sensitive fingerprint of the expectation list AND the sketch
+      * precision — stamped into persisted state so a restart with a
+      * CHANGED contract fails loud instead of silently misassigning
+      * per-rule counter indices. lgK is part of the identity: restoring a
+      * sketch written at a different lgK would silently union mixed
+      * precisions and publish a wrong rse in the rule label. The
       * encoding is INJECTIVE over the rule structure (length-prefixed
       * fields, never delimiter joins — `IsIn(Seq("a","b"))` and
       * `IsIn(Seq("a|b"))` must differ). Known limit: RefIn fingerprints
@@ -66,7 +71,7 @@ object ContractStream {
     private[streaming] val contractId: String = {
       def str(s: String) = s"${s.length}:$s"
       def strs(ss: Seq[String]) = s"${ss.length}:" + ss.map(str).mkString
-      val enc = expectations.map {
+      val enc = s"lgk($lgK)" + expectations.map {
         case NotNull(c, f)         => s"nn(${str(c)}$f)"
         case InRange(c, lo, hi, f) => s"ir(${str(c)}$lo,$hi,$f)"
         case Matches(c, re, f)     => s"ma(${str(c)}${str(re)}$f)"
@@ -218,8 +223,9 @@ object ContractStream {
       readState(stream.sparkSession, f).foreach { case (cid, ckpt, s) =>
         require(cid == monitor.contractId,
           s"contract monitor: state file $f was written by a DIFFERENT " +
-            "expectation list — per-rule counters would misassign; delete " +
-            "the file (fresh counts) or restart with the original contract")
+            "expectation list or sketch lgK — per-rule counters/sketches " +
+            "would misassign; delete the file (fresh counts) or restart " +
+            "with the original contract and lgK")
         // a wiped/relocated checkpoint restarts batchIds at 0 — restoring
         // the old lastBatchId would silently DROP the reprocessed batches
         // as "replays"; fail loud instead

@@ -82,4 +82,38 @@ class ContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"RefIn dim not broadcast:\n${p.take(3000)}")
   }
+
+  test("RefIn above the broadcast bound falls back to a shuffled join: " +
+       "same report, no broadcast of the reference set, stream face equal") {
+    val exps = Seq(RefIn("src", Seq("s1", "s2").toDF("k"), "k",
+      minFraction = 0.9), NotNull("text", minFraction = 0.9))
+    val small = Contract.check(docs, exps).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    // emulate a cluster-sized reference set: our hint is bounded out AND
+    // the planner's own auto-broadcast (which a big dim's stats would
+    // disqualify anyway) is off
+    spark.conf.set("spark.graft.contract.refBroadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val checked = Contract.check(docs, exps)
+      val p = checked.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"over-bound RefIn still broadcast:\n${p.take(3000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"over-bound RefIn has no shuffled join:\n${p.take(3000)}")
+      val big = checked.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      assert(big === small)
+      // the streaming monitor rides the same refJoin — identical report
+      val mon = new graft.streaming.ContractStream.Monitor(exps)
+      mon.ingest(docs.limit(2), batchId = 0L)
+      mon.ingest(docs.offset(2), batchId = 1L)
+      assert(mon.report().map(r => (r._1, r._2, r._3, r._4, r._5)) === big)
+    } finally {
+      spark.conf.unset("spark.graft.contract.refBroadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

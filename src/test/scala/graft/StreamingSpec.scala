@@ -572,5 +572,16 @@ class StreamingSpec extends SparkSpec {
         ckpt, stateFile = Some(state))
     }
     assert(err.getMessage.contains("DIFFERENT expectation list"))
+
+    // same expectations but a DIFFERENT lgK must refuse too: restoring a
+    // sketch of another precision would silently union mixed precisions
+    // and publish a wrong rse in the rule label
+    val otherLgK = new graft.streaming.ContractStream.Monitor(exps, lgK = 14)
+    val err2 = intercept[IllegalArgumentException] {
+      val stream = spark.readStream.schema(p1.schema).parquet(data)
+      graft.streaming.ContractStream.start(stream, otherLgK, _ => (),
+        ckpt, stateFile = Some(state))
+    }
+    assert(err2.getMessage.contains("sketch lgK"))
   }
 }
