@@ -41,11 +41,17 @@ import graft.types.Json.{str => jstr}
   * JSON payload; page it with where/take in a script first), and everything
   * heavy the scripts do stays distributed in Spark. */
 final class HttpGateway(spark: SparkSession, port: Int = 0,
-                        maxRows: Int = 1 << 20) {
+                        maxRows: Int = 1 << 20,
+                        modes: Map[String, AndlInterp.Modes] = Map.empty) {
 
+  // per-database language modes (numeric domain / collation): explicit
+  // entry in `modes` wins, else the session conf. Modes are per-interp
+  // state, so databases with different domains serve CONCURRENTLY on the
+  // worker pool — only statements within one database serialize.
   private val sessions = TrieMap.empty[String, AndlInterp]
   private def interp(db: String): AndlInterp =
-    sessions.getOrElseUpdate(db, new AndlInterp(spark, "."))
+    sessions.getOrElseUpdate(db, new AndlInterp(spark, ".",
+      modes.getOrElse(db, AndlInterp.Modes.fromConf(spark))))
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/api", (ex: HttpExchange) => handle(ex))
@@ -103,6 +109,12 @@ final class HttpGateway(spark: SparkSession, port: Int = 0,
             200 -> """{"ok":true}"""
           }
           case ("POST", db :: name :: Nil) =>
+            // the path segment is interpolated into Andl source below —
+            // it must BE an identifier, not a script fragment (a name
+            // with operator syntax would execute as arbitrary Andl and
+            // surface as a confusing parse error)
+            require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"Evaluate: '$name' is not an Andl identifier")
             val in = interp(db)
             in.synchronized {
             // Evaluate (AndlController.cs PostEvaluate): args as a JSON

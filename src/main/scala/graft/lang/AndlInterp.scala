@@ -27,35 +27,22 @@ import graft.sources.Sources
   * job per `=`. Both moves are constant-bounded (1000 rows) — every
   * unbounded computation is Spark's.
   */
-final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
+final class AndlInterp(val spark: SparkSession, val sourceDir: String,
+                       val modes: AndlInterp.Modes) {
   import AndlInterp.Env
 
-  // decimal-number mode (SURVEY §1.2, AndlValues.decimalNumbers): read once
-  // at construction so a session flag switches the numeric domain
-  AndlValues.decimalNumbers =
-    spark.conf.getOption("spark.graft.decimalNumbers").exists(_.toBoolean)
-  // opt-in ICU collation for text sort keys (AndlValues.collation)
-  AndlValues.collation =
-    spark.conf.getOption("spark.graft.collation").filter(_.nonEmpty)
-  // The numeric domain and collation are PROCESS-GLOBAL (the reference's
-  // numeric type is likewise process-wide); a second interp constructed
-  // with a different conf re-assigns them for the whole JVM. Capture this
-  // interp's modes so stale use after such a flip fails loud at the next
-  // entry point instead of silently computing in the wrong domain.
-  private val interpDecimal = AndlValues.decimalNumbers
-  private val interpCollation = AndlValues.collation
-  private def checkMode(): Unit =
-    if (AndlValues.decimalNumbers != interpDecimal ||
-        AndlValues.collation != interpCollation)
-      throw new IllegalStateException(
-        "AndlInterp mode conflict: another AndlInterp was constructed in " +
-          "this JVM with different spark.graft.decimalNumbers/collation " +
-          s"settings (this interp: decimal=$interpDecimal, " +
-          s"collation=$interpCollation; JVM now: " +
-          s"decimal=${AndlValues.decimalNumbers}, " +
-          s"collation=${AndlValues.collation}). The numeric domain and " +
-          "collation are process-global — use one mode per JVM, or " +
-          "reconstruct this interp under the current settings")
+  /** Modes from the session conf: `spark.graft.decimalNumbers` (SURVEY
+    * §1.2 numeric domain) and `spark.graft.collation` (opt-in ICU text
+    * ordering), read once at construction. */
+  def this(spark: SparkSession, sourceDir: String) =
+    this(spark, sourceDir, AndlInterp.Modes.fromConf(spark))
+
+  // The numeric domain and collation are PER-SESSION: captured here and
+  // installed (thread-scoped, save/restore) around every public entry
+  // point, so two interpreters with different modes coexist in one JVM —
+  // including concurrently on different gateway worker threads.
+  private def withModes[A](f: => A): A =
+    AndlValues.withModes(modes.decimalNumbers, modes.collation)(f)
 
   /** 0 = quiet; >0 echoes free expressions (the `#noisy` directive). */
   var noisy = 0
@@ -74,9 +61,8 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   /** Gateway SetValue (Andl.Gateway/Gateway.cs:32-102): expose an engine
     * DataFrame to scripts as a relvar. Numeric columns widen to double and
     * dates to timestamp — the language's scalar domain (SURVEY §1.2). */
-  def defineRelvar(name: String, df: DataFrame): Unit = {
+  def defineRelvar(name: String, df: DataFrame): Unit = withModes {
     import org.apache.spark.sql.types._
-    checkMode()
     val colsAndTypes = df.schema.fields.toSeq.map { f =>
       f.dataType match {
         case StringType => (F.col(f.name), TText)
@@ -105,16 +91,14 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
   }
 
   /** Gateway GetValue: a script-bound relation as a DataFrame. */
-  def relvar(name: String): DataFrame = {
-    checkMode()
+  def relvar(name: String): DataFrame = withModes {
     toSparkRel(global.lookup(name).getOrElse(sys.error(s"unknown relvar $name"))).rel.df
   }
 
   /** Set by the `#stop` directive — the rest of the script is skipped. */
   private var stopped = false
 
-  def run(src: String, filename: String): Unit = {
-    checkMode()
+  def run(src: String, filename: String): Unit = withModes {
     stopped = false
     val stmts = AndlParser.parse(src, filename)
     stmts.foreach { s =>
@@ -1378,6 +1362,18 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String) {
 }
 
 object AndlInterp {
+
+  /** Per-session language modes (SURVEY §1.2): the numeric domain
+    * (double, or DecimalType(38,18) when `decimalNumbers`) and the
+    * opt-in ICU collation name for text ordering. Captured once per
+    * interpreter; never process-global. */
+  final case class Modes(decimalNumbers: Boolean, collation: Option[String])
+  object Modes {
+    val default: Modes = Modes(decimalNumbers = false, collation = None)
+    def fromConf(spark: SparkSession): Modes = Modes(
+      spark.conf.getOption("spark.graft.decimalNumbers").exists(_.toBoolean),
+      spark.conf.getOption("spark.graft.collation").filter(_.nonEmpty))
+  }
 
   /** Lexically scoped mutable environment: function bodies evaluate in a
     * child of their defining scope (closures), the script runs in the

@@ -174,10 +174,31 @@ object AndlValues {
     * integer/double-valued (exact by construction) and coerce when mixed.
     * Driver-side scalars remain double at the collect boundary (rendering,
     * comparisons in scripts run on the engine, so the boundary only affects
-    * values lifted out of relations). Per-JVM mode, like the reference's
-    * process-wide numeric type. */
-  @volatile var decimalNumbers: Boolean = false
+    * values lifted out of relations).
+    *
+    * PER-SESSION state: each [[graft.lang.AndlInterp]] captures its modes
+    * at construction and installs them for the duration of every entry
+    * point via [[withModes]] (thread-scoped, save/restore), so two
+    * sessions with different numeric domains or collations coexist in one
+    * JVM — including concurrently on different gateway worker threads. */
+  private val decimalTL = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private val collationTL = new ThreadLocal[Option[String]] {
+    override def initialValue: Option[String] = None
+  }
+  def decimalNumbers: Boolean = decimalTL.get
+  def decimalNumbers_=(b: Boolean): Unit = decimalTL.set(b)
   def numType: DataType = if (decimalNumbers) DecimalType(38, 18) else DoubleType
+
+  /** Run `f` with the given modes installed on the calling thread,
+    * restoring the previous modes after — the scoping every AndlInterp
+    * entry point uses. */
+  def withModes[A](decimal: Boolean, coll: Option[String])(f: => A): A = {
+    val d0 = decimalTL.get; val c0 = collationTL.get
+    decimalTL.set(decimal); collationTL.set(coll)
+    try f finally { decimalTL.set(d0); collationTL.set(c0) }
+  }
 
   /** Opt-in ICU collation for text ORDERING (SURVEY §1.2 documented
     * deviation): the reference sorts text with .NET `CurrentCulture`
@@ -187,9 +208,10 @@ object AndlValues {
     * constructing an AndlInterp wraps every TEXT sort key in Spark 4's ICU
     * `collate(...)`, giving culture-style ordering parity. Ordering only —
     * equality, joins and group keys stay binary (Andl tuple identity is
-    * exact-value, CompareEqual in TypedValue.cs is ordinal). See
-    * CollationSpec for the enumerated binary-vs-culture deltas. */
-  @volatile var collation: Option[String] = None
+    * exact-value, CompareEqual in TypedValue.cs is ordinal). Per-session,
+    * thread-scoped like [[decimalNumbers]]. */
+  def collation: Option[String] = collationTL.get
+  def collation_=(c: Option[String]): Unit = collationTL.set(c)
 
   def sparkType(t: AType): DataType = t match {
     case TText => StringType

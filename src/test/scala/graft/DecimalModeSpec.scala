@@ -93,25 +93,30 @@ class DecimalModeSpec extends SparkSpec {
     }
   }
 
-  test("stale interp fails loud after a mode flip (no silent domain switch)") {
-    // The numeric domain is process-global (like the reference's): a second
-    // interp constructed under a different conf re-assigns it. The FIRST
-    // interp must then refuse at its next entry point instead of silently
-    // computing in the wrong domain.
-    spark.conf.set("spark.graft.decimalNumbers", "true")
-    try {
-      val decInterp = new AndlInterp(spark, "/tmp")
-      decInterp.run("x := 1 + 1", "mode-a")
-      spark.conf.unset("spark.graft.decimalNumbers")
-      new AndlInterp(spark, "/tmp") // flips the JVM-global mode to double
-      val ex = intercept[IllegalStateException](decInterp.run("y := 2", "mode-b"))
-      assert(ex.getMessage.contains("mode conflict"), ex.getMessage)
-      // a fresh interp under the current settings works fine
-      val ok = new AndlInterp(spark, "/tmp")
-      ok.run("z := 3", "mode-c")
-    } finally {
-      spark.conf.unset("spark.graft.decimalNumbers")
-      AndlValues.decimalNumbers = false
-    }
+  test("two interpreters with OPPOSITE decimal modes coexist, interleaved: " +
+       "each entry point runs in its own numeric domain") {
+    // The modes are per-session (captured at construction, thread-scoped
+    // per entry point) — a second interp under a different conf no longer
+    // flips the first's domain.
+    val dec = new AndlInterp(spark, "/tmp",
+      AndlInterp.Modes(decimalNumbers = true, collation = None))
+    val dbl = new AndlInterp(spark, "/tmp") // conf default: double
+    val table = moneyTable.limit(10000)
+    dec.defineRelvar("T", table)
+    dbl.defineRelvar("T", table) // interleaved with dec's statements
+    dec.run("total := T .select{ (fold(+,amt)) }", "mix-dec")
+    dbl.run("total := T .select{ (fold(+,amt)) }", "mix-dbl")
+    dec.run("r := T .select{ id, v := amt * 100 + 0.5 }", "mix-dec2")
+    // the decimal session stays decimal end-to-end...
+    assert(dec.relvar("r").schema("v").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    val dTotal = dec.global.lookup("total").get.asInstanceOf[NumV].d
+    assert(dTotal === 1000.0, s"decimal session drifted: $dTotal")
+    // ...while the double session, interleaved, stays double
+    dbl.run("r := T .select{ id, v := amt * 100 + 0.5 }", "mix-dbl2")
+    assert(dbl.relvar("r").schema("v").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val bTotal = dbl.global.lookup("total").get.asInstanceOf[NumV].d
+    assert(math.abs(bTotal - 1000.0) < 1e-6)
   }
 }

@@ -108,6 +108,58 @@ class HttpGatewaySpec extends SparkSpec {
       s"lost updates under concurrency: $nb")
   }
 
+  test("two databases with OPPOSITE decimal modes serve concurrently: " +
+    "each request computes in its own numeric domain") {
+    import graft.lang.AndlInterp
+    val g = new HttpGateway(spark, modes = Map(
+      "dec" -> AndlInterp.Modes(decimalNumbers = true, collation = None),
+      "dbl" -> AndlInterp.Modes(decimalNumbers = false, collation = None)))
+    g.start()
+    try {
+      val b2 = s"http://127.0.0.1:${g.boundPort}/api"
+      def post(db: String, script: String): (Int, String) = {
+        val req = HttpRequest.newBuilder(URI.create(s"$b2/$db"))
+          .method("POST", BodyPublishers.ofString(script)).build()
+        val r = http.send(req, BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // 100 × 0.1 summed on the engine: exact 10 in the decimal domain,
+      // float drift in the double domain — the fingerprint of each mode
+      val script = "write(seq(100) .select{ (fold(+, 0.1)) })"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (1 to 16).map { i =>
+          val db = if (i % 2 == 0) "dec" else "dbl"
+          db -> pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+            def call(): (Int, String) = post(db, script)
+          })
+        }
+        val results = futures.map { case (db, f) => db -> f.get() }
+        assert(results.forall(_._2._1 == 200), results.toString)
+        def out(body: String): Double =
+          mapper.readTree(body).get("output").asText().trim.toDouble
+        results.foreach {
+          case ("dec", (_, body)) =>
+            assert(out(body) === 10.0, s"decimal db drifted: $body")
+          case (_, (_, body)) =>
+            val v = out(body)
+            assert(v !== 10.0, s"double db was exact — mode leaked: $body")
+            assert(math.abs(v - 10.0) < 1e-9, body)
+        }
+      } finally pool.shutdown()
+      // Evaluate rejects a path segment that is not an identifier — it is
+      // interpolated into Andl source and must never execute as script
+      val evalReq = HttpRequest.newBuilder(
+          URIBuilder(s"$b2/dec/x)%20write(1")) // "x) write(1" url-encoded
+        .method("POST", BodyPublishers.ofString("[]")).build()
+      val er = http.send(evalReq, BodyHandlers.ofString())
+      assert(er.statusCode() === 400 &&
+        er.body().contains("not an Andl identifier"), er.body())
+    } finally g.stop()
+  }
+
+  private def URIBuilder(s: String): URI = URI.create(s)
+
   override def withFixture(test: NoArgTest) = {
     try super.withFixture(test)
     finally if (test.name.startsWith("wire round trip")) gw.stop()
