@@ -250,14 +250,14 @@ object Multimodal {
     * so a codec plugin upgrades the hash/near-dup path and the decode
     * path together. None when the decoder declines the bytes. */
   def vHash64(bytes: Array[Byte],
-              video: VideoDecoder = MjpegAviDecoder): Option[Long] =
+              video: VideoDecoder = BuiltinVideoDecoders): Option[Long] =
     try video.firstFrame(bytes).map(dHashImage)
     catch { case _: Exception => None }
 
   /** Per-asset video-hash frame (id, sh) — same batched contract as
     * [[dHashes]]; undecodable clips drop out. */
   def videoHashes(assets: DataFrame,
-                  video: VideoDecoder = MjpegAviDecoder): DataFrame =
+                  video: VideoDecoder = BuiltinVideoDecoders): DataFrame =
     hashFrame(assets, vHash64(_, video))
 
   /** Video near-duplicate pairs: [[vHash64]] per clip, then the shared
@@ -266,7 +266,7 @@ object Multimodal {
     * first-frame dHash. */
   def videoNearDup(assets: DataFrame, maxDist: Int = 4,
                    bucketCap: Int = 8192,
-                   video: VideoDecoder = MjpegAviDecoder): DataFrame = {
+                   video: VideoDecoder = BuiltinVideoDecoders): DataFrame = {
     import graft.rel.Checkpoint.PinOps
     Dedup.hammingPairs(videoHashes(assets, video).pin(), maxDist, bucketCap)
   }
@@ -370,12 +370,139 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  // ---------------------------------------- QuickTime/MOV (Photo-JPEG)
+
+  /** QuickTime atom walk for Photo-JPEG video tracks ('jpeg' sample
+    * format — each sample is a standalone JFIF the stock JVM decodes):
+    * the (offset, size) of every video sample, resolved through the
+    * classic stbl tables — stsd (codec gate), stco/co64 (chunk offsets),
+    * stsc (sample→chunk runs), stsz (sample sizes). Empty for non-MOV
+    * bytes, codecs the JVM can't decode (H.264/VP9 still fall through the
+    * seam), or malformed tables. Offsets are absolute file offsets, the
+    * QuickTime convention. */
+  private def movFrames(bytes: Array[Byte]): Seq[(Int, Int)] = try {
+    if (bytes.length < 16) return Nil
+    val bb = java.nio.ByteBuffer.wrap(bytes) // QuickTime is big-endian
+    def typ(p: Int): String = new String(bytes, p + 4, 4, "ISO-8859-1")
+    // (type, bodyStart, bodyEnd) of each child atom in [start, end)
+    def children(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var p = start
+      while (p + 8 <= end) {
+        var size = bb.getInt(p).toLong & 0xffffffffL
+        var hdr = 8
+        if (size == 1 && p + 16 <= end) { size = bb.getLong(p + 8); hdr = 16 }
+        else if (size == 0) size = (end - p).toLong
+        if (size < hdr || p + size > end) return out.toSeq // malformed tail
+        out += ((typ(p), p + hdr, p + size.toInt))
+        p += size.toInt
+      }
+      out.toSeq
+    }
+    val top = children(0, bytes.length)
+    val known = Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pnot")
+    if (top.isEmpty || !known.contains(top.head._1)) return Nil
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    for ((_, ms, me) <- top.filter(_._1 == "moov");
+         (_, ts, te) <- children(ms, me).filter(_._1 == "trak");
+         (_, ds, de) <- children(ts, te).filter(_._1 == "mdia");
+         (_, ns, ne) <- children(ds, de).filter(_._1 == "minf");
+         (_, ss, se) <- children(ns, ne).filter(_._1 == "stbl")) {
+      val leaves = children(ss, se).map(c => c._1 -> (c._2, c._3)).toMap
+      val fmt = leaves.get("stsd").map { case (p, _) =>
+        new String(bytes, p + 12, 4, "ISO-8859-1") }.getOrElse("")
+      if (fmt == "jpeg") {
+        val (szP, _) = leaves("stsz")
+        val uniform = bb.getInt(szP + 4)
+        val nSamples = bb.getInt(szP + 8)
+        def sizeOf(i: Int): Int =
+          if (uniform != 0) uniform else bb.getInt(szP + 12 + 4 * i)
+        val chunkOffsets: Array[Long] = leaves.get("stco") match {
+          case Some((p, _)) =>
+            Array.tabulate(bb.getInt(p + 4))(i =>
+              bb.getInt(p + 8 + 4 * i).toLong & 0xffffffffL)
+          case None =>
+            val (p, _) = leaves("co64")
+            Array.tabulate(bb.getInt(p + 4))(i => bb.getLong(p + 8 + 8 * i))
+        }
+        val (scP, _) = leaves("stsc")
+        val runs = Array.tabulate(bb.getInt(scP + 4))(i =>
+          (bb.getInt(scP + 8 + 12 * i), bb.getInt(scP + 12 + 12 * i)))
+        def samplesInChunk(c: Int): Int = // 1-based chunk index
+          runs.foldLeft(0) { case (acc, (first, spc)) =>
+            if (first <= c) spc else acc }
+        var si = 0
+        chunkOffsets.indices.foreach { ci =>
+          var off = chunkOffsets(ci)
+          var k = 0
+          val spc = samplesInChunk(ci + 1)
+          while (k < spc && si < nSamples) {
+            val sz = sizeOf(si)
+            if (off >= 0 && sz > 0 && off + sz <= bytes.length)
+              frames += ((off.toInt, sz))
+            off += sz; si += 1; k += 1
+          }
+        }
+      }
+    }
+    frames.toSeq
+  } catch { case _: Exception => Nil }
+
+  /** REAL video decode for the second container the stock JVM handles
+    * end-to-end: Photo-JPEG in QuickTime/MOV. Same bounded work shape as
+    * [[MjpegAviDecoder]] — dims from the first decodable frame, feature
+    * averaged over ≤8 evenly-sampled frames, perceptual hash from the
+    * first frame. Compressed inter-frame codecs in a MOV wrapper
+    * (H.264 etc.) are NOT decodable here and fall through the seam. */
+  object MjpegMovDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte]): Option[VideoInfo] = try {
+      val frames = movFrames(bytes)
+      if (frames.isEmpty) return None
+      val stride = math.max(1, frames.length / 8)
+      val sampled = frames.indices.by(stride).take(8)
+        .flatMap { i =>
+          val (off, len) = frames(i)
+          imageDecode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }
+      if (sampled.isEmpty) return None
+      val (w, h, ch, _) = sampled.head
+      val feature = new Array[Float](8)
+      sampled.foreach { case (_, _, _, f) =>
+        var j = 0; while (j < 8) { feature(j) += f(j); j += 1 }
+      }
+      var j = 0; while (j < 8) { feature(j) /= sampled.length; j += 1 }
+      Some(VideoInfo(w, h, ch, frames.length, feature))
+    } catch { case _: Exception => None }
+
+    override def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        movFrames(bytes).iterator.flatMap { case (off, len) =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(bytes, off, off + len))))
+          catch { case _: Exception => None }
+        }.nextOption()
+      } catch { case _: Exception => None }
+  }
+
+  /** The DEFAULT video path: every built-in pure-JVM container decoder in
+    * sequence (MJPEG-in-AVI, then Photo-JPEG-in-MOV); first handler wins,
+    * anything neither handles falls to the deterministic stub. Arbitrary
+    * compressed codecs (H.264/VP9/AV1) remain bring-your-own-decoder
+    * through the [[VideoDecoder]] seam — a deployment with a JNI/FFmpeg
+    * binding plugs it in here without touching the pipeline. */
+  object BuiltinVideoDecoders extends VideoDecoder {
+    def decode(bytes: Array[Byte]): Option[VideoInfo] =
+      MjpegAviDecoder.decode(bytes).orElse(MjpegMovDecoder.decode(bytes))
+    override def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      MjpegAviDecoder.firstFrame(bytes).orElse(MjpegMovDecoder.firstFrame(bytes))
+  }
+
   /** Dispatch: real decoders by magic bytes; video payloads go through the
-    * pluggable seam — [[MjpegAviDecoder]] by DEFAULT, so the one container
-    * the stock JVM can fully decode takes the real path out of the box;
-    * anything unhandled falls to the deterministic stub. */
+    * pluggable seam — [[BuiltinVideoDecoders]] by DEFAULT, so every
+    * container the stock JVM can fully decode takes the real path out of
+    * the box; anything unhandled falls to the deterministic stub. */
   def decodeBytes(bytes: Array[Byte],
-                  video: VideoDecoder = MjpegAviDecoder): (Int, Int, Int, Array[Float]) =
+                  video: VideoDecoder = BuiltinVideoDecoders): (Int, Int, Int, Array[Float]) =
     (if (isImage(bytes)) imageDecode(bytes)
      else if (isWav(bytes)) wavDecode(bytes)
      else video.decode(bytes).map(v => (v.width, v.height, v.channels, v.feature)))
@@ -388,7 +515,7 @@ object Multimodal {
     * default; [[StubVideoDecoder]] opts back into the deterministic
     * fallback for every video payload. */
   def decode(assets: DataFrame,
-             video: VideoDecoder = MjpegAviDecoder): DataFrame = {
+             video: VideoDecoder = BuiltinVideoDecoders): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
     assets.select("asset_id", "payload").mapPartitions { it =>
       // codec-library init would go HERE, once per task

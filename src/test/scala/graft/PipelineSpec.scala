@@ -756,6 +756,73 @@ class PipelineSpec extends SparkSpec {
     assert(hs.size === 3)
   }
 
+  test("multimodal: REAL video decode of Photo-JPEG in QuickTime/MOV " +
+    "(atom walk through stsd/stsz/stsc/stco); compressed codecs fall through") {
+    import spark.implicits._
+    def jpegFrame(r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(r, g, b)); gfx.fillRect(0, 0, 40, 30); gfx.dispose()
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    // minimal classic QuickTime: ftyp + mdat(JPEG samples) + moov with the
+    // four stbl tables the decoder resolves samples through
+    def atom(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len); bb.put(typ.getBytes("ISO-8859-1")); body.foreach(bb.put)
+      bb.array()
+    }
+    def be(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.length * 4)
+      ints.foreach(bb.putInt); bb.array()
+    }
+    def buildMov(format: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val ftyp = atom("ftyp", "qt  ".getBytes("ISO-8859-1"), be(0),
+        "qt  ".getBytes("ISO-8859-1"))
+      val mdat = atom("mdat", frames.flatten.toArray)
+      val firstSample = ftyp.length + 8 // absolute offset of mdat body
+      val stsdEntry = {
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putInt(16); bb.put(format.getBytes("ISO-8859-1"))
+        bb.put(new Array[Byte](6)); bb.putShort(1) // reserved + dataRefIdx
+        bb.array()
+      }
+      val stbl = atom("stbl",
+        atom("stsd", be(0, 1), stsdEntry),
+        atom("stsz", be(0, 0, frames.length) ++ be(frames.map(_.length): _*)),
+        atom("stsc", be(0, 1, 1, frames.length, 1)),
+        atom("stco", be(0, 1, firstSample)))
+      val moov = atom("moov", atom("trak", atom("mdia", atom("minf", stbl))))
+      ftyp ++ mdat ++ moov
+    }
+    val frames = Seq(jpegFrame(0, 200, 0), jpegFrame(0, 200, 0), jpegFrame(0, 200, 0))
+    val mov = buildMov("jpeg", frames)
+    val Some(info) = Multimodal.MjpegMovDecoder.decode(mov)
+    assert(info.width === 40 && info.height === 30 && info.channels === 3)
+    assert(info.nFrames === 3)
+    assert(info.feature(1) > 0.5 && info.feature(0) < 0.2,
+      s"green feature wrong: ${info.feature.toSeq}")
+    // the default seam now handles MOV without opting in
+    val assets = Multimodal.toAssets(
+      Seq((9L, mov)).toDF("id", "bytes"), "id", "bytes", "video", "test")
+    val real = Multimodal.decode(assets).collect()(0)
+    assert(real.getInt(1) === 40 && real.getInt(2) === 30 && real.getInt(3) === 3)
+    // the video perceptual hash IS the first frame's dHash, same as AVI
+    assert(Multimodal.vHash64(mov) === Multimodal.dHash64(frames.head))
+    // a COMPRESSED codec in the same wrapper (avc1 = H.264) is not
+    // decodable pure-JVM: the seam declines it and the deterministic stub
+    // takes over — the documented bring-your-own-decoder fall-through
+    val h264 = buildMov("avc1", frames)
+    assert(Multimodal.MjpegMovDecoder.decode(h264).isEmpty)
+    val stubbed = Multimodal.decode(Multimodal.toAssets(
+      Seq((10L, h264)).toDF("id", "bytes"), "id", "bytes", "video", "test"))
+      .collect()(0)
+    assert(stubbed.getInt(1) !== 40, "compressed codec must fall to the stub")
+  }
+
   test("multimodal: an EXTERNAL codec plugs into the VideoDecoder seam — " +
     "decode, vHash64 and near-dup all work through it unchanged") {
     import spark.implicits._
