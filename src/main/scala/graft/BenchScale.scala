@@ -319,6 +319,26 @@ object BenchScale {
         .agg(sum("len")).count()
     }
     run("bucketed_join", bktJoin(docs1, "1x"), bktJoin(scaleDocs(mult), "nx"))
+    // deliberately hot-keyed join (~20% of rows on ONE key, incompressible
+    // text payload) under AQE skew handling: the skew split carves the hot
+    // partition into parallel pieces, so per-row cost must stay flat as
+    // the corpus grows instead of serializing on the one hot reducer.
+    // Thresholds lowered to the test corpus's sizes — production data
+    // crosses the defaults on its own.
+    def skewJoin(df: DataFrame): Long = {
+      val li = df.select(when(col("doc_id") % 5 === 0, lit(1L))
+          .otherwise(col("doc_id")).as("k"), col("text"))
+      val dim = df.select(col("doc_id").as("k"), col("n_chars"))
+      li.hint("merge").join(dim, "k")
+        .select(col("k"), length(col("text")) + col("n_chars")).count()
+    }
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k")
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    run("skew_join", skewJoin(docs1), skewJoin(scaleDocs(mult)))
+    skewConfs.foreach { case (k, _) => spark.conf.unset(k) }
     spark.stop()
   }
 }

@@ -345,6 +345,26 @@ object Queries {
         round(max(col("o_totalprice")), 6).as("max_price"))
   }
 
+  /** Deliberately hot-keyed join — the skew gate (SURVEY scale-readiness):
+    * ~20% of lineitem rows collapse onto ONE order key before a shuffled
+    * (merge-hint, never broadcast) join back to orders. On a cluster at
+    * real scale, AQE's skew-join split (on by default) carves the hot
+    * partition into parallel splits; PlanSpec pins that reaction with
+    * lowered skew thresholds, while this row pins result CORRECTNESS of
+    * the skewed plan. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").df.select(
+      when(col("l_orderkey") % 5 === 0, lit(1L)).otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+    val o = t(s, dir, "orders").df.select(col("o_orderkey").as("k"),
+      col("o_totalprice"))
+    li.hint("merge").join(o, "k")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_li"),
+        round(sum(col("l_quantity")), 6).as("sum_qty"),
+        round(max(col("o_totalprice")), 6).as("max_price"))
+  }
+
   // ================================================== §2.7 scalar library
 
   def qScalarText(s: SparkSession, dir: String): DataFrame =
@@ -2369,6 +2389,7 @@ object Queries {
     "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
     "q_catalog_var" -> qCatalogVar, "q_catalog_history" -> qCatalogHistory,
     "q_bucketed_join" -> qBucketedJoin, "q_stream_uniq" -> qStreamUniq,
+    "q_skew_join" -> qSkewJoin,
     // relationalCore (the parity-mode sweep subset) is defined below
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
     "q_fold_ordered" -> qFoldOrdered,
@@ -2689,6 +2710,15 @@ object Queries {
       "round(max(o_totalprice), 6) AS max_price " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
       "GROUP BY c_custkey, c_name"),
+    // ~20% of lineitem collapses onto order key 1 before the join — the
+    // hash-mismatch-proof oracle for the AQE-skew-handled plan
+    "q_skew_join" -> ("SELECT k, count(*) AS n_li, " +
+      "round(sum(l_quantity), 6) AS sum_qty, " +
+      "round(max(o_totalprice), 6) AS max_price FROM " +
+      "(SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_orderkey END AS k, " +
+      "l_quantity FROM lineitem) li " +
+      "JOIN (SELECT o_orderkey AS k, o_totalprice FROM orders) o USING (k) " +
+      "GROUP BY k"),
     "q_fold_bool" -> ("SELECT o_orderpriority, bool_and(o_totalprice > 1000.0) AS all_mid, " +
       "bool_or(o_totalprice > 400000.0) AS any_big, " +
       "(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1)) % 2 = 1 AS odd_count " +

@@ -495,4 +495,58 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"bucketed join/agg shuffled — bucket co-location lost:\n${p.take(4000)}")
   }
+
+  test("skewed-key join: AQE splits the hot partition (skew=true in the " +
+    "final adaptive plan) and the skewed result stays correct") {
+    // q_skew_join's shape: ~20% of lineitem on ONE key, shuffled join. At
+    // production scale the hot partition crosses AQE's default skew
+    // thresholds on its own; at test scale we lower them to force the
+    // same reaction. The aggregate ABOVE the join reuses the join's
+    // partitioning, so AQE (correctly) declines the split there unless
+    // forced — the gate therefore checks the join stage itself.
+    val confs = Seq(
+      // 32 reduce partitions (the bench setting): the hot key's partition
+      // is then ~9x the median — unambiguous skew, like production
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.01"
+      // Two test-scale adjustments to reach the production shape AQE
+      // reacts to: (a) AQE splits a skewed reduce partition by MAPPER
+      // ranges, and a single sf0.01 parquet file is ONE map task — so
+      // fan out to 8 mappers; (b) skew detection is BYTE-based, and a
+      // hot partition of identical tiny keys compresses ~6x better than
+      // its neighbors, hiding a 9x row skew — so carry an incompressible
+      // payload column, like the document/text payloads a real skewed
+      // pipeline shuffles
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").select(
+        when(col("l_orderkey") % 5 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"),
+        md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))).as("payload"))
+        .repartition(8)
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val joined = li.hint("merge").join(o, "k")
+      // collect() executes joined's OWN QueryExecution, so AQE finalizes
+      // THIS plan (count() would execute a separate one and leave this
+      // plan isFinalPlan=false with no skew markers)
+      assert(joined.collect().length > 0)
+      val p = plan(joined)
+      assert(p.contains("skew=true"),
+        s"hot partition not skew-split by AQE:\n${p.take(4000)}")
+      // and the full oracle-gated query (join + agg) runs green under the
+      // same lowered thresholds — correctness is threshold-independent
+      val q = graft.Queries.qSkewJoin(spark, dir)
+      val hot = q.where(col("k") === 1).collect()
+      assert(hot.length === 1 && hot(0).getAs[Long]("n_li") > 10000L,
+        s"hot key missing/underweight: ${hot.toSeq}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
