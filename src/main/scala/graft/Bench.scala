@@ -117,8 +117,15 @@ object Bench {
     // QUIET sweeps only. If the machine never quiets down, the medians
     // fall back to the quiet subset we have and contended stays true —
     // honest, but never inflated by sweeps we know were contended.
+    // the band anchors to the quickest sweep WITH a full complement of
+    // successful queries — a sweep whose total is artificially small
+    // because queries failed early must not become the "quietest" and
+    // reclassify genuinely healthy sweeps as loaded
     def quietIdx: Set[Int] = {
-      val mn = sweeps.min
+      val full = sweeps.indices.filter(i =>
+        names.forall { case (n, _) => samples(n).exists(_._1 == i) })
+      val pool = if (full.nonEmpty) full else sweeps.indices.toSeq
+      val mn = pool.map(sweeps(_)).min
       sweeps.indices.filter(i => sweeps(i) <= mn * 1.5).toSet
     }
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
@@ -148,6 +155,45 @@ object Bench {
       n -> (xs.map(_._2).min, xs.map(_._2).max) }
     val failed = names.map(_._1).filter(n => samples(n).isEmpty)
 
+    // ---- suite-context tail AUTO-ADJUDICATION: a row whose in-suite
+    // median breaches 1.5x its recorded anchor (tools/anchors.json,
+    // regenerated from BASELINE.md by tools/mkanchors.py; override with
+    // SPARK_GRAFT_ANCHORS) is re-measured ISOLATED — median of 5
+    // back-to-back runs of that single query — and BOTH numbers land in
+    // the artifact. This replaces the manual isolated re-measures that
+    // suite-context tails (q_bm25, q_stream_join) needed in prior rounds:
+    // the artifact itself now says whether a breach is the query or the
+    // suite context around it. No anchors file = no adjudication.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "tools/anchors.json")
+    val anchors: Map[String, Double] =
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(Paths.get(anchorPath)))
+        val b = Map.newBuilder[String, Double]
+        n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    // breach = 1.5x the anchor AND at least +0.5 s over it: sub-second
+    // rows wobble past any ratio on scheduler noise alone (and at a
+    // smaller SF than the anchors'), and no row that small is ever graded
+    // weak — the absolute floor keeps the adjudication list to rows where
+    // an isolated number actually settles something
+    val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    timings.foreach { case (n, med) =>
+      anchors.get(n).filter(a => a > 0 && med > a * 1.5 && med > a + 0.5)
+        .foreach { a =>
+        System.err.println(
+          f"[bench] $n in-suite $med%.2f s breaches 1.5x anchor $a%.2f s — isolated re-measure")
+        val fn = names.find(_._1 == n).get._2
+        val xs = (1 to 5).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }.toList
+        if (xs.nonEmpty) isolated(n) = median(xs)
+      }
+    }
+
     def jstr(s: String): String = graft.types.Json.str(s)
     def r4(v: Double): String = f"$v%.4f"
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }.mkString("{", ",", "}")
@@ -165,8 +211,10 @@ object Bench {
     // runner that keeps only a tail window of stdout must still see the
     // whole line. The full record (spread, errors) goes to bench_out.json.
     val lm = loadedMedians.map(jstr).mkString("[", ",", "]")
+    val iso = isolated.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }
+      .mkString("{", ",", "}")
     val core =
-      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"isolated":$iso,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
     Files.writeString(Paths.get("bench_out.json"),
       s"""{$core,"spread":$sp,"errors":$es}""" + "\n")
     println(s"{$core}")

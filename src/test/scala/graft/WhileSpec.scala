@@ -83,14 +83,22 @@ class WhileSpec extends SparkSpec {
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
-      val seed = Rel.distinct(Seq(0).toDF("A1"))
-      val out = WhileFix.rel(seed,
-        r => r.where(col("A1") < 10).transform("A1" -> (col("A1") + 1)),
-        // tinyRows=0 via apply: use the distributed regime so pins happen
-        maxIter = 100)
+      val seed = Seq(0).toDF("A1")
+      val probe = new WhileFix.Probe
+      // tinyRows=0 forces the DISTRIBUTED regime so the per-round pins
+      // actually happen — and under the knob each becomes a directory
+      // checkpoint that would survive executor loss on a preemptible
+      // cluster
+      val out = WhileFix(seed,
+        d => d.filter(col("A1") < 10).select((col("A1") + 1).as("A1")),
+        maxIter = 100, tinyRows = 0L, probe = probe)
       assert(out.count() === 11)
-      val ckpt = new java.io.File(dir)
-      assert(ckpt.exists)
+      assert(probe.bailedToSpark && probe.distributedRounds > 0)
+      // the fixpoint's pins are REAL directory checkpoints: rdd-checkpoint
+      // data must exist under the configured dir
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, s"no checkpoint files under $dir — pins stayed local")
     } finally {
       spark.conf.set("spark.graft.reliableCheckpoint", "false")
     }
