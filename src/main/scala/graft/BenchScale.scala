@@ -315,8 +315,10 @@ object BenchScale {
         docs.select(col("doc_id"), col("n_chars").as("len"))), Seq("doc_id"), 8)
       val a = cat.relvar(s"sc_docs_$tag").df
       val b = cat.relvar(s"sc_meta_$tag").df
-      a.hint("merge").join(b, "doc_id").groupBy("source")
+      val n = a.hint("merge").join(b, "doc_id").groupBy("source")
         .agg(sum("len")).count()
+      cat.close() // result materialized — drop this run's physical tables
+      n
     }
     run("bucketed_join", bktJoin(docs1, "1x"), bktJoin(scaleDocs(mult), "nx"))
     // deliberately hot-keyed join (~20% of rows on ONE key, incompressible

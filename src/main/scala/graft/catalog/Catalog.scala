@@ -369,6 +369,36 @@ final class Catalog(val spark: SparkSession) {
     r
   }
 
+  // ------------------------------------------------------------- lifecycle
+
+  /** Release everything this catalog instance OWNS on disk: its bucketed
+    * physical tables (every generation of `name__c<id>_bkt<g>`) and its
+    * cadence snapshot directories (`<historyDir>/<name>__c<id>`). Without
+    * this, every discarded Catalog leaves its physical generations in the
+    * warehouse forever — across bench sweeps locally, and as leaked
+    * warehouse tables on a cluster. Safe by construction: both namespaces
+    * carry this instance's catalogId, so no other catalog's live plans
+    * can be reading them. The instance is unusable afterwards (its stored
+    * plans scan dropped tables). Idempotent. */
+  def close(): Unit = {
+    // every generation this instance ever wrote, not just the current one
+    // (history snapshots may have pinned older generations — all dead now)
+    bucketGen.foreach { case (name, gen) =>
+      (1 to gen).foreach { g =>
+        spark.sql(s"DROP TABLE IF EXISTS `${name}__c${catalogId}_bkt$g`")
+      }
+    }
+    val hd = historyDir
+    val fs = new org.apache.hadoop.fs.Path(hd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    relvars.keys.foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$hd/${name}__c$catalogId")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    relvars.clear(); history.clear(); boundTo.clear()
+    bucketSpec.clear(); bucketGen.clear()
+  }
+
   // --------------------------------------------------------- introspection
 
   /** andl_variable() analogue: the catalog as a relation. */

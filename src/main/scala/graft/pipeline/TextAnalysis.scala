@@ -53,6 +53,72 @@ object TextAnalysis {
       .otherwise((length(text) - length(regexp_replace(text, "[A-Z]", "")))
         .cast("double") / length(text).cast("double"))
 
+  // ----------------------------------------------- repetition signals
+
+  /** Word n-grams of a token array, in-row: [] when fewer than n tokens
+    * (sequence() would run DESCENDING for a negative span). */
+  private def wordNgrams(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** One sorted-array pass extracting (best run, best gram, duplicated
+    * chars): runs of equal grams in the sorted array ARE the per-gram
+    * counts, so a single `aggregate` with a 5-field struct accumulator
+    * yields the mode (ties to the lexicographically smallest gram — the
+    * first max run encountered) and Σ count×length over grams with
+    * count>1 (the retroactive +2·len at run==2 counts the run's first
+    * occurrence). */
+  private def runStats(sorted: Column): Column = {
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("bestg"), lit(0L).as("dupc"))
+    aggregate(sorted, init, (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+        .otherwise(lit(1L))
+      val isBest = run > acc.getField("best")
+      struct(
+        x.as("prev"), run.as("run"),
+        when(isBest, run).otherwise(acc.getField("best")).as("best"),
+        when(isBest, x).otherwise(acc.getField("bestg")).as("bestg"),
+        (acc.getField("dupc") +
+          when(run === 2L, length(x).cast("long") * 2L)
+            .when(run > 2L, length(x).cast("long"))
+            .otherwise(lit(0L))).as("dupc"))
+    })
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    * word n-grams — this corpus has no line/sentence structure), computed
+    * IN-ROW: no explode, no shuffle, the quality pass stays one narrow
+    * scan at any corpus size.
+    *
+    *  - `top_2gram_char_frac`: chars of the most frequent word 2-gram
+    *    (count × gram length) over the whitespace-normalized text length;
+    *    ties break to the lexicographically smallest gram.
+    *  - `dup_<n>gram_char_frac`: Σ count×length over word n-grams
+    *    occurring more than once, same denominator (n = `dupN`, default 3
+    *    — Gopher uses 5..10 on web text; the right n tracks the corpus's
+    *    natural phrase length).
+    *
+    * Both use the simple count×length numerator (not overlap-adjusted
+    * coverage), capped at 1.0 — the definition the DuckDB oracle replays
+    * verbatim. 0.0 for docs without enough tokens. */
+  def repetitionSignals(text: Column, dupN: Int = 3): Seq[(String, Column)] = {
+    def frac(numer: Column, denom: Column): Column =
+      round(least(lit(1.0),
+        when(denom > 0, numer.cast("double") / denom.cast("double"))
+          .otherwise(lit(0.0))), 6)
+    val ts = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val normLen = length(array_join(ts, " "))
+    val s2 = runStats(sort_array(wordNgrams(ts, 2)))
+    val sN = runStats(sort_array(wordNgrams(ts, dupN)))
+    Seq(
+      "top_2gram_char_frac" ->
+        frac(s2.getField("best") * length(s2.getField("bestg")), normLen),
+      s"dup_${dupN}gram_char_frac" -> frac(sN.getField("dupc"), normLen))
+  }
+
   /** English stopword hit ratio: stopword tokens / tokens (quality and
     * language signal; the classic Gopher/C4-style heuristic). */
   val enStopwords: Seq[String] =

@@ -206,6 +206,32 @@ class CatalogSpec extends SparkSpec {
     assert(b.relvar("C").count() === 9)
   }
 
+  test("close() drops ONLY this instance's physical footprint: every " +
+    "bucketed generation and cadence snapshot dir, never a peer's") {
+    def physTables: Set[String] =
+      spark.sql("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
+        .filter(_.contains("_bkt")).toSet
+    val a = new Catalog(spark)
+    val b = new Catalog(spark)
+    val rows = Rel.distinct(Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    a.defineBucketed("lc", rows, Seq("id"), 4)
+    a.defineBucketed("lc", rows, Seq("id"), 4) // second generation
+    b.defineBucketed("lc", rows, Seq("id"), 4)
+    // a's cadence snapshot dir: cross the materialize-every-8 line
+    a.define("lv", rows)
+    (1L to 8L).foreach(i => a.insert("lv",
+      Rel.distinct(Seq((100L + i, "z")).toDF("id", "v"))))
+    val before = physTables
+    assert(before.count(_.startsWith("lc__c")) >= 3)
+    a.close()
+    val after = physTables
+    // both of a's generations gone; b's table intact and readable
+    assert(after.size === before.size - 2, s"$before -> $after")
+    assert(b.relvar("lc").count() === 2)
+    a.close() // idempotent
+    assert(physTables === after)
+  }
+
   test("save/load over a NON-file Hadoop filesystem: data AND metadata land " +
     "on the target scheme (object-store deployment path)") {
     val conf = spark.sparkContext.hadoopConfiguration

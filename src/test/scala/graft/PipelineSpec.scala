@@ -141,6 +141,31 @@ class PipelineSpec extends SparkSpec {
         TextAnalysis.hashedCharNgramsReference(col("text")))).count() === 0)
   }
 
+  test("repetition signals: mode count, tie-break, cap, and degenerate inputs " +
+    "match hand-computed values (the definition the oracle replays)") {
+    import spark.implicits._
+    def sigs(texts: String*): Seq[(Double, Double)] = {
+      val cols = TextAnalysis.repetitionSignals(col("text"))
+      texts.toDF("text")
+        .select(cols.map { case (n, c) => c.as(n) }: _*)
+        .collect().toSeq.map(r => (r.getDouble(0), r.getDouble(1)))
+    }
+    val out = sigs(
+      // "a b" x3 of 5 bigrams, len 3 -> 9/11; 3-grams "a b a","b a b"
+      // both x2 -> (10+10)/11 > 1 -> capped
+      "a b a b a b",
+      // all bigrams unique (run 1): mode = lexicographically smallest
+      // ("y y", 3 chars) over len("z z y y")=7
+      "z z y y",
+      // degenerate: empty, whitespace, single token
+      "", "   ", "word")
+    assert(math.abs(out(0)._1 - 9.0 / 11) < 1e-6, out(0).toString)
+    assert(out(0)._2 === 1.0, out(0).toString)
+    assert(math.abs(out(1)._1 - 3.0 / 7) < 1e-6, out(1).toString)
+    assert(out(1)._2 === 0.0)
+    assert(out.drop(2).forall(_ == (0.0, 0.0)), out.toString)
+  }
+
   test("native vec_dot and simhash64 are bit-identical to the combinator formulas") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("embedding").as("a"))

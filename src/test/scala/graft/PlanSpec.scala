@@ -496,6 +496,14 @@ class PlanSpec extends SparkSpec {
       s"bucketed join/agg shuffled — bucket co-location lost:\n${p.take(4000)}")
   }
 
+  test("repetition signals are ONE narrow scan: no explode, no join, " +
+    "no shuffle — the in-row sorted-run pass, not a gram blow-up") {
+    val p = plan(graft.Queries.qRepetition(spark, sf))
+    assert(!p.contains("Generate") && !p.contains("Join") &&
+      !p.contains("Exchange"),
+      s"repetition pass not narrow:\n${p.take(3000)}")
+  }
+
   test("skewed-key join: AQE splits the hot partition (skew=true in the " +
     "final adaptive plan) and the skewed result stays correct") {
     // q_skew_join's shape: ~20% of lineitem on ONE key, shuffled join. At

@@ -382,10 +382,13 @@ class StreamingSpec extends SparkSpec {
           graft.pipeline.Sampling.hashSplit(df, col("doc_id")), col("doc_id"),
           least(lit(1.0),
             graft.pipeline.TextAnalysis.stopwordRatio(col("text")) * 10.0))
-        .select(col("doc_id"),
-          graft.pipeline.TextAnalysis.scrub(col("text")).as("text"),
-          graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"),
-          col("split"))
+        .select(col("doc_id") +:
+          graft.pipeline.TextAnalysis.scrub(col("text")).as("text") +:
+          graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality") +:
+          col("split") +:
+          // repetition signals are in-row too — stream face identical
+          graft.pipeline.TextAnalysis.repetitionSignals(col("text"))
+            .map { case (n, c) => c.as(n) }: _*)
     val batch = enrich(spark.read.parquet(src)).collect().map(_.toSeq).toSet
     val f = new java.io.File(src)
     val q = enrich(spark.readStream.schema(schema)
