@@ -166,6 +166,42 @@ class PipelineSpec extends SparkSpec {
     assert(out.drop(2).forall(_ == (0.0, 0.0)), out.toString)
   }
 
+  test("repetition signals: property differential vs a driver-side reference " +
+    "over random small-vocab texts (mode, ties, dup accounting, cap)") {
+    import spark.implicits._
+    // driver-side reference: plain Scala group-counts of the same formula
+    def ref(text: String): (Double, Double) = {
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val normLen = ts.mkString(" ").length
+      def grams(n: Int) =
+        if (ts.length < n) Seq.empty else ts.sliding(n).map(_.mkString(" ")).toSeq
+      def frac(num: Long): Double =
+        if (normLen == 0) 0.0
+        else BigDecimal(math.min(1.0, num.toDouble / normLen))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val c2 = grams(2).groupBy(identity).view.mapValues(_.size).toMap
+      val top = if (c2.isEmpty) 0L
+        else { val best = c2.toSeq.sortBy { case (g, k) => (-k, g) }.head
+               best._2.toLong * best._1.length }
+      val c3 = grams(3).groupBy(identity).view.mapValues(_.size).toMap
+      val dup = c3.collect { case (g, k) if k > 1 => k.toLong * g.length }.sum
+      (frac(top), frac(dup))
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val texts = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } :+ "" :+ "a" :+ "a a a a a a"
+    val cols = TextAnalysis.repetitionSignals(col("text"))
+    val got = texts.toDF("text")
+      .select(col("text") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    texts.foreach { t =>
+      assert(got(t) === ref(t), s"mismatch for '$t': got ${got(t)}, ref ${ref(t)}")
+    }
+  }
+
   test("native vec_dot and simhash64 are bit-identical to the combinator formulas") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("embedding").as("a"))
