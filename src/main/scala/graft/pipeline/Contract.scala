@@ -80,6 +80,14 @@ object Contract {
     * path that scales to a reference set too big for executor memory.
     * The decision is a driver-side plan-stats read, zero extra jobs, and
     * the marker-column semantics are identical on both paths. */
+  // size estimates memoized per dim LOGICAL PLAN object: the streaming
+  // monitor calls refJoin once per micro-batch with the same dim frame,
+  // and re-running the optimizer on it every batch is pure driver waste.
+  // Weak keys: a dropped dim frame drops its memo entry.
+  private val refSizeMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]())
+
   private[graft] def refJoin(df: DataFrame,
                              expectations: Seq[Expectation]): DataFrame =
     expectations.zipWithIndex.foldLeft(df) {
@@ -89,8 +97,14 @@ object Contract {
           .map(_.toLong)
           .getOrElse(math.max(
             spark.sessionState.conf.autoBroadcastJoinThreshold, 10L << 20))
-        val est = spark.sessionState.executePlan(dim.queryExecution.logical)
-          .optimizedPlan.stats.sizeInBytes
+        val key = dim.queryExecution.logical
+        val est: Long = Option(refSizeMemo.get(key)).map(_.longValue).getOrElse {
+          val s = spark.sessionState.executePlan(key)
+            .optimizedPlan.stats.sizeInBytes
+          val v = if (s.isValidLong) s.toLong else Long.MaxValue
+          refSizeMemo.put(key, v)
+          v
+        }
         val d = dim.select(col(dc).as(s"__ref$i")).distinct()
         acc.join(if (limit > 0 && est <= limit) broadcast(d) else d,
           acc(c) === col(s"__ref$i"), "left")

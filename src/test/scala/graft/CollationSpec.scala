@@ -139,4 +139,25 @@ class CollationSpec extends SparkSpec {
       AndlValues.collation = None
     }
   }
+
+  test("two interpreters with OPPOSITE collation modes coexist, interleaved " +
+    "(the per-session symmetry of the decimal-mode test)") {
+    val icu = new AndlInterp(spark, "/tmp",
+      AndlInterp.Modes(decimalNumbers = false, collation = Some("UNICODE")))
+    val bin = new AndlInterp(spark, "/tmp") // conf default: binary
+    def orderOf(i: AndlInterp, tag: String): Vector[String] = {
+      i.defineRelvar("T", words.toDF("w"))
+      i.run("r := T .order(w) .select{ w, o := ord() }", tag)
+      i.relvar("r").collect().map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(_._2).map(_._1).toVector
+    }
+    // interleaved entry points: each session keeps ITS ordering semantics
+    val a1 = orderOf(icu, "mix-icu")
+    val b1 = orderOf(bin, "mix-bin")
+    val a2 = orderOf(icu, "mix-icu2")
+    assert(b1 === words.sorted, s"binary session not JVM-binary: $b1")
+    assert(a1 === icuOrder, s"ICU session not culture-ordered: $a1")
+    assert(a1 === a2)
+    assert(a1 !== b1, "fixture exposes no delta — test is vacuous")
+  }
 }
