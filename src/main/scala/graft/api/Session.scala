@@ -82,6 +82,12 @@ final class Session private (val spark: SparkSession, val catalog: Catalog) {
 
   /** Persist the whole catalog (relvars + scalars + functions + types). */
   def save(dir: String): Unit = catalog.save(dir)
+
+  /** CloseSession (Gateway.cs CloseSession): reclaim everything this
+    * session's catalog owns on disk — bucketed physical generations and
+    * cadence snapshots. Call after [[save]] if the state should survive;
+    * the session is unusable afterwards. */
+  def close(): Unit = catalog.close()
 }
 
 object Session {

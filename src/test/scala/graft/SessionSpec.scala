@@ -95,4 +95,27 @@ class SessionSpec extends SparkSpec {
     // loaded relvar equals what session 1 held (value equality both ways)
     assert(loaded.relEquals(s1.getValue("S")))
   }
+
+  test("save -> close -> reopen: persisted state (bucketed layout included) " +
+    "survives the session reclaiming its physical footprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_close").toString
+    val s1 = Session.open(spark)
+    val rows = graft.rel.Rel.distinct(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    s1.catalog.defineBucketed("B", rows, Seq("id"), 4)
+    s1.setScalar("n", 7)
+    s1.save(dir)
+    s1.close() // drops s1's physical tables; the save dir is the survivor
+    val s2 = Session.open(spark, dir)
+    assert(s2.getValue("B").relEquals(rows))
+    assert(s2.getScalar("n") === 7)
+    // the reopened bucketed relvar still joins Exchange-free on its key
+    val df = s2.getValue("B").df
+    val p = df.hint("merge").join(df.select(col("id"), col("v").as("v2")), "id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"bucketed layout lost across save/close/reopen:\n${p.take(3000)}")
+    s2.close()
+  }
 }
