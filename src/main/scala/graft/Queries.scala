@@ -272,10 +272,14 @@ object Queries {
     // string-qualified aliases: the frontier itself derives from `edges`
     // after round 1, so df-reference column equality would be an
     // ambiguous self-join
-    WhileFix(seed.df,
+    val out = WhileFix(seed.df,
       fr => fr.alias("f").join(edges.alias("e"), col("f.event_id") === col("e.src"))
         .select(col("e.dst").as("event_id")),
       tinyRows = 1000L, probe = probe)
+    // the fixpoint's legs are checkpoint-truncated — the result never
+    // reads the edge table again; its pin (edge-sized) is dead
+    edgesDf.unpin()
+    out
   }
 
   // ======================================================== §2.6 updates
@@ -2220,8 +2224,11 @@ object Queries {
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .pin()
-    graft.pipeline.Selection.dsirSelect(
+    // dsirSelect materializes its ≤n winners on the driver — the rebuilt
+    // corpus pin is dead the moment it returns
+    try graft.pipeline.Selection.dsirSelect(
       clean, clean.where(col("lang") === "fr"), n = 30)
+    finally clean.unpin()
   }
 
   /** Precision/recall curve ([[Profile.prCurve]]) of a deterministic

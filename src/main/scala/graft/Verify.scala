@@ -48,10 +48,18 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     selected.foreach { case (name, fn) =>
+      // drain each query's pins before the next: ~180 queries' worth of
+      // lazily-returned results' localCheckpoints in one JVM is storage
+      // pressure the queries themselves never ask for (mirrors Bench)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        val now = spark.sparkContext.getPersistentRDDs
+        now.keysIterator.filterNot(before)
+          .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
       }
     }
     def q(s: String): String = graft.types.Json.str(s)

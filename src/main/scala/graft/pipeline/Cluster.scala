@@ -61,8 +61,11 @@ object Cluster {
            _: org.apache.spark.sql.types.ShortType => true
       case _ => false
     }
-    if (integralIds && edges.count() <= driverEdgeCap)
-      return driverComponents(edges)
+    if (integralIds && edges.count() <= driverEdgeCap) {
+      val out = driverComponents(edges) // collects inside — pins dead after
+      edges.unpin(); p.unpin()
+      return out
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .pin()
@@ -90,13 +93,17 @@ object Cluster {
           Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
       val next = jump.pinLazy()
-      val s = lblSum(next)
+      val s = lblSum(next) // scans next: the lazy pin materializes here
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      labels.unpin() // superseded round's node-sized pin — release eagerly
       labels = next
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // the final label pin is the result's storage; the pair set and the
+    // src-partitioned edge layout (pair-set-sized) are dead once it exists
+    edges.unpin(); p.unpin()
     labels.select(col("id"), col("lbl").as("rep"))
   }
 

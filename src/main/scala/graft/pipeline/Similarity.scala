@@ -514,8 +514,11 @@ object Similarity {
     val cap = kmeansDriverCap(spark)
     if (cap > 0 &&
         isFloatArray(subRows.schema("subvec").dataType) &&
-        subRows.count() / m <= cap)
-      return driverPqLloyd(spark, subRows, cb, lloydIters, cId, sd)
+        subRows.count() / m <= cap) {
+      val out = driverPqLloyd(spark, subRows, cb, lloydIters, cId, sd)
+      subRows.unpin() // the tiny tier collected the sample; the pin is dead
+      return out
+    }
     // distributed fallback: element-wise means via subDim-wide per-dim
     // SUM slots, one shuffle per round (see lloydRefine)
     (0 until lloydIters).foreach { _ =>
@@ -533,12 +536,16 @@ object Similarity {
         .agg(count(lit(1)).as("__n"), sums: _*)
         .select(col("sub_id"), col("code"), array((0 until sd).map(i =>
           (col(s"__s$i") / col("__n")).cast("float")): _*).as("centroid"))
+      val prev = cb
       cb = cb.select(col("sub_id"), col("code"), col("centroid").as("__prev"))
         .join(means, Seq("sub_id", "code"), "left")
         .select(col("sub_id"), col("code"),
           coalesce(col("centroid"), col("__prev")).as("centroid"))
         .pin()
+      prev.unpin() // superseded round (round 1's prev is the unpinned seed
+                   // plan — unpin is a safe no-op there)
     }
+    subRows.unpin() // final codebook pin is the result; the sample is dead
     cb
   }
 

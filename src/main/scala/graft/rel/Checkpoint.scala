@@ -18,11 +18,29 @@ import org.apache.spark.sql.DataFrame
   * so cluster deployments do not chase call sites. */
 object Checkpoint {
 
+  /** True when the session routes pins through directory checkpoints.
+    * Operators that RELEASE superseded pins must consult this: a LAZY
+    * reliable pin never actually writes its directory (Spark's
+    * `doCheckpoint` only targets a job's final RDD, and a lazily pinned
+    * intermediate is below it), so a frame whose successor was pinned
+    * lazily still recomputes from its legs — releasing those legs is only
+    * safe after an EAGER successor pin. */
+  def isReliable(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.reliableCheckpoint")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** The persisted-RDD id behind a pinned frame (None when the plan is not
+    * a bare pin) — lets ledger-diff cleanup loops exempt pins that must
+    * survive the batch that created them. */
+  def pinnedRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.id)
+      case _ => None
+    }
+
   def pin(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val reliable = spark.conf.getOption("spark.graft.reliableCheckpoint")
-      .exists(_.equalsIgnoreCase("true"))
-    if (reliable) {
+    if (isReliable(spark)) {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         spark.conf.getOption("spark.graft.checkpointDir").foreach(sc.setCheckpointDir)
@@ -36,22 +54,48 @@ object Checkpoint {
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pin(): DataFrame = Checkpoint.pin(df, eager = true)
     def pinLazy(): DataFrame = Checkpoint.pin(df, eager = false)
-    /** Release a superseded pin's blocks. Iterative operators call this on
+    /** Release a superseded pin's storage. Iterative operators call this on
       * round i's frame once round i+1's pin has materialized, so a k-round
       * loop holds TWO copies of the per-row state, not k, without waiting
-      * on the ContextCleaner. No-op for directory-based reliable
-      * checkpoints (nothing is persisted in block storage there).
+      * on the ContextCleaner.
       *
       * A localCheckpoint pins at the RDD level (the checkpointed RDD is
       * persisted and registered in `sc.persistentRdds`), which
       * `Dataset.unpersist` — a CacheManager operation — does NOT touch;
       * the release must unpersist the UNDERLYING RDD out of the plan's
       * LogicalRDD. PinLedgerSpec pins this: the Dataset-level call left
-      * every "released" checkpoint resident until the ContextCleaner. */
+      * every "released" checkpoint resident until the ContextCleaner.
+      *
+      * A reliable (directory-based) checkpoint's storage is its
+      * `rdd-<id>` directory on the DFS, which Spark never deletes unless
+      * `spark.cleaner.referenceTracking.cleanCheckpoints` happens to fire
+      * — on a deep fixpoint that is one result-sized directory PER PIN
+      * left on the cluster store. unpin deletes the superseded
+      * directory; the contract is the same as the block release: the
+      * caller asserts this frame can never be recomputed again. */
     def unpin(): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => release(lr)
       case _ => df.unpersist(blocking = false)
+    }
+
+    /** Release EVERY pin the frame's plan references — for draining a
+      * returned result whose plan is a projection/union OVER its pins
+      * (pageRank's rounded select, a fixpoint's leg union), where `unpin`
+      * — top-level-only by design, so loop-internal releases can never
+      * reach a shared upstream pin by accident — sees no LogicalRDD.
+      * Caller asserts the whole result is dead. */
+    def unpinAll(): Unit = df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => release(lr)
+      case _ => ()
+    }
+
+    private def release(lr: org.apache.spark.sql.execution.LogicalRDD): Unit = {
+      lr.rdd.unpersist(blocking = false)
+      lr.rdd.getCheckpointFile.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     }
   }
 }

@@ -113,6 +113,12 @@ object Graph {
       prev.unpin()
       i += 1
     }
+    // the final `pr` pin (node-sized) is the bounded result pin; the
+    // EDGE-sized layout and the node-set pin are dead once it exists —
+    // leaving them resident is corpus-scale executor storage held until
+    // the ContextCleaner (PinLedgerSpec)
+    edges.unpin()
+    nodes.unpin()
     val out = pr.select(col("node"), round(col("pr"), 6).as("pr"))
     out
   }

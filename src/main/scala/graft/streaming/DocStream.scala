@@ -99,12 +99,17 @@ object DocStream {
     * bucket rewrite — the shape here mirrors that exactly. */
   def append(index: NearDupIndex, newDocs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text"): NearDupIndex = {
+    import graft.rel.Checkpoint.PinOps
     val delta = buildIndex(newDocs, idCol, textCol,
       index.numHashes, index.bands, index.shingleK)
-    NearDupIndex(
+    val merged = NearDupIndex(
       index.bandIndex.unionByName(delta.bandIndex).pin(),
       index.grams.unionByName(delta.grams).pin(),
       index.numHashes, index.bands, index.shingleK)
+    // the merged pins are EAGER — the delta's batch-sized pins are dead the
+    // moment they exist (unpinAll: delta.grams is a projection OVER its pin)
+    delta.bandIndex.unpinAll(); delta.grams.unpinAll()
+    merged
   }
 
   /** Wire a document stream to the index via foreachBatch, delivering each
@@ -114,7 +119,18 @@ object DocStream {
             textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(matchAgainst(batch, index, threshold, idCol, textCol))
+        // diff-drain: matchAgainst pins the batch's gram frame behind its
+        // lazy result; a long-running stream must not accumulate one such
+        // pin per micro-batch. The index's own pins predate the batch and
+        // are untouched.
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        try sink(matchAgainst(batch, index, threshold, idCol, textCol))
+        finally {
+          val now = sc.getPersistentRDDs
+          now.keysIterator.filterNot(before)
+            .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
+        }
       }
       .start()
 
@@ -131,13 +147,31 @@ object DocStream {
                        textCol: String = "text",
                        appendFilter: (DataFrame, DataFrame) => DataFrame =
                          (batch, _) => batch): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.rel.Checkpoint.PinOps
     @volatile var idx = index0
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Pin-ledger discipline for an UNBOUNDED stream: without releases,
+        // every micro-batch leaves (a) a full superseded INDEX COPY, and
+        // (b) its batch/gram/match pins — memory growth linear in batches.
+        // After append's eager merge, everything the batch pinned is dead
+        // EXCEPT the new index generation: drain by ledger diff, exempting
+        // those two pins. index0 stays caller-owned and is never released.
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         val b = batch.pin() // feeds the match AND the append — compute once
         val matches = matchAgainst(b, idx, threshold, idCol, textCol).pin()
         sink(matches)
+        val prev = idx
         idx = append(idx, appendFilter(b, matches), idCol, textCol)
+        if (prev.bandIndex ne index0.bandIndex) {
+          prev.bandIndex.unpin(); prev.grams.unpin()
+        }
+        val keep = Set(idx.bandIndex, idx.grams)
+          .flatMap(graft.rel.Checkpoint.pinnedRddId)
+        val now = sc.getPersistentRDDs
+        now.keysIterator.filterNot(before).filterNot(keep)
+          .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
       }
       .start()
   }

@@ -86,4 +86,85 @@ class PinLedgerSpec extends SparkSpec {
     assert(Similarity.ivfCentroids(embeds, nlist = 4, lloydIters = 0).count() === 4)
     assert((live -- before).isEmpty, "iters=0 early return leaked the base pin")
   }
+
+  test("pageRank: the EDGE-sized layout and node-set pins are released; " +
+       "only the node-sized result remains, and unpinAll drains it") {
+    val edges = (0 until 400)
+      .map(i => (s"n${i % 50}", s"n${(i * 7 + 3) % 50}")).toDF("src", "dst")
+    val before = live
+    val pr = graft.rel.Graph.pageRank(edges, iters = 3, dangling = true, tol = 1e-9)
+    assert(pr.count() === 50)
+    val extra = live -- before
+    assert(extra.size <= 1,
+      s"pageRank left ${extra.size} pins (edge layout / node set leak)")
+    pr.unpinAll()
+    assert((live -- before).isEmpty, "unpinAll did not drain the rank pin")
+  }
+
+  test("while fixpoint, driver tier: converging on the driver releases the seed pin") {
+    import org.apache.spark.sql.functions.col
+    val before = live
+    val out = graft.rel.WhileFix(Seq(0).toDF("A1"),
+      d => d.filter(col("A1") < 10).select((col("A1") + 1).as("A1")))
+    assert(out.count() === 11)
+    assert((live -- before).isEmpty,
+      "driver-tier convergence returned local rows but left the seed pinned")
+  }
+
+  test("while fixpoint, distributed tier: superseded compactions and absorbed " +
+       "frontiers release once their successor materializes — resident pins " +
+       "are O(legs since last compaction), not O(rounds)") {
+    import org.apache.spark.sql.functions.col
+    val before = live
+    // depth-20 chain, 1 step/round, compact every 2 rounds → ~20 rounds,
+    // ~10 compactions. Unreleased, the ledger would hold ~30 pins.
+    val probe = new graft.rel.WhileFix.Probe
+    val out = graft.rel.WhileFix(Seq(0).toDF("A1"),
+      d => d.filter(col("A1") < 20).select((col("A1") + 1).as("A1")),
+      compactEvery = 2, stepsPerRound = 1, tinyRows = 0L, probe = probe)
+    assert(out.count() === 21)
+    assert(probe.distributedRounds >= 10, "test must exercise many compactions")
+    val extra = live -- before
+    assert(extra.size <= 4, // last compaction pin + ≤2 legs + slack
+      s"fixpoint left ${extra.size} resident pins — superseded compactions leak")
+    out.unpinAll()
+    assert((live -- before).isEmpty, "unpinAll did not drain the result legs")
+  }
+
+  test("reliable checkpoints: superseded pins DELETE their rdd-* directories " +
+       "— a deep fixpoint leaves O(result) files on the DFS, not O(rounds)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-reclaim")
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    // sc's checkpoint dir is global and sticky — set it directly so this
+    // test's dir wins even if another suite configured one earlier
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val out = graft.rel.WhileFix(Seq(0).toDF("A1"),
+        d => d.filter(col("A1") < 12).select((col("A1") + 1).as("A1")),
+        compactEvery = 2, stepsPerRound = 1, tinyRows = 0L)
+      assert(out.count() === 13)
+      def rddDirs: Seq[java.nio.file.Path] = {
+        val s = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(p =>
+            p.getFileName.toString.startsWith("rdd-")).toList
+        } finally s.close()
+      }
+      // ~12 rounds × (fresh pin + eager compactions) would be 15+ dirs
+      // unreclaimed; the release discipline holds only the live legs
+      val liveDirs = rddDirs
+      assert(liveDirs.nonEmpty, "reliable mode must produce directory checkpoints")
+      assert(liveDirs.size <= 4,
+        s"${liveDirs.size} rdd-* dirs left on the checkpoint store — superseded " +
+        "reliable pins are not being deleted")
+      // the survivors are the result's storage: the frame still reads green
+      assert(out.count() === 13)
+      out.unpinAll()
+      assert(rddDirs.isEmpty, "unpinAll must reclaim the result's directories")
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+    }
+  }
 }

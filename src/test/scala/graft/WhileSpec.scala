@@ -81,7 +81,9 @@ class WhileSpec extends SparkSpec {
     // cluster) — results must be identical to the local-pin default
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
-    spark.conf.set("spark.graft.checkpointDir", dir)
+    // set the sticky global dir directly so this test's dir wins even if
+    // another suite (PinLedgerSpec) configured one earlier in the JVM
+    spark.sparkContext.setCheckpointDir(dir)
     try {
       val seed = Seq(0).toDF("A1")
       val probe = new WhileFix.Probe
