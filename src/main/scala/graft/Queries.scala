@@ -1247,6 +1247,29 @@ object Queries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[qIncrDedup]] through the PERSISTED index: build → saveIndex (two
+    * bucketed parquet layouts + meta, paid-once shuffle) → release the
+    * in-memory pins → loadIndex (re-attach, zero shuffle) → match the
+    * delta against the STORED layout. Same oracle as q_incr_dedup — the
+    * disk round trip must be invisible in the rows; the plan-side contract
+    * (the index side of the candidate join never exchanges) is pinned in
+    * StreamingSpec. This is the 100-TB operating shape: history as
+    * bucketed parquet, per-delta matching co-located against it. */
+  def qIndexPersist(s: SparkSession, dir: String): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    val hist = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val delta = hist.where(col("doc_id") % 23 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val idx = graft.streaming.DocStream.buildIndex(hist)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndi-q").toString
+    graft.streaming.DocStream.saveIndex(idx, tmp, buckets = 8)
+    idx.bandIndex.unpin(); idx.grams.unpinAll() // index lives on disk now
+    val loaded = graft.streaming.DocStream.loadIndex(s, tmp)
+    graft.streaming.DocStream.matchAgainst(delta, loaded, threshold = 0.5)
+      .select(col("new_id"), col("dup_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Length-band filter on EXACT discrete percentiles: documents whose
     * n_chars falls within [p05, p95], thresholds computed by
     * [[Profile.quantileBand]]'s histogram selection (one distinct-value-
@@ -2455,6 +2478,7 @@ object Queries {
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
+    "q_index_persist" -> qIndexPersist,
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
     "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild,
     "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom,
@@ -2527,6 +2551,19 @@ object Queries {
 
   /** DuckDB oracle SQL — one entry per [[queries]] key (the driver's
     * correctness gate is rows+schema+hash vs these). */
+  /** Shared by q_incr_dedup and q_index_persist: the exact all-pairs
+    * history×delta word-3-gram Jaccard at ≥0.5 — both routes (in-memory
+    * index, persisted bucketed index) must produce exactly these rows. */
+  private val incrDedupOracle: String = "WITH g AS (SELECT doc_id, " +
+    "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
+    "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
+    "FROM documents WHERE length(text) >= 5)), " +
+    "d AS (SELECT doc_id + 2000000 AS new_id, gr FROM g WHERE doc_id % 23 = 0) " +
+    "SELECT new_id, dup_id, jaccard FROM (" +
+    "SELECT d.new_id, h.doc_id AS dup_id, " +
+    "round(CAST(len(list_intersect(d.gr, h.gr)) AS DOUBLE) / len(list_distinct(d.gr || h.gr)), 6) AS jaccard " +
+    "FROM d, g h) WHERE jaccard >= 0.5"
+
   val oracleSql: Map[String, String] = Map(
     "q_project" -> "SELECT DISTINCT s_nationkey FROM supplier",
     "q_rename" -> "SELECT n_nationkey AS nation_id, n_name AS nation_name, n_regionkey FROM nation",
@@ -3347,15 +3384,10 @@ object Queries {
     // exact delta×history Jaccard with the q_dedup_minhash trigram
     // convention — gates both completeness and precision of the banded
     // incremental path
-    "q_incr_dedup" -> ("WITH g AS (SELECT doc_id, " +
-      "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
-      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +
-      "FROM documents WHERE length(text) >= 5)), " +
-      "d AS (SELECT doc_id + 2000000 AS new_id, gr FROM g WHERE doc_id % 23 = 0) " +
-      "SELECT new_id, dup_id, jaccard FROM (" +
-      "SELECT d.new_id, h.doc_id AS dup_id, " +
-      "round(CAST(len(list_intersect(d.gr, h.gr)) AS DOUBLE) / len(list_distinct(d.gr || h.gr)), 6) AS jaccard " +
-      "FROM d, g h) WHERE jaccard >= 0.5"),
+    "q_incr_dedup" -> incrDedupOracle,
+    // identical rows through the PERSISTED bucketed index — the disk round
+    // trip (saveIndex → loadIndex) must be invisible in the result
+    "q_index_persist" -> incrDedupOracle,
 
     // identical winnowing selection: md5 trigram hashes, window-of-4 min,
     // distinct — hex strings order the same lexicographically everywhere

@@ -212,4 +212,86 @@ object DocStream {
         round(sum(when(col("__hit") === 1, col("len")).otherwise(0))
           .cast("double") / sum(col("len")), 6).as("dup_frac"))
   }
+
+  // ---------------------------- persisted (bucketed) index: the 100 TB shape
+
+  /** Namespaces the throwaway metastore entries save/load create. */
+  private val tableIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Persist the index under `dir` as two BUCKETED parquet table layouts —
+    * the band side clustered by (band, bh), the gram side by id — plus a
+    * meta file, everything through `dir`'s own Hadoop FileSystem
+    * (hdfs://, s3a://, file:// alike). The bucketing shuffle is paid ONCE
+    * here; [[loadIndex]] re-attaches the files as external bucketed
+    * tables WITHOUT re-shuffling, and every later batch's candidate join
+    * co-locates against the stored layout — the history side of the join
+    * (the big side) never exchanges again. This is the at-scale
+    * counterpart of the in-memory pinned index: history lives as bucketed
+    * parquet, a delta append is a partition write, compaction is a
+    * periodic bucket rewrite. Overwrites any index previously saved at
+    * `dir` (coordinating with live readers of that dir is the caller's). */
+  def saveIndex(index: NearDupIndex, dir: String, buckets: Int = 32): Unit = {
+    val spark = index.bandIndex.sparkSession
+    def writeBucketed(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+      // saveAsTable is the only writer that records bucket ids in the file
+      // names; with an explicit path it creates an EXTERNAL table, so
+      // dropping the metastore entry afterwards keeps the files
+      val tmp = s"graft_ndi_save_${tableIds.incrementAndGet()}"
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      df.write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("path", path).format("parquet").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$tmp`")
+    }
+    writeBucketed(index.bandIndex, s"$dir/band", Seq("band", "bh"))
+    writeBucketed(index.grams, s"$dir/grams", Seq("id"))
+    // meta through the SAME Hadoop FS as the data, atomic tmp+rename with
+    // the crash window covered on the read side (mirrors Catalog.save)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = s"""{"numHashes":${index.numHashes},"bands":${index.bands},""" +
+      s""""shingleK":${index.shingleK},"buckets":$buckets}"""
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val tgt = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json")
+    if (hfs.exists(tgt)) hfs.delete(tgt, false)
+    require(hfs.rename(tmp, tgt), s"saveIndex: rename $tmp -> $tgt failed")
+  }
+
+  /** Re-attach an index persisted by [[saveIndex]]: registers the stored
+    * files as EXTERNAL bucketed tables (schema read from the parquet
+    * footers, bucket spec from the meta) — no data is moved and no
+    * shuffle is paid; the scan reports the stored hash-partitioning and
+    * [[matchAgainst]]'s (band, bh) join plans with NO Exchange on the
+    * index side (StreamingSpec pins the plan). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): NearDupIndex = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json.tmp")
+    val src = if (hfs.exists(main)) main
+              else { require(hfs.exists(tmp), s"no index meta under $dir"); tmp }
+    val in = hfs.open(src)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val buckets = node.get("buckets").asInt()
+    def attach(path: String, keys: Seq[String]): DataFrame = {
+      val tbl = s"graft_ndi_load_${tableIds.incrementAndGet()}"
+      val ddl = spark.read.parquet(path).schema.toDDL
+      val ks = keys.map(k => s"`$k`").mkString(", ")
+      spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
+        s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+      spark.table(tbl)
+    }
+    NearDupIndex(attach(s"$dir/band", Seq("band", "bh")),
+      attach(s"$dir/grams", Seq("id")),
+      node.get("numHashes").asInt(), node.get("bands").asInt(),
+      node.get("shingleK").asInt())
+  }
 }

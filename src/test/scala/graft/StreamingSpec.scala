@@ -236,6 +236,67 @@ class StreamingSpec extends SparkSpec {
     assert(!perBatch(1).exists(_._1 == 3002L), s"noise matched: ${perBatch(1)}")
   }
 
+  test("persisted bucketed index: save→load matches exactly what the " +
+    "in-memory index matches, and the candidate join reads the stored band " +
+    "layout with NO Exchange on the index side") {
+    import graft.streaming.DocStream
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40 && length(col("text")) >= 5)
+    val hist0 = history.filter(col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val idx = DocStream.buildIndex(history)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi").toString
+    DocStream.saveIndex(idx, dir, buckets = 4)
+    val loaded = DocStream.loadIndex(spark, dir)
+    val batch = Seq((9000L, hist0),
+      (9001L, "entirely unrelated probe content about nothing at all"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val mem = norm(DocStream.matchAgainst(batch, idx))
+    assert(mem.exists(t => t._1 == 9000L && t._2 == 0L),
+      s"planted history dup not found in-memory: $mem")
+    assert(norm(DocStream.matchAgainst(batch, loaded)) === mem,
+      "persisted index diverged from the in-memory index")
+    // plan contract: the whole point of the bucketed save is that the
+    // HISTORY side of the (band, bh) join — the big side at scale — reads
+    // its stored layout without re-shuffling. Broadcast off (a broadcast
+    // batch side would make the contract vacuous), AQE off so the plan
+    // tree is walkable.
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+      val plan = DocStream.matchAgainst(batch, loaded).queryExecution.executedPlan
+      def readsBand(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/band"))
+        case _ => false
+      }
+      assert(readsBand(plan), s"plan must scan the persisted band table:\n$plan")
+      // the DEEPEST join touching the band scan is the candidate join; its
+      // band-side child must hold no exchange (exchanges above the join —
+      // the pair dedup — are legitimate)
+      val bandSides = plan.collect {
+        case j: SortMergeJoinExec if readsBand(j.left) || readsBand(j.right) =>
+          if (readsBand(j.left)) j.left else j.right
+        case j: ShuffledHashJoinExec if readsBand(j.left) || readsBand(j.right) =>
+          if (readsBand(j.left)) j.left else j.right
+      }
+      assert(bandSides.nonEmpty, s"no shuffled join over the band table:\n$plan")
+      val side = bandSides.last // preorder: last = deepest = the band join
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the persisted index side re-shuffled:\n$side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
