@@ -87,6 +87,56 @@ class PinLedgerSpec extends SparkSpec {
     assert((live -- before).isEmpty, "iters=0 early return leaked the base pin")
   }
 
+  test("connectedComponents: pair/edge pins release on BOTH tiers and " +
+       "superseded label rounds release in-loop") {
+    // one 300-cycle: pointer doubling needs ~log2(300) rounds, so the
+    // in-loop release is actually exercised
+    val pairs = (0 until 300).map(i => (i.toLong, ((i + 1) % 300).toLong))
+      .toDF("id_a", "id_b")
+    val before = live
+    assert(graft.pipeline.Cluster.connectedComponents(pairs).count() === 300)
+    assert((live -- before).isEmpty,
+      "driver-tier CC returned local rows but left the pair/edge pins")
+    val before2 = live
+    val cc = graft.pipeline.Cluster.connectedComponents(pairs, driverEdgeCap = 0)
+    assert(cc.count() === 300)
+    val extra = live -- before2
+    assert(extra.size <= 1,
+      s"distributed CC left ${extra.size} pins (edge layout or stale label rounds)")
+    cc.unpinAll()
+    assert((live -- before2).isEmpty)
+  }
+
+  test("pqTrain: the subvector sample and superseded codebook rounds " +
+       "release on both tiers; only the final codebook pin remains") {
+    val before = live
+    assert(Similarity.pqTrain(embeds, m = 4, codes = 4, lloydIters = 2)
+      .count() === 16)
+    assert((live -- before).isEmpty,
+      "driver-tier pqTrain left pins (sample not released)")
+    spark.conf.set("spark.graft.kmeansDriverCap", "0")
+    try {
+      val before2 = live
+      val cb = Similarity.pqTrain(embeds, m = 4, codes = 4, lloydIters = 3)
+      assert(cb.count() === 16)
+      val extra = live -- before2
+      assert(extra.size <= 1,
+        s"distributed pqTrain left ${extra.size} pins (sample or stale rounds)")
+      cb.unpin()
+      assert((live -- before2).isEmpty)
+    } finally spark.conf.unset("spark.graft.kmeansDriverCap")
+  }
+
+  test("a caller done with a lazy dedup result drains its backing pins " +
+       "with unpinAll") {
+    val before = live
+    val pairs = graft.pipeline.Dedup.minhashPairs(docs)
+    pairs.count()
+    assert((live -- before).nonEmpty, "minhashPairs should pin grams/signatures")
+    pairs.unpinAll()
+    assert((live -- before).isEmpty, "unpinAll left backing pins resident")
+  }
+
   test("pageRank: the EDGE-sized layout and node-set pins are released; " +
        "only the node-sized result remains, and unpinAll drains it") {
     val edges = (0 until 400)
