@@ -261,14 +261,42 @@ object DocStream {
     require(hfs.rename(tmp, tgt), s"saveIndex: rename $tmp -> $tgt failed")
   }
 
-  /** Re-attach an index persisted by [[saveIndex]]: registers the stored
-    * files as EXTERNAL bucketed tables (schema read from the parquet
-    * footers, bucket spec from the meta) — no data is moved and no
-    * shuffle is paid; the scan reports the stored hash-partitioning and
-    * [[matchAgainst]]'s (band, bh) join plans with NO Exchange on the
-    * index side (StreamingSpec pins the plan). */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession,
-                dir: String): NearDupIndex = {
+  /** Append a delta corpus to a persisted index IN PLACE — the at-scale
+    * append promised by the in-memory [[append]]: the delta's band/gram
+    * rows are INSERTed through the stored tables' bucket specs, so new
+    * bucket files land BESIDE the existing ones (a partition write — the
+    * history is never rewritten or reshuffled) and any subsequent
+    * [[loadIndex]] sees the union. Readers attached BEFORE the append keep
+    * their file listing (re-attach to pick up the delta). The delta's
+    * build pins are released before returning. */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  newDocs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): Unit = {
+    val (numHashes, bands, shingleK, buckets) = readMeta(spark, dir)
+    val delta = buildIndex(newDocs, idCol, textCol, numHashes, bands, shingleK)
+    def insertBucketed(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+      val tbl = s"graft_ndi_append_${tableIds.incrementAndGet()}"
+      val ddl = spark.read.parquet(path).schema.toDDL
+      val ks = keys.map(k => s"`$k`").mkString(", ")
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
+        s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+      val view = s"${tbl}_delta"
+      df.createOrReplaceTempView(view)
+      // INSERT INTO applies the table's bucket spec to the NEW files only
+      spark.sql(s"INSERT INTO `$tbl` SELECT * FROM `$view`")
+      spark.catalog.dropTempView(view)
+      spark.sql(s"DROP TABLE `$tbl`") // external: metadata only, files stay
+    }
+    insertBucketed(delta.bandIndex, s"$dir/band", Seq("band", "bh"))
+    insertBucketed(delta.grams, s"$dir/grams", Seq("id"))
+    delta.bandIndex.unpinAll(); delta.grams.unpinAll()
+  }
+
+  /** Shared meta reader (main-or-tmp crash window, any Hadoop scheme). */
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (Int, Int, Int, Int) = {
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val main = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json")
@@ -279,7 +307,19 @@ object DocStream {
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    val buckets = node.get("buckets").asInt()
+    (node.get("numHashes").asInt(), node.get("bands").asInt(),
+      node.get("shingleK").asInt(), node.get("buckets").asInt())
+  }
+
+  /** Re-attach an index persisted by [[saveIndex]]: registers the stored
+    * files as EXTERNAL bucketed tables (schema read from the parquet
+    * footers, bucket spec from the meta) — no data is moved and no
+    * shuffle is paid; the scan reports the stored hash-partitioning and
+    * [[matchAgainst]]'s (band, bh) join plans with NO Exchange on the
+    * index side (StreamingSpec pins the plan). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): NearDupIndex = {
+    val (numHashes, bands, shingleK, buckets) = readMeta(spark, dir)
     def attach(path: String, keys: Seq[String]): DataFrame = {
       val tbl = s"graft_ndi_load_${tableIds.incrementAndGet()}"
       val ddl = spark.read.parquet(path).schema.toDDL
@@ -291,7 +331,6 @@ object DocStream {
     }
     NearDupIndex(attach(s"$dir/band", Seq("band", "bh")),
       attach(s"$dir/grams", Seq("id")),
-      node.get("numHashes").asInt(), node.get("bands").asInt(),
-      node.get("shingleK").asInt())
+      numHashes, bands, shingleK)
   }
 }

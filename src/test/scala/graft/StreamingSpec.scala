@@ -297,6 +297,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("appendIndex is a PARTITION WRITE: history files stay byte-identical, " +
+    "the delta lands as new bucket files, and a re-attach matches like a " +
+    "from-scratch index over the union") {
+    import graft.streaming.DocStream
+    val hist1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
+    val hist2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") >= 20 && col("doc_id") < 40 && length(col("text")) >= 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-app").toString
+    DocStream.saveIndex(DocStream.buildIndex(hist1), dir, buckets = 4)
+    def files(sub: String): Map[String, Long] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally s.close()
+    }
+    val bandBefore = files("band")
+    DocStream.appendIndex(spark, dir, hist2)
+    val bandAfter = files("band")
+    // partition write: every pre-append file survives at its exact size,
+    // and the delta added new files — nothing was rewritten
+    assert(bandBefore.forall { case (p, sz) => bandAfter.get(p).contains(sz) },
+      "append rewrote or dropped history files")
+    assert(bandAfter.size > bandBefore.size, "append produced no new bucket files")
+    // a fresh attach over the appended layout matches EXACTLY like an
+    // in-memory index built from the full union
+    val hit2 = hist2.filter(col("doc_id") === 20L).collect()(0).getAs[String]("text")
+    val batch = Seq((9100L, hit2),
+      (9101L, "noise that matches nothing in either half")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val mem = norm(DocStream.matchAgainst(batch,
+      DocStream.buildIndex(hist1.unionByName(hist2))))
+    assert(mem.exists(t => t._1 == 9100L && t._2 == 20L),
+      s"planted delta dup not found in-memory: $mem")
+    assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
+      === mem, "appended persisted index diverged from the from-scratch index")
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
