@@ -321,6 +321,28 @@ object BenchScale {
       n
     }
     run("bucketed_join", bktJoin(docs1, "1x"), bktJoin(scaleDocs(mult), "nx"))
+    // persisted near-dup index: the SAVE pays the one-time bucketed write
+    // (linear in history, like any ingest); PROBING a fixed delta against
+    // the stored layout is a co-located scan of the band index — linear in
+    // history, zero shuffle on the history side, and never a superlinear
+    // candidate blow-up (per_row must stay ≤ ~1)
+    val ndiDelta = docsFiltered(docs1).limit(300).localCheckpoint()
+    def ndiDir(tag: String) = s"/tmp/graft_scale_ndi_$tag"
+    def ndiSave(df: DataFrame, tag: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(ndiDir(tag))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val idx = graft.streaming.DocStream.buildIndex(docsFiltered(df))
+      graft.streaming.DocStream.saveIndex(idx, ndiDir(tag), buckets = 8)
+      import graft.rel.Checkpoint.PinOps
+      idx.bandIndex.unpin(); idx.grams.unpinAll()
+      1L
+    }
+    def ndiProbe(tag: String): Long =
+      graft.streaming.DocStream.matchAgainst(ndiDelta,
+        graft.streaming.DocStream.loadIndex(spark, ndiDir(tag))).count()
+    run("index_persist_save", ndiSave(docs1, "1x"), ndiSave(scaleDocs(mult), "nx"))
+    run("index_persist_probe", ndiProbe("1x"), ndiProbe("nx"))
     // deliberately hot-keyed join (~20% of rows on ONE key, incompressible
     // text payload) under AQE skew handling: the skew split carves the hot
     // partition into parallel pieces, so per-row cost must stay flat as
