@@ -2532,8 +2532,32 @@ object Queries {
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
     "q_knn_lsh" -> qKnnLsh, "q_knn_ivf" -> qKnnIvf, "q_knn_pq" -> qKnnPq,
-    "q_knn_ivfpq" -> qKnnIvfPq,
+    "q_knn_ivfpq" -> qKnnIvfPq, "q_knn_ivfpq_serve" -> qKnnIvfPqServe,
     "q_semdedup" -> qSemdedup)
+
+  /** Serving-path timing: search a PERSISTED IVF-PQ index (cell-partitioned
+    * codes → dynamic partition pruning on the probe join) WITHOUT
+    * rebuilding it. The index is built+saved once per JVM per sfDir — the
+    * first sample pays the build, the reported median times what an online
+    * ANN service pays per query batch: load metadata, probe, in-row ADC,
+    * exact rescore. Recall is q_knn_ivfpq_check's (identical quantizers). */
+  private val ivfPqServeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def qKnnIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    val saved = ivfPqServeDirs.getOrElseUpdate(dir, {
+      val (_, c) = knnInputs(s, dir)
+      val idx = Similarity.ivfPqBuild(c, nlist = 16, trainFraction = 0.25)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-serve").toString
+      Similarity.saveIvfPq(idx, tmp)
+      // the index lives on disk now — drain the build's pins
+      idx.centroids.unpinAll(); idx.codebooks.unpinAll(); idx.codes.unpinAll()
+      tmp
+    })
+    val (q, c) = knnInputs(s, dir)
+    Similarity.ivfPqSearch(q, Similarity.loadIvfPq(s, saved), c,
+      k = 10, nprobe = 8)
+  }
 
   /** DuckDB replay of [[TextAnalysis.qualityScore]] — shared by
     * q_top_quality and q_quality_floor so the two gates pin the SAME

@@ -770,11 +770,18 @@ object Similarity {
     index.copy(codes = index.codes.unionByName(enc))
   }
 
-  /** Persist an index: three parquet tables + a tiny JSON meta file. */
+  /** Persist an index: three parquet tables + a tiny JSON meta file.
+    * The encoded corpus is PARTITIONED BY ITS IVF CELL: the probe join
+    * (`codes ⋈ broadcast(probed)` on centroid_id) then dynamically prunes
+    * the scan to the probed cells' directories — at a billion codes a
+    * query batch reads nprobe/nlist of the index from storage instead of
+    * all of it. This is how IVF shards at scale; PipelineSpec pins the
+    * `dynamicpruning` partition filter in the loaded index's search plan. */
   def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codes.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$path/codes")
     val meta = s"""{"m":${index.m},"nCodes":${index.nCodes},""" +
       s""""cId":${graft.types.Json.str(index.cId)}}"""
     // through the Hadoop FS layer (not java.nio) so the index dir can

@@ -1260,6 +1260,13 @@ class PipelineSpec extends SparkSpec {
     val b = Similarity.ivfPqSearch(q, loaded, old, k = 5, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
+    // the stored codes are partitioned by IVF cell and the probe join
+    // DYNAMICALLY PRUNES the scan to the probed cells — at scale a query
+    // batch reads nprobe/nlist of the index, not all of it
+    val probePlan = Similarity.ivfPqSearch(q, loaded, old, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the codes scan:\n${probePlan.take(4000)}")
     // append a new batch against the FROZEN quantizers: the new ids are
     // immediately findable; a query for an appended vector returns itself
     val fresh = emb.where(col("vec_id") >= 400)
