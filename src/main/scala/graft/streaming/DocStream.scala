@@ -213,10 +213,61 @@ object DocStream {
           .cast("double") / sum(col("len")), 6).as("dup_frac"))
   }
 
-  // ---------------------------- persisted (bucketed) index: the 100 TB shape
+  /** A chunk-hash index persisted under `dir` (bucketed by hash) WITH its
+    * chunking parameters: a probe chunked with different parameters than
+    * the index silently reports garbage, so the parameters travel with
+    * the data and [[chunkDupFraction]] reads them from here. */
+  final case class PersistedChunkIndex(hashes: DataFrame, minLen: Int,
+                                       avgBits: Int, maxLen: Int)
 
-  /** Namespaces the throwaway metastore entries save/load create. */
-  private val tableIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Persist a chunk-hash index: one bucketed table (by hash — a delta
+    * probe's join then co-locates against stored history without
+    * reshuffling it) + the chunking parameters in the meta. */
+  def saveChunkIndex(index: DataFrame, dir: String, minLen: Int = 16,
+                     avgBits: Int = 5, maxLen: Int = 128,
+                     buckets: Int = 32): Unit = {
+    graft.sources.BucketedStore.write(index, s"$dir/hashes", Seq("hash"), buckets)
+    graft.sources.BucketedStore.writeMeta(index.sparkSession, dir,
+      "chunkindex.meta.json",
+      s"""{"minLen":$minLen,"avgBits":$avgBits,"maxLen":$maxLen,"buckets":$buckets}""")
+  }
+
+  def loadChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): PersistedChunkIndex = {
+    val node = graft.sources.BucketedStore.readMeta(spark, dir, "chunkindex.meta.json")
+    PersistedChunkIndex(
+      graft.sources.BucketedStore.attach(spark, s"$dir/hashes", Seq("hash"),
+        node.get("buckets").asInt()),
+      node.get("minLen").asInt(), node.get("avgBits").asInt(),
+      node.get("maxLen").asInt())
+  }
+
+  /** [[chunkDupFraction]] against a persisted index, chunking the probe
+    * with the INDEX's recorded parameters. */
+  def chunkDupFraction(newDocs: DataFrame, index: PersistedChunkIndex,
+                       idCol: String, textCol: String): DataFrame =
+    chunkDupFraction(newDocs, index.hashes, idCol, textCol,
+      index.minLen, index.avgBits, index.maxLen)
+
+  /** Fold a delta's chunk hashes into a persisted index as a partition
+    * write. The index's contract is DISTINCT hashes — a duplicate row
+    * would double-count its chunk's length in every later probe — so the
+    * delta anti-joins the stored table first (co-located on the bucketed
+    * hash side: only the delta shuffles). */
+  def appendChunkIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newDocs: DataFrame, textCol: String = "text"): Unit = {
+    val idx = loadChunkIndex(spark, dir)
+    val fresh = buildChunkIndex(newDocs, textCol, idx.minLen, idx.avgBits,
+        idx.maxLen)
+      .join(idx.hashes, Seq("hash"), "left_anti")
+    graft.sources.BucketedStore.append(spark, s"$dir/hashes", fresh,
+      Seq("hash"),
+      graft.sources.BucketedStore.readMeta(spark, dir, "chunkindex.meta.json")
+        .get("buckets").asInt())
+  }
+
+  // ---------------------------- persisted (bucketed) index: the 100 TB shape
+  // (layout machinery shared through graft.sources.BucketedStore)
 
   /** Persist the index under `dir` as two BUCKETED parquet table layouts —
     * the band side clustered by (band, bh), the gram side by id — plus a
@@ -232,33 +283,13 @@ object DocStream {
     * `dir` (coordinating with live readers of that dir is the caller's). */
   def saveIndex(index: NearDupIndex, dir: String, buckets: Int = 32): Unit = {
     val spark = index.bandIndex.sparkSession
-    def writeBucketed(df: DataFrame, path: String, keys: Seq[String]): Unit = {
-      // saveAsTable is the only writer that records bucket ids in the file
-      // names; with an explicit path it creates an EXTERNAL table, so
-      // dropping the metastore entry afterwards keeps the files
-      val tmp = s"graft_ndi_save_${tableIds.incrementAndGet()}"
-      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
-      df.write.mode("overwrite")
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .option("path", path).format("parquet").saveAsTable(tmp)
-      spark.sql(s"DROP TABLE `$tmp`")
-    }
-    writeBucketed(index.bandIndex, s"$dir/band", Seq("band", "bh"))
-    writeBucketed(index.grams, s"$dir/grams", Seq("id"))
-    // meta through the SAME Hadoop FS as the data, atomic tmp+rename with
-    // the crash window covered on the read side (mirrors Catalog.save)
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = s"""{"numHashes":${index.numHashes},"bands":${index.bands},""" +
-      s""""shingleK":${index.shingleK},"buckets":$buckets}"""
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val tgt = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json")
-    if (hfs.exists(tgt)) hfs.delete(tgt, false)
-    require(hfs.rename(tmp, tgt), s"saveIndex: rename $tmp -> $tgt failed")
+    graft.sources.BucketedStore.write(index.bandIndex, s"$dir/band",
+      Seq("band", "bh"), buckets)
+    graft.sources.BucketedStore.write(index.grams, s"$dir/grams",
+      Seq("id"), buckets)
+    graft.sources.BucketedStore.writeMeta(spark, dir, "index.meta.json",
+      s"""{"numHashes":${index.numHashes},"bands":${index.bands},""" +
+      s""""shingleK":${index.shingleK},"buckets":$buckets}""")
   }
 
   /** Append a delta corpus to a persisted index IN PLACE — the at-scale
@@ -274,39 +305,17 @@ object DocStream {
                   textCol: String = "text"): Unit = {
     val (numHashes, bands, shingleK, buckets) = readMeta(spark, dir)
     val delta = buildIndex(newDocs, idCol, textCol, numHashes, bands, shingleK)
-    def insertBucketed(df: DataFrame, path: String, keys: Seq[String]): Unit = {
-      val tbl = s"graft_ndi_append_${tableIds.incrementAndGet()}"
-      val ddl = spark.read.parquet(path).schema.toDDL
-      val ks = keys.map(k => s"`$k`").mkString(", ")
-      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
-        s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
-        s"LOCATION '$path'")
-      val view = s"${tbl}_delta"
-      df.createOrReplaceTempView(view)
-      // INSERT INTO applies the table's bucket spec to the NEW files only
-      spark.sql(s"INSERT INTO `$tbl` SELECT * FROM `$view`")
-      spark.catalog.dropTempView(view)
-      spark.sql(s"DROP TABLE `$tbl`") // external: metadata only, files stay
-    }
-    insertBucketed(delta.bandIndex, s"$dir/band", Seq("band", "bh"))
-    insertBucketed(delta.grams, s"$dir/grams", Seq("id"))
+    graft.sources.BucketedStore.append(spark, s"$dir/band", delta.bandIndex,
+      Seq("band", "bh"), buckets)
+    graft.sources.BucketedStore.append(spark, s"$dir/grams", delta.grams,
+      Seq("id"), buckets)
     delta.bandIndex.unpinAll(); delta.grams.unpinAll()
   }
 
   /** Shared meta reader (main-or-tmp crash window, any Hadoop scheme). */
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
                        dir: String): (Int, Int, Int, Int) = {
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val main = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/index.meta.json.tmp")
-    val src = if (hfs.exists(main)) main
-              else { require(hfs.exists(tmp), s"no index meta under $dir"); tmp }
-    val in = hfs.open(src)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
     (node.get("numHashes").asInt(), node.get("bands").asInt(),
       node.get("shingleK").asInt(), node.get("buckets").asInt())
   }
@@ -320,17 +329,11 @@ object DocStream {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 dir: String): NearDupIndex = {
     val (numHashes, bands, shingleK, buckets) = readMeta(spark, dir)
-    def attach(path: String, keys: Seq[String]): DataFrame = {
-      val tbl = s"graft_ndi_load_${tableIds.incrementAndGet()}"
-      val ddl = spark.read.parquet(path).schema.toDDL
-      val ks = keys.map(k => s"`$k`").mkString(", ")
-      spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
-        s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
-        s"LOCATION '$path'")
-      spark.table(tbl)
-    }
-    NearDupIndex(attach(s"$dir/band", Seq("band", "bh")),
-      attach(s"$dir/grams", Seq("id")),
+    NearDupIndex(
+      graft.sources.BucketedStore.attach(spark, s"$dir/band",
+        Seq("band", "bh"), buckets),
+      graft.sources.BucketedStore.attach(spark, s"$dir/grams",
+        Seq("id"), buckets),
       numHashes, bands, shingleK)
   }
 }

@@ -341,6 +341,40 @@ class StreamingSpec extends SparkSpec {
       === mem, "appended persisted index diverged from the from-scratch index")
   }
 
+  test("persisted chunk index: chunking parameters travel with the data, " +
+    "and append anti-joins the stored hashes so a re-append is a no-op and " +
+    "probes never double-count") {
+    import graft.streaming.DocStream
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) >= 32)
+    val hist1 = docs.filter(col("doc_id") < 20)
+    val hist2 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdi").toString
+    DocStream.saveChunkIndex(DocStream.buildChunkIndex(hist1), dir)
+    val loaded = DocStream.loadChunkIndex(spark, dir)
+    assert((loaded.minLen, loaded.avgBits, loaded.maxLen) === (16, 5, 128))
+    val probe = hist1.limit(2).unionByName(hist2.limit(2))
+    def norm(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // persisted probe == in-memory probe, and a full hist1 doc is all-dup
+    val mem = norm(DocStream.chunkDupFraction(probe,
+      DocStream.buildChunkIndex(hist1)))
+    val per = norm(DocStream.chunkDupFraction(probe, loaded, "doc_id", "text"))
+    assert(per === mem)
+    assert(per.exists(_._2._2 === 1.0), s"hist1 probe doc should be all-dup: $per")
+    // append hist2, then append it AGAIN: the anti-join makes the second a
+    // no-op — stored rows stay exactly the distinct union's hashes
+    DocStream.appendChunkIndex(spark, dir, hist2)
+    DocStream.appendChunkIndex(spark, dir, hist2)
+    val re = DocStream.loadChunkIndex(spark, dir)
+    val unionDistinct = DocStream.buildChunkIndex(hist1.unionByName(hist2)).count()
+    assert(re.hashes.count() === unionDistinct,
+      "re-append duplicated hashes — probes would double-count lengths")
+    // the hist2 probe docs are now all-dup too, through the appended layout
+    val after = norm(DocStream.chunkDupFraction(probe, re, "doc_id", "text"))
+    assert(after.values.forall(_._2 === 1.0), s"probe after append: $after")
+  }
+
   test("batch and stream agree on the events table (file source)") {
     val dir = "/root/testdata/sf0.001"
     // file source wants a directory it can list; stage the single parquet
