@@ -172,6 +172,19 @@ final class Catalog(val spark: SparkSession) {
     swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
   }
+  /** Attach a bucketed layout persisted by [[save]]: the stored bucket
+    * files become the relvar's scan directly — zero shuffle, the
+    * zero-Exchange join contract restored by metadata alone (where a
+    * rebuild re-pays the full bucketing shuffle, at 100 TB the dominant
+    * cost of loading a catalog). */
+  private[catalog] def defineBucketedAttached(name: String, path: String,
+      bucketCols: Seq[String], buckets: Int): Unit = {
+    val df = graft.sources.BucketedStore.attach(spark, path, bucketCols, buckets)
+    swap(name, Rel.distinct(df), alreadyStored = true)
+    bucketSpec(name) = (bucketCols, buckets)
+    boundTo(name) = path
+  }
+
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
   def names: Seq[String] = relvars.keys.toSeq.sorted
@@ -294,10 +307,34 @@ final class Catalog(val spark: SparkSession) {
     // since-mutated loaded relvar still reads the OLD file it was defined
     // over), and only then do the delete+rename swaps and rebinds happen
     val pending = relvars.toSeq.collect {
-      case (n, r) if !boundTo.get(n).contains(s"$dir/$n.parquet") =>
+      case (n, r) if !bucketSpec.contains(n) &&
+          !boundTo.get(n).contains(s"$dir/$n.parquet") =>
         val tmp = s"$dir/.saving_$n.parquet"
         r.df.write.mode("overwrite").parquet(tmp)
         (n, tmp, s"$dir/$n.parquet")
+    }
+    // bucketed relvars persist their LAYOUT, not a plain snapshot: the
+    // bucket files land under $dir/_bucketed/<name> (tmp+rename — a
+    // same-dir resave must not clobber files a loaded plan still reads),
+    // and load() re-ATTACHES them without re-paying the shuffle. A
+    // bucketed relvar's plan is always exactly its stored-table scan
+    // (any mutation clears bucketSpec), so the write reads only the
+    // physical table. boundTo marks attach-loaded, unmutated relvars:
+    // re-saving those to the same dir is free.
+    relvars.keys.toSeq.sorted.foreach { n =>
+      bucketSpec.get(n).foreach { case (cols, k) =>
+        val target = s"$dir/_bucketed/$n"
+        if (!boundTo.get(n).contains(target)) {
+          val tmp = s"$dir/.saving_bkt_$n"
+          val tmpP = new org.apache.hadoop.fs.Path(tmp)
+          if (hfs.exists(tmpP)) hfs.delete(tmpP, true)
+          graft.sources.BucketedStore.write(relvars(n).df, tmp, cols, k)
+          val tgt = new org.apache.hadoop.fs.Path(target)
+          if (hfs.exists(tgt)) hfs.delete(tgt, true)
+          require(hfs.rename(tmpP, tgt),
+            s"catalog save: rename $tmp -> $target failed")
+        }
+      }
     }
     pending.foreach { case (n, tmp, target) =>
       val tgt = new org.apache.hadoop.fs.Path(target)
@@ -471,10 +508,15 @@ object Catalog {
       r.get("kind").asText match {
         case "relvar" => cat.load(dir, name)
         case "relvar_bucketed" =>
-          // rebuild the bucketed table from the saved data: the shuffle is
-          // re-paid once here, then every join on the key is Exchange-free
-          // again — the layout survives save/load, not just the rows
-          cat.defineBucketed(name,
+          // a layout dir means the save wrote real bucket files: ATTACH
+          // them — zero shuffle, the zero-Exchange contract restored by
+          // metadata alone. Legacy saves (plain snapshot + spec) fall back
+          // to the rebuild, re-paying the shuffle once.
+          val layout = s"$dir/_bucketed/$name"
+          if (hfs.exists(new org.apache.hadoop.fs.Path(layout)))
+            cat.defineBucketedAttached(name, layout,
+              seqOf(r, "bucketCols"), r.get("buckets").asInt)
+          else cat.defineBucketed(name,
             Rel.parquet(spark, s"$dir/$name.parquet"),
             seqOf(r, "bucketCols"),
             r.get("buckets").asInt)

@@ -151,6 +151,26 @@ class CatalogSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
       s"restored bucketing lost — join shuffles:\n${plan.take(3000)}")
+    // and the restore paid NO shuffle: the loaded relvars ATTACH the saved
+    // bucket files directly (scan roots under $dir/_bucketed), instead of
+    // rebuilding a fresh physical table from a plain snapshot
+    assert(plan.contains("_bucketed"),
+      s"load rebuilt the bucketed table instead of attaching the saved " +
+      s"layout:\n${plan.take(3000)}")
+    // a resave of the attached, unmutated catalog to the same dir is FREE:
+    // the layout files are untouched (same names, same sizes)
+    def listing: Map[String, Long] = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "_bucketed"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally s.close()
+    }
+    val before = listing
+    cat2.save(dir)
+    assert(listing === before, "resaving an attached catalog rewrote the layout")
   }
 
   test("bounded history: a 100-update chain stays flat to read as-of " +
@@ -243,17 +263,24 @@ class CatalogSpec extends SparkSpec {
     cat.insert("S", Rel.distinct(
       Seq(("S6", "Smyth", 15, "Berlin")).toDF("S#", "SNAME", "STATUS", "CITY")))
     cat.set("answer", 42)
+    cat.defineBucketed("mb", Rel.distinct(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v")), Seq("k"), 2)
     cat.save(dir)
     // the metadata file must be AT the filesystem-resolved target — before
     // meta went through the Hadoop FS it landed on a driver-local path
     assert(new java.io.File(s"$local/catalog.meta.json").exists,
       "catalog.meta.json not on the target filesystem")
     assert(new java.io.File(s"$local/S.parquet").exists)
+    // the bucketed LAYOUT lands on the target scheme too
+    assert(new java.io.File(s"$local/_bucketed/mb").isDirectory,
+      "bucketed layout not on the target filesystem")
     val cat2 = Catalog.load(spark, dir)
     assert(cat2.relvar("S").relEquals(cat.relvar("S")))
     assert(cat2.version("S") === 2)
     assert(cat2.relvarAt("S", 1).relEquals(S))
     assert(cat2.get("answer") === 42)
+    assert(cat2.relvar("mb").df.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L), "bucketed relvar did not restore from mockfs")
     // crash-window recovery: a complete .tmp with no main file IS the
     // newest metadata (saver died between delete and rename)
     val meta = new java.io.File(s"$local/catalog.meta.json")
