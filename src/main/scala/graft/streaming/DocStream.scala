@@ -86,6 +86,12 @@ object DocStream {
         (size(array_intersect(col("g_new"), col("g_hist"))).cast("double") /
          size(array_union(col("g_new"), col("g_hist"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // pair-level dedup AFTER the verify: a clean index makes this a
+      // no-op (pairs are already unique), but an index holding duplicate
+      // rows for an id — the [[appendIndexBatch]] crash window — then
+      // yields identical results instead of duplicated output rows, which
+      // is what makes replayed appends harmless
+      .dropDuplicates("new_id", "dup_id")
   }
 
   /** Merge a processed micro-batch's signatures into the index so LATER
@@ -318,6 +324,69 @@ object DocStream {
     val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
     (node.get("numHashes").asInt(), node.get("bands").asInt(),
       node.get("shingleK").asInt(), node.get("buckets").asInt())
+  }
+
+  /** [[appendIndex]] with foreachBatch's at-least-once delivery made
+    * EXACTLY-ONCE on the index: the highest appended batchId rides in the
+    * meta, and a replayed batch (crash after the stream commit, before
+    * ours — or redelivery) is a no-op. Ordering is insert-then-meta: a
+    * crash INSIDE the window leaves duplicate index rows for one batch,
+    * which [[matchAgainst]]'s post-verify pair dedup renders invisible in
+    * results — so no replay, however timed, can corrupt what a reader
+    * sees. Returns whether the append ran. */
+  def appendIndexBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newDocs: DataFrame, batchId: Long,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Boolean = {
+    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+    val last = if (node.has("lastBatch")) node.get("lastBatch").asLong() else -1L
+    if (batchId <= last) return false
+    appendIndex(spark, dir, newDocs, idCol, textCol)
+    graft.sources.BucketedStore.writeMeta(spark, dir, "index.meta.json",
+      s"""{"numHashes":${node.get("numHashes").asInt()},""" +
+      s""""bands":${node.get("bands").asInt()},""" +
+      s""""shingleK":${node.get("shingleK").asInt()},""" +
+      s""""buckets":${node.get("buckets").asInt()},"lastBatch":$batchId}""")
+    true
+  }
+
+  /** [[startIncremental]] over a PERSISTED index: every micro-batch is
+    * matched against the stored layout and then appended to it through
+    * the [[appendIndexBatch]] batchId guard. Unlike the in-memory
+    * variant, a RESTART loses nothing — the index is the directory, the
+    * stream checkpoint replays the in-flight batch, the guard skips the
+    * already-appended ones, and the pair dedup absorbs the one crash
+    * window. Nothing stays pinned between batches (the ledger diff drains
+    * every pin the batch created — the index lives on disk). */
+  def startIncrementalPersisted(stream: DataFrame, dir: String,
+                                sink: DataFrame => Unit,
+                                threshold: Double = 0.5,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                appendFilter: (DataFrame, DataFrame) => DataFrame =
+                                  (batch, _) => batch):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.rel.Checkpoint.PinOps
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        try {
+          val b = batch.pin() // feeds the match AND the append — compute once
+          val matches = matchAgainst(b, loadIndex(spark, dir), threshold,
+            idCol, textCol).pin()
+          sink(matches)
+          appendIndexBatch(spark, dir, appendFilter(b, matches), batchId,
+            idCol, textCol)
+          () // foreachBatch wants Unit — the guard's Boolean is advisory
+        } finally {
+          val now = sc.getPersistentRDDs
+          now.keysIterator.filterNot(before)
+            .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
+        }
+      }
+      .start()
   }
 
   /** Re-attach an index persisted by [[saveIndex]]: registers the stored

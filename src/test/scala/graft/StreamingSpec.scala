@@ -341,6 +341,71 @@ class StreamingSpec extends SparkSpec {
       === mem, "appended persisted index diverged from the from-scratch index")
   }
 
+  test("restart-durable incremental dedup over the PERSISTED index: " +
+    "batches match-then-append through the batchId guard; a replayed " +
+    "batch is a disk no-op and a crash-window duplicate append never " +
+    "changes results") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
+    val hist0 = history.filter(col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-inc").toString
+    DocStream.saveIndex(DocStream.buildIndex(history), dir, buckets = 4)
+    val freshA = "a genuinely new document about segmented windows and prefix sums"
+    val batch1 = Seq((2000L, freshA),
+      (2001L, "another new document discussing banded minhash index maintenance"))
+    val batch2 = Seq(
+      (3000L, freshA + " with a small trailing edit"), // near-dup of BATCH 1 doc
+      (3001L, hist0),                                  // exact dup of HISTORY doc
+      (3002L, "wholly unrelated content that matches neither corpus nor stream"))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.startIncrementalPersisted(in.toDF.toDF("doc_id", "text"),
+      dir, b => perBatch.synchronized {
+        perBatch += b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      })
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.length === 2)
+    assert(perBatch(0).isEmpty, s"batch 1 should match nothing: ${perBatch(0)}")
+    assert(perBatch(1).contains((3000L, 2000L)),
+      s"dup against batch 1 missed (persisted append lost): ${perBatch(1)}")
+    assert(perBatch(1).contains((3001L, 0L)), s"history dup missed: ${perBatch(1)}")
+    // nothing stays pinned between batches — the index lives on disk
+    // (covered by the foreachBatch ledger drain; spot-check the band scan)
+    // exactly-once: REPLAYING an appended batch is a no-op on disk
+    def bandFiles: Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "band"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.toString).toSet
+      } finally s.close()
+    }
+    val before = bandFiles
+    assert(!DocStream.appendIndexBatch(spark, dir,
+      batch2.toDF("doc_id", "text"), batchId = 1L),
+      "replayed batchId must be skipped")
+    assert(bandFiles === before, "replayed batch wrote files")
+    // crash window: an UNGUARDED duplicate append leaves duplicate index
+    // rows — the post-verify pair dedup makes results identical anyway
+    val probe = Seq((9200L, freshA + " probing the duplicated half"))
+      .toDF("doc_id", "text")
+    val clean = DocStream.matchAgainst(probe, DocStream.loadIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    DocStream.appendIndex(spark, dir, batch1.toDF("doc_id", "text"))
+    val dup = DocStream.matchAgainst(probe, DocStream.loadIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(clean.nonEmpty && dup === clean,
+      s"duplicate index rows leaked into results: $dup vs $clean")
+  }
+
   test("persisted chunk index: chunking parameters travel with the data, " +
     "and append anti-joins the stored hashes so a re-append is a no-op and " +
     "probes never double-count") {
