@@ -38,6 +38,9 @@ object DriftStream {
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  final case class MonitorState(lastBatchId: Long,
+                                acc: Map[(String, String), Long])
+
   /** Driver-side running profile. State = one counter per observed
     * (dim, bucket) — bounded by bucket cardinality at any corpus scale. */
   final class Monitor(reference: DataFrame, dims: Seq[(String, Column)],
@@ -48,7 +51,26 @@ object DriftStream {
     private val refTot: Map[String, Long] =
       refCounts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     private var acc = Map.empty[(String, String), Long]
-    private var ingestedBatches = Set.empty[Long]
+    // batchId WATERMARK, not a set (ids are monotone per query; a set
+    // grows one entry per batch forever on an unbounded stream)
+    private var lastBatchId = -1L
+
+    /** Identity of what the counters MEAN: dimension list, ε, and the
+      * full reference profile — restoring a state file against a
+      * different reference or dims would compute silently-wrong PSI. */
+    private[streaming] val monitorId: String = {
+      // JSON-quoted components keep the encoding INJECTIVE for arbitrary
+      // dim/bucket strings (the ContractStream fingerprint lesson)
+      def q(s: String) = graft.types.Json.str(s)
+      val enc = dims.map(d => q(d._1)).mkString("dims(", ",", ")") +
+        s"eps($eps)" +
+        refCounts.toSeq.sortBy(_._1)
+          .map { case ((d, b), n) => s"[${q(d)},${q(b)},$n]" }
+          .mkString("ref(", ",", ")")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(enc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
 
     /** Fold one micro-batch into the running profile (one distributed
       * aggregate per dim; bucket-cardinality rows collected).
@@ -58,12 +80,22 @@ object DriftStream {
       * must not double-count. Pass a negative id to skip dedup (batch
       * callers outside a stream). */
     def ingest(batch: DataFrame, batchId: Long = -1L): Unit = synchronized {
-      if (batchId >= 0L && ingestedBatches.contains(batchId)) return
+      if (batchId >= 0L && batchId <= lastBatchId) return
       bucketCounts(batch, dims).collect().foreach { r =>
         val k = (r.getString(0), r.getString(1))
         acc = acc.updated(k, acc.getOrElse(k, 0L) + r.getLong(2))
       }
-      if (batchId >= 0L) ingestedBatches += batchId
+      if (batchId >= 0L) lastBatchId = batchId
+    }
+
+    def snapshot(): MonitorState = synchronized {
+      MonitorState(lastBatchId, acc)
+    }
+
+    /** Rebuild driver state from a [[snapshot]] before restarting a query
+      * from its checkpoint. */
+    def restore(s: MonitorState): Unit = synchronized {
+      lastBatchId = s.lastBatchId; acc = s.acc
     }
 
     /** Per-bucket PSI of accumulated stream vs reference, over the union
@@ -92,17 +124,79 @@ object DriftStream {
     * engine stays stateless (foreachBatch); foreachBatch is
     * AT-LEAST-ONCE (a micro-batch retried after a mid-batch failure or
     * restart is re-delivered under the same batchId), so the monitor
-    * dedups on batchId inside the closure to keep counts exactly-once. */
+    * dedups on batchId inside the closure to keep counts exactly-once.
+    *
+    * `stateFile` (optional) makes the running profile RESTART-DURABLE,
+    * mirroring [[ContractStream.start]]: restore before the query starts,
+    * persist atomically after every ingested batch (persist-then-sink).
+    * The file refuses a monitor with a different reference profile, dims,
+    * or ε (the PSI would be silently wrong) and a different checkpoint
+    * (fresh batchIds over restored counts would drop real batches as
+    * replays). */
   def start(stream: DataFrame, monitor: Monitor,
             sink: Seq[DriftRow] => Unit, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            stateFile: Option[String] = None): StreamingQuery = {
+    stateFile.foreach { f =>
+      readState(stream.sparkSession, f).foreach { case (mid, ckpt, s) =>
+        require(mid == monitor.monitorId,
+          s"drift monitor: state file $f was written by a monitor with a " +
+            "DIFFERENT reference profile, dims, or eps — the restored " +
+            "counters would compute wrong PSI; delete the file (fresh " +
+            "counts) or restart with the original reference")
+        require(ckpt == checkpointDir,
+          s"drift monitor: state file $f belongs to checkpoint '$ckpt', " +
+            s"not '$checkpointDir' — reprocessing from a fresh checkpoint " +
+            "needs fresh counts; delete the state file too")
+        monitor.restore(s)
+      }
+    }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         monitor.ingest(batch, batchId)
+        stateFile.foreach(f => writeState(batch.sparkSession, f,
+          monitor.monitorId, checkpointDir, monitor.snapshot()))
         sink(monitor.report())
       }
       .start()
+  }
+
+  // ------------------------------------------ durable state (JSON file)
+
+  private def split(path: String): (String, String) = {
+    val i = path.lastIndexOf('/')
+    require(i > 0, s"state file needs a parent dir: $path")
+    (path.substring(0, i), path.substring(i + 1))
+  }
+
+  private[streaming] def writeState(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, monitorId: String,
+                                    checkpointDir: String,
+                                    s: MonitorState): Unit = {
+    def jstr(x: String) = graft.types.Json.str(x)
+    val rows = s.acc.toSeq.sortBy(_._1)
+      .map { case ((d, b), n) => s"[${jstr(d)},${jstr(b)},$n]" }
+      .mkString("[", ",", "]")
+    val (dir, name) = split(path)
+    graft.sources.BucketedStore.writeMeta(spark, dir, name,
+      s"""{"monitorId":${jstr(monitorId)},""" +
+      s""""checkpoint":${jstr(checkpointDir)},""" +
+      s""""lastBatchId":${s.lastBatchId},"acc":$rows}""")
+  }
+
+  private[streaming] def readState(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(String, String, MonitorState)] = {
+    val (dir, name) = split(path)
+    val node = try graft.sources.BucketedStore.readMeta(spark, dir, name)
+               catch { case _: Exception => return None }
+    import scala.jdk.CollectionConverters._
+    val acc = node.get("acc").elements().asScala
+      .map(e => (e.get(0).asText(), e.get(1).asText()) -> e.get(2).asLong())
+      .toMap
+    Some((node.get("monitorId").asText(), node.get("checkpoint").asText(),
+      MonitorState(node.get("lastBatchId").asLong(), acc)))
+  }
 }

@@ -23,10 +23,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * that keeps at-least-once foreachBatch delivery exactly-once. */
 object HeavyStream {
 
+  final case class MonitorState(lastBatchId: Long, totalRows: Long,
+                                batchErr: Double, mergeErr: Long,
+                                counts: Map[String, Long])
+
   final class TopKMonitor(m: Int) extends Serializable {
     require(m >= 1, s"TopKMonitor: m=$m")
     private var counts = Map.empty[String, Long]
-    private var ingested = Set.empty[Long]
+    // batchId WATERMARK, not a set: ids are monotone per query and the
+    // only replay shape is the current failed batch re-delivered, so the
+    // watermark dedups exactly — where a Set[Long] grows one entry per
+    // batch forever on an unbounded stream
+    private var lastBatchId = -1L
     private var totalRows = 0L
     // the TWO undercount sources, tracked separately so error() is the
     // real bound, not the single-source N/m underestimate: per-batch
@@ -39,7 +47,7 @@ object HeavyStream {
     /** Fold one micro-batch of items (one string column) into the summary. */
     def ingest(batch: DataFrame, batchId: Long = -1L,
                itemCol: String = "item"): Unit = synchronized {
-      if (batchId >= 0L && ingested.contains(batchId)) return
+      if (batchId >= 0L && batchId <= lastBatchId) return
       val spark = batch.sparkSession
       import spark.implicits._
       val ds = batch.select(col(itemCol).cast("string").as("item")).as[String]
@@ -75,8 +83,21 @@ object HeavyStream {
         }
       }
       counts = merged
-      if (batchId >= 0L) ingested += batchId
+      if (batchId >= 0L) lastBatchId = batchId
     }
+
+    def snapshot(): MonitorState = synchronized {
+      MonitorState(lastBatchId, totalRows, batchErr, mergeErr, counts)
+    }
+
+    /** Rebuild driver state from a [[snapshot]] before restarting a query
+      * from its checkpoint. */
+    def restore(s: MonitorState): Unit = synchronized {
+      lastBatchId = s.lastBatchId; totalRows = s.totalRows
+      batchErr = s.batchErr; mergeErr = s.mergeErr; counts = s.counts
+    }
+
+    private[streaming] def capacity: Int = m
 
     /** Current top-k by summary weight (desc, item asc). Weights
       * UNDERCOUNT true frequencies by at most [[error]]. */
@@ -96,18 +117,81 @@ object HeavyStream {
   }
 
   /** Run the monitor over a streaming item column; `sink` receives the
-    * refreshed top-k after each batch. */
+    * refreshed top-k after each batch.
+    *
+    * `stateFile` (optional) makes the summary RESTART-DURABLE, mirroring
+    * [[ContractStream.start]]: restore before the query starts (a restart
+    * from its checkpoint replays nothing, so the counts must come from
+    * the file), persist atomically after every ingested batch
+    * (persist-then-sink: a crash between ingest and persist re-presents
+    * the batch and the batchId watermark drops it). The file refuses a
+    * monitor with a DIFFERENT capacity m (the error bound would lie) or a
+    * different checkpoint (fresh batchIds over restored counts would
+    * silently drop the reprocessed batches as replays). */
   def start(items: DataFrame, monitor: TopKMonitor, k: Int,
             sink: Seq[(String, Long)] => Unit, checkpointDir: String,
             itemCol: String = "item",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            stateFile: Option[String] = None): StreamingQuery = {
+    stateFile.foreach { f =>
+      readState(items.sparkSession, f).foreach { case (m0, ckpt, s) =>
+        require(m0 == monitor.capacity,
+          s"heavy-hitter monitor: state file $f was written at capacity " +
+            s"m=$m0, not ${monitor.capacity} — the MG error bound would " +
+            "lie; delete the file (fresh counts) or keep the original m")
+        require(ckpt == checkpointDir,
+          s"heavy-hitter monitor: state file $f belongs to checkpoint " +
+            s"'$ckpt', not '$checkpointDir' — reprocessing from a fresh " +
+            "checkpoint needs fresh counts; delete the state file too")
+        monitor.restore(s)
+      }
+    }
     items.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         monitor.ingest(batch, batchId, itemCol)
+        stateFile.foreach(f => writeState(batch.sparkSession, f,
+          monitor.capacity, checkpointDir, monitor.snapshot()))
         sink(monitor.topK(k))
       }
       .start()
+  }
+
+  // ------------------------------------------ durable state (JSON file)
+
+  private def split(path: String): (String, String) = {
+    val i = path.lastIndexOf('/')
+    require(i > 0, s"state file needs a parent dir: $path")
+    (path.substring(0, i), path.substring(i + 1))
+  }
+
+  private[streaming] def writeState(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, m: Int,
+                                    checkpointDir: String,
+                                    s: MonitorState): Unit = {
+    def jstr(x: String) = graft.types.Json.str(x)
+    val cs = s.counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"[${jstr(k)},$v]" }.mkString("[", ",", "]")
+    val (dir, name) = split(path)
+    graft.sources.BucketedStore.writeMeta(spark, dir, name,
+      s"""{"m":$m,"checkpoint":${jstr(checkpointDir)},""" +
+      s""""lastBatchId":${s.lastBatchId},"totalRows":${s.totalRows},""" +
+      s""""batchErr":${s.batchErr},"mergeErr":${s.mergeErr},"counts":$cs}""")
+  }
+
+  private[streaming] def readState(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, String, MonitorState)] = {
+    val (dir, name) = split(path)
+    val node = try graft.sources.BucketedStore.readMeta(spark, dir, name)
+               catch { case _: Exception => return None }
+    import scala.jdk.CollectionConverters._
+    val counts = node.get("counts").elements().asScala
+      .map(e => e.get(0).asText() -> e.get(1).asLong()).toMap
+    Some((node.get("m").asInt(), node.get("checkpoint").asText(),
+      MonitorState(node.get("lastBatchId").asLong(),
+        node.get("totalRows").asLong(), node.get("batchErr").asDouble(),
+        node.get("mergeErr").asLong(), counts)))
+  }
 }

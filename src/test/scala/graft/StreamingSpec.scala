@@ -197,6 +197,88 @@ class StreamingSpec extends SparkSpec {
     assert(mon.report().map(_.nStream).sum === 2 * once.map(_.nStream).sum)
   }
 
+  test("heavy-hitter monitor stateFile: a query RESTARTED from its " +
+    "checkpoint with a fresh monitor keeps the summary; a different " +
+    "capacity refuses the file loudly") {
+    import graft.streaming.HeavyStream
+    import graft.pipeline.{Bpe, Heavy}
+    val base = java.nio.file.Files.createTempDirectory("graft-hhstate")
+    val (data, ckpt, state) =
+      (s"$base/data", s"$base/ckpt", s"$base/hh.state.json")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40)
+    val items = docs.select(explode(Bpe.words(col("text"))).as("item"))
+    val i1 = docs.filter(col("doc_id") < 20)
+      .select(explode(Bpe.words(col("text"))).as("item"))
+    val i2 = docs.filter(col("doc_id") >= 20)
+      .select(explode(Bpe.words(col("text"))).as("item"))
+    def run(mon: HeavyStream.TopKMonitor): Unit = {
+      val stream = spark.readStream.schema(items.schema).parquet(data)
+      val q = HeavyStream.start(stream, mon, k = 10, _ => (), ckpt,
+        stateFile = Some(state))
+      try q.awaitTermination() finally q.stop()
+    }
+    i1.coalesce(1).write.mode("append").parquet(data)
+    val m1 = new HeavyStream.TopKMonitor(m = 2048)
+    run(m1)
+    // process "dies"; more data lands; a FRESH monitor restarts from the
+    // same checkpoint — the source replays nothing, the state file must
+    // carry the first run's summary (and both error terms)
+    i2.coalesce(1).write.mode("append").parquet(data)
+    val m2 = new HeavyStream.TopKMonitor(m = 2048)
+    run(m2)
+    val batch = Heavy.topKExact(items, "item", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(m2.topK(10) === batch,
+      s"restarted summary diverged:\n${m2.topK(10)}\nvs\n$batch")
+    assert(m2.rowsSeen === items.count())
+    // the error bound carried across the restart: Σ_b N_b/m over BOTH
+    // runs' batches (capacity ≫ vocabulary → no merge cuts)
+    assert(math.abs(m2.error - items.count().toDouble / 2048) < 1e-9,
+      s"error bound lost across restart: ${m2.error}")
+    // a different capacity must refuse the state file — the MG bound lies
+    val bad = new HeavyStream.TopKMonitor(m = 64)
+    val e = intercept[IllegalArgumentException] { run(bad) }
+    assert(e.getMessage.contains("capacity"), e.getMessage)
+  }
+
+  test("drift monitor stateFile: a query RESTARTED from its checkpoint " +
+    "keeps the running profile; a different reference refuses the file") {
+    import graft.streaming.DriftStream
+    val base = java.nio.file.Files.createTempDirectory("graft-dstate")
+    val (data, ckpt, state) =
+      (s"$base/data", s"$base/ckpt", s"$base/drift.state.json")
+    val ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dims = Seq("lang" -> col("lang"))
+    val v2 = ref.where(col("doc_id") % 3 =!= 0)
+    val p1 = v2.filter(col("doc_id") % 2 === 0).select("lang")
+    val p2 = v2.filter(col("doc_id") % 2 =!= 0).select("lang")
+    def run(mon: DriftStream.Monitor): Seq[DriftStream.DriftRow] = {
+      var last: Seq[DriftStream.DriftRow] = Nil
+      val stream = spark.readStream.schema(p1.schema).parquet(data)
+      val q = DriftStream.start(stream, mon, rep => last = rep, ckpt,
+        stateFile = Some(state))
+      try q.awaitTermination() finally q.stop()
+      last
+    }
+    p1.coalesce(1).write.mode("append").parquet(data)
+    run(new DriftStream.Monitor(ref, dims))
+    p2.coalesce(1).write.mode("append").parquet(data)
+    val m2 = new DriftStream.Monitor(ref, dims)
+    val streamed = run(m2).map(d => (d.dim, d.bucket) ->
+      (d.nRef, d.nStream, d.psi)).toMap
+    val batch = graft.pipeline.Profile.driftReport(ref, v2, dims)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    assert(streamed === batch,
+      "restarted drift profile diverged from the batch report")
+    // a monitor over a DIFFERENT reference must refuse the state file —
+    // its counters would compute silently wrong PSI
+    val bad = new DriftStream.Monitor(ref.limit(10), dims)
+    val e = intercept[IllegalArgumentException] { run(bad) }
+    assert(e.getMessage.contains("DIFFERENT reference"), e.getMessage)
+  }
+
   test("incremental index maintenance: batch 2 matches dups planted against batch 1") {
     import graft.streaming.DocStream
     implicit val sq = spark.sqlContext
