@@ -790,6 +790,23 @@ object Similarity {
       s"$path/meta.json", meta)
   }
 
+  /** Encode NEW vectors against a PERSISTED index's frozen quantizers and
+    * append their codes into the cell-partitioned store on disk — the
+    * daily-ingest counterpart of [[ivfPqAppend]]: cost scales with the
+    * BATCH (coarse-assign + residual-encode it, write its partition
+    * files), the existing codes are never read or rewritten, and the next
+    * [[loadIvfPq]] serves the union. */
+  def appendIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                  newVecs: DataFrame, cVec: String = "embedding"): Unit = {
+    val idx = loadIvfPq(spark, path)
+    val resid = residuals(newVecs, idx.centroids, idx.cId, cVec)
+    pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
+        carry = Seq("centroid_id", "__ocn"))
+      .drop("__cn")
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
   /** Load a persisted index. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
                 path: String): IvfPqIndex = {

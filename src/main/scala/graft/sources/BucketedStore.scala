@@ -35,15 +35,69 @@ object BucketedStore {
   }
 
   /** Re-attach files written by [[write]] as a bucketed scan — no data
-    * moves, no shuffle; the scan reports the stored hash-partitioning. */
+    * moves, no shuffle; the scan reports the stored hash-partitioning.
+    * Self-heals [[compact]]'s crash window: a missing main dir with a
+    * complete `.old` beside it means the compactor died between its two
+    * renames — the old generation IS the data. */
+  /** [[compact]] crash-window recovery: a missing main dir with a
+    * complete `.old` beside it means the compactor died between its two
+    * renames — the old generation IS the data; move it back. */
+  private def heal(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val old = new org.apache.hadoop.fs.Path(s"$path.old")
+      if (fs.exists(old)) require(fs.rename(old, p),
+        s"crash-window recovery rename $old -> $p failed")
+    }
+  }
+
   def attach(spark: SparkSession, path: String, keys: Seq[String],
              buckets: Int): DataFrame = {
+    heal(spark, path)
     val tbl = s"graft_bstore_a_${ids.incrementAndGet()}"
     val ddl = spark.read.parquet(path).schema.toDDL
     spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
       s"INTO $buckets BUCKETS LOCATION '$path'")
     spark.table(tbl)
+  }
+
+  /** Rewrite a layout in place — the periodic bucket compaction an
+    * append-heavy store needs: every [[append]] adds up to `buckets` new
+    * files, and after many deltas the per-bucket file count (not the
+    * data volume) is what slows scans and listings. The rewrite reads
+    * the attached layout (already hash-distributed — the write replans
+    * WITHOUT a shuffle) into a fresh one-generation tree, then swaps:
+    * tmp → `.old` → main → delete. A crash between the renames leaves
+    * `.old` as the only copy, which [[attach]] self-heals. NOT safe
+    * under concurrent readers of this path (their captured file list
+    * moves) — same contract as any bucket rewrite. */
+  def compact(spark: SparkSession, path: String, keys: Seq[String],
+              buckets: Int): Unit = {
+    heal(spark, path) // a crashed previous compaction leaves only `.old`
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // cluster on the bucket keys with the SAME partitioning the bucket id
+    // uses (pmod(hash, buckets)) so each task holds exactly one bucket and
+    // the rewrite lands ONE file per bucket — an unclustered bucketed
+    // write emits a file per (task × bucket) and would re-fragment. Read
+    // the files as PLAIN parquet here: reading through an attached
+    // bucketed table makes the planner drop this repartition as redundant
+    // (the scan claims the distribution) while auto-bucketed-scan may
+    // serve file-split partitions that don't align with it — plain files
+    // carry no such claim, so the shuffle stays and the writers align.
+    val clustered = spark.read.parquet(path)
+      .repartition(buckets,
+        keys.map(org.apache.spark.sql.functions.col): _*)
+    write(clustered, tmp.toString, keys, buckets)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
+    fs.delete(old, true)
   }
 
   /** INSERT a delta through the stored bucket spec: the delta's rows land

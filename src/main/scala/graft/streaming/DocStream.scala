@@ -389,6 +389,23 @@ object DocStream {
       .start()
   }
 
+  /** Periodic bucket rewrite of a persisted index: every
+    * [[appendIndex]]/[[appendIndexBatch]] adds up to `buckets` files per
+    * half, and after many deltas the file COUNT (not the data) slows the
+    * probe scans — compaction folds each half back to one generation.
+    * The meta (including the exactly-once lastBatch watermark) is
+    * untouched; not safe under concurrent readers (see
+    * [[graft.sources.BucketedStore.compact]]). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+    val buckets = node.get("buckets").asInt()
+    graft.sources.BucketedStore.compact(spark, s"$dir/band",
+      Seq("band", "bh"), buckets)
+    graft.sources.BucketedStore.compact(spark, s"$dir/grams",
+      Seq("id"), buckets)
+  }
+
   /** Re-attach an index persisted by [[saveIndex]]: registers the stored
     * files as EXTERNAL bucketed tables (schema read from the parquet
     * footers, bucket spec from the meta) — no data is moved and no

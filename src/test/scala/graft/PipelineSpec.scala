@@ -1277,6 +1277,15 @@ class PipelineSpec extends SparkSpec {
     val hits = Similarity.ivfPqSearch(qNew, appended, emb, k = 3, nprobe = 8)
     val self = hits.where(col("q_id") === col("vec_id")).count()
     assert(self === 2L, "appended vectors must be their own nearest neighbor")
+    // DISK append: encode the same fresh batch against the PERSISTED
+    // quantizers — existing partition files are untouched, the reload
+    // serves the union, appended ids are findable
+    Similarity.appendIvfPq(spark, dir, fresh)
+    val reloaded = Similarity.loadIvfPq(spark, dir)
+    assert(reloaded.codes.count() === emb.count())
+    val hits2 = Similarity.ivfPqSearch(qNew, reloaded, emb, k = 3, nprobe = 8)
+    assert(hits2.where(col("q_id") === col("vec_id")).count() === 2L,
+      "disk-appended vectors must be their own nearest neighbor")
   }
 
   test("scrubAll masks IPs and phones; an in-URL IP masks as the URL") {

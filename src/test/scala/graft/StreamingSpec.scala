@@ -421,6 +421,23 @@ class StreamingSpec extends SparkSpec {
       s"planted delta dup not found in-memory: $mem")
     assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
       === mem, "appended persisted index diverged from the from-scratch index")
+    // COMPACTION folds the append generations back to one file per bucket
+    // (file COUNT is what many appends degrade, not data volume); results
+    // are bit-identical afterwards
+    DocStream.compactIndex(spark, dir)
+    val compacted = files("band")
+    assert(compacted.size <= 4 + 1, // ≤ buckets part files (+ _SUCCESS-ish)
+      s"compaction left ${compacted.size} band files:\n${compacted.keys.toSeq.sorted.mkString("\n")}")
+    assert(compacted.size < bandAfter.size, "compaction did not shrink files")
+    assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
+      === mem, "compaction changed results")
+    // compaction crash window: main dir gone, .old complete — attach
+    // self-heals and the index still serves
+    val fs = java.nio.file.Paths.get(dir, "band")
+    java.nio.file.Files.move(fs, java.nio.file.Paths.get(dir, "band.old"))
+    assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
+      === mem, "crash-window self-heal failed")
+    assert(java.nio.file.Files.isDirectory(fs), "self-heal did not restore the dir")
   }
 
   test("restart-durable incremental dedup over the PERSISTED index: " +
