@@ -1247,6 +1247,39 @@ object Queries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[qIncrDedup]] STREAMED: the same delta flows as one micro-batch
+    * through [[graft.streaming.DocStream.startIncrementalPersisted]] —
+    * matched against a persisted index of the history, delivered to the
+    * sink, and appended back under the batchId guard. A batch matches the
+    * index BEFORE its own append, so with the delta in one batch every
+    * match is delta-vs-history and the accumulated sink rows equal
+    * q_incr_dedup's — the third route (in-memory, persisted, streamed)
+    * through ONE exact oracle. */
+  def qStreamIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.rel.Checkpoint.PinOps
+    val hist = t(s, dir, "documents").where(length(col("text")) >= 5).bagDF
+    val delta = hist.where(col("doc_id") % 23 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .select("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ndi-qs").toString
+    val idx = graft.streaming.DocStream.buildIndex(hist)
+    graft.streaming.DocStream.saveIndex(idx, idxDir, buckets = 8)
+    idx.bandIndex.unpin(); idx.grams.unpinAll() // index lives on disk now
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-ndi-qsd").toString
+    delta.coalesce(1).write.mode("overwrite").parquet(deltaDir)
+    val stream = s.readStream.schema(delta.schema).parquet(deltaDir)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = graft.streaming.DocStream.startIncrementalPersisted(stream, idxDir,
+      m => acc.synchronized {
+        acc ++= m.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      },
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    acc.toSeq.toDF("new_id", "dup_id", "jaccard")
+      .select(col("new_id"), col("dup_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** [[qIncrDedup]] through the PERSISTED index: build → saveIndex (two
     * bucketed parquet layouts + meta, paid-once shuffle) → release the
     * in-memory pins → loadIndex (re-attach, zero shuffle) → match the
@@ -2479,6 +2512,7 @@ object Queries {
     "q_quality_sample" -> qQualitySample, "q_corpus_diff" -> qCorpusDiff,
     "q_profile_check" -> qProfileCheck, "q_incr_dedup" -> qIncrDedup,
     "q_index_persist" -> qIndexPersist,
+    "q_stream_incr_dedup" -> qStreamIncrDedup,
     "q_winnow" -> qWinnow, "q_embed_center" -> qEmbedCenter,
     "q_source_overlap" -> qSourceOverlap, "q_rebuild" -> qRebuild,
     "q_compress_check" -> qCompressCheck, "q_decontam_bloom" -> qDecontamBloom,
@@ -3412,6 +3446,9 @@ object Queries {
     // identical rows through the PERSISTED bucketed index — the disk round
     // trip (saveIndex → loadIndex) must be invisible in the result
     "q_index_persist" -> incrDedupOracle,
+    // and identical rows STREAMED through startIncrementalPersisted — a
+    // real StreamingQuery, the batchId-guarded append, one micro-batch
+    "q_stream_incr_dedup" -> incrDedupOracle,
 
     // identical winnowing selection: md5 trigram hashes, window-of-4 min,
     // distinct — hex strings order the same lexicographically everywhere

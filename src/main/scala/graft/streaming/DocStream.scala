@@ -364,10 +364,13 @@ object DocStream {
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
                                 appendFilter: (DataFrame, DataFrame) => DataFrame =
-                                  (batch, _) => batch):
+                                  (batch, _) => batch,
+                                trigger: org.apache.spark.sql.streaming.Trigger =
+                                  org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.rel.Checkpoint.PinOps
     stream.writeStream
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val sc = spark.sparkContext
