@@ -178,8 +178,10 @@ final class Catalog(val spark: SparkSession) {
     * rebuild re-pays the full bucketing shuffle, at 100 TB the dominant
     * cost of loading a catalog). */
   private[catalog] def defineBucketedAttached(name: String, path: String,
-      bucketCols: Seq[String], buckets: Int): Unit = {
-    val df = graft.sources.BucketedStore.attach(spark, path, bucketCols, buckets)
+      bucketCols: Seq[String], buckets: Int,
+      schemaDdl: Option[String] = None): Unit = {
+    val df = graft.sources.BucketedStore.attach(spark, path, bucketCols,
+      buckets, schemaDdl)
     swap(name, Rel.distinct(df), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
     boundTo(name) = path
@@ -356,7 +358,10 @@ final class Catalog(val spark: SparkSession) {
       bucketSpec.get(n) match {
         case Some((cols, k)) =>
           val cs = cols.map(jstr).mkString("[", ",", "]")
-          lines += s"""{"kind":"relvar_bucketed","name":${jstr(n)},"bucketCols":$cs,"buckets":$k}"""
+          // schema recorded so an EMPTY bucketed relvar (no parquet files
+          // to infer from) still re-attaches on load
+          val ddl = jstr(relvars(n).df.schema.toDDL)
+          lines += s"""{"kind":"relvar_bucketed","name":${jstr(n)},"bucketCols":$cs,"buckets":$k,"schema":$ddl}"""
         case None =>
           lines += s"""{"kind":"relvar","name":${jstr(n)}}"""
       }
@@ -515,7 +520,8 @@ object Catalog {
           val layout = s"$dir/_bucketed/$name"
           if (hfs.exists(new org.apache.hadoop.fs.Path(layout)))
             cat.defineBucketedAttached(name, layout,
-              seqOf(r, "bucketCols"), r.get("buckets").asInt)
+              seqOf(r, "bucketCols"), r.get("buckets").asInt,
+              opt(r, "schema"))
           else cat.defineBucketed(name,
             Rel.parquet(spark, s"$dir/$name.parquet"),
             seqOf(r, "bucketCols"),

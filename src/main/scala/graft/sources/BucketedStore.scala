@@ -52,11 +52,16 @@ object BucketedStore {
     }
   }
 
+  /** `schemaDdl`: pass the schema recorded at write time (see the index
+    * metas) so an EMPTY layout attaches too — a zero-row bucketed write
+    * produces no parquet files, and schema inference over the bare
+    * directory throws. The empty corpus is the natural INITIAL state of a
+    * start-from-nothing streaming pipeline, not an error. */
   def attach(spark: SparkSession, path: String, keys: Seq[String],
-             buckets: Int): DataFrame = {
+             buckets: Int, schemaDdl: Option[String] = None): DataFrame = {
     heal(spark, path)
     val tbl = s"graft_bstore_a_${ids.incrementAndGet()}"
-    val ddl = spark.read.parquet(path).schema.toDDL
+    val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
     spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
       s"INTO $buckets BUCKETS LOCATION '$path'")
@@ -78,6 +83,10 @@ object BucketedStore {
     heal(spark, path) // a crashed previous compaction leaves only `.old`
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty layout (no part files yet) has nothing to fold — and no
+    // schema to read
+    if (!fs.exists(p) || !fs.listStatus(p).exists(
+        _.getPath.getName.startsWith("part-"))) return
     val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // cluster on the bucket keys with the SAME partitioning the bucket id
@@ -105,9 +114,10 @@ object BucketedStore {
     * before the append keep their file listing (re-[[attach]] to see the
     * delta). */
   def append(spark: SparkSession, path: String, df: DataFrame,
-             keys: Seq[String], buckets: Int): Unit = {
+             keys: Seq[String], buckets: Int,
+             schemaDdl: Option[String] = None): Unit = {
     val tbl = s"graft_bstore_i_${ids.incrementAndGet()}"
-    val ddl = spark.read.parquet(path).schema.toDDL
+    val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +

@@ -235,7 +235,9 @@ object DocStream {
     graft.sources.BucketedStore.write(index, s"$dir/hashes", Seq("hash"), buckets)
     graft.sources.BucketedStore.writeMeta(index.sparkSession, dir,
       "chunkindex.meta.json",
-      s"""{"minLen":$minLen,"avgBits":$avgBits,"maxLen":$maxLen,"buckets":$buckets}""")
+      s"""{"minLen":$minLen,"avgBits":$avgBits,"maxLen":$maxLen,""" +
+      s""""buckets":$buckets,""" +
+      s""""hashSchema":${graft.types.Json.str(index.schema.toDDL)}}""")
   }
 
   def loadChunkIndex(spark: org.apache.spark.sql.SparkSession,
@@ -243,7 +245,7 @@ object DocStream {
     val node = graft.sources.BucketedStore.readMeta(spark, dir, "chunkindex.meta.json")
     PersistedChunkIndex(
       graft.sources.BucketedStore.attach(spark, s"$dir/hashes", Seq("hash"),
-        node.get("buckets").asInt()),
+        node.get("buckets").asInt(), metaSchema(node, "hashSchema")),
       node.get("minLen").asInt(), node.get("avgBits").asInt(),
       node.get("maxLen").asInt())
   }
@@ -266,10 +268,11 @@ object DocStream {
     val fresh = buildChunkIndex(newDocs, textCol, idx.minLen, idx.avgBits,
         idx.maxLen)
       .join(idx.hashes, Seq("hash"), "left_anti")
+    val node = graft.sources.BucketedStore.readMeta(spark, dir,
+      "chunkindex.meta.json")
     graft.sources.BucketedStore.append(spark, s"$dir/hashes", fresh,
-      Seq("hash"),
-      graft.sources.BucketedStore.readMeta(spark, dir, "chunkindex.meta.json")
-        .get("buckets").asInt())
+      Seq("hash"), node.get("buckets").asInt(),
+      metaSchema(node, "hashSchema"))
   }
 
   // ---------------------------- persisted (bucketed) index: the 100 TB shape
@@ -293,9 +296,15 @@ object DocStream {
       Seq("band", "bh"), buckets)
     graft.sources.BucketedStore.write(index.grams, s"$dir/grams",
       Seq("id"), buckets)
+    // schemas recorded at write time: an EMPTY index (the initial state of
+    // a start-from-nothing stream) writes no parquet files, so loads and
+    // appends cannot infer them from the directory
+    def q(s: String) = graft.types.Json.str(s)
     graft.sources.BucketedStore.writeMeta(spark, dir, "index.meta.json",
       s"""{"numHashes":${index.numHashes},"bands":${index.bands},""" +
-      s""""shingleK":${index.shingleK},"buckets":$buckets}""")
+      s""""shingleK":${index.shingleK},"buckets":$buckets,""" +
+      s""""bandSchema":${q(index.bandIndex.schema.toDDL)},""" +
+      s""""gramSchema":${q(index.grams.schema.toDDL)}}""")
   }
 
   /** Append a delta corpus to a persisted index IN PLACE — the at-scale
@@ -309,22 +318,23 @@ object DocStream {
   def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                   newDocs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): Unit = {
-    val (numHashes, bands, shingleK, buckets) = readMeta(spark, dir)
-    val delta = buildIndex(newDocs, idCol, textCol, numHashes, bands, shingleK)
+    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+    val delta = buildIndex(newDocs, idCol, textCol,
+      node.get("numHashes").asInt(), node.get("bands").asInt(),
+      node.get("shingleK").asInt())
+    val buckets = node.get("buckets").asInt()
     graft.sources.BucketedStore.append(spark, s"$dir/band", delta.bandIndex,
-      Seq("band", "bh"), buckets)
+      Seq("band", "bh"), buckets, metaSchema(node, "bandSchema"))
     graft.sources.BucketedStore.append(spark, s"$dir/grams", delta.grams,
-      Seq("id"), buckets)
+      Seq("id"), buckets, metaSchema(node, "gramSchema"))
     delta.bandIndex.unpinAll(); delta.grams.unpinAll()
   }
 
-  /** Shared meta reader (main-or-tmp crash window, any Hadoop scheme). */
-  private def readMeta(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): (Int, Int, Int, Int) = {
-    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
-    (node.get("numHashes").asInt(), node.get("bands").asInt(),
-      node.get("shingleK").asInt(), node.get("buckets").asInt())
-  }
+  /** Optional schema DDL recorded in a meta (absent in legacy metas —
+    * those layouts were non-empty, so inference still works). */
+  private def metaSchema(node: com.fasterxml.jackson.databind.JsonNode,
+                         field: String): Option[String] =
+    if (node.has(field)) Some(node.get(field).asText()) else None
 
   /** [[appendIndex]] with foreachBatch's at-least-once delivery made
     * EXACTLY-ONCE on the index: the highest appended batchId rides in the
@@ -342,11 +352,12 @@ object DocStream {
     val last = if (node.has("lastBatch")) node.get("lastBatch").asLong() else -1L
     if (batchId <= last) return false
     appendIndex(spark, dir, newDocs, idCol, textCol)
+    // advance the watermark, preserving every other meta field (schemas!)
+    val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.put("lastBatch", batchId)
     graft.sources.BucketedStore.writeMeta(spark, dir, "index.meta.json",
-      s"""{"numHashes":${node.get("numHashes").asInt()},""" +
-      s""""bands":${node.get("bands").asInt()},""" +
-      s""""shingleK":${node.get("shingleK").asInt()},""" +
-      s""""buckets":${node.get("buckets").asInt()},"lastBatch":$batchId}""")
+      obj.toString)
     true
   }
 
@@ -417,12 +428,15 @@ object DocStream {
     * index side (StreamingSpec pins the plan). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 dir: String): NearDupIndex = {
-    val (numHashes, bands, shingleK, buckets) = readMeta(spark, dir)
+    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
     NearDupIndex(
       graft.sources.BucketedStore.attach(spark, s"$dir/band",
-        Seq("band", "bh"), buckets),
+        Seq("band", "bh"), node.get("buckets").asInt(),
+        metaSchema(node, "bandSchema")),
       graft.sources.BucketedStore.attach(spark, s"$dir/grams",
-        Seq("id"), buckets),
-      numHashes, bands, shingleK)
+        Seq("id"), node.get("buckets").asInt(),
+        metaSchema(node, "gramSchema")),
+      node.get("numHashes").asInt(), node.get("bands").asInt(),
+      node.get("shingleK").asInt())
   }
 }

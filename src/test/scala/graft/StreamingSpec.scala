@@ -505,6 +505,36 @@ class StreamingSpec extends SparkSpec {
       s"duplicate index rows leaked into results: $dup vs $clean")
   }
 
+  test("start-from-nothing stream: an EMPTY persisted index (no parquet " +
+    "files at all — schemas come from the meta) accepts batches, and " +
+    "batch 2 matches batch 1's planted dup through the appended layout") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-zero").toString
+    DocStream.saveIndex(DocStream.buildIndex(empty), dir, buckets = 4)
+    val freshA = "a first ever document about cold starting a dedup index"
+    val batch1 = Seq((1L, freshA),
+      (2L, "a second unrelated document about nothing in particular"))
+    val batch2 = Seq((3L, freshA + " with a trailing edit"))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.startIncrementalPersisted(in.toDF.toDF("doc_id", "text"),
+      dir, b => perBatch.synchronized {
+        perBatch += b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      })
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.length === 2)
+    assert(perBatch(0).isEmpty, s"nothing to match at cold start: ${perBatch(0)}")
+    assert(perBatch(1) === Set((3L, 1L)),
+      s"batch 2 must match batch 1's planted dup: ${perBatch(1)}")
+  }
+
   test("persisted chunk index: chunking parameters travel with the data, " +
     "and append anti-joins the stored hashes so a re-append is a no-op and " +
     "probes never double-count") {
