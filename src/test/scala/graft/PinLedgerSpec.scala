@@ -181,6 +181,47 @@ class PinLedgerSpec extends SparkSpec {
     assert((live -- before).isEmpty, "unpinAll did not drain the result legs")
   }
 
+  test("streaming incremental dedup holds ONE index generation (in-memory " +
+       "face) / NOTHING between batches (persisted face)") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val history = (0 until 50)
+      .map(i => (i.toLong, s"history document number $i about topic ${i % 7}"))
+      .toDF("doc_id", "text")
+    val batches = (0 until 4).map(b => (100L + b,
+      s"streamed document $b arriving later with fresh content"))
+    // in-memory face: after N batches, live pins = index0's (caller-owned)
+    // + ONE current generation (2 pins) + nothing per batch
+    val index0 = DocStream.buildIndex(history)
+    val before = live
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.startIncremental(in.toDF.toDF("doc_id", "text"),
+      index0, _.count())
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val extra = live -- before
+    assert(extra.size <= 2,
+      s"in-memory incremental dedup accumulated ${extra.size} pins over " +
+      "4 batches — superseded index generations leak")
+    // persisted face: the index is the DIRECTORY; the ledger returns to
+    // baseline after every batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-ledger").toString
+    DocStream.saveIndex(index0, dir, buckets = 4)
+    index0.bandIndex.unpin(); index0.grams.unpinAll()
+    val before2 = live
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = DocStream.startIncrementalPersisted(in2.toDF.toDF("doc_id", "text"),
+      dir, _.count())
+    try {
+      batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    assert((live -- before2).isEmpty,
+      s"persisted incremental dedup left ${(live -- before2).size} pins — " +
+      "the per-batch ledger drain regressed")
+  }
+
   test("reliable checkpoints: superseded pins DELETE their rdd-* directories " +
        "— a deep fixpoint leaves O(result) files on the DFS, not O(rounds)") {
     import org.apache.spark.sql.functions.col
