@@ -123,7 +123,13 @@ object BucketedStore {
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
       s"INTO $buckets BUCKETS LOCATION '$path'")
     val view = s"${tbl}_delta"
-    df.createOrReplaceTempView(view)
+    // INSERT binds by POSITION — select the delta's columns in the
+    // TABLE's order by NAME, so a caller whose frame carries the same
+    // columns in a different order appends correctly (and a missing
+    // column fails loud here instead of misassigning silently)
+    val ordered = df.select(spark.table(tbl).schema.fieldNames
+      .map(n => df(n)): _*)
+    ordered.createOrReplaceTempView(view)
     spark.sql(s"INSERT INTO `$tbl` SELECT * FROM `$view`")
     spark.catalog.dropTempView(view)
     spark.sql(s"DROP TABLE `$tbl`")

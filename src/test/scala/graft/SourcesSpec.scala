@@ -145,4 +145,24 @@ class SourcesSpec extends SparkSpec {
     val already = fixed
     assert(Sources.embeddingToFloat(already) eq already)
   }
+
+  test("BucketedStore.append binds columns by NAME: a reordered delta " +
+    "appends correctly, a missing column fails loud") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstore").toString
+    val base = Seq((1L, "a", 10L)).toDF("k", "v", "n")
+    BucketedStore.write(base, s"$dir/t", Seq("k"), 2)
+    // same columns, DIFFERENT order — positional binding would write the
+    // long 20 into v and the string into n
+    BucketedStore.append(spark, s"$dir/t",
+      Seq((20L, 2L, "b")).toDF("n", "k", "v"), Seq("k"), 2)
+    val got = BucketedStore.attach(spark, s"$dir/t", Seq("k"), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a", 10L), (2L, "b", 20L)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      BucketedStore.append(spark, s"$dir/t",
+        Seq((3L, "c")).toDF("k", "v"), Seq("k"), 2)
+    }
+  }
 }
