@@ -704,6 +704,31 @@ object Queries {
           .as("planted_caught")))
   }
 
+  /** [[qIncrCdc]] through the PERSISTED chunk index: build →
+    * saveChunkIndex (one table bucketed by hash, chunking parameters in
+    * the meta) → loadChunkIndex → probe the delta against the STORED
+    * layout with the parameters the meta carries. Same oracle as
+    * q_incr_cdc — the disk round trip must be invisible in the verdict. */
+  def qCdcPersist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").bagDF
+    val history = docs.filter(col("doc_id") >= 100)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdi-q").toString
+    graft.streaming.DocStream.saveChunkIndex(
+      graft.streaming.DocStream.buildChunkIndex(history), tmp)
+    val loaded = graft.streaming.DocStream.loadChunkIndex(s, tmp)
+    val planted = history.filter(col("doc_id") < 120 && length(col("text")) >= 300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("EDITED COPY PREFIX. "), col("text")).as("text"))
+    val delta = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val rep = graft.streaming.DocStream.chunkDupFraction(delta, loaded,
+      "doc_id", "text")
+    rep.agg(count(lit(1)).as("n_delta"))
+      .crossJoin(rep.filter(col("doc_id") >= 1000000L)
+        .agg((min(col("dup_frac")) >= 0.4 && avg(col("dup_frac")) >= 0.6)
+          .as("planted_caught")))
+  }
+
   /** Sketch-family contract row: each approximate summary checked against
     * its exact counterpart within the sketch's published error bound (with
     * ≥2× slack so the row trips on regressions, not estimator noise). All
@@ -2506,6 +2531,7 @@ object Queries {
     "q_split_leakage" -> qSplitLeakage, "q_shuffle_order" -> qShuffleOrder,
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_survivors_quality" -> qSurvivorsQuality, "q_incr_cdc" -> qIncrCdc,
+    "q_cdc_persist" -> qCdcPersist,
     "q_profile" -> qProfile, "q_skew_report" -> qSkewReport,
     "q_embed_stats" -> qEmbedStats, "q_dup_spans" -> qDupSpans,
     "q_length_band" -> qLengthBand, "q_split_safe" -> qSplitSafe,
@@ -2621,6 +2647,13 @@ object Queries {
     "SELECT d.new_id, h.doc_id AS dup_id, " +
     "round(CAST(len(list_intersect(d.gr, h.gr)) AS DOUBLE) / len(list_distinct(d.gr || h.gr)), 6) AS jaccard " +
     "FROM d, g h) WHERE jaccard >= 0.5"
+
+  /** Shared by q_incr_cdc and q_cdc_persist: both routes (in-memory chunk
+    * index, persisted bucketed chunk index) must reach the same verdict. */
+  private val incrCdcOracle: String =
+    "SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) + " +
+    "(SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 120 " +
+    "AND length(text) >= 300) AS n_delta, true AS planted_caught"
 
   val oracleSql: Map[String, String] = Map(
     "q_project" -> "SELECT DISTINCT s_nationkey FROM supplier",
@@ -2741,9 +2774,10 @@ object Queries {
       "true AS blocking_complete, true AS blocking_sound"),
     "q_cdc_check" -> ("SELECT count(*) AS n_docs, true AS recon_ok, " +
       "true AS bounds_ok, true AS shift_ok FROM documents"),
-    "q_incr_cdc" -> ("SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) + " +
-      "(SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 120 " +
-      "AND length(text) >= 300) AS n_delta, true AS planted_caught"),
+    "q_incr_cdc" -> incrCdcOracle,
+    // identical verdict through the PERSISTED chunk index (bucketed by
+    // hash, chunking parameters riding in the meta)
+    "q_cdc_persist" -> incrCdcOracle,
     // n_docs and the identical-ASCII-prefix pair count replay from the
     // text; the booleans are the in-query differential's verdict.
     "q_image_dedup_check" -> ("WITH p AS (SELECT doc_id, " +
