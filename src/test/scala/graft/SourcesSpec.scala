@@ -146,6 +146,41 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.embeddingToFloat(already) eq already)
   }
 
+  test("BucketedStore property: write → N appends → compact preserves the " +
+    "exact row multiset and the attach equals a plain read, across random " +
+    "shapes (empty base, duplicate rows, 1..8 buckets)") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val rng = new scala.util.Random(42)
+    (0 until 4).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-bstore-p$trial").toString
+      val buckets = 1 + rng.nextInt(8)
+      def batch(n: Int): Seq[(Long, String)] =
+        (0 until n).map(_ => (rng.nextInt(20).toLong, s"v${rng.nextInt(5)}"))
+      val base = batch(if (trial == 0) 0 else rng.nextInt(40)) // trial 0: EMPTY base
+      val deltas = (0 until 2).map(_ => batch(1 + rng.nextInt(30)))
+      val schema = Some("`k` BIGINT, `v` STRING")
+      BucketedStore.write(base.toDF("k", "v"), s"$dir/t", Seq("k"), buckets)
+      deltas.foreach(d => BucketedStore.append(spark, s"$dir/t",
+        d.toDF("k", "v"), Seq("k"), buckets, schema))
+      def ms(xs: Seq[(Long, String)]): Map[(Long, String), Int] =
+        xs.groupBy(identity).view.mapValues(_.length).toMap
+      def got(df: org.apache.spark.sql.DataFrame) =
+        ms(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      val expect = ms(base ++ deltas.flatten)
+      assert(got(BucketedStore.attach(spark, s"$dir/t", Seq("k"),
+        buckets, schema)) === expect,
+        s"trial $trial: attach lost rows (buckets=$buckets)")
+      BucketedStore.compact(spark, s"$dir/t", Seq("k"), buckets)
+      assert(got(BucketedStore.attach(spark, s"$dir/t", Seq("k"),
+        buckets, schema)) === expect,
+        s"trial $trial: compact changed the multiset (buckets=$buckets)")
+      assert(got(spark.read.parquet(s"$dir/t")) === expect,
+        s"trial $trial: plain read disagrees")
+    }
+  }
+
   test("BucketedStore.append binds columns by NAME: a reordered delta " +
     "appends correctly, a missing column fails loud") {
     import spark.implicits._
