@@ -177,11 +177,16 @@ final class Catalog(val spark: SparkSession) {
     * zero-Exchange join contract restored by metadata alone (where a
     * rebuild re-pays the full bucketing shuffle, at 100 TB the dominant
     * cost of loading a catalog). */
+  /** Metastore entries created by attach-loads — dropped on [[close]]
+    * (external tables: metadata only, the caller's saved files stay). */
+  private val attachedTables = scala.collection.mutable.ArrayBuffer.empty[String]
+
   private[catalog] def defineBucketedAttached(name: String, path: String,
       bucketCols: Seq[String], buckets: Int,
       schemaDdl: Option[String] = None): Unit = {
-    val df = graft.sources.BucketedStore.attach(spark, path, bucketCols,
-      buckets, schemaDdl)
+    val (df, tbl) = graft.sources.BucketedStore.attachNamed(spark, path,
+      bucketCols, buckets, schemaDdl)
+    attachedTables += tbl
     swap(name, Rel.distinct(df), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
     boundTo(name) = path
@@ -437,6 +442,10 @@ final class Catalog(val spark: SparkSession) {
       val p = new org.apache.hadoop.fs.Path(s"$hd/${name}__c$catalogId")
       if (fs.exists(p)) fs.delete(p, true)
     }
+    // attach-load metadata entries: external tables over the CALLER's
+    // saved dirs — drop the session metadata, never the files
+    attachedTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    attachedTables.clear()
     relvars.clear(); history.clear(); boundTo.clear()
     bucketSpec.clear(); bucketGen.clear()
   }

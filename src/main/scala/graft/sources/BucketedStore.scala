@@ -58,14 +58,22 @@ object BucketedStore {
     * directory throws. The empty corpus is the natural INITIAL state of a
     * start-from-nothing streaming pipeline, not an error. */
   def attach(spark: SparkSession, path: String, keys: Seq[String],
-             buckets: Int, schemaDdl: Option[String] = None): DataFrame = {
+             buckets: Int, schemaDdl: Option[String] = None): DataFrame =
+    attachNamed(spark, path, keys, buckets, schemaDdl)._1
+
+  /** [[attach]] that also returns the registered table name, so a caller
+    * with a lifecycle (Catalog.close) can DROP the metadata entry when it
+    * discards the attachment — external table, files stay. */
+  def attachNamed(spark: SparkSession, path: String, keys: Seq[String],
+                  buckets: Int,
+                  schemaDdl: Option[String] = None): (DataFrame, String) = {
     heal(spark, path)
     val tbl = s"graft_bstore_a_${ids.incrementAndGet()}"
     val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
     spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
       s"INTO $buckets BUCKETS LOCATION '$path'")
-    spark.table(tbl)
+    (spark.table(tbl), tbl)
   }
 
   /** Rewrite a layout in place — the periodic bucket compaction an

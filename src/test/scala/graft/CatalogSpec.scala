@@ -171,6 +171,15 @@ class CatalogSpec extends SparkSpec {
     val before = listing
     cat2.save(dir)
     assert(listing === before, "resaving an attached catalog rewrote the layout")
+    // close() drops the attach-load METADATA entries (the saved files — the
+    // caller's dir — stay exactly as they are)
+    def attachEntries: Int = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_bstore_a_"))
+    val entriesLive = attachEntries
+    cat2.close()
+    assert(attachEntries < entriesLive,
+      "close() left the attach-load metastore entries registered")
+    assert(listing === before, "close() touched the saved layout files")
   }
 
   test("bounded history: a 100-update chain stays flat to read as-of " +
