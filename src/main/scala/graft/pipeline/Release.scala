@@ -31,9 +31,16 @@ object Release {
   final case class Manifest(rows: Long, splits: Map[String, Long],
                             columns: Seq[String])
 
+  /** `withDedupIndex` (opt-in — the build is a real corpus pass) also
+    * bundles `dedup_index/`: the release's banded MinHash index persisted
+    * through [[graft.streaming.DocStream.saveIndex]], so the NEXT crawl's
+    * incremental dedup starts WARM — `loadIndex` + `matchAgainst` (or the
+    * restart-durable `startIncrementalPersisted`) probe new documents
+    * against this release without re-reading or re-indexing it. */
   def publish(docs: DataFrame, outDir: String,
               idCol: String = "doc_id", textCol: String = "text",
-              dims: Seq[(String, Column)] = Nil): Manifest = {
+              dims: Seq[(String, Column)] = Nil,
+              withDedupIndex: Boolean = false): Manifest = {
     val split = Sampling.hashSplit(docs, col(idCol))
     split.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/data")
@@ -65,6 +72,13 @@ object Release {
         "lang" -> col("lang"), "source" -> col("source"))
     graft.streaming.DriftStream.bucketCounts(docs, driftDims)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/drift_baseline")
+
+    if (withDedupIndex) {
+      import graft.rel.Checkpoint.PinOps
+      val idx = graft.streaming.DocStream.buildIndex(docs, idCol, textCol)
+      graft.streaming.DocStream.saveIndex(idx, s"$outDir/dedup_index")
+      idx.bandIndex.unpin(); idx.grams.unpinAll() // bundled on disk now
+    }
 
     val splitCounts = split.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -266,6 +266,21 @@ class CurationSpec extends SparkSpec {
     val meta = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/meta.json"))
     assert(meta.contains(s""""rows":${m.rows}""") && meta.contains(""""doc_id""""))
+    // opt-in dedup index: the bundle carries a loadable near-dup index of
+    // THIS release — the next crawl's incremental dedup starts warm
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/dedup_index")), "index must be opt-in")
+    val dir2 = java.nio.file.Files.createTempDirectory("release2").toString
+    Release.publish(docs, dir2, withDedupIndex = true)
+    val idx = graft.streaming.DocStream.loadIndex(spark, s"$dir2/dedup_index")
+    val probeText = docs.filter(col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    import spark.implicits._
+    val hits = graft.streaming.DocStream.matchAgainst(
+      Seq((700000L, probeText)).toDF("doc_id", "text"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((700000L, 0L)),
+      s"release-bundled index missed a known document: $hits")
   }
 
   test("logistic classifier: separable planted labels reach accuracy 1, loss " +
