@@ -193,10 +193,21 @@ object Bench {
     // rows wobble past any ratio on scheduler noise alone (and at a
     // smaller SF than the anchors'), and no row that small is ever graded
     // weak — the absolute floor keeps the adjudication list to rows where
-    // an isolated number actually settles something
+    // an isolated number actually settles something. Rows UNDER the
+    // absolute floor still adjudicate on a relative-only trigger at
+    // >= 1.75x (a tiny row that far over its anchor deserves an isolated
+    // number too); the 1.5x–1.75x sub-floor band is instead TAGGED in the
+    // artifact's "subfloor" map (name -> ratio) so every >1.5x row
+    // self-explains — previously a 0.3 s row at 1.9x could sit
+    // un-adjudicated as the artifact's headline worst ratio.
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val subfloor = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     timings.foreach { case (n, med) =>
-      anchors.get(n).filter(a => a > 0 && med > a * 1.5 && med > a + 0.5)
+      anchors.get(n).filter(a => a > 0 && med > a * 1.5 &&
+          med <= a + 0.5 && med < a * 1.75)
+        .foreach(a => subfloor(n) = med / a)
+      anchors.get(n).filter(a => a > 0 && med > a * 1.5 &&
+          (med > a + 0.5 || med >= a * 1.75))
         .foreach { a =>
         System.err.println(
           f"[bench] $n in-suite $med%.2f s breaches 1.5x anchor $a%.2f s — isolated re-measure")
@@ -231,8 +242,10 @@ object Bench {
     val lm = loadedMedians.map(jstr).mkString("[", ",", "]")
     val iso = isolated.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }
       .mkString("{", ",", "}")
+    val sf2 = subfloor.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }
+      .mkString("{", ",", "}")
     val core =
-      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"isolated":$iso,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"isolated":$iso,"subfloor":$sf2,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
     Files.writeString(Paths.get("bench_out.json"),
       s"""{$core,"spread":$sp,"errors":$es}""" + "\n")
     println(s"{$core}")

@@ -938,7 +938,7 @@ object Queries {
   }
 
   /** Gopher repetition signals over the documents table — word-n-gram
-    * top-2-gram and duplicate-5-gram character fractions, computed
+    * top-2-gram and duplicate-3-gram character fractions, computed
     * IN-ROW (TextAnalysis.repetitionSignals: sorted-array run-length
     * pass, no explode, no shuffle). The DuckDB oracle replays the same
     * math relationally (unnest + group counts), so the gate proves the

@@ -504,8 +504,20 @@ object Catalog {
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    val rows = text.linesIterator.filter(_.trim.nonEmpty)
-      .map(mapper.readTree).toSeq
+    // the tmp file is the newest meta ONLY for the delete→rename crash
+    // window (main already deleted, tmp fully written). A crash MID-WRITE
+    // of the tmp during the FIRST-ever save leaves a truncated tmp and no
+    // main — that dir never held a complete catalog, so an unparsable
+    // lone tmp means "nothing saved yet", not corruption: start empty.
+    // A corrupt MAIN file still throws (real data loss must stay loud).
+    val rows =
+      try text.linesIterator.filter(_.trim.nonEmpty).map(mapper.readTree).toSeq
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException if src == tmp =>
+          org.slf4j.LoggerFactory.getLogger(classOf[Catalog]).warn(
+            s"catalog load: discarding truncated $tmp (crash mid-first-save): $e")
+          return cat
+      }
     type Node = com.fasterxml.jackson.databind.JsonNode
     def opt(r: Node, f: String): Option[String] =
       Option(r.get(f)).filterNot(_.isNull).map(_.asText)

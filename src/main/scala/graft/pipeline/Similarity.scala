@@ -778,16 +778,19 @@ object Similarity {
     * all of it. This is how IVF shards at scale; PipelineSpec pins the
     * `dynamicpruning` partition filter in the loaded index's search plan. */
   def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
-    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    index.codes.write.mode("overwrite")
-      .partitionBy("centroid_id").parquet(s"$path/codes")
-    val meta = s"""{"m":${index.m},"nCodes":${index.nCodes},""" +
-      s""""cId":${graft.types.Json.str(index.cId)}}"""
-    // through the Hadoop FS layer (not java.nio) so the index dir can
-    // live wherever the parquet tables do — s3a://, hdfs://, file://
-    Release.writeTextFile(index.centroids.sparkSession,
-      s"$path/meta.json", meta)
+    val spark = index.centroids.sparkSession
+    graft.sources.WriterLease.withLease(spark, path, "saveIvfPq") {
+      index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+      index.codes.write.mode("overwrite")
+        .partitionBy("centroid_id").parquet(s"$path/codes")
+      val meta = s"""{"m":${index.m},"nCodes":${index.nCodes},""" +
+        s""""cId":${graft.types.Json.str(index.cId)}}"""
+      // atomic tmp+rename through the dir's own Hadoop FS (s3a://,
+      // hdfs://, file://): the meta later carries the exactly-once
+      // lastBatch watermark, so a torn write must be impossible
+      graft.sources.BucketedStore.writeMeta(spark, path, "meta.json", meta)
+    }
   }
 
   /** Encode NEW vectors against a PERSISTED index's frozen quantizers and
@@ -797,28 +800,79 @@ object Similarity {
     * files), the existing codes are never read or rewritten, and the next
     * [[loadIvfPq]] serves the union. */
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
-                  newVecs: DataFrame, cVec: String = "embedding"): Unit = {
-    val idx = loadIvfPq(spark, path)
-    val resid = residuals(newVecs, idx.centroids, idx.cId, cVec)
-    pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
-        carry = Seq("centroid_id", "__ocn"))
-      .drop("__cn")
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
-  }
+                  newVecs: DataFrame, cVec: String = "embedding"): Unit =
+    graft.sources.WriterLease.withLease(spark, path, "appendIvfPq") {
+      val idx = loadIvfPq(spark, path)
+      val resid = residuals(newVecs, idx.centroids, idx.cId, cVec)
+      pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
+          carry = Seq("centroid_id", "__ocn"))
+        .drop("__cn")
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$path/codes")
+    }
+
+  /** [[appendIvfPq]] with foreachBatch's at-least-once delivery made
+    * EXACTLY-ONCE on the serving index — the ANN counterpart of
+    * [[graft.streaming.DocStream.appendIndexBatch]]: the highest appended
+    * batchId rides in the meta under the writer lease, a replayed batch
+    * is a no-op, and the one insert-done/meta-not crash window leaves
+    * duplicate code rows for a single batch, which [[ivfPqSearch]]'s
+    * candidate dedup renders invisible in results. Returns whether the
+    * append ran. */
+  def appendIvfPqBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame, batchId: Long,
+                       cVec: String = "embedding"): Boolean =
+    graft.sources.WriterLease.withLease(spark, path, "appendIvfPqBatch") {
+      val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
+      val last = if (node.has("lastBatch")) node.get("lastBatch").asLong() else -1L
+      if (batchId <= last) false
+      else {
+        appendIvfPq(spark, path, newVecs, cVec)
+        val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        obj.put("lastBatch", batchId)
+        graft.sources.BucketedStore.writeMeta(spark, path, "meta.json",
+          obj.toString)
+        true
+      }
+    }
+
+  /** Streaming maintenance face of the persisted serving index: a stream
+    * of new vectors is coarse-assigned and residual-encoded against the
+    * FROZEN quantizers and lands as cell-partition appends under the
+    * [[appendIvfPqBatch]] batchId watermark — the trained centroids and
+    * codebooks are never touched, each batch costs O(batch), a restart
+    * replays the in-flight batch harmlessly, and the next probe serves
+    * the union. (Rebuild on drift — same contract as [[ivfPqAppend]].) */
+  def startIvfPqAppendStream(stream: DataFrame, path: String,
+                             cVec: String = "embedding",
+                             trigger: org.apache.spark.sql.streaming.Trigger =
+                               org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // pins made while encoding this batch (residuals' centroid join
+        // is broadcast — no pins today, but the ledger keeps a future
+        // pinning change from leaking per-batch blocks forever)
+        val led = graft.rel.Checkpoint.openLedger()
+        try {
+          appendIvfPqBatch(batch.sparkSession, path, batch, batchId, cVec)
+          ()
+        } finally graft.rel.Checkpoint.drainLedger(led)
+      }
+      .start()
 
   /** Load a persisted index. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
                 path: String): IvfPqIndex = {
-    val meta = Release.readTextFile(spark, s"$path/meta.json")
-    def num(k: String): Int =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
-    val cId = s""""cId":"([^"]*)"""".r.findFirstMatchIn(meta).get.group(1)
+    val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
     IvfPqIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
       spark.read.parquet(s"$path/codes"),
-      num("m"), num("nCodes"), cId)
+      node.get("m").asInt(), node.get("nCodes").asInt(),
+      node.get("cId").asText())
   }
 
   def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -882,7 +936,14 @@ object Similarity {
         cosinePre(col("qcdot") + aggregate(adcHits(index.nCodes),
             lit(0.0), (a, x) => a + x),
           col("__qn"), col("__ocn")).as("cosine"))
+    // candidate-level dedup AFTER the ADC top-k: a clean index makes this
+    // a no-op (one code row per vector), but an index holding duplicate
+    // code rows for an id — the [[appendIvfPqBatch]] insert-done/meta-not
+    // crash window — then yields identical results instead of a
+    // duplicated (qId, cId) pair inside the served top-k, which is what
+    // makes replayed appends harmless (mirrors matchAgainst's pair dedup)
     val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
+      .dropDuplicates(qId, cId)
     // exact rescore of the surviving candidates
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
     val q = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))

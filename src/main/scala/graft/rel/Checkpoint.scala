@@ -19,12 +19,18 @@ import org.apache.spark.sql.DataFrame
 object Checkpoint {
 
   /** True when the session routes pins through directory checkpoints.
-    * Operators that RELEASE superseded pins must consult this: a LAZY
-    * reliable pin never actually writes its directory (Spark's
-    * `doCheckpoint` only targets a job's final RDD, and a lazily pinned
-    * intermediate is below it), so a frame whose successor was pinned
-    * lazily still recomputes from its legs — releasing those legs is only
-    * safe after an EAGER successor pin. */
+    * Operators that RELEASE superseded pins must consult this. A LAZY
+    * reliable pin DOES eventually write its directory: `RDD.doCheckpoint`
+    * (run on the driver after every job) recurses into the final RDD's
+    * dependencies and checkpoints the FIRST marked ancestor on each
+    * lineage branch — a lazily pinned intermediate is written (via an
+    * extra recompute job) as soon as any job scans through it. What a
+    * lazy reliable pin does NOT give a releasing operator is a
+    * materialization point it can ORDER against: the write happens as a
+    * post-job side effect of whichever job first covers the pin, so a
+    * loop that releases the pin's legs must either have already run such
+    * a job (WhileFix's compaction releases only after the next round's
+    * count) or pin the successor EAGERLY and release afterwards. */
   def isReliable(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("spark.graft.reliableCheckpoint")
       .exists(_.equalsIgnoreCase("true"))
@@ -40,7 +46,7 @@ object Checkpoint {
 
   def pin(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    if (isReliable(spark)) {
+    val pinned = if (isReliable(spark)) {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         spark.conf.getOption("spark.graft.checkpointDir").foreach(sc.setCheckpointDir)
@@ -48,6 +54,62 @@ object Checkpoint {
         "spark.graft.reliableCheckpoint=true needs spark.graft.checkpointDir (or SparkContext.setCheckpointDir)")
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
+    val led = ledgers.get()
+    if (led != null) pinned.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => led.pins += lr
+      case _ => ()
+    }
+    pinned
+  }
+
+  // --------------------------------------------------- per-thread pin ledger
+
+  /** Pins recorded between [[openLedger]] and [[drainLedger]] on one
+    * thread. Streaming foreachBatch bodies drain the pins THEY created
+    * without touching anything else on the shared SparkContext: the
+    * previous scheme diffed `sc.getPersistentRDDs` (context-GLOBAL)
+    * around the batch, so any CONCURRENT work — another streaming query,
+    * a gateway session — that pinned during the batch window had its pin
+    * unpersisted under it, and a localCheckpoint's truncated lineage
+    * turns that into missing-block failures, not a recompute. The ledger
+    * scopes the drain to this code path's own pins. */
+  final class PinLedger private[Checkpoint] () {
+    private[Checkpoint] val pins = scala.collection.mutable
+      .ArrayBuffer.empty[org.apache.spark.sql.execution.LogicalRDD]
+  }
+
+  private val ledgers = new ThreadLocal[PinLedger]()
+
+  /** Open a ledger on the calling thread: every [[pin]] this thread makes
+    * until the matching [[drainLedger]] is recorded in it. One ledger per
+    * thread (the single foreachBatch body is the use case) — opening a
+    * second one before draining the first throws. */
+  def openLedger(): PinLedger = {
+    require(ledgers.get() == null, "pin ledger already open on this thread")
+    val led = new PinLedger
+    ledgers.set(led)
+    led
+  }
+
+  /** Close the thread's ledger and release every recorded pin except the
+    * ids in `keep` (cross-batch survivors like the evolving in-memory
+    * index — [[pinnedRddId]] supplies their ids). Releases storage the
+    * same way [[PinOps.unpin]] does: the underlying RDD's blocks, plus
+    * its `rdd-<id>` directory for reliable checkpoints. Idempotent per
+    * pin (unpersist of an unpersisted RDD is a no-op). */
+  def drainLedger(led: PinLedger, keep: Set[Int] = Set.empty): Unit = {
+    ledgers.remove()
+    led.pins.foreach { lr =>
+      if (!keep.contains(lr.rdd.id)) {
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(lr.rdd.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+    }
+    led.pins.clear()
   }
 
   /** Chainable syntax mirroring `.localCheckpoint()` call sites. */

@@ -11,44 +11,110 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * delta through the spec (new bucket files land beside the old; a
   * partition write, never a rewrite).
   *
+  * GENERATIONS: a freshly written layout is FLAT (bucket files directly
+  * under `path`). The first [[compact]] rewrites it into a generation
+  * subdirectory `path/_gen-1` and flips an atomic `_gen.json` pointer;
+  * each later compaction writes `_gen-(N+1)` and flips again. The
+  * superseded generation's files are NEVER moved or deleted by the
+  * compaction itself, so every reader that captured a file listing
+  * before the flip (an attached external table, a served ANN index, a
+  * running incremental-dedup stream) keeps reading its own complete,
+  * immutable generation — compaction is safe under concurrent readers.
+  * [[vacuum]] retires superseded generations once their readers are
+  * gone (a grace window is the `keepPrior` knob). The underscore names
+  * keep both the pointer file and the generation dirs invisible to
+  * Spark's file listing, so nothing can double-read old and new data.
+  *
+  * CONCURRENT WRITERS are a different contract: an [[append]] landing in
+  * generation N while [[compact]] is folding N into N+1 would be lost at
+  * the pointer flip. Writer-side operations on one layout must be
+  * serialized externally — the index-level ops (DocStream, Similarity)
+  * do it with [[WriterLease]]; direct BucketedStore callers own it.
+  *
   * Bucketing metadata lives in the session metastore, not in parquet, so
   * each operation registers a throwaway table entry around the files and
   * drops it afterwards (external: metadata only, files stay). */
 object BucketedStore {
 
   private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
+  // throwaway-table names carry a per-JVM random token besides the counter:
+  // two JVMs sharing an EXTERNAL metastore would otherwise both count from
+  // 1 and collide on graft_bstore_*_1 (per-session in-memory metastores
+  // never clash, but nothing forces that deployment)
+  private val jvmToken =
+    java.lang.Long.toUnsignedString(new java.security.SecureRandom().nextLong(), 36)
+  private def freshName(kind: String): String =
+    s"graft_bstore_${kind}_${jvmToken}_${ids.incrementAndGet()}"
 
   private def quoted(keys: Seq[String]): String =
     keys.map(k => s"`$k`").mkString(", ")
 
-  /** Write `df` to `path` as an external bucketed table layout. */
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Current generation of the layout at `path`: 0 = flat/legacy (bucket
+    * files directly under `path`, no pointer), N ≥ 1 = files live in
+    * `path/_gen-N`. */
+  def currentGen(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    if (fs.exists(hp(s"$path/_gen.json")) || fs.exists(hp(s"$path/_gen.json.tmp")))
+      readMeta(spark, path, "_gen.json").get("gen").asInt()
+    else 0
+  }
+
+  /** The directory the layout's CURRENT generation of bucket files lives
+    * in — `path` itself for a flat layout, `path/_gen-N` after
+    * compactions. Every reader and writer resolves through here. */
+  def dataDir(spark: SparkSession, path: String): String = {
+    val g = currentGen(spark, path)
+    if (g == 0) path else s"$path/_gen-$g"
+  }
+
+  /** Write `df` to `path` as an external bucketed table layout (flat
+    * generation-0 form; [[compact]] introduces generations later). An
+    * existing layout at `path` — including any generation dirs — is
+    * replaced; coordinating with live readers of a REWRITE is the
+    * caller's contract, as with any overwrite. */
   def write(df: DataFrame, path: String, keys: Seq[String],
             buckets: Int): Unit = {
     val spark = df.sparkSession
-    val tmp = s"graft_bstore_w_${ids.incrementAndGet()}"
+    // clear stale generation structure: saveAsTable(overwrite) replaces
+    // the directory anyway, but an interrupted earlier life of this path
+    // may have left _gen-* dirs a fresh flat write must not resurrect
+    val fs = fsOf(spark, path)
+    if (fs.exists(hp(path))) fs.delete(hp(path), true)
+    writeFlat(df, path, keys, buckets)
+  }
+
+  /** The raw bucketed write into exactly `dir` — no generation handling.
+    * Shared by [[write]] (dir = layout root) and [[compact]] (dir = the
+    * next generation's subdirectory). */
+  private def writeFlat(df: DataFrame, dir: String, keys: Seq[String],
+                        buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val tmp = freshName("w")
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .option("path", path).format("parquet").saveAsTable(tmp)
+      .option("path", dir).format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$tmp`")
   }
 
-  /** Re-attach files written by [[write]] as a bucketed scan — no data
-    * moves, no shuffle; the scan reports the stored hash-partitioning.
-    * Self-heals [[compact]]'s crash window: a missing main dir with a
-    * complete `.old` beside it means the compactor died between its two
-    * renames — the old generation IS the data. */
-  /** [[compact]] crash-window recovery: a missing main dir with a
-    * complete `.old` beside it means the compactor died between its two
-    * renames — the old generation IS the data; move it back. */
+  /** Legacy crash-window recovery (pre-generation compactions used a
+    * rename swap): a missing main dir with a complete `.old` beside it
+    * means that compactor died between its two renames — the old
+    * generation IS the data; move it back. Generation-based compaction
+    * has no such window (the pointer flip is a single atomic rename). */
   private def heal(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val old = new org.apache.hadoop.fs.Path(s"$path.old")
-      if (fs.exists(old)) require(fs.rename(old, p),
-        s"crash-window recovery rename $old -> $p failed")
+    val fs = fsOf(spark, path)
+    if (!fs.exists(hp(path))) {
+      val old = hp(s"$path.old")
+      if (fs.exists(old)) require(fs.rename(old, hp(path)),
+        s"crash-window recovery rename $old -> $path failed")
     }
   }
 
@@ -63,40 +129,50 @@ object BucketedStore {
 
   /** [[attach]] that also returns the registered table name, so a caller
     * with a lifecycle (Catalog.close) can DROP the metadata entry when it
-    * discards the attachment — external table, files stay. */
+    * discards the attachment — external table, files stay. The table's
+    * LOCATION is the current generation's directory: the attachment keeps
+    * reading that immutable generation even while a later compaction
+    * flips the pointer (re-attach to adopt the new generation). */
   def attachNamed(spark: SparkSession, path: String, keys: Seq[String],
                   buckets: Int,
                   schemaDdl: Option[String] = None): (DataFrame, String) = {
     heal(spark, path)
-    val tbl = s"graft_bstore_a_${ids.incrementAndGet()}"
-    val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
+    val dir = dataDir(spark, path)
+    val tbl = freshName("a")
+    val ddl = schemaDdl.getOrElse(spark.read.parquet(dir).schema.toDDL)
     spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
-      s"INTO $buckets BUCKETS LOCATION '$path'")
+      s"INTO $buckets BUCKETS LOCATION '$dir'")
     (spark.table(tbl), tbl)
   }
 
-  /** Rewrite a layout in place — the periodic bucket compaction an
-    * append-heavy store needs: every [[append]] adds up to `buckets` new
-    * files, and after many deltas the per-bucket file count (not the
-    * data volume) is what slows scans and listings. The rewrite reads
-    * the attached layout (already hash-distributed — the write replans
-    * WITHOUT a shuffle) into a fresh one-generation tree, then swaps:
-    * tmp → `.old` → main → delete. A crash between the renames leaves
-    * `.old` as the only copy, which [[attach]] self-heals. NOT safe
-    * under concurrent readers of this path (their captured file list
-    * moves) — same contract as any bucket rewrite. */
+  /** Fold the layout's current generation into a fresh one — the periodic
+    * bucket compaction an append-heavy store needs: every [[append]] adds
+    * up to `buckets` new files, and after many deltas the per-bucket file
+    * COUNT (not the data volume) is what slows scans and listings.
+    *
+    * Generation-swap, safe under concurrent readers: the rewrite lands in
+    * `path/_gen-(N+1)` while generation N's files stay untouched, then one
+    * atomic `_gen.json` rename flips new resolvers over. Attached tables,
+    * served indexes and running streams that captured generation N keep
+    * reading their complete immutable snapshot; the superseded generation
+    * is reclaimed later by [[vacuum]] once its readers are gone. A crash
+    * before the flip leaves an orphan `_gen-(N+1)` (invisible to readers;
+    * the next compact overwrites it, vacuum deletes it); a crash after
+    * the flip leaves generation N as orphan data for vacuum. Concurrent
+    * WRITERS must be serialized externally (see class doc). */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               buckets: Int): Unit = {
-    heal(spark, path) // a crashed previous compaction leaves only `.old`
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    heal(spark, path) // a legacy-crashed previous compaction leaves only `.old`
+    val fs = fsOf(spark, path)
+    val gen = currentGen(spark, path)
+    val cur = if (gen == 0) path else s"$path/_gen-$gen"
     // an empty layout (no part files yet) has nothing to fold — and no
     // schema to read
-    if (!fs.exists(p) || !fs.listStatus(p).exists(
+    if (!fs.exists(hp(cur)) || !fs.listStatus(hp(cur)).exists(
         _.getPath.getName.startsWith("part-"))) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val next = s"$path/_gen-${gen + 1}"
+    if (fs.exists(hp(next))) fs.delete(hp(next), true) // crashed prior attempt
     // cluster on the bucket keys with the SAME partitioning the bucket id
     // uses (pmod(hash, buckets)) so each task holds exactly one bucket and
     // the rewrite lands ONE file per bucket — an unclustered bucketed
@@ -106,30 +182,56 @@ object BucketedStore {
     // (the scan claims the distribution) while auto-bucketed-scan may
     // serve file-split partitions that don't align with it — plain files
     // carry no such claim, so the shuffle stays and the writers align.
-    val clustered = spark.read.parquet(path)
+    val clustered = spark.read.parquet(cur)
       .repartition(buckets,
         keys.map(org.apache.spark.sql.functions.col): _*)
-    write(clustered, tmp.toString, keys, buckets)
-    val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"compact: rename $p -> $old failed")
-    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
-    fs.delete(old, true)
+    writeFlat(clustered, next, keys, buckets)
+    writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
+  }
+
+  /** Reclaim superseded generations: delete every `_gen-K` below
+    * `currentGen - keepPrior`, and — once a pointer exists — the
+    * flat generation-0 files a migrated layout left at the root.
+    * `keepPrior` is the grace window: `1` (default) keeps the
+    * generation immediately before the current one, so readers that
+    * attached just before the last compaction stay valid; `0` keeps
+    * only the current generation — the caller asserts no reader
+    * predates it. Never touches the current generation. */
+  def vacuum(spark: SparkSession, path: String, keepPrior: Int = 1): Unit = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(hp(path))) return
+    val gen = currentGen(spark, path)
+    if (gen == 0) return // flat layout: nothing superseded yet
+    val floor = gen - keepPrior
+    fs.listStatus(hp(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_gen-")) {
+        val k = n.stripPrefix("_gen-").toInt
+        if (k < floor) fs.delete(st.getPath, true)
+      }
+      // migrated layout's generation-0 root files: superseded by _gen-1,
+      // covered by the same grace arithmetic (gen 0 < floor)
+      if (!st.isDirectory && n.startsWith("part-") && 0 < floor)
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** INSERT a delta through the stored bucket spec: the delta's rows land
-    * as NEW bucket files beside the existing ones. Readers attached
-    * before the append keep their file listing (re-[[attach]] to see the
-    * delta). */
+    * as NEW bucket files beside the existing ones in the CURRENT
+    * generation. Readers attached before the append keep their file
+    * listing (re-[[attach]] to see the delta). Serialize against
+    * [[compact]] externally (see class doc): a delta landing in a
+    * generation mid-fold would be lost at the pointer flip. */
   def append(spark: SparkSession, path: String, df: DataFrame,
              keys: Seq[String], buckets: Int,
              schemaDdl: Option[String] = None): Unit = {
-    val tbl = s"graft_bstore_i_${ids.incrementAndGet()}"
-    val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
+    val dir = dataDir(spark, path)
+    val tbl = freshName("i")
+    val ddl = schemaDdl.getOrElse(spark.read.parquet(dir).schema.toDDL)
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
       s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
-      s"INTO $buckets BUCKETS LOCATION '$path'")
+      s"INTO $buckets BUCKETS LOCATION '$dir'")
     val view = s"${tbl}_delta"
     // INSERT binds by POSITION — select the delta's columns in the
     // TABLE's order by NAME, so a caller whose frame carries the same
@@ -147,23 +249,21 @@ object BucketedStore {
     * atomic tmp+rename; [[readMeta]] covers the rename crash window. */
   def writeMeta(spark: SparkSession, dir: String, fileName: String,
                 json: String): Unit = {
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$fileName.tmp")
+    val hfs = fsOf(spark, dir)
+    val tmp = hp(s"$dir/$fileName.tmp")
     val out = hfs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val tgt = new org.apache.hadoop.fs.Path(s"$dir/$fileName")
+    val tgt = hp(s"$dir/$fileName")
     if (hfs.exists(tgt)) hfs.delete(tgt, false)
     require(hfs.rename(tmp, tgt), s"writeMeta: rename $tmp -> $tgt failed")
   }
 
   def readMeta(spark: SparkSession, dir: String,
                fileName: String): com.fasterxml.jackson.databind.JsonNode = {
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val main = new org.apache.hadoop.fs.Path(s"$dir/$fileName")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$fileName.tmp")
+    val hfs = fsOf(spark, dir)
+    val main = hp(s"$dir/$fileName")
+    val tmp = hp(s"$dir/$fileName.tmp")
     val src = if (hfs.exists(main)) main
               else { require(hfs.exists(tmp), s"no $fileName under $dir"); tmp }
     val in = hfs.open(src)

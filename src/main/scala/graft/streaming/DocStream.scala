@@ -125,18 +125,16 @@ object DocStream {
             textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // diff-drain: matchAgainst pins the batch's gram frame behind its
+        // ledger-drain: matchAgainst pins the batch's gram frame behind its
         // lazy result; a long-running stream must not accumulate one such
-        // pin per micro-batch. The index's own pins predate the batch and
-        // are untouched.
-        val sc = batch.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
+        // pin per micro-batch. The ledger records only the pins THIS batch
+        // body creates — the index's own pins predate the batch, and
+        // concurrent work on the shared SparkContext (another query, a
+        // gateway session) is never touched, where the previous
+        // global-registry diff would have unpersisted its pins under it.
+        val led = graft.rel.Checkpoint.openLedger()
         try sink(matchAgainst(batch, index, threshold, idCol, textCol))
-        finally {
-          val now = sc.getPersistentRDDs
-          now.keysIterator.filterNot(before)
-            .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
-        }
+        finally graft.rel.Checkpoint.drainLedger(led)
       }
       .start()
 
@@ -161,23 +159,25 @@ object DocStream {
         // every micro-batch leaves (a) a full superseded INDEX COPY, and
         // (b) its batch/gram/match pins — memory growth linear in batches.
         // After append's eager merge, everything the batch pinned is dead
-        // EXCEPT the new index generation: drain by ledger diff, exempting
-        // those two pins. index0 stays caller-owned and is never released.
-        val sc = batch.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
-        val b = batch.pin() // feeds the match AND the append — compute once
-        val matches = matchAgainst(b, idx, threshold, idCol, textCol).pin()
-        sink(matches)
-        val prev = idx
-        idx = append(idx, appendFilter(b, matches), idCol, textCol)
-        if (prev.bandIndex ne index0.bandIndex) {
-          prev.bandIndex.unpin(); prev.grams.unpin()
+        // EXCEPT the new index generation: the thread-scoped ledger drains
+        // exactly this body's pins, exempting those two — never touching
+        // concurrent work's pins on the shared context. index0 stays
+        // caller-owned and is never released.
+        val led = graft.rel.Checkpoint.openLedger()
+        try {
+          val b = batch.pin() // feeds the match AND the append — compute once
+          val matches = matchAgainst(b, idx, threshold, idCol, textCol).pin()
+          sink(matches)
+          val prev = idx
+          idx = append(idx, appendFilter(b, matches), idCol, textCol)
+          if (prev.bandIndex ne index0.bandIndex) {
+            prev.bandIndex.unpin(); prev.grams.unpin()
+          }
+        } finally {
+          val keep = Set(idx.bandIndex, idx.grams)
+            .flatMap(graft.rel.Checkpoint.pinnedRddId)
+          graft.rel.Checkpoint.drainLedger(led, keep)
         }
-        val keep = Set(idx.bandIndex, idx.grams)
-          .flatMap(graft.rel.Checkpoint.pinnedRddId)
-        val now = sc.getPersistentRDDs
-        now.keysIterator.filterNot(before).filterNot(keep)
-          .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
       }
       .start()
   }
@@ -231,14 +231,16 @@ object DocStream {
     * reshuffling it) + the chunking parameters in the meta. */
   def saveChunkIndex(index: DataFrame, dir: String, minLen: Int = 16,
                      avgBits: Int = 5, maxLen: Int = 128,
-                     buckets: Int = 32): Unit = {
-    graft.sources.BucketedStore.write(index, s"$dir/hashes", Seq("hash"), buckets)
-    graft.sources.BucketedStore.writeMeta(index.sparkSession, dir,
-      "chunkindex.meta.json",
-      s"""{"minLen":$minLen,"avgBits":$avgBits,"maxLen":$maxLen,""" +
-      s""""buckets":$buckets,""" +
-      s""""hashSchema":${graft.types.Json.str(index.schema.toDDL)}}""")
-  }
+                     buckets: Int = 32): Unit =
+    graft.sources.WriterLease.withLease(index.sparkSession, dir,
+        "saveChunkIndex") {
+      graft.sources.BucketedStore.write(index, s"$dir/hashes", Seq("hash"), buckets)
+      graft.sources.BucketedStore.writeMeta(index.sparkSession, dir,
+        "chunkindex.meta.json",
+        s"""{"minLen":$minLen,"avgBits":$avgBits,"maxLen":$maxLen,""" +
+        s""""buckets":$buckets,""" +
+        s""""hashSchema":${graft.types.Json.str(index.schema.toDDL)}}""")
+    }
 
   def loadChunkIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): PersistedChunkIndex = {
@@ -263,17 +265,35 @@ object DocStream {
     * delta anti-joins the stored table first (co-located on the bucketed
     * hash side: only the delta shuffles). */
   def appendChunkIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       newDocs: DataFrame, textCol: String = "text"): Unit = {
-    val idx = loadChunkIndex(spark, dir)
-    val fresh = buildChunkIndex(newDocs, textCol, idx.minLen, idx.avgBits,
-        idx.maxLen)
-      .join(idx.hashes, Seq("hash"), "left_anti")
-    val node = graft.sources.BucketedStore.readMeta(spark, dir,
-      "chunkindex.meta.json")
-    graft.sources.BucketedStore.append(spark, s"$dir/hashes", fresh,
-      Seq("hash"), node.get("buckets").asInt(),
-      metaSchema(node, "hashSchema"))
-  }
+                       newDocs: DataFrame, textCol: String = "text"): Unit =
+    graft.sources.WriterLease.withLease(spark, dir, "appendChunkIndex") {
+      val idx = loadChunkIndex(spark, dir)
+      val fresh = buildChunkIndex(newDocs, textCol, idx.minLen, idx.avgBits,
+          idx.maxLen)
+        .join(idx.hashes, Seq("hash"), "left_anti")
+      val node = graft.sources.BucketedStore.readMeta(spark, dir,
+        "chunkindex.meta.json")
+      graft.sources.BucketedStore.append(spark, s"$dir/hashes", fresh,
+        Seq("hash"), node.get("buckets").asInt(),
+        metaSchema(node, "hashSchema"))
+    }
+
+  /** [[compactIndex]]/[[vacuumIndex]] counterparts for a persisted CDC
+    * chunk index — same generation-swap safety and lease discipline. */
+  def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit =
+    graft.sources.WriterLease.withLease(spark, dir, "compactChunkIndex") {
+      val node = graft.sources.BucketedStore.readMeta(spark, dir,
+        "chunkindex.meta.json")
+      graft.sources.BucketedStore.compact(spark, s"$dir/hashes",
+        Seq("hash"), node.get("buckets").asInt())
+    }
+
+  def vacuumChunkIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       keepPrior: Int = 1): Unit =
+    graft.sources.WriterLease.withLease(spark, dir, "vacuumChunkIndex") {
+      graft.sources.BucketedStore.vacuum(spark, s"$dir/hashes", keepPrior)
+    }
 
   // ---------------------------- persisted (bucketed) index: the 100 TB shape
   // (layout machinery shared through graft.sources.BucketedStore)
@@ -292,6 +312,7 @@ object DocStream {
     * `dir` (coordinating with live readers of that dir is the caller's). */
   def saveIndex(index: NearDupIndex, dir: String, buckets: Int = 32): Unit = {
     val spark = index.bandIndex.sparkSession
+    graft.sources.WriterLease.withLease(spark, dir, "saveIndex") {
     graft.sources.BucketedStore.write(index.bandIndex, s"$dir/band",
       Seq("band", "bh"), buckets)
     graft.sources.BucketedStore.write(index.grams, s"$dir/grams",
@@ -305,6 +326,7 @@ object DocStream {
       s""""shingleK":${index.shingleK},"buckets":$buckets,""" +
       s""""bandSchema":${q(index.bandIndex.schema.toDDL)},""" +
       s""""gramSchema":${q(index.grams.schema.toDDL)}}""")
+    }
   }
 
   /** Append a delta corpus to a persisted index IN PLACE — the at-scale
@@ -317,18 +339,19 @@ object DocStream {
     * build pins are released before returning. */
   def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                   newDocs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): Unit = {
-    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
-    val delta = buildIndex(newDocs, idCol, textCol,
-      node.get("numHashes").asInt(), node.get("bands").asInt(),
-      node.get("shingleK").asInt())
-    val buckets = node.get("buckets").asInt()
-    graft.sources.BucketedStore.append(spark, s"$dir/band", delta.bandIndex,
-      Seq("band", "bh"), buckets, metaSchema(node, "bandSchema"))
-    graft.sources.BucketedStore.append(spark, s"$dir/grams", delta.grams,
-      Seq("id"), buckets, metaSchema(node, "gramSchema"))
-    delta.bandIndex.unpinAll(); delta.grams.unpinAll()
-  }
+                  textCol: String = "text"): Unit =
+    graft.sources.WriterLease.withLease(spark, dir, "appendIndex") {
+      val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+      val delta = buildIndex(newDocs, idCol, textCol,
+        node.get("numHashes").asInt(), node.get("bands").asInt(),
+        node.get("shingleK").asInt())
+      val buckets = node.get("buckets").asInt()
+      graft.sources.BucketedStore.append(spark, s"$dir/band", delta.bandIndex,
+        Seq("band", "bh"), buckets, metaSchema(node, "bandSchema"))
+      graft.sources.BucketedStore.append(spark, s"$dir/grams", delta.grams,
+        Seq("id"), buckets, metaSchema(node, "gramSchema"))
+      delta.bandIndex.unpinAll(); delta.grams.unpinAll()
+    }
 
   /** Optional schema DDL recorded in a meta (absent in legacy metas —
     * those layouts were non-empty, so inference still works). */
@@ -347,19 +370,25 @@ object DocStream {
   def appendIndexBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                        newDocs: DataFrame, batchId: Long,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): Boolean = {
-    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
-    val last = if (node.has("lastBatch")) node.get("lastBatch").asLong() else -1L
-    if (batchId <= last) return false
-    appendIndex(spark, dir, newDocs, idCol, textCol)
-    // advance the watermark, preserving every other meta field (schemas!)
-    val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    obj.put("lastBatch", batchId)
-    graft.sources.BucketedStore.writeMeta(spark, dir, "index.meta.json",
-      obj.toString)
-    true
-  }
+                       textCol: String = "text"): Boolean =
+    // ONE lease across guard-check → appends → watermark advance: two
+    // writers racing this sequence unleased could both pass the guard and
+    // double-append one batch (re-entrancy covers the inner appendIndex)
+    graft.sources.WriterLease.withLease(spark, dir, "appendIndexBatch") {
+      val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+      val last = if (node.has("lastBatch")) node.get("lastBatch").asLong() else -1L
+      if (batchId <= last) false
+      else {
+        appendIndex(spark, dir, newDocs, idCol, textCol)
+        // advance the watermark, preserving every other meta field (schemas!)
+        val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        obj.put("lastBatch", batchId)
+        graft.sources.BucketedStore.writeMeta(spark, dir, "index.meta.json",
+          obj.toString)
+        true
+      }
+    }
 
   /** [[startIncremental]] over a PERSISTED index: every micro-batch is
     * matched against the stored layout and then appended to it through
@@ -384,8 +413,10 @@ object DocStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val sc = spark.sparkContext
-        val before = sc.getPersistentRDDs.keySet
+        // ledger drain, not a global-registry diff: everything this body
+        // pins is dead once the batch commits (the index lives on disk),
+        // and concurrent pinners on the shared context stay untouched
+        val led = graft.rel.Checkpoint.openLedger()
         try {
           val b = batch.pin() // feeds the match AND the append — compute once
           val matches = matchAgainst(b, loadIndex(spark, dir), threshold,
@@ -394,11 +425,7 @@ object DocStream {
           appendIndexBatch(spark, dir, appendFilter(b, matches), batchId,
             idCol, textCol)
           () // foreachBatch wants Unit — the guard's Boolean is advisory
-        } finally {
-          val now = sc.getPersistentRDDs
-          now.keysIterator.filterNot(before)
-            .foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
-        }
+        } finally graft.rel.Checkpoint.drainLedger(led)
       }
       .start()
   }
@@ -406,19 +433,40 @@ object DocStream {
   /** Periodic bucket rewrite of a persisted index: every
     * [[appendIndex]]/[[appendIndexBatch]] adds up to `buckets` files per
     * half, and after many deltas the file COUNT (not the data) slows the
-    * probe scans — compaction folds each half back to one generation.
-    * The meta (including the exactly-once lastBatch watermark) is
-    * untouched; not safe under concurrent readers (see
-    * [[graft.sources.BucketedStore.compact]]). */
+    * probe scans — compaction folds each half back to one file per
+    * bucket. SAFE UNDER CONCURRENT READERS: each half is rewritten into a
+    * fresh generation directory and an atomic pointer flip switches new
+    * resolvers over, while a serving [[loadIndex]] attachment, a live
+    * [[startIncrementalPersisted]] stream mid-batch, or an attached
+    * catalog relvar keeps reading its complete superseded generation
+    * (see [[graft.sources.BucketedStore.compact]]). Run [[vacuumIndex]]
+    * once pre-compaction readers are gone to reclaim the old
+    * generation's storage. Takes the writer lease — a concurrent append
+    * would land rows in the generation being folded and lose them at the
+    * flip. The meta (including the exactly-once lastBatch watermark) is
+    * untouched. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): Unit = {
-    val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
-    val buckets = node.get("buckets").asInt()
-    graft.sources.BucketedStore.compact(spark, s"$dir/band",
-      Seq("band", "bh"), buckets)
-    graft.sources.BucketedStore.compact(spark, s"$dir/grams",
-      Seq("id"), buckets)
-  }
+                   dir: String): Unit =
+    graft.sources.WriterLease.withLease(spark, dir, "compactIndex") {
+      val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+      val buckets = node.get("buckets").asInt()
+      graft.sources.BucketedStore.compact(spark, s"$dir/band",
+        Seq("band", "bh"), buckets)
+      graft.sources.BucketedStore.compact(spark, s"$dir/grams",
+        Seq("id"), buckets)
+    }
+
+  /** Reclaim the superseded generations [[compactIndex]] left for its
+    * concurrent readers, keeping the current generation plus `keepPrior`
+    * predecessors as the grace window (see
+    * [[graft.sources.BucketedStore.vacuum]]). Call on the compaction
+    * cadence, one cycle behind it. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  keepPrior: Int = 1): Unit =
+    graft.sources.WriterLease.withLease(spark, dir, "vacuumIndex") {
+      graft.sources.BucketedStore.vacuum(spark, s"$dir/band", keepPrior)
+      graft.sources.BucketedStore.vacuum(spark, s"$dir/grams", keepPrior)
+    }
 
   /** Re-attach an index persisted by [[saveIndex]]: registers the stored
     * files as EXTERNAL bucketed tables (schema read from the parquet

@@ -222,6 +222,54 @@ class PinLedgerSpec extends SparkSpec {
       "the per-batch ledger drain regressed")
   }
 
+  test("the foreachBatch ledger drain never touches CONCURRENT pins on the " +
+       "shared context: a frame pinned by another thread DURING the batch " +
+       "window stays resident and readable (global-registry-diff regression " +
+       "— the old drain unpersisted it, and truncated lineage then meant " +
+       "missing-block failures, not a recompute)") {
+    import graft.streaming.DocStream
+    import graft.rel.Checkpoint
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val history = (0 until 30)
+      .map(i => (i.toLong, s"ledger isolation history doc $i topic ${i % 5}"))
+      .toDF("doc_id", "text")
+    val index0 = DocStream.buildIndex(history)
+    // the "gateway session": another thread pins mid-batch
+    @volatile var other: org.apache.spark.sql.DataFrame = null
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.start(in.toDF.toDF("doc_id", "text"), index0, m => {
+      val t = new Thread(() => {
+        other = (0 until 40).map(i => (i.toLong, i * 2.0)).toDF("k", "v").pin()
+      })
+      t.start(); t.join()
+      m.count()
+    })
+    try { in.addData((900L, "a fresh streamed doc")); q.processAllAvailable() }
+    finally q.stop()
+    assert(other != null)
+    val id = Checkpoint.pinnedRddId(other)
+    assert(id.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "the concurrent thread's pin was unpersisted by the batch drain")
+    assert(other.count() === 40,
+      "the concurrent pin's blocks are gone — drain touched foreign storage")
+    other.unpin()
+    // and the ledger itself: records only this thread's pins, honors keep
+    val led = Checkpoint.openLedger()
+    val a = Seq((1, 2)).toDF("x", "y").pin()
+    val b = Seq((3, 4)).toDF("x", "y").pin()
+    @volatile var foreign: org.apache.spark.sql.DataFrame = null
+    val t2 = new Thread(() => { foreign = Seq((5, 6)).toDF("x", "y").pin() })
+    t2.start(); t2.join()
+    Checkpoint.drainLedger(led, keep = Checkpoint.pinnedRddId(b).toSet)
+    val liveNow = spark.sparkContext.getPersistentRDDs.keys.toSet
+    assert(!Checkpoint.pinnedRddId(a).exists(liveNow), "drained pin survived")
+    assert(Checkpoint.pinnedRddId(b).exists(liveNow), "keep id was drained")
+    assert(Checkpoint.pinnedRddId(foreign).exists(liveNow),
+      "another thread's pin was recorded in this thread's ledger")
+    b.unpin(); foreign.unpin()
+  }
+
   test("reliable checkpoints: superseded pins DELETE their rdd-* directories " +
        "— a deep fixpoint leaves O(result) files on the DFS, not O(rounds)") {
     import org.apache.spark.sql.functions.col

@@ -176,8 +176,107 @@ class SourcesSpec extends SparkSpec {
       assert(got(BucketedStore.attach(spark, s"$dir/t", Seq("k"),
         buckets, schema)) === expect,
         s"trial $trial: compact changed the multiset (buckets=$buckets)")
-      assert(got(spark.read.parquet(s"$dir/t")) === expect,
-        s"trial $trial: plain read disagrees")
+      if (base.nonEmpty || deltas.exists(_.nonEmpty))
+        assert(BucketedStore.currentGen(spark, s"$dir/t") === 1,
+          s"trial $trial: compact did not advance the generation")
+      // plain read resolves through the CURRENT generation's data dir
+      assert(got(spark.read.parquet(
+          BucketedStore.dataDir(spark, s"$dir/t"))) === expect,
+        s"trial $trial: plain read of the current generation disagrees")
+      // second cycle: append into gen-1, fold to gen-2, then vacuum all
+      // the way down — the multiset survives every step
+      val d3 = batch(1 + rng.nextInt(20))
+      BucketedStore.append(spark, s"$dir/t", d3.toDF("k", "v"),
+        Seq("k"), buckets, schema)
+      BucketedStore.compact(spark, s"$dir/t", Seq("k"), buckets)
+      BucketedStore.vacuum(spark, s"$dir/t", keepPrior = 0)
+      assert(got(BucketedStore.attach(spark, s"$dir/t", Seq("k"),
+        buckets, schema)) === ms(base ++ deltas.flatten ++ d3),
+        s"trial $trial: second compact+vacuum changed the multiset")
+    }
+  }
+
+  test("compact is a GENERATION SWAP, safe under concurrent readers: an " +
+    "attachment captured before the fold keeps serving its complete " +
+    "superseded generation through and after the flip; vacuum honors the " +
+    "keepPrior grace window before reclaiming it") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-genswap").toString
+    val path = s"$dir/t"
+    val base = (1L to 100L).map(i => (i % 10, s"v$i"))
+    BucketedStore.write(base.toDF("k", "v"), path, Seq("k"), 4)
+    val reader = BucketedStore.attach(spark, path, Seq("k"), 4) // pre-compact
+    BucketedStore.append(spark, path,
+      Seq((99L, "delta")).toDF("k", "v"), Seq("k"), 4)
+    // the fold runs while `reader` is live — its generation-0 files are
+    // never moved or deleted by the swap, so a plan captured BEFORE the
+    // flip still collects its complete snapshot AFTER it
+    BucketedStore.compact(spark, path, Seq("k"), 4)
+    assert(reader.count() === 101L,
+      "pre-compact attachment broke during the generation flip")
+    val fresh = BucketedStore.attach(spark, path, Seq("k"), 4)
+    assert(fresh.count() === 101L, "post-compact attachment lost rows")
+    assert(BucketedStore.currentGen(spark, path) === 1)
+    // grace window: keepPrior=1 keeps generation 0 (the live reader's),
+    // keepPrior=0 asserts no reader predates the current generation
+    BucketedStore.vacuum(spark, path, keepPrior = 1)
+    assert(reader.count() === 101L,
+      "vacuum inside the grace window deleted a generation with readers")
+    BucketedStore.vacuum(spark, path, keepPrior = 0)
+    val rootParts = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(rootParts === 0, "vacuum(0) left superseded generation-0 files")
+    assert(fresh.count() === 101L, "vacuum(0) touched the current generation")
+  }
+
+  test("WriterLease: a second writer fails LOUD while the lease is held, " +
+    "re-entry on the owning thread is a no-op, an expired lease is broken, " +
+    "and a real index append conflicts end-to-end") {
+    import spark.implicits._
+    import graft.sources.WriterLease
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    val out = WriterLease.withLease(spark, dir, "writer-A") {
+      // re-entrant: same thread nests freely
+      val nested = WriterLease.withLease(spark, dir, "writer-A-nested") { 41 + 1 }
+      // conflict: a DIFFERENT thread must fail loud, not interleave
+      @volatile var conflict: Throwable = null
+      val t = new Thread(() =>
+        try WriterLease.withLease(spark, dir, "writer-B") { fail("B got in") }
+        catch { case e: Throwable => conflict = e })
+      t.start(); t.join()
+      assert(conflict != null &&
+        conflict.isInstanceOf[WriterLease.LeaseConflictException],
+        s"expected LeaseConflictException, got $conflict")
+      assert(conflict.getMessage.contains("writer-A"),
+        "conflict message does not name the holder")
+      nested
+    }
+    assert(out === 42)
+    // released: the next writer acquires cleanly
+    WriterLease.withLease(spark, dir, "writer-C") { () }
+    // expiry: a stale lock from a crashed writer is broken, not fatal
+    val lock = java.nio.file.Paths.get(dir, "_writer.lock")
+    java.nio.file.Files.writeString(lock,
+      """{"token":"dead","owner":"crashed","epochMs":0}""")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 24L * 3600 * 1000))
+    WriterLease.withLease(spark, dir, "writer-D") { () } // breaks + claims
+    // end-to-end: a held lease blocks a REAL index op from another thread
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-lease-idx").toString
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    graft.streaming.DocStream.saveIndex(
+      graft.streaming.DocStream.buildIndex(docs), idxDir, buckets = 2)
+    WriterLease.withLease(spark, idxDir, "ingest-1") {
+      @volatile var conflict: Throwable = null
+      val t = new Thread(() =>
+        try graft.streaming.DocStream.appendIndex(spark, idxDir, docs)
+        catch { case e: Throwable => conflict = e })
+      t.start(); t.join()
+      assert(conflict != null &&
+        conflict.isInstanceOf[WriterLease.LeaseConflictException],
+        s"second index writer did not fail loud: $conflict")
     }
   }
 

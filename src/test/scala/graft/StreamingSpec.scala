@@ -421,10 +421,12 @@ class StreamingSpec extends SparkSpec {
       s"planted delta dup not found in-memory: $mem")
     assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
       === mem, "appended persisted index diverged from the from-scratch index")
-    // COMPACTION folds the append generations back to one file per bucket
-    // (file COUNT is what many appends degrade, not data volume); results
-    // are bit-identical afterwards
+    // COMPACTION folds the appended files back to one file per bucket
+    // (file COUNT is what many appends degrade, not data volume) in a NEW
+    // generation; vacuum(0) then retires the superseded one. Results are
+    // bit-identical afterwards.
     DocStream.compactIndex(spark, dir)
+    DocStream.vacuumIndex(spark, dir, keepPrior = 0)
     val compacted = files("band")
     assert(compacted.size <= 4 + 1, // ≤ buckets part files (+ _SUCCESS-ish)
       s"compaction left ${compacted.size} band files:\n${compacted.keys.toSeq.sorted.mkString("\n")}")
@@ -503,6 +505,56 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(clean.nonEmpty && dup === clean,
       s"duplicate index rows leaked into results: $dup vs $clean")
+  }
+
+  test("compaction runs SAFELY while an incremental stream is live: the " +
+    "generation swap between batches never breaks the query, appends land " +
+    "in the new generation, and matches stay exact across the flip") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
+    val hist0 = history.filter(col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-cmp").toString
+    DocStream.saveIndex(DocStream.buildIndex(history), dir, buckets = 4)
+    val freshA = "compaction era document about generation pointers and file swaps"
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.startIncrementalPersisted(in.toDF.toDF("doc_id", "text"),
+      dir, b => perBatch.synchronized {
+        perBatch += b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      })
+    try {
+      in.addData((4000L, freshA), (4001L, hist0)) // one fresh, one history dup
+      q.processAllAvailable()
+      // the query is STILL ACTIVE (checkpoint state, evolving source) when
+      // the maintenance job folds both layout halves into new generations;
+      // keepPrior=1 is the grace window for anything mid-listing
+      assert(q.isActive)
+      DocStream.compactIndex(spark, dir)
+      DocStream.vacuumIndex(spark, dir, keepPrior = 1)
+      in.addData(
+        (5000L, freshA + " with a trailing edit"), // near-dup of PRE-compact batch
+        (5001L, hist0),                            // history dup THROUGH the new gen
+        (5002L, "unrelated post-compaction content matching nothing at all"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.length === 2)
+    assert(perBatch(0) === Set((4001L, 0L)), s"pre-compact batch: ${perBatch(0)}")
+    assert(perBatch(1).contains((5000L, 4000L)),
+      s"append across the compaction flip was lost: ${perBatch(1)}")
+    assert(perBatch(1).contains((5001L, 0L)),
+      s"history dup missed through the compacted generation: ${perBatch(1)}")
+    assert(!perBatch(1).exists(_._1 == 5002L), s"phantom match: ${perBatch(1)}")
+    // both halves advanced a generation and still carry every append
+    assert(graft.sources.BucketedStore.currentGen(spark, s"$dir/band") === 1)
+    val probe = Seq((9300L, freshA + " probing after the era"))
+      .toDF("doc_id", "text")
+    val got = DocStream.matchAgainst(probe, DocStream.loadIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9300L, 4000L)),
+      s"post-compaction index lost the streamed corpus: $got")
   }
 
   test("start-from-nothing stream: an EMPTY persisted index (no parquet " +
