@@ -343,6 +343,25 @@ object BenchScale {
         graft.streaming.DocStream.loadIndex(spark, ndiDir(tag))).count()
     run("index_persist_save", ndiSave(docs1, "1x"), ndiSave(scaleDocs(mult), "nx"))
     run("index_persist_probe", ndiProbe("1x"), ndiProbe("nx"))
+    // generation compaction: fragment each layout with a few delta appends
+    // (the shape that motivates compaction — file COUNT, not volume), then
+    // fold + vacuum. Cost is a full-generation rewrite, so the honest
+    // expectation is ratio ≈ mult (linear in history size) — this row
+    // records that write-amplification shape; per-bucket file merging is
+    // what would bend it below linear.
+    def ndiFragment(tag: String): Unit = (1 to 3).foreach { i =>
+      graft.streaming.DocStream.appendIndex(spark, ndiDir(tag),
+        ndiDelta.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+    }
+    def ndiCompact(tag: String): Long = {
+      graft.streaming.DocStream.compactIndex(spark, ndiDir(tag))
+      graft.streaming.DocStream.vacuumIndex(spark, ndiDir(tag), keepPrior = 0)
+      1L
+    }
+    if (only.isEmpty || only("index_compact_vacuum")) {
+      ndiFragment("1x"); ndiFragment("nx")
+    }
+    run("index_compact_vacuum", ndiCompact("1x"), ndiCompact("nx"))
     // deliberately hot-keyed join (~20% of rows on ONE key, incompressible
     // text payload) under AQE skew handling: the skew split carves the hot
     // partition into parallel pieces, so per-row cost must stay flat as

@@ -171,6 +171,36 @@ object Queries {
         "avg_qty" -> (sum(col("l_quantity").cast(dec182)).cast("double") / count(lit(1))),
         "count_order" -> count(lit(1))).df
 
+  /** Composite multi-join FLAGSHIP (TPC-H Q10 shape through the Rel DSL,
+    * the reference's multi-operator pipeline pattern —
+    * Sample/sample4.andl and Sample/SPPsample1.andl chain rename → join →
+    * restrict → aggregate the same way): customer ⋈ orders ⋈ lineitem ⋈
+    * nation as NATURAL joins over renamed keys, a date-window + return-
+    * flag restriction, a grouped revenue fold, and an ordered top-20.
+    * One declarative plan: Catalyst pushes both filters into the scans,
+    * broadcasts the nation dimension, and AQE picks the join order —
+    * PlanSpec pins the broadcast + no-cartesian contract. The DuckDB
+    * oracle replays the whole pipeline. */
+  def qQ10Top(s: SparkSession, dir: String): DataFrame = {
+    // rename-then-natural-join keeps every Rel knownDistinct (base tables
+    // are keyed; rename/where/join preserve it), so the grouped fold runs
+    // with NO set-dedup shuffle — and Catalyst's column pruning trims the
+    // unused attributes out of every scan without explicit projects
+    val cust = t(s, dir, "customer").rename("c_nationkey" -> "n_nationkey")
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .rename("o_custkey" -> "c_custkey")
+    val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      .rename("l_orderkey" -> "o_orderkey")
+    val nat = t(s, dir, "nation")
+    cust.join(ord).join(li).join(nat)
+      .extend("rev" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
+      .aggregate(Seq("c_custkey", "c_name", "c_acctbal", "n_name"),
+        "revenue" -> sum(col("rev")).cast("double"))
+      .take(20, Seq(col("revenue").desc, col("c_custkey"))).df
+  }
+
   def qAggScalar(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").aggregate(Nil,
       "revenue" -> Fold.fold("+", (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double")).df
@@ -344,8 +374,20 @@ object Queries {
     new java.util.concurrent.atomic.AtomicReference[Catalog](null)
 
   def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    Option(lastBucketedCat.getAndSet(null))
-      .filter(_.spark eq s).foreach(_.close())
+    // close the evicted catalog UNCONDITIONALLY — it carries its own
+    // session, so a next call arriving on a different SparkSession must
+    // not strand the previous one's physical tables (the old
+    // `.filter(_.spark eq s)` did exactly that). A stopped previous
+    // session can't drop its metastore entries anymore — nothing to
+    // reclaim there but the warehouse files, which close still deletes
+    // via the session's Hadoop conf if reachable; log and move on if not.
+    Option(lastBucketedCat.getAndSet(null)).foreach { prev =>
+      try prev.close()
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"closing previous bucketed-join catalog failed: $e")
+      }
+    }
     val cat = new Catalog(s)
     cat.defineBucketed("cust_bkt", t(s, dir, "customer"), Seq("c_custkey"), 8)
     cat.defineBucketed("ord_bkt", t(s, dir, "orders"), Seq("o_custkey"), 8)
@@ -2556,7 +2598,8 @@ object Queries {
     "q_bm25" -> qBm25, "q_kn_score" -> qKnScore, "q_dsir" -> qDsir,
     "q_quality_clf_check" -> qQualityClfCheck, "q_pr_curve" -> qPrCurve,
     "q_compact_check" -> qCompactCheck, "q_dsir_sample" -> qDsirSample,
-    "q_e2e_curate" -> qE2eCurate, "q_doc_embed" -> qDocEmbed)
+    "q_e2e_curate" -> qE2eCurate, "q_doc_embed" -> qDocEmbed,
+    "q_knn_serve_stream" -> qKnnServeStream, "q_q10_top" -> qQ10Top)
 
   /** Raw approximate ops benched under their round-1/2 names for timing
     * comparability, but NOT oracle-gated: their full-corpus pair/top-k
@@ -2617,6 +2660,65 @@ object Queries {
     val (q, c) = knnInputs(s, dir)
     Similarity.ivfPqSearch(q, Similarity.loadIvfPq(s, saved), c,
       k = 10, nprobe = 8)
+  }
+
+  /** STREAMING maintenance gate for the persisted IVF-PQ serving index
+    * ([[Similarity.startIvfPqAppendStream]]): the index is built and
+    * saved WITHOUT every 7th corpus vector, the withheld vectors then
+    * arrive as two micro-batches through the append stream (frozen
+    * quantizers, cell-partition appends, batchId watermark), and the
+    * served top-k must recover the SAME per-query recall contract as
+    * q_knn_ivfpq_check — the streamed-in vectors are indistinguishable
+    * from build-time ones. The row also gates the operational story:
+    * `append_ok` requires (a) a REPLAYED batchId to be a no-op (the
+    * exactly-once watermark) and (b) a forced insert-done/meta-not
+    * crash-window duplicate to be invisible in the served results (no
+    * duplicate (q_id, vec_id) pairs, recall intact). */
+  private val ivfPqStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def qKnnServeStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.rel.Checkpoint.PinOps
+    val (q, c) = knnInputs(s, dir)
+    val delta = c.filter(col("vec_id") % 7 === 0)
+    // built + saved + streamed once per JVM per sfDir (the
+    // q_knn_ivfpq_serve convention: the first bench sample pays the
+    // build, the median times what the maintained SERVING path pays —
+    // replay guard, crash-window injection, probe, rescore)
+    val tmp = ivfPqStreamDirs.getOrElseUpdate(dir, {
+      val seed = c.filter(col("vec_id") % 7 =!= 0)
+      val idx = Similarity.ivfPqBuild(seed, nlist = 16, trainFraction = 0.25)
+      val t = java.nio.file.Files.createTempDirectory("graft-ivfpq-ss").toString
+      Similarity.saveIvfPq(idx, t)
+      idx.centroids.unpinAll(); idx.codebooks.unpinAll(); idx.codes.unpinAll()
+      val deltaDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-ssd").toString
+      delta.coalesce(2).write.mode("overwrite").parquet(deltaDir)
+      val stream = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      val sq = Similarity.startIvfPqAppendStream(stream, t,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try sq.awaitTermination() finally sq.stop()
+      t
+    })
+    // exactly-once watermark: replaying an already-applied batchId is a
+    // no-op (foreachBatch redelivers the in-flight batch on restart)
+    val replayRan = Similarity.appendIvfPqBatch(s, tmp, delta, batchId = 0L)
+    // crash window: a writer that died between the codes INSERT and the
+    // meta advance leaves duplicate code rows — inject that state
+    // directly and require it invisible in the served top-k
+    Similarity.appendIvfPq(s, tmp, delta.limit(20))
+    val served = Similarity.ivfPqSearch(q, Similarity.loadIvfPq(s, tmp), c,
+      k = 10, nprobe = 8)
+    val brute = Similarity.bruteForceKnn(q, c, k = 10).select("q_id", "vec_id")
+    val hits = served.select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val recall = brute.join(hits, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) >=
+        count(lit(1)) * 0.4).as("recall_ok"))
+    val nodup = served.groupBy("q_id")
+      .agg((count(lit(1)) === countDistinct(col("vec_id"))).as("nodup"))
+    recall.join(nodup, Seq("q_id"))
+      .select(col("q_id"), col("recall_ok"),
+        (col("nodup") && lit(!replayRan)).as("append_ok"))
   }
 
   /** DuckDB replay of [[TextAnalysis.qualityScore]] — shared by
@@ -2692,6 +2794,15 @@ object Queries {
       "SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey)) = 0 AND " +
       "(SELECT count(*) FROM (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey " +
       "EXCEPT SELECT n_nationkey FROM nation)) = 0 AS is_eq"),
+    "q_q10_top" -> ("SELECT c_custkey, c_name, c_acctbal, n_name, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON o_custkey = c_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' " +
+      "AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
@@ -2810,6 +2921,8 @@ object Queries {
       "FROM embeddings WHERE vec_id < 5"),
     "q_knn_ivfpq_check" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok " +
       "FROM embeddings WHERE vec_id < 5"),
+    "q_knn_serve_stream" -> ("SELECT DISTINCT vec_id AS q_id, true AS recall_ok, " +
+      "true AS append_ok FROM embeddings WHERE vec_id < 5"),
     "q_whiten_check" -> ("SELECT count(*) AS n_vecs, true AS var_ok, " +
       "true AS decor_ok, true AS order_ok FROM embeddings"),
     "q_token_count" -> ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +

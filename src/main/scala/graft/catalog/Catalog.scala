@@ -32,9 +32,15 @@ final class Catalog(val spark: SparkSession) {
   private val scalars = TrieMap.empty[String, Any]
   private val funcs   = TrieMap.empty[String, Vector[RegisteredFun]]
   private val udts    = TrieMap.empty[String, UdtDef]
-  // archived snapshots per relvar, oldest first — version v of a relvar
-  // with k archived writes is history(v−1) for v ≤ k, current for v = k+1
+  // archived snapshots per relvar, oldest first — with `trimmedV(name)`
+  // versions evicted by retention, history(i) is version trimmedV+i+1 and
+  // the current relvar is version trimmedV + history.size + 1
   private val history = TrieMap.empty[String, Vector[Rel]]
+  // versions dropped from the front of `history` by the retention window
+  private val trimmedV = TrieMap.empty[String, Int]
+  // cadence-snapshot versions THIS instance wrote under historyDir —
+  // retention's file vacuum reclaims the ones no retained plan can reach
+  private val snapVers = TrieMap.empty[String, Vector[Int]]
   // parquet path the CURRENT stored plan is a pure scan of (set by load and
   // by the post-save rebind, cleared on every swap): lets [[save]] skip the
   // rewrite when the data already sits at the destination, and avoids
@@ -54,6 +60,18 @@ final class Catalog(val spark: SparkSession) {
     spark.conf.getOption("spark.graft.catalog.materializeEvery")
       .map(_.toInt).getOrElse(8)
 
+  /** Retention window for version chains:
+    * `spark.graft.catalog.keepVersions` (default 0 = unbounded). With a
+    * window of n, only the last n versions stay addressable — older
+    * archived plans are dropped on write (bounding driver memory) and the
+    * cadence-snapshot FILES no retained version replays through are
+    * deleted (bounding the on-disk footprint, which otherwise grows by
+    * one full relvar copy every [[matEvery]] writes until close). An
+    * as-of read past the window refuses LOUDLY ([[relvarAt]]). */
+  private def keepVersions: Int =
+    spark.conf.getOption("spark.graft.catalog.keepVersions")
+      .map(_.toInt).getOrElse(0)
+
   /** Where cadence snapshots land: `spark.graft.catalog.historyDir`,
     * defaulting to `<warehouse>/_graft_history`. */
   private def historyDir: String =
@@ -70,7 +88,8 @@ final class Catalog(val spark: SparkSession) {
     * and [[relvarAt]]/[[versionDiff]] make the catalog an honest
     * incremental-curation substrate. */
   private def swap(name: String, r0: Rel, alreadyStored: Boolean = false): Unit = {
-    val newVersion = history.getOrElse(name, Vector.empty).size +
+    val newVersion = trimmedV.getOrElse(name, 0) +
+      history.getOrElse(name, Vector.empty).size +
       (if (relvars.contains(name)) 2 else 1)
     val k = matEvery
     // alreadyStored: the incoming plan is itself a scan of a durable table
@@ -85,6 +104,7 @@ final class Catalog(val spark: SparkSession) {
         // while live stored plans still scan them
         val path = s"$historyDir/${name}__c$catalogId/v$newVersion.parquet"
         r0.df.write.mode("overwrite").parquet(path)
+        snapVers(name) = snapVers.getOrElse(name, Vector.empty) :+ newVersion
         Rel.distinct(spark.read.parquet(path))
       } else r0
     relvars.get(name).foreach { old =>
@@ -92,24 +112,68 @@ final class Catalog(val spark: SparkSession) {
     relvars(name) = r
     boundTo.remove(name)
     bucketSpec.remove(name) // defineBucketed re-records after its swap
+    retain(name)
+  }
+
+  /** Apply the [[keepVersions]] retention window after a write: evict
+    * archived plans older than the window and vacuum the cadence-snapshot
+    * files nothing retained can reach. The oldest retained version's plan
+    * replays down to its nearest materialized base b (the largest cadence
+    * version ≤ it); every LATER retained version's base is ≥ b, so
+    * snapshot files below b are provably unreachable and are deleted.
+    * Snapshots ≥ b stay even when their version number is outside the
+    * window — they are live bases of retained plans. */
+  private def retain(name: String): Unit = {
+    val keep = keepVersions
+    if (keep <= 0) return
+    val past = history.getOrElse(name, Vector.empty)
+    val excess = past.size - (keep - 1)
+    if (excess <= 0) return
+    history(name) = past.drop(excess)
+    val t = trimmedV.getOrElse(name, 0) + excess
+    trimmedV(name) = t
+    val oldest = t + 1 // oldest still-addressable version
+    val snaps = snapVers.getOrElse(name, Vector.empty)
+    snaps.filter(_ <= oldest).maxOption.foreach { base =>
+      val dead = snaps.filter(_ < base)
+      if (dead.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(historyDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        dead.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$historyDir/${name}__c$catalogId/v$v.parquet"), true)
+        }
+        snapVers(name) = snaps.filter(_ >= base)
+      }
+    }
   }
 
   def define(name: String, r: Rel): Unit = swap(name, r)
 
-  /** Current version of a relvar: 1 + the number of archived writes. */
+  /** Current version of a relvar: 1 + the number of archived writes
+    * (including those evicted by the retention window — version numbers
+    * are absolute and never reused). */
   def version(name: String): Int = {
     relvar(name) // throws for unknown names
-    history.getOrElse(name, Vector.empty).size + 1
+    trimmedV.getOrElse(name, 0) + history.getOrElse(name, Vector.empty).size + 1
   }
 
   /** Time travel: the relvar AS OF `v` (1-based; `v = version(name)` is
-    * the current snapshot). */
+    * the current snapshot). An as-of past the [[keepVersions]] retention
+    * window refuses loudly — the data is gone, not silently substituted. */
   def relvarAt(name: String, v: Int): Rel = {
     val cur = relvar(name)
     val past = history.getOrElse(name, Vector.empty)
-    require(v >= 1 && v <= past.size + 1,
-      s"relvar $name has versions 1..${past.size + 1}, asked for $v")
-    if (v == past.size + 1) cur else past(v - 1)
+    val t = trimmedV.getOrElse(name, 0)
+    val hi = t + past.size + 1
+    require(v >= 1 && v <= hi,
+      s"relvar $name has versions 1..$hi, asked for $v")
+    require(v > t,
+      s"relvar $name version $v was evicted by the retention window " +
+      s"(kept: ${t + 1}..$hi; spark.graft.catalog.keepVersions=" +
+      s"$keepVersions) — raise the window before the write that evicts, " +
+      "or disable retention")
+    if (v == hi) cur else past(v - t - 1)
   }
 
   /** What changed between two versions, keyed by `idCol` with content
@@ -195,6 +259,18 @@ final class Catalog(val spark: SparkSession) {
   def relvar(name: String): Rel =
     relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
   def names: Seq[String] = relvars.keys.toSeq.sorted
+
+  /** Forget a relvar: current plan, version history and retention state
+    * all go. Its bucketed physical generations and cadence-snapshot dirs
+    * stay on disk until [[close]] — which reclaims them by scanning this
+    * instance's `__c<id>` namespace, so dropping (or renaming) before
+    * close never leaks them. */
+  def drop(name: String): Unit = {
+    relvar(name) // throws for unknown names
+    relvars.remove(name); history.remove(name); boundTo.remove(name)
+    bucketSpec.remove(name); trimmedV.remove(name); snapVers.remove(name)
+    // bucketGen intentionally stays: close() drops the physical tables
+  }
 
   /** update R union r — insert (Builtin.UpdateJoin:625-633). */
   def insert(name: String, rows: Rel): Unit =
@@ -300,8 +376,9 @@ final class Catalog(val spark: SparkSession) {
     // file. Each archived Rel is then REBOUND to its _history scan, so
     // later saves are free and no stored plan reads a mutable path.
     history.toSeq.sortBy(_._1).foreach { case (n, past) =>
+      val off = trimmedV.getOrElse(n, 0) // version numbers stay absolute
       val rebound = past.zipWithIndex.map { case (r, j) =>
-        val v = j + 1
+        val v = off + j + 1
         val path = s"$dir/_history/$n/v$v.parquet"
         if (!exists(path)) r.df.write.mode("overwrite").parquet(path)
         lines += s"""{"kind":"relvar_version","name":${jstr(n)},"version":$v}"""
@@ -435,12 +512,19 @@ final class Catalog(val spark: SparkSession) {
         spark.sql(s"DROP TABLE IF EXISTS `${name}__c${catalogId}_bkt$g`")
       }
     }
+    // scan the history dir for THIS instance's namespace instead of
+    // iterating current relvar names: a relvar dropped or renamed before
+    // close would otherwise leak its cadence dir forever
     val hd = historyDir
     val fs = new org.apache.hadoop.fs.Path(hd)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    relvars.keys.foreach { name =>
-      val p = new org.apache.hadoop.fs.Path(s"$hd/${name}__c$catalogId")
-      if (fs.exists(p)) fs.delete(p, true)
+    val root = new org.apache.hadoop.fs.Path(hd)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val i = n.lastIndexOf("__c")
+      if (st.isDirectory && i >= 0 &&
+          n.substring(i + 3) == catalogId.toString)
+        fs.delete(st.getPath, true)
     }
     // attach-load metadata entries: external tables over the CALLER's
     // saved dirs — drop the session metadata, never the files
@@ -448,6 +532,7 @@ final class Catalog(val spark: SparkSession) {
     attachedTables.clear()
     relvars.clear(); history.clear(); boundTo.clear()
     bucketSpec.clear(); bucketGen.clear()
+    trimmedV.clear(); snapVers.clear()
   }
 
   // --------------------------------------------------------- introspection
@@ -571,9 +656,13 @@ object Catalog {
       }
     }
     hist.foreach { case (n, byV) =>
-      require(byV.keys.toSeq == (1 to byV.size),
-        s"catalog load: relvar $n history versions ${byV.keys.mkString(",")} not contiguous")
+      // a retention-trimmed save starts above 1; versions must still be
+      // contiguous, and the floor restores the absolute numbering
+      val ks = byV.keys.toSeq
+      require(ks == (ks.head to ks.last),
+        s"catalog load: relvar $n history versions ${ks.mkString(",")} not contiguous")
       cat.history(n) = byV.values.toVector
+      if (ks.head > 1) cat.trimmedV(n) = ks.head - 1
     }
     cat
   }

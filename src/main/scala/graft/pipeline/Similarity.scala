@@ -936,14 +936,16 @@ object Similarity {
         cosinePre(col("qcdot") + aggregate(adcHits(index.nCodes),
             lit(0.0), (a, x) => a + x),
           col("__qn"), col("__ocn")).as("cosine"))
-    // candidate-level dedup AFTER the ADC top-k: a clean index makes this
-    // a no-op (one code row per vector), but an index holding duplicate
-    // code rows for an id — the [[appendIvfPqBatch]] insert-done/meta-not
-    // crash window — then yields identical results instead of a
-    // duplicated (qId, cId) pair inside the served top-k, which is what
-    // makes replayed appends harmless (mirrors matchAgainst's pair dedup)
-    val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
-      .dropDuplicates(qId, cId)
+    // candidate-level dedup BEFORE the ADC top-k: a clean index makes
+    // this a no-op (one code row per vector), but an index holding
+    // duplicate code rows for an id — the [[appendIvfPqBatch]]
+    // insert-done/meta-not crash window — must not let duplicates occupy
+    // slots inside the k·overFetch cut (each duplicated id would halve
+    // its effective overFetch and evict distinct candidates). Duplicate
+    // rows carry the SAME code bytes, hence the same ADC cosine, so
+    // dropping them here is exact — replayed appends are fully invisible
+    val cand = topK(approx.dropDuplicates(qId, cId), k * overFetch, qId, cId)
+      .select(col(qId), col(cId))
     // exact rescore of the surviving candidates
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
     val q = queries.select(col(qId), col(qVec), norm(col(qVec)).as("__qn"))

@@ -60,9 +60,32 @@ object BucketedStore {
     * `path/_gen-N`. */
   def currentGen(spark: SparkSession, path: String): Int = {
     val fs = fsOf(spark, path)
-    if (fs.exists(hp(s"$path/_gen.json")) || fs.exists(hp(s"$path/_gen.json.tmp")))
-      readMeta(spark, path, "_gen.json").get("gen").asInt()
-    else 0
+    val main = hp(s"$path/_gen.json")
+    val tmp = hp(s"$path/_gen.json.tmp")
+    if (fs.exists(main)) {
+      // a corrupt MAIN pointer is loud: it was renamed complete, so
+      // damage after the fact is real corruption, not a crash window
+      val node = readMeta(spark, path, "_gen.json").get("gen")
+      require(node != null && node.isIntegralNumber,
+        s"corrupt _gen.json under $path: no integral 'gen' field")
+      node.asInt()
+    } else if (fs.exists(tmp)) {
+      // first-flip crash window: compact died mid-write of the tmp
+      // before ANY pointer existed. The gen-0 data is complete and must
+      // keep serving — parse the tmp if it survived whole, otherwise
+      // drop the truncated file and fall back to generation 0.
+      try {
+        val node = readMeta(spark, path, "_gen.json").get("gen")
+        require(node != null && node.isIntegralNumber, "no gen field")
+        node.asInt()
+      } catch { case scala.util.control.NonFatal(_) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"deleting truncated _gen.json.tmp under $path (crashed " +
+          "first compaction); serving generation 0")
+        fs.delete(tmp, false)
+        0
+      }
+    } else 0
   }
 
   /** The directory the layout's CURRENT generation of bucket files lives
@@ -173,19 +196,28 @@ object BucketedStore {
         _.getPath.getName.startsWith("part-"))) return
     val next = s"$path/_gen-${gen + 1}"
     if (fs.exists(hp(next))) fs.delete(hp(next), true) // crashed prior attempt
-    // cluster on the bucket keys with the SAME partitioning the bucket id
-    // uses (pmod(hash, buckets)) so each task holds exactly one bucket and
-    // the rewrite lands ONE file per bucket — an unclustered bucketed
-    // write emits a file per (task × bucket) and would re-fragment. Read
-    // the files as PLAIN parquet here: reading through an attached
-    // bucketed table makes the planner drop this repartition as redundant
-    // (the scan claims the distribution) while auto-bucketed-scan may
-    // serve file-split partitions that don't align with it — plain files
-    // carry no such claim, so the shuffle stays and the writers align.
-    val clustered = spark.read.parquet(cur)
-      .repartition(buckets,
-        keys.map(org.apache.spark.sql.functions.col): _*)
-    writeFlat(clustered, next, keys, buckets)
+    // PER-BUCKET FILE MERGE, zero exchange: read the current generation
+    // through an attached bucketed table with auto-bucketed-scan pinned ON
+    // (DisableUnnecessaryBucketedScan would demote this bare scan→write to
+    // a file-split plain scan, and the write would then emit a file per
+    // (task × bucket) — re-fragmentation). A true bucketed scan serves
+    // exactly ONE partition per bucket (bucket files are never split), the
+    // bucketed writer hashes each ROW to its bucket for the file name —
+    // so each task rewrites its own bucket into one file, and the
+    // bucketing shuffle the original write paid is never paid again. The
+    // old repartition-based fold shuffled the whole layout every
+    // compaction; at 100 TB that exchange WAS the compaction cost.
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val oldConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    try {
+      val (df, tbl) = attachNamed(spark, path, keys, buckets)
+      try writeFlat(df, next, keys, buckets)
+      finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    } finally oldConf match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
     writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
   }
 

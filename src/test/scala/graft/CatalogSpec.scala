@@ -298,6 +298,78 @@ class CatalogSpec extends SparkSpec {
     val cat3 = Catalog.load(spark, dir)
     assert(cat3.relvar("S").relEquals(cat.relvar("S")))
   }
+
+  // history-dir helper: cadence dirs for `name` across ALL catalog ids
+  private def cadenceDirs(name: String): Seq[org.apache.hadoop.fs.Path] = {
+    val hd = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/_graft_history"
+    val root = new org.apache.hadoop.fs.Path(hd)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(s"${name}__c"))
+  }
+
+  test("version-chain retention: keepVersions bounds the archived plans " +
+    "AND the on-disk cadence snapshots, as-of inside the window stays " +
+    "exact, and as-of past the window refuses loudly") {
+    spark.conf.set("spark.graft.catalog.keepVersions", "5")
+    spark.conf.set("spark.graft.catalog.materializeEvery", "4")
+    try {
+      val cat = new Catalog(spark)
+      cat.define("RetR", Rel.distinct(Seq((1L, "v")).toDF("id", "v"))) // v1
+      (2L to 20L).foreach(i => cat.insert("RetR",
+        Rel.distinct(Seq((i, "v")).toDF("id", "v")))) // v2..v20
+      // version numbers are ABSOLUTE: retention never renumbers
+      assert(cat.version("RetR") === 20)
+      // the window is 16..20 (keep 5): all exact
+      (16 to 20).foreach(v =>
+        assert(cat.relvarAt("RetR", v).count() === v.toLong,
+          s"as-of $v wrong inside the window"))
+      // past the window: loud refusal naming the kept range
+      val err = intercept[IllegalArgumentException] {
+        cat.relvarAt("RetR", 15) }
+      assert(err.getMessage.contains("retention window") &&
+        err.getMessage.contains("16..20"), err.getMessage)
+      // disk footprint bounded: cadence wrote v4,v8,v12,v16,v20; the
+      // oldest retained version (16) replays from base v16, so v4/v8/v12
+      // are unreachable and must be GONE; v16 and v20 remain
+      val dirs = cadenceDirs("RetR")
+      assert(dirs.size === 1, s"expected one cadence dir: $dirs")
+      val fs = dirs.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(dirs.head).map(_.getPath.getName).sorted.toSeq
+      assert(files === Seq("v16.parquet", "v20.parquet"),
+        s"retention vacuum left: $files")
+      // a trimmed chain saves and loads with its absolute numbering
+      val dir = java.nio.file.Files.createTempDirectory("graft_cat_ret").toString
+      cat.save(dir)
+      val cat2 = Catalog.load(spark, dir)
+      assert(cat2.version("RetR") === 20)
+      assert(cat2.relvarAt("RetR", 17).count() === 17)
+      val err2 = intercept[IllegalArgumentException] {
+        cat2.relvarAt("RetR", 12) }
+      assert(err2.getMessage.contains("retention window"), err2.getMessage)
+      cat.close()
+    } finally {
+      spark.conf.unset("spark.graft.catalog.keepVersions")
+      spark.conf.unset("spark.graft.catalog.materializeEvery")
+    }
+  }
+
+  test("close() reclaims the cadence dirs of relvars DROPPED before " +
+    "close: the namespace scan needs no live relvar name") {
+    val cat = new Catalog(spark)
+    cat.define("DropMe", Rel.distinct(Seq((0L, "x")).toDF("id", "v")))
+    (1L to 8L).foreach(i => cat.insert("DropMe",
+      Rel.distinct(Seq((i, "x")).toDF("id", "v")))) // crosses cadence (8)
+    assert(cadenceDirs("DropMe").nonEmpty,
+      "test setup: no cadence snapshot was written")
+    cat.drop("DropMe")
+    intercept[Exception] { cat.relvar("DropMe") }
+    cat.close()
+    assert(cadenceDirs("DropMe").isEmpty,
+      "dropped relvar's cadence dir leaked past close()")
+  }
 }
 
 /** Test-only Hadoop filesystem on a scheme Spark has no default binding

@@ -45,6 +45,33 @@ class PlanSpec extends SparkSpec {
       s"dim join is not broadcast:\n${plan(j.df)}")
   }
 
+  test("composite flagship (q_q10_top): 3-dim natural-join chain " +
+    "broadcasts the small dimension, plans no cartesian, pushes both " +
+    "filters to their scans, and the grouped fold is partial") {
+    val q = Queries.qQ10Top(spark, sf)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"no broadcast join in the chain:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composite join chain degenerated to a cartesian:\n${p.take(4000)}")
+    val f = formatted(q)
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"lineitem returnflag filter not pushed:\n$f")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orders date-window filter not pushed:\n$f")
+    // grouped revenue fold combines map-side before the exchange
+    assert(p.contains("partial_sum") || f.contains("partial_sum"),
+      s"grouped fold is not partial:\n${p.take(4000)}")
+    // scans prune: lineitem never reads l_comment-class columns it
+    // doesn't use (only the join key, filter and measure columns)
+    val liRead = f.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .find(_.contains("l_extendedprice"))
+    assert(liRead.exists(l => !l.contains("l_shipdate") && !l.contains("l_tax")),
+      s"lineitem scan over-reads:\n${liRead.getOrElse("<no lineitem scan>")}")
+  }
+
   test("banded minhash dedup never plans a cartesian product") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.minhashPairs(docs)

@@ -206,23 +206,31 @@ class SourcesSpec extends SparkSpec {
     val path = s"$dir/t"
     val base = (1L to 100L).map(i => (i % 10, s"v$i"))
     BucketedStore.write(base.toDF("k", "v"), path, Seq("k"), 4)
-    val reader = BucketedStore.attach(spark, path, Seq("k"), 4) // pre-compact
+    // snapshot semantics: an attachment captured BEFORE the delta append
+    // keeps its 100-row file listing (append's documented contract —
+    // re-attach to see the delta), and the flip must not break it either
+    val preAppend = BucketedStore.attach(spark, path, Seq("k"), 4)
     BucketedStore.append(spark, path,
       Seq((99L, "delta")).toDF("k", "v"), Seq("k"), 4)
+    val reader = BucketedStore.attach(spark, path, Seq("k"), 4) // pre-compact
     // the fold runs while `reader` is live — its generation-0 files are
     // never moved or deleted by the swap, so a plan captured BEFORE the
     // flip still collects its complete snapshot AFTER it
     BucketedStore.compact(spark, path, Seq("k"), 4)
     assert(reader.count() === 101L,
       "pre-compact attachment broke during the generation flip")
+    assert(preAppend.count() === 100L,
+      "pre-append attachment's snapshot changed through append + flip")
     val fresh = BucketedStore.attach(spark, path, Seq("k"), 4)
     assert(fresh.count() === 101L, "post-compact attachment lost rows")
     assert(BucketedStore.currentGen(spark, path) === 1)
-    // grace window: keepPrior=1 keeps generation 0 (the live reader's),
+    // grace window: keepPrior=1 keeps generation 0 (the live readers'),
     // keepPrior=0 asserts no reader predates the current generation
     BucketedStore.vacuum(spark, path, keepPrior = 1)
     assert(reader.count() === 101L,
       "vacuum inside the grace window deleted a generation with readers")
+    assert(preAppend.count() === 100L,
+      "vacuum inside the grace window broke the pre-append snapshot")
     BucketedStore.vacuum(spark, path, keepPrior = 0)
     val rootParts = new java.io.File(path).listFiles()
       .count(f => f.isFile && f.getName.startsWith("part-"))
@@ -278,6 +286,122 @@ class SourcesSpec extends SparkSpec {
         conflict.isInstanceOf[WriterLease.LeaseConflictException],
         s"second index writer did not fail loud: $conflict")
     }
+  }
+
+  test("compact is a PER-BUCKET FILE MERGE: a fragmented layout folds to " +
+    "one file per bucket with ZERO shuffle (the bucketing exchange is " +
+    "paid once at write, never again at compaction)") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbm").toString
+    val path = s"$dir/t"
+    val buckets = 4
+    def batch(lo: Long, n: Long) = (lo until lo + n).map(i => (i, s"v$i"))
+    BucketedStore.write(batch(0, 100).toDF("k", "v"), path, Seq("k"), buckets)
+    (1 to 3).foreach { i =>
+      BucketedStore.append(spark, path,
+        batch(i * 1000, 40).toDF("k", "v"), Seq("k"), buckets)
+    }
+    def partFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(partFiles(path).size > buckets, "test setup: layout not fragmented")
+    // watch every stage compact runs: zero shuffle-write records means no
+    // exchange executed anywhere in the fold
+    @volatile var shuffleRecords = 0L
+    @volatile var tasksSeen = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasksSeen += 1
+        Option(e.taskMetrics).foreach(m =>
+          shuffleRecords += m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      BucketedStore.compact(spark, path, Seq("k"), buckets)
+      // the listener bus is async — poll until events stop arriving
+      var last = -1
+      var spins = 0
+      while (tasksSeen != last && spins < 40) {
+        last = tasksSeen; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tasksSeen > 0, "listener saw no tasks — assertion would be vacuous")
+    assert(shuffleRecords === 0L,
+      s"compaction shuffled $shuffleRecords records — the per-bucket merge regressed to an exchange")
+    // folded to at most one file per bucket, multiset intact
+    val gen1 = partFiles(s"$path/_gen-1")
+    assert(gen1.nonEmpty && gen1.size <= buckets,
+      s"expected <= $buckets merged files, got ${gen1.size}")
+    val got = BucketedStore.attach(spark, path, Seq("k"), buckets)
+      .as[(Long, String)].collect().sorted.toSeq
+    val expect = (batch(0, 100) ++ (1 to 3).flatMap(i => batch(i * 1000, 40)))
+      .sorted
+    assert(got === expect, "per-bucket merge changed the multiset")
+  }
+
+  test("WriterLease.renew bumps the lease clock from a long write; renew " +
+    "without holding refuses; renew after a TTL break fails LOUD (lost " +
+    "exclusivity must abort, not interleave)") {
+    import graft.sources.WriterLease
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-rn").toString
+    val lock = java.nio.file.Paths.get(dir, "_writer.lock")
+    // renew outside any lease: refused
+    val err = intercept[IllegalArgumentException] {
+      WriterLease.renew(spark, dir, "nobody") }
+    assert(err.getMessage.contains("does not hold"), err.getMessage)
+    WriterLease.withLease(spark, dir, "long-writer") {
+      // age the lock as if the write has been running a while, then renew:
+      // the mtime must jump forward (the TTL horizon resets)
+      val aged = System.currentTimeMillis() - 9L * 60 * 1000
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(aged))
+      WriterLease.renew(spark, dir, "long-writer")
+      val mtime = java.nio.file.Files.getLastModifiedTime(lock).toMillis
+      assert(mtime > aged + 8L * 60 * 1000, s"renew did not bump mtime: $mtime")
+      // a TTL-breaker stole the lease (crash-break while we stalled):
+      // renew must fail LOUD instead of silently re-claiming
+      java.nio.file.Files.writeString(lock,
+        """{"token":"thief","owner":"breaker","epochMs":1}""")
+      val lost = intercept[WriterLease.LeaseConflictException] {
+        WriterLease.renew(spark, dir, "long-writer") }
+      assert(lost.getMessage.contains("exclusivity lost"), lost.getMessage)
+    }
+  }
+
+  test("vacuum(keepPrior=0) makes a reader still attached to the prior " +
+    "generation fail VISIBLY (missing files, never silent wrong rows); " +
+    "compact+vacuum composed under ONE lease serves the new generation") {
+    import spark.implicits._
+    import graft.sources.{BucketedStore, WriterLease}
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    val path = s"$dir/t"
+    BucketedStore.write((1L to 50L).map(i => (i % 5, s"v$i"))
+      .toDF("k", "v"), path, Seq("k"), 4)
+    val stale = BucketedStore.attach(spark, path, Seq("k"), 4) // gen 0
+    // the maintenance composite: fold + reclaim under one writer lease
+    // (each step's own withLease nests re-entrantly on this thread)
+    WriterLease.withLease(spark, path, "maintenance") {
+      BucketedStore.compact(spark, path, Seq("k"), 4)
+      BucketedStore.vacuum(spark, path, keepPrior = 0)
+    }
+    // vacuum(0) is the caller asserting no reader predates the current
+    // generation — `stale` violates that contract, and the documented
+    // failure mode is a VISIBLE read error on its vanished files, never
+    // a silently partial result
+    val e = intercept[Exception] { stale.count() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => s"${x.getClass.getName}: ${x.getMessage}").toSeq
+    assert(chain(e).exists(m => m.contains("FileNotFound") ||
+      m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
+      m.contains("FAILED_READ_FILE")),
+      s"expected a missing-file error, got:\n${chain(e).mkString("\n")}")
+    // a fresh attach serves the folded generation completely
+    assert(BucketedStore.attach(spark, path, Seq("k"), 4).count() === 50L)
+    assert(BucketedStore.currentGen(spark, path) === 1)
   }
 
   test("BucketedStore.append binds columns by NAME: a reordered delta " +

@@ -972,4 +972,66 @@ class StreamingSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("sketch lgK"))
   }
+
+  test("streaming maintenance of the persisted IVF-PQ serving index: " +
+    "streamed vectors become searchable, a REPLAYED batchId is a disk " +
+    "no-op, and a crash-window duplicate append is invisible in the " +
+    "served top-k") {
+    import graft.pipeline.Similarity
+    import graft.rel.Checkpoint.PinOps
+    implicit val sq = spark.sqlContext
+    def vec(id: Long): Array[Float] = {
+      val r = new scala.util.Random(id * 7919 + 17)
+      Array.fill(16)(r.nextFloat() * 2f - 1f)
+    }
+    val seed = (0L until 48L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val deltaRows = (48L until 64L).map(i => (i, vec(i)))
+    val corpus = seed.unionByName(deltaRows.toDF("vec_id", "embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-str").toString
+    val idx = Similarity.ivfPqBuild(seed, nlist = 8, m = 8, codes = 16)
+    Similarity.saveIvfPq(idx, dir)
+    idx.centroids.unpinAll(); idx.codebooks.unpinAll(); idx.codes.unpinAll()
+    // the withheld vectors arrive as TWO micro-batches (batchIds 0, 1)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.startIvfPqAppendStream(
+      in.toDF.toDF("vec_id", "embedding"), dir)
+    try {
+      in.addData(deltaRows.take(8): _*); q.processAllAvailable()
+      in.addData(deltaRows.drop(8): _*); q.processAllAvailable()
+    } finally q.stop()
+    def codeRows: Long = spark.read.parquet(s"$dir/codes").count()
+    assert(codeRows === 64L, "streamed appends did not land in the codes store")
+    // a streamed-in vector is SERVED: probing with vector 50's exact
+    // embedding returns 50 as the top hit at cosine ≈ 1
+    val probe = Seq((50L, vec(50L))).toDF("q_id", "q_vec")
+    def top1: (Long, Double) = {
+      val r = Similarity.ivfPqSearch(probe, Similarity.loadIvfPq(spark, dir),
+          corpus, k = 3, nprobe = 8)
+        .orderBy(col("cosine").desc).collect()(0)
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))
+    }
+    val (hit, cos) = top1
+    assert(hit === 50L && cos > 0.999,
+      s"streamed vector not served: top1=$hit cosine=$cos")
+    // exactly-once: replaying an applied batchId is refused AND a disk no-op
+    assert(!Similarity.appendIvfPqBatch(spark, dir,
+      deltaRows.take(8).toDF("vec_id", "embedding"), batchId = 0L),
+      "replayed batchId must be skipped")
+    assert(codeRows === 64L, "replayed batch wrote code rows")
+    // crash window (insert done, meta not advanced): duplicate code rows
+    // exist on disk but never reach the served results — the pre-top-k
+    // candidate dedup keeps them out of the k·overFetch cut
+    Similarity.appendIvfPq(spark, dir,
+      deltaRows.take(4).toDF("vec_id", "embedding"))
+    assert(codeRows === 68L, "duplicate injection did not land (test setup)")
+    val served = Similarity.ivfPqSearch(probe,
+      Similarity.loadIvfPq(spark, dir), corpus, k = 10, nprobe = 8).collect()
+    val pairs = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    assert(pairs.distinct.length === pairs.length,
+      s"duplicate (q_id, vec_id) pairs in served top-k: ${pairs.mkString(",")}")
+    assert(served.length === 10, s"top-k shrank to ${served.length}")
+    val (hit2, cos2) = top1
+    assert(hit2 === 50L && cos2 > 0.999,
+      "crash-window duplicates changed the served top hit")
+  }
 }
