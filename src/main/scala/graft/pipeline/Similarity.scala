@@ -784,6 +784,9 @@ object Similarity {
       index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
       index.codes.write.mode("overwrite")
         .partitionBy("centroid_id").parquet(s"$path/codes")
+      // fence before the meta write makes the index loadable: three
+      // corpus-sized writes can outlive the lease TTL
+      graft.sources.WriterLease.renew(spark, path, "saveIvfPq")
       val meta = s"""{"m":${index.m},"nCodes":${index.nCodes},""" +
         s""""cId":${graft.types.Json.str(index.cId)}}"""
       // atomic tmp+rename through the dir's own Hadoop FS (s3a://,
@@ -828,6 +831,10 @@ object Similarity {
       if (batchId <= last) false
       else {
         appendIvfPq(spark, path, newVecs, cVec)
+        // fence before committing visibility (see DocStream
+        // .appendIndexBatch): a lease TTL-broken during the encode+write
+        // must abort loud, leaving only search-dedup-absorbed orphan rows
+        graft.sources.WriterLease.renew(spark, path, "appendIvfPqBatch")
         val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         obj.put("lastBatch", batchId)

@@ -183,9 +183,16 @@ object BucketedStore {
     * before the flip leaves an orphan `_gen-(N+1)` (invisible to readers;
     * the next compact overwrites it, vacuum deletes it); a crash after
     * the flip leaves generation N as orphan data for vacuum. Concurrent
-    * WRITERS must be serialized externally (see class doc). */
+    * WRITERS must be serialized externally (see class doc).
+    *
+    * `beforeFlip` runs after the rewrite, immediately before the pointer
+    * flip — the fencing point for leased callers: a [[WriterLease.renew]]
+    * here re-verifies exclusivity after a rewrite that may have outlived
+    * the lease TTL, so a compaction whose lease was TTL-broken mid-fold
+    * aborts (orphan `_gen-(N+1)`, vacuumed later) instead of flipping the
+    * pointer over a generation a new writer is already appending into. */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
-              buckets: Int): Unit = {
+              buckets: Int, beforeFlip: () => Unit = () => ()): Unit = {
     heal(spark, path) // a legacy-crashed previous compaction leaves only `.old`
     val fs = fsOf(spark, path)
     val gen = currentGen(spark, path)
@@ -218,28 +225,33 @@ object BucketedStore {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
     }
+    beforeFlip()
     writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
   }
 
   /** Reclaim superseded generations: delete every `_gen-K` below
-    * `currentGen - keepPrior`, and — once a pointer exists — the
-    * flat generation-0 files a migrated layout left at the root.
-    * `keepPrior` is the grace window: `1` (default) keeps the
-    * generation immediately before the current one, so readers that
-    * attached just before the last compaction stay valid; `0` keeps
-    * only the current generation — the caller asserts no reader
-    * predates it. Never touches the current generation. */
+    * `currentGen - keepPrior`, every ORPHAN `_gen-K` ABOVE the current
+    * generation (a compaction that crashed after its rewrite but before
+    * the pointer flip — invisible to readers, dead weight on disk), and —
+    * once a pointer exists — the flat generation-0 files a migrated
+    * layout left at the root. `keepPrior` is the grace window: `1`
+    * (default) keeps the generation immediately before the current one,
+    * so readers that attached just before the last compaction stay
+    * valid; `0` keeps only the current generation — the caller asserts
+    * no reader predates it. Never touches the current generation.
+    * Serialize against [[compact]] externally (the index-level vacuums
+    * take the writer lease): an in-flight compaction's `_gen-(N+1)` is
+    * indistinguishable from a crashed one's. */
   def vacuum(spark: SparkSession, path: String, keepPrior: Int = 1): Unit = {
     val fs = fsOf(spark, path)
     if (!fs.exists(hp(path))) return
     val gen = currentGen(spark, path)
-    if (gen == 0) return // flat layout: nothing superseded yet
     val floor = gen - keepPrior
     fs.listStatus(hp(path)).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("_gen-")) {
         val k = n.stripPrefix("_gen-").toInt
-        if (k < floor) fs.delete(st.getPath, true)
+        if (k < floor || k > gen) fs.delete(st.getPath, true)
       }
       // migrated layout's generation-0 root files: superseded by _gen-1,
       // covered by the same grace arithmetic (gen 0 < floor)

@@ -286,7 +286,9 @@ object DocStream {
       val node = graft.sources.BucketedStore.readMeta(spark, dir,
         "chunkindex.meta.json")
       graft.sources.BucketedStore.compact(spark, s"$dir/hashes",
-        Seq("hash"), node.get("buckets").asInt())
+        Seq("hash"), node.get("buckets").asInt(),
+        beforeFlip = () =>
+          graft.sources.WriterLease.renew(spark, dir, "compactChunkIndex"))
     }
 
   def vacuumChunkIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -317,6 +319,9 @@ object DocStream {
       Seq("band", "bh"), buckets)
     graft.sources.BucketedStore.write(index.grams, s"$dir/grams",
       Seq("id"), buckets)
+    // fence before the meta write makes the index loadable: two corpus-
+    // sized bucketed writes can outlive the lease TTL
+    graft.sources.WriterLease.renew(spark, dir, "saveIndex")
     // schemas recorded at write time: an EMPTY index (the initial state of
     // a start-from-nothing stream) writes no parquet files, so loads and
     // appends cannot infer them from the directory
@@ -380,6 +385,11 @@ object DocStream {
       if (batchId <= last) false
       else {
         appendIndex(spark, dir, newDocs, idCol, textCol)
+        // fence before committing visibility: if the append outlived the
+        // lease TTL and a breaker claimed it, abort LOUD here — the
+        // orphan delta rows are the pair-dedup-absorbed crash window,
+        // a silently advanced watermark over a stolen lease is not
+        graft.sources.WriterLease.renew(spark, dir, "appendIndexBatch")
         // advance the watermark, preserving every other meta field (schemas!)
         val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -450,10 +460,15 @@ object DocStream {
     graft.sources.WriterLease.withLease(spark, dir, "compactIndex") {
       val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
       val buckets = node.get("buckets").asInt()
+      // each fold can outlive the lease TTL at scale: renew at the fencing
+      // point (post-rewrite, pre-flip) so a TTL-broken lease aborts the
+      // compaction BEFORE it flips a generation a new writer appends into
+      val fence = () =>
+        graft.sources.WriterLease.renew(spark, dir, "compactIndex")
       graft.sources.BucketedStore.compact(spark, s"$dir/band",
-        Seq("band", "bh"), buckets)
+        Seq("band", "bh"), buckets, beforeFlip = fence)
       graft.sources.BucketedStore.compact(spark, s"$dir/grams",
-        Seq("id"), buckets)
+        Seq("id"), buckets, beforeFlip = fence)
     }
 
   /** Reclaim the superseded generations [[compactIndex]] left for its

@@ -238,6 +238,127 @@ class SourcesSpec extends SparkSpec {
     assert(fresh.count() === 101L, "vacuum(0) touched the current generation")
   }
 
+  test("compact is a PER-BUCKET FILE MERGE: a fragmented layout folds to " +
+    "exactly one file per bucket, and the fold's write plan carries ZERO " +
+    "Exchange — the bucketing shuffle is paid at write, never at compaction") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-bktmerge").toString
+    val path = s"$dir/t"
+    val buckets = 4
+    // fragment: a parallel base write + three appends → several files per
+    // bucket (each writing task emits its own file per bucket it touches)
+    BucketedStore.write((1L to 2000L).map(i => (i, s"v$i"))
+      .toDF("k", "v").repartition(8), path, Seq("k"), buckets)
+    (0 until 3).foreach { d =>
+      BucketedStore.append(spark, path,
+        (1L to 50L).map(i => (d * 1000L + i, "delta")).toDF("k", "v"),
+        Seq("k"), buckets)
+    }
+    def bucketOf(name: String): String =
+      "_(\\d{5})".r.findFirstMatchIn(name).get.group(1)
+    val before = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .groupBy(f => bucketOf(f.getName))
+    assert(before.values.exists(_.length > 1),
+      "test setup must fragment at least one bucket into multiple files")
+    // capture the physical plans of every action the fold runs
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      BucketedStore.compact(spark, path, Seq("k"), buckets)
+      // the listener bus is async — wait for the fold's write plan
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def writePlans = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.filter(p => p.contains("InsertIntoHadoopFsRelation") ||
+          p.contains("CreateDataSourceTableAsSelect") ||
+          p.contains("DataWritingCommand"))
+      }
+      while (writePlans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val wp = writePlans
+      assert(wp.nonEmpty, "never observed the compaction's write plan")
+      wp.foreach(p => assert(!p.contains("Exchange"),
+        s"compaction paid an exchange:\n${p.take(3000)}"))
+    } finally spark.listenerManager.unregister(listener)
+    // one partition per bucket in, one file per bucket out
+    val after = new java.io.File(s"$path/_gen-1").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .groupBy(f => bucketOf(f.getName))
+    assert(after.nonEmpty && after.values.forall(_.length == 1),
+      s"per-bucket merge re-fragmented: ${after.view.mapValues(_.length).toMap}")
+    assert(BucketedStore.attach(spark, path, Seq("k"), buckets).count()
+      === 2000L + 150L, "fold changed the row count")
+  }
+
+  test("compact's beforeFlip is the commit fence: an abort there leaves the " +
+    "pointer un-flipped and the old generation serving; a lease stolen " +
+    "mid-fold (TTL break during a long rewrite) aborts the renew-fenced " +
+    "compaction BEFORE the flip; vacuum reclaims the orphan rewrite") {
+    import spark.implicits._
+    import graft.sources.{BucketedStore, WriterLease}
+    val dir = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    val path = s"$dir/t"
+    BucketedStore.write((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, Seq("k"), 2)
+    // 1. the hook runs after the rewrite, before the flip — a throw there
+    // must leave generation 0 current and complete
+    val boom = intercept[RuntimeException] {
+      BucketedStore.compact(spark, path, Seq("k"), 2,
+        beforeFlip = () => throw new RuntimeException("fence abort"))
+    }
+    assert(boom.getMessage === "fence abort")
+    assert(BucketedStore.currentGen(spark, path) === 0,
+      "aborted compaction flipped the pointer anyway")
+    assert(spark.read.parquet(BucketedStore.dataDir(spark, path))
+      .count() === 100L)
+    assert(new java.io.File(s"$path/_gen-1").exists(),
+      "the pre-flip crash shape is an orphan next-generation dir")
+    // the orphan is dead weight, invisible to readers — vacuum reclaims it
+    BucketedStore.vacuum(spark, path, keepPrior = 1)
+    assert(!new java.io.File(s"$path/_gen-1").exists(),
+      "vacuum left the crashed compaction's orphan generation")
+    // 2. the real fence: renew() as beforeFlip detects a lease stolen
+    // while the fold ran (the on-disk token is no longer ours) and aborts
+    WriterLease.withLease(spark, path, "folder") {
+      val lock = new java.io.FileOutputStream(s"$path/_writer.lock")
+      try lock.write(
+        s"""{"token":"thief","owner":"ttl-breaker","epochMs":${System.currentTimeMillis()}}"""
+          .getBytes("UTF-8"))
+      finally lock.close()
+      intercept[WriterLease.LeaseConflictException] {
+        BucketedStore.compact(spark, path, Seq("k"), 2,
+          beforeFlip = () => WriterLease.renew(spark, path, "folder"))
+      }
+    }
+    assert(BucketedStore.currentGen(spark, path) === 0,
+      "a compaction whose lease was stolen mid-fold still flipped")
+    assert(spark.read.parquet(BucketedStore.dataDir(spark, path))
+      .count() === 100L, "old generation must keep serving after the abort")
+    // the thief then "crashes" without releasing — clear its lock so the
+    // next writer doesn't have to wait out the TTL
+    new java.io.File(s"$path/_writer.lock").delete()
+    // an unstolen lease renews cleanly and the fenced compaction commits
+    WriterLease.withLease(spark, path, "folder2") {
+      BucketedStore.compact(spark, path, Seq("k"), 2,
+        beforeFlip = () => WriterLease.renew(spark, path, "folder2"))
+    }
+    assert(BucketedStore.currentGen(spark, path) === 1)
+    assert(spark.read.parquet(BucketedStore.dataDir(spark, path))
+      .count() === 100L)
+  }
+
   test("WriterLease: a second writer fails LOUD while the lease is held, " +
     "re-entry on the owning thread is a no-op, an expired lease is broken, " +
     "and a real index append conflicts end-to-end") {
