@@ -345,10 +345,11 @@ object BenchScale {
     run("index_persist_probe", ndiProbe("1x"), ndiProbe("nx"))
     // generation compaction: fragment each layout with a few delta appends
     // (the shape that motivates compaction — file COUNT, not volume), then
-    // fold + vacuum. Cost is a full-generation rewrite, so the honest
-    // expectation is ratio ≈ mult (linear in history size) — this row
-    // records that write-amplification shape; per-bucket file merging is
-    // what would bend it below linear.
+    // fold + vacuum. The fold is a PER-BUCKET FILE MERGE (bucketed scan →
+    // bucketed write, zero exchange), so the cost is the parquet
+    // read+rewrite of the generation with NO shuffle — measured 1.88× at
+    // 16× history (per_row 0.12); the pre-merge repartition-based fold
+    // re-paid the bucketing shuffle of the whole history every compaction.
     def ndiFragment(tag: String): Unit = (1 to 3).foreach { i =>
       graft.streaming.DocStream.appendIndex(spark, ndiDir(tag),
         ndiDelta.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))

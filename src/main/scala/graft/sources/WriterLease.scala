@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanics: `_writer.lock` under the index dir, created with the
   * filesystem's no-overwrite create (atomic on HDFS and object stores
-  * with preconditions; best-effort on a raw local FS, which is a
-  * single-machine deployment anyway). The file carries a random token,
+  * with preconditions; on a local FS, where Hadoop's no-overwrite
+  * create is a racy exists-then-open, the claim goes through the
+  * kernel's `open(O_CREAT|O_EXCL)` instead — exact there too). The
+  * file carries a random token,
   * owner description and acquisition epoch. A lease older than
   * `spark.graft.index.leaseTtlMs` (default 10 min) is considered
   * abandoned by a crashed writer and is BROKEN — and the break is
@@ -52,6 +54,20 @@ object WriterLease {
 
   private def lockPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
+
+  // serializes same-JVM stat→break→claim sequences per lock path: a
+  // breaker's expiry decision and its rename/re-create must be atomic
+  // against OTHER THREADS of this JVM, or a breaker holding a stale stat
+  // can rename a rival's freshly re-created lock out from under it (and
+  // the restore can fail while a third claimant slips in — observed as
+  // 3 simultaneous "owners" in the breaker-race test). Cross-process
+  // claims stay atomic via the no-overwrite create; the cross-process
+  // break keeps the freshness-check+restore belt below. One small Object
+  // per distinct index dir touched by this JVM.
+  private val acquireMutex =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mutexFor(lock: org.apache.hadoop.fs.Path): Object =
+    acquireMutex.computeIfAbsent(lock.toString, _ => new Object)
 
   private def payloadOf(token: String, owner: String): Array[Byte] =
     (s"""{"token":"$token","owner":${graft.types.Json.str(owner)},""" +
@@ -116,13 +132,32 @@ object WriterLease {
   private def acquire(spark: SparkSession,
                       fs: org.apache.hadoop.fs.FileSystem,
                       lock: org.apache.hadoop.fs.Path,
-                      token: String, owner: String): Unit = {
+                      token: String, owner: String): Unit =
+    mutexFor(lock).synchronized {
     val payload = payloadOf(token, owner)
     var attempt = 0
     while (attempt < 6) {
       attempt += 1
       val existed =
-        try {
+        if (fs.getScheme == "file") {
+          // Hadoop's local create(overwrite=false) is a non-atomic
+          // exists-then-open — racing claimers can ALL pass the check and
+          // believe they won (observed: 3 simultaneous lease holders in
+          // the breaker-race test). Claim through the kernel's
+          // open(O_CREAT|O_EXCL) instead: exactly one creator succeeds.
+          // A reader in the create→write gap sees an empty FRESH lock
+          // and conflicts on its mtime, same as a torn payload.
+          val nioLock = java.nio.file.Paths.get(lock.toUri.getPath)
+          try {
+            java.nio.file.Files.createFile(nioLock)
+            try java.nio.file.Files.write(nioLock, payload)
+            catch { case scala.util.control.NonFatal(e) =>
+              java.nio.file.Files.deleteIfExists(nioLock); throw e }
+            return
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => true
+          }
+        } else try {
           val out = fs.create(lock, false) // no-overwrite: the atomic claim
           try out.write(payload) finally out.close()
           return
@@ -192,7 +227,7 @@ object WriterLease {
     }
     throw new LeaseConflictException(
       s"could not claim ${lock}: another writer kept winning the race")
-  }
+    }
 
   private def readToken(fs: org.apache.hadoop.fs.FileSystem,
                         lock: org.apache.hadoop.fs.Path): Option[String] =

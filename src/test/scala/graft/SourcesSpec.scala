@@ -238,70 +238,6 @@ class SourcesSpec extends SparkSpec {
     assert(fresh.count() === 101L, "vacuum(0) touched the current generation")
   }
 
-  test("compact is a PER-BUCKET FILE MERGE: a fragmented layout folds to " +
-    "exactly one file per bucket, and the fold's write plan carries ZERO " +
-    "Exchange — the bucketing shuffle is paid at write, never at compaction") {
-    import spark.implicits._
-    import graft.sources.BucketedStore
-    val dir = java.nio.file.Files.createTempDirectory("graft-bktmerge").toString
-    val path = s"$dir/t"
-    val buckets = 4
-    // fragment: a parallel base write + three appends → several files per
-    // bucket (each writing task emits its own file per bucket it touches)
-    BucketedStore.write((1L to 2000L).map(i => (i, s"v$i"))
-      .toDF("k", "v").repartition(8), path, Seq("k"), buckets)
-    (0 until 3).foreach { d =>
-      BucketedStore.append(spark, path,
-        (1L to 50L).map(i => (d * 1000L + i, "delta")).toDF("k", "v"),
-        Seq("k"), buckets)
-    }
-    def bucketOf(name: String): String =
-      "_(\\d{5})".r.findFirstMatchIn(name).get.group(1)
-    val before = new java.io.File(path).listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .groupBy(f => bucketOf(f.getName))
-    assert(before.values.exists(_.length > 1),
-      "test setup must fragment at least one bucket into multiple files")
-    // capture the physical plans of every action the fold runs
-    val plans = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        plans.add(qe.executedPlan.toString)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      BucketedStore.compact(spark, path, Seq("k"), buckets)
-      // the listener bus is async — wait for the fold's write plan
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      def writePlans = {
-        import scala.jdk.CollectionConverters._
-        plans.asScala.filter(p => p.contains("InsertIntoHadoopFsRelation") ||
-          p.contains("CreateDataSourceTableAsSelect") ||
-          p.contains("DataWritingCommand"))
-      }
-      while (writePlans.isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      val wp = writePlans
-      assert(wp.nonEmpty, "never observed the compaction's write plan")
-      wp.foreach(p => assert(!p.contains("Exchange"),
-        s"compaction paid an exchange:\n${p.take(3000)}"))
-    } finally spark.listenerManager.unregister(listener)
-    // one partition per bucket in, one file per bucket out
-    val after = new java.io.File(s"$path/_gen-1").listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .groupBy(f => bucketOf(f.getName))
-    assert(after.nonEmpty && after.values.forall(_.length == 1),
-      s"per-bucket merge re-fragmented: ${after.view.mapValues(_.length).toMap}")
-    assert(BucketedStore.attach(spark, path, Seq("k"), buckets).count()
-      === 2000L + 150L, "fold changed the row count")
-  }
-
   test("compact's beforeFlip is the commit fence: an abort there leaves the " +
     "pointer un-flipped and the old generation serving; a lease stolen " +
     "mid-fold (TTL break during a long rewrite) aborts the renew-fenced " +
@@ -490,6 +426,55 @@ class SourcesSpec extends SparkSpec {
         WriterLease.renew(spark, dir, "long-writer") }
       assert(lost.getMessage.contains("exclusivity lost"), lost.getMessage)
     }
+  }
+
+  test("WriterLease: N breakers racing one EXPIRED lock — exactly one claim " +
+    "at a time (the fenced rename break can't delete a rival's fresh lock)") {
+    import graft.sources.WriterLease
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-race")
+      .toString
+    // a crashed writer's stale lock, expired well past the TTL
+    val lock = java.nio.file.Paths.get(dir, "_writer.lock")
+    java.nio.file.Files.writeString(lock,
+      """{"token":"crashed","owner":"dead-ingest","epochMs":1}""")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val won = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicted = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var unexpected: Throwable = null
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        start.await()
+        try WriterLease.withLease(spark, dir, s"breaker-$i") {
+          val now = active.incrementAndGet()
+          maxActive.getAndUpdate(m => math.max(m, now))
+          Thread.sleep(30) // widen any overlap window
+          active.decrementAndGet()
+          won.incrementAndGet()
+        } catch {
+          case _: WriterLease.LeaseConflictException =>
+            conflicted.incrementAndGet()
+          case t: Throwable => unexpected = t
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(unexpected == null, s"non-conflict failure: $unexpected")
+    assert(maxActive.get() === 1,
+      s"${maxActive.get()} writers held the lease simultaneously")
+    assert(won.get() >= 1, "nobody broke the expired lease")
+    assert(won.get() + conflicted.get() === 8)
+    // the winner released; the dir is claimable again and carries no
+    // leftover lock or tombstone debris that would wedge later writers
+    WriterLease.withLease(spark, dir, "after") { () }
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_writer.lock"))
+    assert(leftovers.isEmpty,
+      s"lease debris left behind: ${leftovers.map(_.getName).mkString(", ")}")
   }
 
   test("vacuum(keepPrior=0) makes a reader still attached to the prior " +
