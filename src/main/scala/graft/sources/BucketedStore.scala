@@ -260,6 +260,75 @@ object BucketedStore {
     }
   }
 
+  /** Observable health of a layout — what an operator (or a policy like
+    * [[maintain]]) needs to decide WHEN to compact and vacuum:
+    * `maxFilesPerBucket` is the scan-latency driver each [[append]]
+    * grows (a bucketed scan opens every file of a bucket in one task);
+    * `supersededBytes` is the storage [[vacuum]] would reclaim. */
+  final case class LayoutStats(gen: Int, files: Long, bytes: Long,
+                               maxFilesPerBucket: Int,
+                               supersededGens: Int, supersededBytes: Long)
+
+  private val bucketIdRe = "_(\\d{5})\\.".r
+
+  /** One file listing of the layout root + current generation — no data
+    * read. Superseded = older `_gen-K` dirs, orphan above-current dirs,
+    * and (once a pointer exists) flat root files a migration left. */
+  def stats(spark: SparkSession, path: String): LayoutStats = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(hp(path))) return LayoutStats(0, 0, 0, 0, 0, 0)
+    val gen = currentGen(spark, path)
+    val cur = dataDir(spark, path)
+    val (files, bytes, perBucket) =
+      if (!fs.exists(hp(cur))) (0L, 0L, Map.empty[String, Int])
+      else {
+        val parts = fs.listStatus(hp(cur))
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        (parts.length.toLong, parts.map(_.getLen).sum,
+          parts.toSeq.groupBy(s =>
+            bucketIdRe.findFirstMatchIn(s.getPath.getName)
+              .map(_.group(1)).getOrElse("?"))
+            .view.mapValues(_.size).toMap)
+      }
+    var supGens = 0
+    var supBytes = 0L
+    var rootFlat = false // migrated layout's flat gen-0 files at the root
+    fs.listStatus(hp(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_gen-") &&
+          n.stripPrefix("_gen-").toInt != gen) {
+        supGens += 1
+        supBytes += fs.getContentSummary(st.getPath).getLength
+      } else if (st.isFile && n.startsWith("part-") && gen > 0) {
+        rootFlat = true
+        supBytes += st.getLen
+      }
+    }
+    if (rootFlat) supGens += 1
+    LayoutStats(gen, files, bytes,
+      perBucket.values.maxOption.getOrElse(0), supGens, supBytes)
+  }
+
+  /** Policy-driven upkeep: fold the layout when any bucket's file count
+    * exceeds `maxFilesPerBucket` (each [[append]] adds up to one file per
+    * bucket, and a bucketed scan opens all of a bucket's files in one
+    * task — unbounded growth is unbounded scan latency), then reclaim
+    * generations beyond the `keepPrior` grace window. Returns whether it
+    * compacted. Serialize against other writers externally, like
+    * [[compact]]/[[append]] — the index-level wrapper
+    * (DocStream.maintainIndex) runs this under the writer lease with the
+    * renewal fence. */
+  def maintain(spark: SparkSession, path: String, keys: Seq[String],
+               buckets: Int, maxFilesPerBucket: Int = 4,
+               keepPrior: Int = 1,
+               beforeFlip: () => Unit = () => ()): Boolean = {
+    val s = stats(spark, path)
+    val fold = s.maxFilesPerBucket > maxFilesPerBucket
+    if (fold) compact(spark, path, keys, buckets, beforeFlip)
+    vacuum(spark, path, keepPrior)
+    fold
+  }
+
   /** INSERT a delta through the stored bucket spec: the delta's rows land
     * as NEW bucket files beside the existing ones in the CURRENT
     * generation. Readers attached before the append keep their file

@@ -483,6 +483,51 @@ object DocStream {
       graft.sources.BucketedStore.vacuum(spark, s"$dir/grams", keepPrior)
     }
 
+  /** Fragmentation + storage health of a persisted index, per layout
+    * ("band", "grams") — one file listing each, no data read. Feed the
+    * ingest cadence: `maxFilesPerBucket` grows by up to 1 per
+    * [[appendIndex]], and when it crosses the serving-latency budget,
+    * [[maintainIndex]] folds it back to 1. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, dir: String):
+      Map[String, graft.sources.BucketedStore.LayoutStats] =
+    Map("band" -> graft.sources.BucketedStore.stats(spark, s"$dir/band"),
+        "grams" -> graft.sources.BucketedStore.stats(spark, s"$dir/grams"))
+
+  /** Policy-driven upkeep under ONE writer lease: compact each layout
+    * whose per-bucket file count exceeds `maxFilesPerBucket` (renew-
+    * fenced at each pointer flip, like [[compactIndex]]), then vacuum
+    * superseded generations past the `keepPrior` grace window. The
+    * steady-state call for an ingest loop — cheap when healthy (two file
+    * listings), a fold only when fragmentation crossed the budget.
+    * Returns the layouts it compacted. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    maxFilesPerBucket: Int = 4,
+                    keepPrior: Int = 1): Seq[String] =
+    graft.sources.WriterLease.withLease(spark, dir, "maintainIndex") {
+      val node = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+      val buckets = node.get("buckets").asInt()
+      val fence = () =>
+        graft.sources.WriterLease.renew(spark, dir, "maintainIndex")
+      Seq("band" -> Seq("band", "bh"), "grams" -> Seq("id")).collect {
+        case (layout, keys) if graft.sources.BucketedStore.maintain(
+            spark, s"$dir/$layout", keys, buckets, maxFilesPerBucket,
+            keepPrior, beforeFlip = fence) => layout
+      }
+    }
+
+  /** [[maintainIndex]] for a persisted CDC chunk index. */
+  def maintainChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxFilesPerBucket: Int = 4,
+                         keepPrior: Int = 1): Boolean =
+    graft.sources.WriterLease.withLease(spark, dir, "maintainChunkIndex") {
+      val node = graft.sources.BucketedStore.readMeta(spark, dir,
+        "chunkindex.meta.json")
+      graft.sources.BucketedStore.maintain(spark, s"$dir/hashes",
+        Seq("hash"), node.get("buckets").asInt(), maxFilesPerBucket,
+        keepPrior, beforeFlip = () =>
+          graft.sources.WriterLease.renew(spark, dir, "maintainChunkIndex"))
+    }
+
   /** Re-attach an index persisted by [[saveIndex]]: registers the stored
     * files as EXTERNAL bucketed tables (schema read from the parquet
     * footers, bucket spec from the meta) — no data is moved and no

@@ -442,6 +442,60 @@ class StreamingSpec extends SparkSpec {
     assert(java.nio.file.Files.isDirectory(fs), "self-heal did not restore the dir")
   }
 
+  test("maintainIndex is policy-driven upkeep: healthy layouts are left " +
+    "alone, fragmentation past the budget triggers a renew-fenced fold + " +
+    "vacuum, results are unchanged, and stats report the recovery") {
+    import graft.streaming.DocStream
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) >= 5)
+    val hist = docs.filter(col("doc_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-mnt").toString
+    DocStream.saveIndex(DocStream.buildIndex(hist), dir, buckets = 4)
+    val fresh = DocStream.indexStats(spark, dir)
+    assert(fresh("band").gen === 0 && fresh("band").files > 0)
+    assert(fresh("band").supersededGens === 0)
+    // healthy: nothing folds, generation unchanged
+    assert(DocStream.maintainIndex(spark, dir, maxFilesPerBucket = 4)
+      === Seq.empty)
+    assert(DocStream.indexStats(spark, dir)("band").gen === 0)
+    // fragment: three delta appends → up to 4 files per bucket per layout
+    val deltas = (0 until 3).map(i => docs
+      .filter(col("doc_id") >= 20 + i * 10 && col("doc_id") < 30 + i * 10))
+    deltas.foreach(d => DocStream.appendIndex(spark, dir, d))
+    val fragged = DocStream.indexStats(spark, dir)
+    assert(fragged("band").maxFilesPerBucket > 2 &&
+      fragged("grams").maxFilesPerBucket > 2,
+      s"test setup did not fragment: $fragged")
+    // over budget: both layouts fold; keepPrior=0 reclaims immediately
+    val folded = DocStream.maintainIndex(spark, dir,
+      maxFilesPerBucket = 2, keepPrior = 0)
+    assert(folded.toSet === Set("band", "grams"), s"folded: $folded")
+    val after = DocStream.indexStats(spark, dir)
+    assert(after("band").gen === 1 && after("grams").gen === 1)
+    assert(after("band").maxFilesPerBucket === 1 &&
+      after("grams").maxFilesPerBucket === 1,
+      s"fold did not de-fragment: $after")
+    assert(after("band").supersededGens === 0 &&
+      after("band").supersededBytes === 0L,
+      "vacuum(keepPrior=0) left superseded storage behind")
+    // the maintained index serves exactly like a from-scratch one
+    val hit = docs.filter(col("doc_id") === 25L).collect()(0).getAs[String]("text")
+    val probe = Seq((9300L, hit), (9301L, "matches nothing at all"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val mem = norm(DocStream.matchAgainst(probe, DocStream.buildIndex(
+      hist.unionByName(deltas.reduce(_ unionByName _)))))
+    assert(mem.exists(_._2 == 25L), s"planted dup not found in-memory: $mem")
+    assert(norm(DocStream.matchAgainst(probe, DocStream.loadIndex(spark, dir)))
+      === mem, "maintained index diverged from the from-scratch index")
+    // steady state: the next upkeep call is a no-op
+    assert(DocStream.maintainIndex(spark, dir, maxFilesPerBucket = 2)
+      === Seq.empty)
+    assert(DocStream.indexStats(spark, dir)("band").gen === 1)
+  }
+
   test("restart-durable incremental dedup over the PERSISTED index: " +
     "batches match-then-append through the batchId guard; a replayed " +
     "batch is a disk no-op and a crash-window duplicate append never " +
@@ -619,6 +673,16 @@ class StreamingSpec extends SparkSpec {
     // the hist2 probe docs are now all-dup too, through the appended layout
     val after = norm(DocStream.chunkDupFraction(probe, re, "doc_id", "text"))
     assert(after.values.forall(_._2 === 1.0), s"probe after append: $after")
+    // policy upkeep: the appends fragmented some bucket past a 1-file
+    // budget, so maintain folds + vacuums — and the verdicts don't move
+    assert(DocStream.maintainChunkIndex(spark, dir,
+      maxFilesPerBucket = 1, keepPrior = 0), "maintain skipped a fold")
+    assert(graft.sources.BucketedStore.currentGen(spark, s"$dir/hashes") === 1)
+    assert(graft.sources.BucketedStore.stats(spark, s"$dir/hashes")
+      .supersededBytes === 0L, "vacuum(0) left superseded storage")
+    assert(norm(DocStream.chunkDupFraction(probe,
+      DocStream.loadChunkIndex(spark, dir), "doc_id", "text")) === after,
+      "maintenance changed probe verdicts")
   }
 
   test("batch and stream agree on the events table (file source)") {
