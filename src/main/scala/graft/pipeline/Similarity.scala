@@ -780,6 +780,16 @@ object Similarity {
   def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
     val spark = index.centroids.sparkSession
     graft.sources.WriterLease.withLease(spark, path, "saveIvfPq") {
+      // clear generation structure from any previous index at this path:
+      // the fresh meta below resets codesGen, so stale codes_gen-* dirs
+      // would otherwise resurrect as live data or rot as orphans
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("codes_gen-"))
+          fs.delete(st.getPath, true)
+      }
       index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
       index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
       index.codes.write.mode("overwrite")
@@ -805,13 +815,14 @@ object Similarity {
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
                   newVecs: DataFrame, cVec: String = "embedding"): Unit =
     graft.sources.WriterLease.withLease(spark, path, "appendIvfPq") {
+      val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
       val idx = loadIvfPq(spark, path)
       val resid = residuals(newVecs, idx.centroids, idx.cId, cVec)
       pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
           carry = Seq("centroid_id", "__ocn"))
         .drop("__cn")
         .write.mode("append").partitionBy("centroid_id")
-        .parquet(s"$path/codes")
+        .parquet(s"$path/${codesDirName(codesGenOf(node))}")
     }
 
   /** [[appendIvfPq]] with foreachBatch's at-least-once delivery made
@@ -870,6 +881,17 @@ object Similarity {
       }
       .start()
 
+  /** The codes store's CURRENT generation directory — `codes` for a
+    * freshly saved index (generation 0), `codes_gen-N` after
+    * [[compactIvfPq]] folds (same generation-swap discipline as
+    * [[graft.sources.BucketedStore]]: the fold lands beside the live
+    * generation and one meta flip adopts it; superseded generations stay
+    * immutable for attached readers until [[vacuumIvfPq]]). */
+  private def codesGenOf(node: com.fasterxml.jackson.databind.JsonNode): Int =
+    if (node.has("codesGen")) node.get("codesGen").asInt() else 0
+  private def codesDirName(gen: Int): String =
+    if (gen == 0) "codes" else s"codes_gen-$gen"
+
   /** Load a persisted index. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
                 path: String): IvfPqIndex = {
@@ -877,10 +899,132 @@ object Similarity {
     IvfPqIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/${codesDirName(codesGenOf(node))}"),
       node.get("m").asInt(), node.get("nCodes").asInt(),
       node.get("cId").asText())
   }
+
+  /** Per-cell fragmentation + storage health of a persisted index's codes
+    * store — one recursive file listing, no data read. Every
+    * [[appendIvfPqBatch]] adds up to one file per touched cell, and a
+    * probe opens all of a probed cell's files: `maxFilesPerCell` is the
+    * serving-latency driver [[maintainIvfPq]] folds back down. */
+  final case class IvfPqStats(codesGen: Int, files: Long, bytes: Long,
+                              cells: Int, maxFilesPerCell: Int,
+                              supersededGens: Int, supersededBytes: Long)
+
+  def ivfPqStats(spark: org.apache.spark.sql.SparkSession,
+                 path: String): IvfPqStats = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
+    val gen = codesGenOf(node)
+    val cur = s"$path/${codesDirName(gen)}"
+    var files = 0L; var bytes = 0L; var cells = 0; var maxPerCell = 0
+    if (fs.exists(hp(cur))) fs.listStatus(hp(cur)).foreach { cell =>
+      if (cell.isDirectory && cell.getPath.getName.startsWith("centroid_id=")) {
+        cells += 1
+        var n = 0
+        fs.listStatus(cell.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.startsWith("part-")) {
+            n += 1; files += 1; bytes += f.getLen
+          }
+        }
+        maxPerCell = math.max(maxPerCell, n)
+      }
+    }
+    var supGens = 0; var supBytes = 0L
+    fs.listStatus(hp(path)).foreach { st =>
+      val n = st.getPath.getName
+      val isGenDir = st.isDirectory &&
+        (n == "codes" || n.startsWith("codes_gen-"))
+      val g = if (n == "codes") 0
+              else if (n.startsWith("codes_gen-"))
+                n.stripPrefix("codes_gen-").toInt
+              else -1
+      if (isGenDir && g != gen) {
+        supGens += 1
+        supBytes += fs.getContentSummary(st.getPath).getLength
+      }
+    }
+    IvfPqStats(gen, files, bytes, cells, maxPerCell, supGens, supBytes)
+  }
+
+  /** Fold the codes store into a fresh generation with exactly ONE file
+    * per cell — the periodic upkeep a streaming-appended serving index
+    * needs (each batch appends up to one small file per touched cell;
+    * unbounded file count is unbounded probe latency). One narrow
+    * exchange of the CODES table only — the m-byte quantized rows, a few
+    * percent of the raw vectors — never the corpus; centroids, codebooks
+    * and the exactly-once lastBatch watermark are untouched. Same
+    * generation-swap safety as BucketedStore.compact: served readers that
+    * captured the old generation's listing keep reading it, the meta flip
+    * is renew-fenced, a pre-flip crash leaves an invisible orphan for
+    * [[vacuumIvfPq]]. */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit =
+    graft.sources.WriterLease.withLease(spark, path, "compactIvfPq") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
+      val gen = codesGenOf(node)
+      val cur = new org.apache.hadoop.fs.Path(s"$path/${codesDirName(gen)}")
+      // an empty store (cold start) has nothing to fold
+      if (fs.exists(cur) && fs.listStatus(cur)
+          .exists(_.getPath.getName.startsWith("centroid_id="))) {
+        val next = new org.apache.hadoop.fs.Path(s"$path/${codesDirName(gen + 1)}")
+        if (fs.exists(next)) fs.delete(next, true) // crashed prior attempt
+        // repartition by cell: each cell lands whole in one task, so the
+        // partitioned write emits exactly one file per cell
+        spark.read.parquet(cur.toString)
+          .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(next.toString)
+        graft.sources.WriterLease.renew(spark, path, "compactIvfPq")
+        val obj = node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        obj.put("codesGen", gen + 1)
+        graft.sources.BucketedStore.writeMeta(spark, path, "meta.json",
+          obj.toString)
+      }
+    }
+
+  /** Reclaim superseded codes generations past the `keepPrior` grace
+    * window, plus orphans above the current generation (crashed pre-flip
+    * compactions). Takes the writer lease; never touches the current
+    * generation. */
+  def vacuumIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                  keepPrior: Int = 1): Unit =
+    graft.sources.WriterLease.withLease(spark, path, "vacuumIvfPq") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
+      val gen = codesGenOf(node)
+      val floor = gen - keepPrior
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        val g = if (st.isDirectory && n == "codes") 0
+                else if (st.isDirectory && n.startsWith("codes_gen-"))
+                  n.stripPrefix("codes_gen-").toInt
+                else -1
+        if (g >= 0 && g != gen && (g < floor || g > gen))
+          fs.delete(st.getPath, true)
+      }
+    }
+
+  /** Policy-driven upkeep for the serving index: fold when any cell's
+    * file count exceeds `maxFilesPerCell`, then vacuum past the grace
+    * window — the steady-state call after a run of streamed appends.
+    * Cheap when healthy (one file listing). Returns whether it folded. */
+  def maintainIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                    maxFilesPerCell: Int = 4, keepPrior: Int = 1): Boolean =
+    graft.sources.WriterLease.withLease(spark, path, "maintainIvfPq") {
+      val fold = ivfPqStats(spark, path).maxFilesPerCell > maxFilesPerCell
+      if (fold) compactIvfPq(spark, path)
+      vacuumIvfPq(spark, path, keepPrior)
+      fold
+    }
 
   def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,

@@ -1288,6 +1288,66 @@ class PipelineSpec extends SparkSpec {
       "disk-appended vectors must be their own nearest neighbor")
   }
 
+  test("IVF-PQ maintenance: streamed appends fragment cells, maintainIvfPq " +
+    "folds to one file per cell in a new generation, search results and " +
+    "the exactly-once watermark survive, DPP still prunes the folded store") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val seed = emb.where(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-mnt").toString
+    Similarity.saveIvfPq(Similarity.ivfPqBuild(seed, nlist = 8), dir)
+    // three batch appends with fresh ids — up to one new file per touched
+    // cell each, exactly the fragmentation a streaming ingest accumulates
+    val delta = emb.where(col("vec_id") >= 400)
+    (0 until 3).foreach { i =>
+      assert(Similarity.appendIvfPqBatch(spark, dir,
+        delta.withColumn("vec_id", col("vec_id") + lit(i * 10000L)),
+        batchId = i.toLong))
+    }
+    val frag = Similarity.ivfPqStats(spark, dir)
+    assert(frag.codesGen === 0 && frag.maxFilesPerCell > 1,
+      s"test setup did not fragment: $frag")
+    val preRows = Similarity.loadIvfPq(spark, dir).codes.count()
+    val q = delta.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.unionByName(
+      (0 until 3).map(i => delta.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000L))).reduce(_ unionByName _)).distinct()
+    def topk(): Set[(Long, Long)] =
+      Similarity.ivfPqSearch(q, Similarity.loadIvfPq(spark, dir), corpus,
+        k = 5, nprobe = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = topk()
+    // over budget: fold + reclaim immediately (no readers in this test)
+    assert(Similarity.maintainIvfPq(spark, dir,
+      maxFilesPerCell = 1, keepPrior = 0), "maintain skipped the fold")
+    val after = Similarity.ivfPqStats(spark, dir)
+    assert(after.codesGen === 1, s"generation did not advance: $after")
+    assert(after.maxFilesPerCell === 1, s"fold did not de-fragment: $after")
+    assert(after.supersededGens === 0 && after.supersededBytes === 0L,
+      s"vacuum(keepPrior=0) left superseded storage: $after")
+    assert(Similarity.loadIvfPq(spark, dir).codes.count() === preRows,
+      "fold changed the code row count")
+    assert(topk() === before, "maintenance changed search results")
+    // the probe still dynamically prunes to the probed cells' directories
+    val plan = Similarity.ivfPqSearch(q, Similarity.loadIvfPq(spark, dir),
+      corpus, k = 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"DPP lost on the folded generation:\n${plan.take(3000)}")
+    // the exactly-once watermark rode through the fold: a replay is a
+    // disk no-op, the next batch id appends into the CURRENT generation
+    assert(!Similarity.appendIvfPqBatch(spark, dir, delta, batchId = 2L),
+      "replayed batchId ran after the fold — watermark lost")
+    assert(Similarity.appendIvfPqBatch(spark, dir,
+      delta.withColumn("vec_id", col("vec_id") + lit(50000L)), batchId = 3L))
+    assert(Similarity.ivfPqStats(spark, dir).codesGen === 1)
+    assert(Similarity.loadIvfPq(spark, dir).codes.count() > preRows,
+      "post-fold append went to a dead generation")
+    // healthy store: the next upkeep call is a no-op
+    assert(!Similarity.maintainIvfPq(spark, dir, maxFilesPerCell = 4))
+  }
+
   test("scrubAll masks IPs and phones; an in-URL IP masks as the URL") {
     import spark.implicits._
     val cases = Seq(
