@@ -246,7 +246,11 @@ object Bench {
       .mkString("{", ",", "}")
     val core =
       s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"isolated":$iso,"subfloor":$sf2,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
-    Files.writeString(Paths.get("bench_out.json"),
+    // a FILTERED iteration run must not clobber the committed full-sweep
+    // artifact (bench_out.json is BASELINE.md's evidence record)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.nonEmpty) "bench_out.filtered.json" else "bench_out.json")
+    Files.writeString(Paths.get(outPath),
       s"""{$core,"spread":$sp,"errors":$es}""" + "\n")
     println(s"{$core}")
     spark.stop()

@@ -386,6 +386,14 @@ final class Catalog(val spark: SparkSession) {
       }
       history(n) = rebound
     }
+    // the retention floor rides explicitly: with keepVersions=1 the
+    // history Vector is EMPTY (no relvar_version lines carry the floor
+    // implicitly), and version numbers are documented absolute — a
+    // reload must not silently reset a version-9 relvar to version 1
+    trimmedV.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      if (t > 0 && relvars.contains(n))
+        lines += s"""{"kind":"relvar_floor","name":${jstr(n)},"floor":$t}"""
+    }
     // current relvars in TWO phases: every plan is materialized to a tmp
     // path while ALL originals are still intact (a relvar derived from a
     // since-mutated loaded relvar still reads the OLD file it was defined
@@ -637,6 +645,8 @@ object Catalog {
           hist.getOrElseUpdate(name,
               scala.collection.mutable.TreeMap.empty[Int, Rel])(v) =
             Rel.parquet(spark, s"$dir/_history/$name/v$v.parquet")
+        case "relvar_floor" =>
+          cat.trimmedV(name) = r.get("floor").asInt
         case "scalar" =>
           val v = (opt(r, "vtype").getOrElse("text"), opt(r, "value").getOrElse(""))
           cat.set(name, v match {
@@ -657,12 +667,15 @@ object Catalog {
     }
     hist.foreach { case (n, byV) =>
       // a retention-trimmed save starts above 1; versions must still be
-      // contiguous, and the floor restores the absolute numbering
+      // contiguous, and the floor restores the absolute numbering (the
+      // explicit relvar_floor line is authoritative; inference from the
+      // first surviving version covers saves that predate it)
       val ks = byV.keys.toSeq
       require(ks == (ks.head to ks.last),
         s"catalog load: relvar $n history versions ${ks.mkString(",")} not contiguous")
       cat.history(n) = byV.values.toVector
-      if (ks.head > 1) cat.trimmedV(n) = ks.head - 1
+      if (ks.head > 1 && !cat.trimmedV.contains(n))
+        cat.trimmedV(n) = ks.head - 1
     }
     cat
   }

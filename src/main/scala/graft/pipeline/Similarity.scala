@@ -780,16 +780,6 @@ object Similarity {
   def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
     val spark = index.centroids.sparkSession
     graft.sources.WriterLease.withLease(spark, path, "saveIvfPq") {
-      // clear generation structure from any previous index at this path:
-      // the fresh meta below resets codesGen, so stale codes_gen-* dirs
-      // would otherwise resurrect as live data or rot as orphans
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val root = new org.apache.hadoop.fs.Path(path)
-      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("codes_gen-"))
-          fs.delete(st.getPath, true)
-      }
       index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
       index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
       index.codes.write.mode("overwrite")
@@ -803,6 +793,17 @@ object Similarity {
       // hdfs://, file://): the meta later carries the exactly-once
       // lastBatch watermark, so a torn write must be impossible
       graft.sources.BucketedStore.writeMeta(spark, path, "meta.json", meta)
+      // only now — with the fresh index fully durable and the meta
+      // pointing at flat gen 0 — are a previous index's codes_gen-* dirs
+      // provably dead; deleting them BEFORE the writes would destroy the
+      // live generation of a healthy index if this rebuild crashed
+      // mid-save (the meta would still point at the deleted dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("codes_gen-"))
+          fs.delete(st.getPath, true)
+      }
     }
   }
 
@@ -816,7 +817,7 @@ object Similarity {
                   newVecs: DataFrame, cVec: String = "embedding"): Unit =
     graft.sources.WriterLease.withLease(spark, path, "appendIvfPq") {
       val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
-      val idx = loadIvfPq(spark, path)
+      val idx = loadIvfPq(spark, path, node)
       val resid = residuals(newVecs, idx.centroids, idx.cId, cVec)
       pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
           carry = Seq("centroid_id", "__ocn"))
@@ -894,8 +895,17 @@ object Similarity {
 
   /** Load a persisted index. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
-                path: String): IvfPqIndex = {
-    val node = graft.sources.BucketedStore.readMeta(spark, path, "meta.json")
+                path: String): IvfPqIndex =
+    loadIvfPq(spark, path,
+      graft.sources.BucketedStore.readMeta(spark, path, "meta.json"))
+
+  /** [[loadIvfPq]] with the meta already in hand — the per-batch append
+    * path reads it once for the watermark and passes it through instead
+    * of re-opening meta.json (an extra round trip per micro-batch on an
+    * object store). */
+  private def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      node: com.fasterxml.jackson.databind.JsonNode): IvfPqIndex = {
     IvfPqIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),

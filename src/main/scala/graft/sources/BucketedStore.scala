@@ -73,16 +73,19 @@ object BucketedStore {
       // first-flip crash window: compact died mid-write of the tmp
       // before ANY pointer existed. The gen-0 data is complete and must
       // keep serving — parse the tmp if it survived whole, otherwise
-      // drop the truncated file and fall back to generation 0.
+      // fall back to generation 0. Do NOT delete the torn tmp here: a
+      // reader cannot tell a crashed compaction's debris from a LIVE
+      // writer mid-flip (compaction is safe under concurrent readers),
+      // and deleting a live writer's tmp would abort its completed fold
+      // at the rename. The next compaction overwrites the tmp anyway.
       try {
         val node = readMeta(spark, path, "_gen.json").get("gen")
         require(node != null && node.isIntegralNumber, "no gen field")
         node.asInt()
       } catch { case scala.util.control.NonFatal(_) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"deleting truncated _gen.json.tmp under $path (crashed " +
-          "first compaction); serving generation 0")
-        fs.delete(tmp, false)
+        org.slf4j.LoggerFactory.getLogger(getClass).debug(
+          s"unparseable _gen.json.tmp under $path (crashed first " +
+          "compaction, or a live writer mid-flip); serving generation 0")
         0
       }
     } else 0
@@ -214,17 +217,17 @@ object BucketedStore {
     // bucketing shuffle the original write paid is never paid again. The
     // old repartition-based fold shuffled the whole layout every
     // compaction; at 100 TB that exchange WAS the compaction cost.
-    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val oldConf = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "false")
-    try {
-      val (df, tbl) = attachNamed(spark, path, keys, buckets)
-      try writeFlat(df, next, keys, buckets)
-      finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    } finally oldConf match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
-    }
+    // the pin is scoped to a CLONED session (shared metastore + context,
+    // private conf): a set/restore on the caller's session would race
+    // concurrent compactions (two interleaved finallys can leak the
+    // setting permanently) and alter the plans of every query the
+    // session runs during the fold window
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val (df, tbl) = attachNamed(s2, path, keys, buckets)
+    try writeFlat(df, next, keys, buckets)
+    finally s2.sql(s"DROP TABLE IF EXISTS `$tbl`")
     beforeFlip()
     writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
   }

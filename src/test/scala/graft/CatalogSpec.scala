@@ -356,6 +356,38 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("keepVersions=1 (empty archived history) still persists the " +
+    "retention floor across save/load: version numbers stay absolute " +
+    "instead of silently resetting to 1") {
+    // the memory-bounding extreme: the history Vector is EMPTY after
+    // every write, so no relvar_version line can carry the floor — the
+    // explicit relvar_floor record must
+    spark.conf.set("spark.graft.catalog.keepVersions", "1")
+    try {
+      val cat = new Catalog(spark)
+      cat.define("FloorR", Rel.distinct(Seq((1L, "v")).toDF("id", "v")))
+      (2L to 9L).foreach(i => cat.insert("FloorR",
+        Rel.distinct(Seq((i, "v")).toDF("id", "v"))))
+      assert(cat.version("FloorR") === 9)
+      val err = intercept[IllegalArgumentException] {
+        cat.relvarAt("FloorR", 8) }
+      assert(err.getMessage.contains("retention window"), err.getMessage)
+      val dir = java.nio.file.Files.createTempDirectory("graft_cat_flr").toString
+      cat.save(dir)
+      val cat2 = Catalog.load(spark, dir)
+      assert(cat2.version("FloorR") === 9,
+        "reload reset the absolute version numbering")
+      assert(cat2.relvarAt("FloorR", 9).count() === 9)
+      val err2 = intercept[IllegalArgumentException] {
+        cat2.relvarAt("FloorR", 3) }
+      assert(err2.getMessage.contains("retention window"), err2.getMessage)
+      // the chain keeps counting absolutely after the reload
+      cat2.insert("FloorR", Rel.distinct(Seq((10L, "v")).toDF("id", "v")))
+      assert(cat2.version("FloorR") === 10)
+      cat.close(); cat2.close()
+    } finally spark.conf.unset("spark.graft.catalog.keepVersions")
+  }
+
   test("close() reclaims the cadence dirs of relvars DROPPED before " +
     "close: the namespace scan needs no live relvar name") {
     val cat = new Catalog(spark)

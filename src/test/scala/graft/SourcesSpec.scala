@@ -295,6 +295,30 @@ class SourcesSpec extends SparkSpec {
       .count() === 100L)
   }
 
+  test("a torn _gen.json.tmp (crashed first flip, or a live writer mid-" +
+    "flip) never wedges the layout and is never deleted by readers: " +
+    "generation 0 keeps serving and the next compact overwrites it") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val path = s"$dir/t"
+    BucketedStore.write((1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, Seq("k"), 2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_gen.json.tmp"), """{"ge""") // torn
+    assert(BucketedStore.currentGen(spark, path) === 0)
+    assert(BucketedStore.attach(spark, path, Seq("k"), 2).count() === 50L)
+    // a READER must not delete the tmp — it cannot tell crash debris from
+    // a live writer mid-flip, whose completed fold the delete would abort
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_gen.json.tmp")),
+      "reader deleted a tmp pointer it cannot prove is dead")
+    // the next compaction overwrites the debris and flips normally
+    BucketedStore.compact(spark, path, Seq("k"), 2)
+    assert(BucketedStore.currentGen(spark, path) === 1)
+    assert(BucketedStore.attach(spark, path, Seq("k"), 2).count() === 50L)
+  }
+
   test("WriterLease: a second writer fails LOUD while the lease is held, " +
     "re-entry on the owning thread is a no-op, an expired lease is broken, " +
     "and a real index append conflicts end-to-end") {
