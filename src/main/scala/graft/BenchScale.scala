@@ -115,6 +115,34 @@ object BenchScale {
       Similarity.ivfPqKnn(q, df, k = 10).count()
     }
     run("knn_ivfpq", ivfpq(emb1), ivfpq(scaleEmb(mult)))
+    // serving-index upkeep: save, fragment the cell store with three
+    // batch appends (one small file per touched cell each — the streaming
+    // ingest shape), then maintainIvfPq folds to one file per cell and
+    // vacuums. Cost is the read+rewrite of the m-byte CODES only (one
+    // narrow exchange), so the honest expectation is sublinear in corpus.
+    def ivfpqDir(tag: String) = s"/tmp/graft_scale_ivfpq_$tag"
+    def ivfpqFragment(df: DataFrame, tag: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(ivfpqDir(tag))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val idx = Similarity.ivfPqBuild(df, nlist = 16, trainFraction = 0.25)
+      Similarity.saveIvfPq(idx, p.toString)
+      import graft.rel.Checkpoint.PinOps
+      idx.centroids.unpinAll(); idx.codebooks.unpinAll(); idx.codes.unpinAll()
+      val delta = df.limit(2000)
+      (0 until 3).foreach(i => Similarity.appendIvfPqBatch(spark, p.toString,
+        delta.withColumn("vec_id", col("vec_id") + lit((i + 1) * 100000000L)),
+        batchId = i.toLong))
+    }
+    def ivfpqMaintain(tag: String): Long = {
+      require(Similarity.maintainIvfPq(spark, ivfpqDir(tag),
+        maxFilesPerCell = 1, keepPrior = 0), s"maintain($tag) skipped the fold")
+      1L
+    }
+    if (only.isEmpty || only("knn_serve_maintain")) {
+      ivfpqFragment(emb1, "1x"); ivfpqFragment(scaleEmb(mult), "nx")
+    }
+    run("knn_serve_maintain", ivfpqMaintain("1x"), ivfpqMaintain("nx"))
     // image near-dup: one PNG rendered per doc from its text bytes, so the
     // N× corpus plants N identical images per original — MAXIMAL dup
     // density, the worst-case load for the dHash pigeonhole blocking
