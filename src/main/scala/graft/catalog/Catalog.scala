@@ -622,6 +622,7 @@ object Catalog {
     // JSON-line order is not a contract
     val hist = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.TreeMap[Int, Rel]]
+    val floors = scala.collection.mutable.Map.empty[String, Int]
     rows.foreach { r =>
       val name = r.get("name").asText
       r.get("kind").asText match {
@@ -646,7 +647,11 @@ object Catalog {
               scala.collection.mutable.TreeMap.empty[Int, Rel])(v) =
             Rel.parquet(spark, s"$dir/_history/$name/v$v.parquet")
         case "relvar_floor" =>
-          cat.trimmedV(name) = r.get("floor").asInt
+          // applied AFTER the relvar defines (like hist): setting the
+          // floor before define would shift the load-time swap onto a
+          // cadence boundary and write a spurious snapshot under THIS
+          // catalog's namespace
+          floors(name) = r.get("floor").asInt
         case "scalar" =>
           val v = (opt(r, "vtype").getOrElse("text"), opt(r, "value").getOrElse(""))
           cat.set(name, v match {
@@ -665,6 +670,7 @@ object Catalog {
         case other => throw new IllegalStateException(s"unknown catalog kind $other")
       }
     }
+    floors.foreach { case (n, f) => cat.trimmedV(n) = f }
     hist.foreach { case (n, byV) =>
       // a retention-trimmed save starts above 1; versions must still be
       // contiguous, and the floor restores the absolute numbering (the

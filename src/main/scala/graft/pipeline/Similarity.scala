@@ -866,7 +866,9 @@ object Similarity {
   def startIvfPqAppendStream(stream: DataFrame, path: String,
                              cVec: String = "embedding",
                              trigger: org.apache.spark.sql.streaming.Trigger =
-                               org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)):
+                               org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+                             maintainEvery: Int = 0,
+                             maxFilesPerCell: Int = 4):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .trigger(trigger)
@@ -877,6 +879,13 @@ object Similarity {
         val led = graft.rel.Checkpoint.openLedger()
         try {
           appendIvfPqBatch(batch.sparkSession, path, batch, batchId, cVec)
+          // in-stream upkeep: fold the cell store when fragmentation
+          // crossed the budget, vacuum with the default grace window
+          // (keepPrior=1 — a server still probing the superseded
+          // generation keeps its files until the next cycle)
+          if (maintainEvery > 0 && batchId > 0 &&
+              batchId % maintainEvery == 0)
+            maintainIvfPq(batch.sparkSession, path, maxFilesPerCell)
           ()
         } finally graft.rel.Checkpoint.drainLedger(led)
       }

@@ -416,7 +416,9 @@ object DocStream {
                                 appendFilter: (DataFrame, DataFrame) => DataFrame =
                                   (batch, _) => batch,
                                 trigger: org.apache.spark.sql.streaming.Trigger =
-                                  org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)):
+                                  org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+                                maintainEvery: Int = 0,
+                                maxFilesPerBucket: Int = 4):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.rel.Checkpoint.PinOps
     stream.writeStream
@@ -434,6 +436,15 @@ object DocStream {
           sink(matches)
           appendIndexBatch(spark, dir, appendFilter(b, matches), batchId,
             idCol, textCol)
+          // in-stream upkeep: every `maintainEvery` batches, fold layouts
+          // whose per-bucket file count crossed the budget and vacuum with
+          // the DEFAULT grace window (keepPrior=1 — the next batch's
+          // loadIndex re-attaches the new generation; a reader still on
+          // the just-superseded one keeps its files). Compaction during a
+          // live stream is the gate StreamingSpec pins.
+          if (maintainEvery > 0 && batchId > 0 &&
+              batchId % maintainEvery == 0)
+            maintainIndex(spark, dir, maxFilesPerBucket)
           () // foreachBatch wants Unit — the guard's Boolean is advisory
         } finally graft.rel.Checkpoint.drainLedger(led)
       }

@@ -346,6 +346,11 @@ class CatalogSpec extends SparkSpec {
       val cat2 = Catalog.load(spark, dir)
       assert(cat2.version("RetR") === 20)
       assert(cat2.relvarAt("RetR", 17).count() === 17)
+      // loading must not write snapshots of its own: the restored floor
+      // once shifted the load-time define onto a cadence boundary, leaking
+      // a spurious v16 under the LOADING catalog's namespace
+      assert(cadenceDirs("RetR").size === 1,
+        s"load wrote a spurious cadence snapshot: ${cadenceDirs("RetR")}")
       val err2 = intercept[IllegalArgumentException] {
         cat2.relvarAt("RetR", 12) }
       assert(err2.getMessage.contains("retention window"), err2.getMessage)

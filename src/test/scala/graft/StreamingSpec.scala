@@ -611,6 +611,61 @@ class StreamingSpec extends SparkSpec {
       s"post-compaction index lost the streamed corpus: $got")
   }
 
+  test("maintainEvery folds the index FROM INSIDE the stream: upkeep " +
+    "triggers on the batch cadence, the generation advances mid-query, " +
+    "and matches stay exact across the self-maintenance") {
+    import graft.streaming.DocStream
+    implicit val sq = spark.sqlContext
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
+    val hist0 = history.filter(col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-auto").toString
+    DocStream.saveIndex(DocStream.buildIndex(history), dir, buckets = 4)
+    val freshA = "self maintaining stream document about fold cadences " +
+      "and steady state upkeep of persisted generations"
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String)]
+    // budget of 1 file per bucket: the initial save is already at 1, so
+    // the first cadence check after an append MUST fold
+    val q = DocStream.startIncrementalPersisted(in.toDF.toDF("doc_id", "text"),
+      dir, b => perBatch.synchronized {
+        perBatch += b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }, maintainEvery = 2, maxFilesPerBucket = 1)
+    try {
+      in.addData((4000L, freshA), (4001L, hist0))  // batch 0
+      q.processAllAvailable()
+      in.addData((5000L, freshA + " almost"))      // batch 1
+      q.processAllAvailable()
+      in.addData((6000L, hist0),                   // batch 2 → upkeep fires
+        (6001L, freshA + " with a trailing edit"))
+      q.processAllAvailable()
+      assert(q.isActive)
+      // the stream maintained itself: both halves folded mid-query, back
+      // to one file per bucket (the post-fold steady state, statted while
+      // the stream idles between batches)
+      assert(graft.sources.BucketedStore.currentGen(spark, s"$dir/band") >= 1,
+        "maintainEvery never folded the band layout")
+      val folded = DocStream.indexStats(spark, dir)
+      assert(folded("band").maxFilesPerBucket === 1 &&
+        folded("grams").maxFilesPerBucket === 1,
+        s"in-stream upkeep did not de-fragment: $folded")
+      in.addData((7000L, freshA + " probed"),
+        (7001L, "unrelated content matching nothing whatsoever")) // batch 3
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.length === 4)
+    assert(perBatch(0) === Set((4001L, 0L)), s"batch 0: ${perBatch(0)}")
+    assert(perBatch(1).contains((5000L, 4000L)), s"batch 1: ${perBatch(1)}")
+    assert(perBatch(2).contains((6000L, 0L)) &&
+      perBatch(2).exists(p => p._1 == 6001L && Set(4000L, 5000L)(p._2)),
+      s"batch 2 (the upkeep batch): ${perBatch(2)}")
+    assert(perBatch(3).exists(p => p._1 == 7000L && p._2 == 4000L ||
+        p._1 == 7000L && p._2 == 5000L || p._1 == 7000L && p._2 == 6001L),
+      s"batch 3 through the folded generation: ${perBatch(3)}")
+    assert(!perBatch(3).exists(_._1 == 7001L), s"phantom: ${perBatch(3)}")
+  }
+
   test("start-from-nothing stream: an EMPTY persisted index (no parquet " +
     "files at all — schemas come from the meta) accepts batches, and " +
     "batch 2 matches batch 1's planted dup through the appended layout") {
