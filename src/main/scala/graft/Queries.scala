@@ -372,22 +372,55 @@ object Queries {
     * time a next call runs, the previous result has been consumed. */
   private val lastBucketedCat =
     new java.util.concurrent.atomic.AtomicReference[Catalog](null)
+  private val lastBucketedInsCat =
+    new java.util.concurrent.atomic.AtomicReference[Catalog](null)
+
+  private def closeStashed(
+      ref: java.util.concurrent.atomic.AtomicReference[Catalog]): Unit =
+    Option(ref.getAndSet(null)).foreach { prev =>
+      try prev.close()
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"closing previous stashed catalog failed: $e")
+      }
+    }
+
+  /** Incremental ingest THROUGH a bucketed relvar's stored layout
+    * (Catalog.insertBucketed): the delta (novel keys + re-delivered
+    * already-present rows) lands as new bucket files with set semantics,
+    * the bucket spec survives, and the PRE-insert version keeps serving
+    * exactly its captured file listing (n_v1). */
+  def qBucketedInsert(s: SparkSession, dir: String): DataFrame = {
+    closeStashed(lastBucketedInsCat)
+    val cat = new Catalog(s)
+    val base = t(s, dir, "part")
+      .project("p_partkey", "p_name", "p_retailprice")
+    cat.defineBucketed("po_bkt", base, Seq("p_partkey"), 8)
+    val v1 = cat.version("po_bkt")
+    // novel rows (shifted keys) + a re-delivered overlap of existing rows
+    val novel = base.where(col("p_partkey") % 7 === 0)
+      .extend("p_partkey" -> (col("p_partkey") + lit(5000000L)))
+      .project("p_partkey", "p_name", "p_retailprice")
+    val overlap = base.where(col("p_partkey") <= 50)
+    cat.insertBucketed("po_bkt", novel.union(overlap))
+    val nV1 = cat.relvarAt("po_bkt", v1).count() // pinned pre-insert listing
+    val out = cat.relvar("po_bkt").df
+      .groupBy((col("p_partkey") % 10).as("bucket_mod"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p_retailprice")), 4).as("price_sum"))
+      .withColumn("n_v1", lit(nV1))
+    lastBucketedInsCat.set(cat)
+    out
+  }
 
   def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     // close the evicted catalog UNCONDITIONALLY — it carries its own
     // session, so a next call arriving on a different SparkSession must
-    // not strand the previous one's physical tables (the old
-    // `.filter(_.spark eq s)` did exactly that). A stopped previous
+    // not strand the previous one's physical tables. A stopped previous
     // session can't drop its metastore entries anymore — nothing to
     // reclaim there but the warehouse files, which close still deletes
     // via the session's Hadoop conf if reachable; log and move on if not.
-    Option(lastBucketedCat.getAndSet(null)).foreach { prev =>
-      try prev.close()
-      catch { case scala.util.control.NonFatal(e) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"closing previous bucketed-join catalog failed: $e")
-      }
-    }
+    closeStashed(lastBucketedCat)
     val cat = new Catalog(s)
     cat.defineBucketed("cust_bkt", t(s, dir, "customer"), Seq("c_custkey"), 8)
     cat.defineBucketed("ord_bkt", t(s, dir, "orders"), Seq("o_custkey"), 8)
@@ -2541,7 +2574,9 @@ object Queries {
     "q_binary" -> qBinary, "q_convert" -> qConvert,
     "q_fun_call" -> qFunCall, "q_fun_fold" -> qFunFold, "q_udt" -> qUdt,
     "q_catalog_var" -> qCatalogVar, "q_catalog_history" -> qCatalogHistory,
-    "q_bucketed_join" -> qBucketedJoin, "q_stream_uniq" -> qStreamUniq,
+    "q_bucketed_join" -> qBucketedJoin,
+    "q_bucketed_insert" -> qBucketedInsert,
+    "q_stream_uniq" -> qStreamUniq,
     "q_skew_join" -> qSkewJoin,
     // relationalCore (the parity-mode sweep subset) is defined below
     "q_fold_bool" -> qFoldBool, "q_fold_union_rva" -> qFoldUnionRva,
@@ -2978,6 +3013,16 @@ object Queries {
       "THEN 'V4_' || r_name ELSE r_name END AS r_name FROM v3) " +
       "SELECT 1 AS version, * FROM v1 UNION ALL SELECT 2, * FROM v2 " +
       "UNION ALL SELECT 3, * FROM v3 UNION ALL SELECT 4, * FROM v4"),
+    // incremental ingest through the stored bucket layout: set-semantics
+    // union (the re-delivered overlap is absorbed), and n_v1 pins that
+    // the PRE-insert version kept serving its captured listing
+    "q_bucketed_insert" -> ("WITH d AS (SELECT p_partkey + 5000000 AS " +
+      "p_partkey, p_name, p_retailprice FROM part WHERE p_partkey % 7 = 0), " +
+      "u AS (SELECT p_partkey, p_name, p_retailprice FROM part " +
+      "UNION SELECT * FROM d) " +
+      "SELECT p_partkey % 10 AS bucket_mod, count(*) AS n, " +
+      "round(sum(p_retailprice), 4) AS price_sum, " +
+      "(SELECT count(*) FROM part) AS n_v1 FROM u GROUP BY 1"),
     // the co-bucketed tables hold exactly the source rows, so the
     // zero-Exchange join must value-match the plain join
     "q_bucketed_join" -> ("SELECT c_custkey, c_name, count(*) AS n_orders, " +

@@ -276,6 +276,50 @@ final class Catalog(val spark: SparkSession) {
   def insert(name: String, rows: Rel): Unit =
     swap(name, relvar(name).union(rows))
 
+  /** [[insert]] THROUGH a bucketed relvar's stored layout — the
+    * incremental-ingest path at scale: the genuinely novel rows land as
+    * NEW bucket files beside the existing ones (a partition write; the
+    * history is never rewritten and its bucketing shuffle is never
+    * re-paid — only the delta shuffles into its buckets) and the
+    * relvar's plan re-attaches over the widened listing KEEPING the
+    * bucket spec, so the zero-Exchange co-located join contract survives
+    * ingest. Plain [[insert]] on a bucketed relvar degrades to a plan
+    * union and drops the spec — correct, but the next save re-pays the
+    * full layout shuffle; at 100 TB that difference IS the ingest cost.
+    *
+    * Version history stays exact without copying: every version's plan
+    * resolves its file listing when it is created (the BucketedStore
+    * append/attach snapshot contract — SourcesSpec pins it), so versions
+    * archived before this insert keep serving exactly the files they
+    * captured. Set semantics: the delta dedups internally and anti-joins
+    * the current rows (null-safe on every attribute), so re-delivered
+    * rows can't double-insert. Falls back to [[insert]] when the relvar
+    * carries no bucket spec. */
+  def insertBucketed(name: String, rows: Rel): Unit =
+    bucketSpec.get(name) match {
+      case None => insert(name, rows)
+      case Some((cols, k)) =>
+        val cur = relvar(name)
+        val d = rows.df.dropDuplicates()
+        val cond = cur.df.columns.map(c => d(c) <=> cur.df(c))
+          .reduce(_ && _)
+        val fresh = d.join(cur.df, cond, "left_anti")
+        val path = boundTo.getOrElse(name, {
+          val phys = s"${name}__c${catalogId}_bkt${bucketGen(name)}"
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(phys))
+            .location.toString
+        })
+        graft.sources.BucketedStore.append(spark, path, fresh, cols, k)
+        val (df2, tbl) = graft.sources.BucketedStore.attachNamed(
+          spark, path, cols, k)
+        attachedTables += tbl
+        val bound = boundTo.get(name)
+        swap(name, Rel.distinct(df2), alreadyStored = true)
+        bucketSpec(name) = (cols, k) // swap cleared it; the layout holds
+        bound.foreach(boundTo(name) = _) // attach-loaded stay save-free
+    }
+
   /** update R minus r — delete by value. */
   def deleteRows(name: String, rows: Rel): Unit =
     swap(name, relvar(name).minus(rows))

@@ -24,6 +24,64 @@ class CatalogSpec extends SparkSpec {
     assert(cat.relvar("S").count() === 4)
   }
 
+  test("insertBucketed: the delta lands as NEW bucket files (history files " +
+    "byte-identical), set semantics absorb re-delivered rows, the bucket " +
+    "spec and the ZERO-Exchange join survive, and the pre-insert version " +
+    "keeps serving exactly its captured listing") {
+    val cat = new Catalog(spark)
+    val base = Rel.distinct(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    cat.defineBucketed("BIns", base, Seq("k"), 2)
+    val v1 = cat.version("BIns")
+    val preHandle = cat.relvar("BIns") // the plan v1 serves, captured now
+    // locate the physical layout (B__c<id>_bkt1 under the warehouse)
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val physDir = wh.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bins__c") &&
+        f.getName.contains("_bkt")).maxBy(_.lastModified)
+    def files(): Map[String, Long] = physDir.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.length).toMap
+    val before = files()
+    // delta: two novel rows + one re-delivered existing row (+ an internal
+    // duplicate the delta-side dedup must absorb)
+    cat.insertBucketed("BIns", Rel.distinct(
+      Seq((3L, "v3"), (100L, "x"), (200L, "y")).toDF("k", "v")))
+    val after = files()
+    assert(before.forall { case (p, sz) => after.get(p).contains(sz) },
+      "insertBucketed rewrote or dropped history files")
+    assert(after.size > before.size, "the delta produced no new bucket files")
+    // set semantics + versioning
+    assert(cat.relvar("BIns").count() === 42)
+    assert(cat.version("BIns") === v1 + 1)
+    assert(cat.relvarAt("BIns", v1).count() === 40,
+      "the archived pre-insert version saw the appended files")
+    assert(preHandle.count() === 40,
+      "a plan handle captured before the insert saw the appended files")
+    // a re-delivered-only delta adds nothing (and no files)
+    cat.insertBucketed("BIns", Rel.distinct(
+      Seq((100L, "x")).toDF("k", "v")))
+    assert(cat.relvar("BIns").count() === 42)
+    assert(files().size === after.size,
+      "an all-duplicate delta still wrote bucket files")
+    // the spec survived: a self-join on the bucket key runs with ZERO
+    // Exchange — the layout shuffle was paid once at define, never again
+    val l = cat.relvar("BIns").df.select(col("k"), col("v").as("v1"))
+    val r = cat.relvar("BIns").df.select(col("k"), col("v").as("v2"))
+    // merge hint like qBucketedJoin: tiny test data would broadcast (also
+    // shuffle-free, but then the plan proves nothing about co-location)
+    val p = l.hint("merge").join(r, "k")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"post-insert bucketed join shuffled:\n${p.take(3000)}")
+    // a non-bucketed relvar falls back to the plain plan-union insert
+    cat.define("PlainR", Rel.distinct(Seq((1L, "a")).toDF("k", "v")))
+    cat.insertBucketed("PlainR", Rel.distinct(Seq((2L, "b")).toDF("k", "v")))
+    assert(cat.relvar("PlainR").count() === 2)
+    cat.close()
+  }
+
   test("deleteRows by value (update R minus r)") {
     val cat = new Catalog(spark)
     cat.define("SP", SP)
