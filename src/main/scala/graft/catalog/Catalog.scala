@@ -273,8 +273,13 @@ final class Catalog(val spark: SparkSession) {
   }
 
   /** update R union r — insert (Builtin.UpdateJoin:625-633). */
+  /** Set-union insert. A relvar carrying a bucket spec routes through
+    * [[insertBucketed]] automatically, so the language-level `update R
+    * union r` scales on stored layouts without a separate API; plain
+    * relvars take the lazy plan union. */
   def insert(name: String, rows: Rel): Unit =
-    swap(name, relvar(name).union(rows))
+    if (bucketSpec.contains(name)) insertBucketed(name, rows)
+    else swap(name, relvar(name).union(rows))
 
   /** [[insert]] THROUGH a bucketed relvar's stored layout — the
     * incremental-ingest path at scale: the genuinely novel rows land as
@@ -297,7 +302,7 @@ final class Catalog(val spark: SparkSession) {
     * carries no bucket spec. */
   def insertBucketed(name: String, rows: Rel): Unit =
     bucketSpec.get(name) match {
-      case None => insert(name, rows)
+      case None => swap(name, relvar(name).union(rows))
       case Some((cols, k)) =>
         val cur = relvar(name)
         val d = rows.df.dropDuplicates()

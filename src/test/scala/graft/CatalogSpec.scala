@@ -75,6 +75,15 @@ class CatalogSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
       s"post-insert bucketed join shuffled:\n${p.take(3000)}")
+    // plain insert AUTO-ROUTES through the layout for bucketed relvars —
+    // the language-level `update R union r` scales without a new API
+    cat.insert("BIns", Rel.distinct(Seq((300L, "z")).toDF("k", "v")))
+    assert(cat.relvar("BIns").count() === 43)
+    val p2 = cat.relvar("BIns").df.hint("merge")
+      .join(r.withColumnRenamed("v2", "v3"), "k")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange hashpartitioning"),
+      s"plain insert dropped the bucket spec:\n${p2.take(3000)}")
     // a non-bucketed relvar falls back to the plain plan-union insert
     cat.define("PlainR", Rel.distinct(Seq((1L, "a")).toDF("k", "v")))
     cat.insertBucketed("PlainR", Rel.distinct(Seq((2L, "b")).toDF("k", "v")))
