@@ -374,6 +374,8 @@ object Queries {
     new java.util.concurrent.atomic.AtomicReference[Catalog](null)
   private val lastBucketedInsCat =
     new java.util.concurrent.atomic.AtomicReference[Catalog](null)
+  private val lastBucketedUpdCat =
+    new java.util.concurrent.atomic.AtomicReference[Catalog](null)
 
   private def closeStashed(
       ref: java.util.concurrent.atomic.AtomicReference[Catalog]): Unit =
@@ -410,6 +412,32 @@ object Queries {
         round(sum(col("p_retailprice")), 4).as("price_sum"))
       .withColumn("n_v1", lit(nV1))
     lastBucketedInsCat.set(cat)
+    out
+  }
+
+  /** Layout-keeping mutations on a bucketed relvar
+    * (Catalog.deleteWhere/updateWhere auto-route through a
+    * generation-swapped rewrite of the stored layout — the delete is a
+    * ZERO-exchange filter-rewrite): values checked after a predicate
+    * delete + an in-place price rewrite, with n_v1 pinning that the
+    * pre-mutation version kept serving its captured listing. */
+  def qBucketedUpdate(s: SparkSession, dir: String): DataFrame = {
+    closeStashed(lastBucketedUpdCat)
+    val cat = new Catalog(s)
+    val base = t(s, dir, "part")
+      .project("p_partkey", "p_name", "p_retailprice")
+    cat.defineBucketed("pm_bkt", base, Seq("p_partkey"), 8)
+    val v1 = cat.version("pm_bkt")
+    cat.deleteWhere("pm_bkt", col("p_partkey") % 3 === 0)
+    cat.updateWhere("pm_bkt", col("p_retailprice") > 1500,
+      "p_retailprice" -> (col("p_retailprice") * 0.9))
+    val nV1 = cat.relvarAt("pm_bkt", v1).count() // pinned pre-mutation listing
+    val out = cat.relvar("pm_bkt").df
+      .groupBy((col("p_partkey") % 10).as("bucket_mod"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p_retailprice")), 4).as("price_sum"))
+      .withColumn("n_v1", lit(nV1))
+    lastBucketedUpdCat.set(cat)
     out
   }
 
@@ -2576,6 +2604,7 @@ object Queries {
     "q_catalog_var" -> qCatalogVar, "q_catalog_history" -> qCatalogHistory,
     "q_bucketed_join" -> qBucketedJoin,
     "q_bucketed_insert" -> qBucketedInsert,
+    "q_bucketed_update" -> qBucketedUpdate,
     "q_stream_uniq" -> qStreamUniq,
     "q_skew_join" -> qSkewJoin,
     // relationalCore (the parity-mode sweep subset) is defined below
@@ -3020,6 +3049,15 @@ object Queries {
       "p_partkey, p_name, p_retailprice FROM part WHERE p_partkey % 7 = 0), " +
       "u AS (SELECT p_partkey, p_name, p_retailprice FROM part " +
       "UNION SELECT * FROM d) " +
+      "SELECT p_partkey % 10 AS bucket_mod, count(*) AS n, " +
+      "round(sum(p_retailprice), 4) AS price_sum, " +
+      "(SELECT count(*) FROM part) AS n_v1 FROM u GROUP BY 1"),
+    // layout-keeping delete + update: the rewrite's values must match a
+    // plain relational evaluation, and n_v1 pins the pre-mutation as-of
+    "q_bucketed_update" -> ("WITH u AS (SELECT p_partkey, p_name, " +
+      "CASE WHEN p_retailprice > 1500 THEN p_retailprice * 0.9 " +
+      "ELSE p_retailprice END AS p_retailprice " +
+      "FROM part WHERE p_partkey % 3 <> 0) " +
       "SELECT p_partkey % 10 AS bucket_mod, count(*) AS n, " +
       "round(sum(p_retailprice), 4) AS price_sum, " +
       "(SELECT count(*) FROM part) AS n_v1 FROM u GROUP BY 1"),

@@ -309,40 +309,104 @@ final class Catalog(val spark: SparkSession) {
         val cond = cur.df.columns.map(c => d(c) <=> cur.df(c))
           .reduce(_ && _)
         val fresh = d.join(cur.df, cond, "left_anti")
-        val path = boundTo.getOrElse(name, {
-          val phys = s"${name}__c${catalogId}_bkt${bucketGen(name)}"
-          spark.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(phys))
-            .location.toString
-        })
-        graft.sources.BucketedStore.append(spark, path, fresh, cols, k)
-        val (df2, tbl) = graft.sources.BucketedStore.attachNamed(
-          spark, path, cols, k)
-        attachedTables += tbl
-        val bound = boundTo.get(name)
-        swap(name, Rel.distinct(df2), alreadyStored = true)
-        bucketSpec(name) = (cols, k) // swap cleared it; the layout holds
-        bound.foreach(boundTo(name) = _) // attach-loaded stay save-free
+        // schema rides along: a previous delete-all left an EMPTY current
+        // generation, where inference over the bare directory would throw
+        graft.sources.BucketedStore.append(spark, layoutPath(name),
+          fresh, cols, k, Some(cur.df.schema.toDDL))
+        reattach(name, cols, k, Some(cur.df.schema.toDDL))
     }
 
-  /** update R minus r — delete by value. */
+  /** The on-disk layout a bucketed relvar's plan scans: the attach-loaded
+    * path, or the managed physical table's location. */
+  private def layoutPath(name: String): String =
+    boundTo.getOrElse(name, {
+      val phys = s"${name}__c${catalogId}_bkt${bucketGen(name)}"
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(phys))
+        .location.toString
+    })
+
+  /** Swap the relvar to a fresh attachment of its (just-mutated) layout,
+    * KEEPING the bucket spec and the save-free binding. The new plan pins
+    * the post-mutation listing; the archived plan keeps the one it
+    * captured at its own creation. */
+  private def reattach(name: String, cols: Seq[String], k: Int,
+                       schemaDdl: Option[String] = None): Unit = {
+    val path = layoutPath(name)
+    val (df2, tbl) = graft.sources.BucketedStore.attachNamed(
+      spark, path, cols, k, schemaDdl)
+    attachedTables += tbl
+    val bound = boundTo.get(name)
+    swap(name, Rel.distinct(df2), alreadyStored = true)
+    bucketSpec(name) = (cols, k) // swap cleared it; the layout holds
+    bound.foreach(boundTo(name) = _) // attach-loaded stay save-free
+  }
+
+  /** Layout-keeping mutation of a bucketed relvar: a generation-swapped
+    * REWRITE of the current generation through a pinned bucketed scan
+    * (graft.sources.BucketedStore.rewrite — deletes are filter-rewrites
+    * with ZERO exchange; the bucketing shuffle of the surviving rows is
+    * never re-paid), then a re-attach that keeps the spec. Superseded
+    * generations stay on disk for versions that pinned them — managed
+    * layouts are reclaimed wholesale at [[close]]; attach-loaded layouts
+    * are the owner's to vacuum. */
+  private def rewriteBucketed(name: String, cols: Seq[String], k: Int,
+      transform: DataFrame => DataFrame): Unit = {
+    // capture the schema BEFORE mutating: a transform that empties the
+    // relvar leaves a generation with no parquet files to infer from
+    val ddl = Some(relvar(name).df.schema.toDDL)
+    graft.sources.BucketedStore.rewrite(spark, layoutPath(name), cols, k,
+      transform)
+    reattach(name, cols, k, ddl)
+  }
+
+  /** update R minus r — delete by value. A bucketed relvar rewrites its
+    * layout (anti-join against the delete set — the planner broadcasts a
+    * small set, keeping the rewrite exchange-free) instead of degrading
+    * to a plan minus that drops the spec. */
   def deleteRows(name: String, rows: Rel): Unit =
-    swap(name, relvar(name).minus(rows))
+    bucketSpec.get(name) match {
+      case Some((cols, k)) =>
+        val d = rows.df
+        rewriteBucketed(name, cols, k, df =>
+          df.join(d, df.columns.map(c => df(c) <=> d(c)).reduce(_ && _),
+            "left_anti"))
+      case None => swap(name, relvar(name).minus(rows))
+    }
 
   /** update R .where(p) .{} — delete by predicate
-    * (Builtin.cs:615-622, DataTableLocal.cs:834-857). */
+    * (Builtin.cs:615-622, DataTableLocal.cs:834-857). A bucketed relvar
+    * rewrites its layout with a filter — ZERO exchange, the surviving
+    * rows never re-pay their bucketing shuffle. */
   def deleteWhere(name: String, pred: Column): Unit =
-    swap(name, relvar(name).where(!pred))
+    bucketSpec.get(name) match {
+      case Some((cols, k)) =>
+        rewriteBucketed(name, cols, k, _.filter(!pred))
+      case None => swap(name, relvar(name).where(!pred))
+    }
 
   /** update R .where(p) .{A:=e} — in-place update: rewrite matching rows,
     * keep the rest (same three-way split the reference does). */
-  def updateWhere(name: String, pred: Column, sets: (String, Column)*): Unit = {
-    val r = relvar(name)
-    val updated = r.where(pred).extend(sets.map { case (n, c) => (s"__new_$n", c) }: _*)
-      .transform(r.attrs.map(a =>
-        a -> (if (sets.exists(_._1 == a)) col(s"__new_$a") else col(a))): _*)
-    swap(name, r.where(!pred).union(updated))
-  }
+  def updateWhere(name: String, pred: Column, sets: (String, Column)*): Unit =
+    bucketSpec.get(name) match {
+      case Some((cols, k)) =>
+        // single-pass when-otherwise rewrite through the layout; the
+        // dropDuplicates restores set semantics (two rows may collapse
+        // onto one tuple after the update) — that dedup is the one
+        // exchange an update pays, deletes pay none
+        rewriteBucketed(name, cols, k, df => df.select(df.columns.map { a =>
+          sets.find(_._1 == a) match {
+            case Some((_, c)) => when(pred, c).otherwise(col(a)).as(a)
+            case None => col(a)
+          }
+        }: _*).dropDuplicates())
+      case None =>
+        val r = relvar(name)
+        val updated = r.where(pred).extend(sets.map { case (n, c) => (s"__new_$n", c) }: _*)
+          .transform(r.attrs.map(a =>
+            a -> (if (sets.exists(_._1 == a)) col(s"__new_$a") else col(a))): _*)
+        swap(name, r.where(!pred).union(updated))
+    }
 
   // ------------------------------------------------------------- scalars
 

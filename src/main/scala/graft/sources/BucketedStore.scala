@@ -195,7 +195,23 @@ object BucketedStore {
     * aborts (orphan `_gen-(N+1)`, vacuumed later) instead of flipping the
     * pointer over a generation a new writer is already appending into. */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
-              buckets: Int, beforeFlip: () => Unit = () => ()): Unit = {
+              buckets: Int, beforeFlip: () => Unit = () => ()): Unit =
+    rewrite(spark, path, keys, buckets, identity, beforeFlip)
+
+  /** Generation-swapped TRANSFORMING rewrite — [[compact]] with a
+    * per-row transform: the current generation is read through a pinned
+    * bucketed scan (one partition per bucket, zero exchange), `transform`
+    * reshapes the rows, and the result lands as the next generation with
+    * one file per bucket. The transform must be PARTITIONING-PRESERVING —
+    * filters, column rewrites that keep the bucket keys, broadcast-side
+    * joins — or the bucketed write degrades to a file-per-(task×bucket)
+    * re-fragmentation (correct, just no longer exchange-free). This is
+    * how layout-keeping DELETE and UPDATE work at scale: a delete is a
+    * filter-rewrite that never re-pays the bucketing shuffle of the
+    * surviving rows. Same crash/reader safety as [[compact]]. */
+  def rewrite(spark: SparkSession, path: String, keys: Seq[String],
+              buckets: Int, transform: DataFrame => DataFrame,
+              beforeFlip: () => Unit = () => ()): Unit = {
     heal(spark, path) // a legacy-crashed previous compaction leaves only `.old`
     val fs = fsOf(spark, path)
     val gen = currentGen(spark, path)
@@ -226,7 +242,7 @@ object BucketedStore {
     s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
       "false")
     val (df, tbl) = attachNamed(s2, path, keys, buckets)
-    try writeFlat(df, next, keys, buckets)
+    try writeFlat(transform(df), next, keys, buckets)
     finally s2.sql(s"DROP TABLE IF EXISTS `$tbl`")
     beforeFlip()
     writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")

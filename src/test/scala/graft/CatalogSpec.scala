@@ -91,6 +91,71 @@ class CatalogSpec extends SparkSpec {
     cat.close()
   }
 
+  test("layout-keeping mutations: deleteWhere is a ZERO-shuffle filter-" +
+    "rewrite of the bucketed layout, updateWhere a when-otherwise rewrite " +
+    "with set semantics, deleteRows an anti-join rewrite — the spec " +
+    "survives all three and every archived version keeps its listing") {
+    val cat = new Catalog(spark)
+    val base = Rel.distinct(
+      (1L to 40L).map(i => (i, i % 4, s"v$i")).toDF("k", "g", "v"))
+    cat.defineBucketed("BMut", base, Seq("k"), 2)
+    val v1 = cat.version("BMut")
+    // deleteWhere: pin zero shuffle across the rewrite with a listener
+    @volatile var shuffleRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m =>
+          shuffleRecords += m.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      cat.deleteWhere("BMut", col("g") === 3)
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords != last && spins < 40) {
+        last = shuffleRecords; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffleRecords === 0L,
+      s"deleteWhere shuffled $shuffleRecords records — the filter-rewrite " +
+      "re-paid the bucketing shuffle")
+    assert(cat.relvar("BMut").count() === 30)
+    assert(cat.version("BMut") === v1 + 1)
+    assert(cat.relvarAt("BMut", v1).count() === 40,
+      "the pre-delete version lost its captured listing")
+    // updateWhere: values rewritten in place, count unchanged, history exact
+    cat.updateWhere("BMut", col("g") === 2, "v" -> lit("updated"))
+    assert(cat.relvar("BMut").count() === 30)
+    assert(cat.relvar("BMut").where(col("v") === "updated").count() === 10)
+    assert(cat.relvarAt("BMut", v1 + 1)
+      .where(col("v") === "updated").count() === 0,
+      "the pre-update version saw the rewrite")
+    // deleteRows by value: present rows go, absent rows are a no-op
+    cat.deleteRows("BMut", Rel.distinct(
+      Seq((1L, 1L, "v1"), (777L, 0L, "nope")).toDF("k", "g", "v")))
+    assert(cat.relvar("BMut").count() === 29)
+    // the spec survived all three mutations: merge self-join, no Exchange
+    val l = cat.relvar("BMut").df.select(col("k"), col("v").as("v1"))
+    val r = cat.relvar("BMut").df.select(col("k"), col("v").as("v2"))
+    val p = l.hint("merge").join(r, "k").queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"mutations dropped the bucket spec:\n${p.take(3000)}")
+    // an update that collapses tuples keeps set semantics
+    cat.defineBucketed("BDup", Rel.distinct(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")), Seq("k"), 2)
+    cat.updateWhere("BDup", lit(true), "k" -> lit(9L), "v" -> lit("z"))
+    assert(cat.relvar("BDup").count() === 1,
+      "collapsing update violated set semantics")
+    // delete-all leaves an EMPTY generation that still serves and accepts
+    // a later insert (schema rides the re-attach and the append)
+    cat.deleteWhere("BDup", lit(true))
+    assert(cat.relvar("BDup").count() === 0)
+    cat.insert("BDup", Rel.distinct(Seq((5L, "e")).toDF("k", "v")))
+    assert(cat.relvar("BDup").count() === 1)
+    cat.close()
+  }
+
   test("deleteRows by value (update R minus r)") {
     val cat = new Catalog(spark)
     cat.define("SP", SP)
