@@ -337,6 +337,36 @@ object Queries {
     cat.relvar("region").df
   }
 
+  /** The NULL-predicate UPDATE contract, storage-independent: a row
+    * where the predicate evaluates to NULL is kept UNCHANGED (the SQL
+    * UPDATE shape — CASE WHEN pred falls through to ELSE), on BOTH
+    * storage paths. The same mutation runs against a plain
+    * copy-on-write relvar and a bucketed stored layout; both results,
+    * tagged by storage, check against ONE DuckDB CASE-expression oracle
+    * — so the two paths can never silently diverge again (the old plain
+    * path's where(pred) ∪ where(!pred) split dropped NULL-predicate
+    * rows outright). */
+  def qUpdateNull(s: SparkSession, dir: String): DataFrame = {
+    closeStashed(lastUpdateNullCat)
+    // r_tag is NULL for odd region keys, so startsWith over it is NULL
+    val base = t(s, dir, "region")
+      .extend("r_tag" -> when(col("r_regionkey") % 2 === 0, col("r_name")))
+    val cat = new Catalog(s)
+    def run(name: String, bucketed: Boolean): DataFrame = {
+      if (bucketed) cat.defineBucketed(name, base, Seq("r_regionkey"), 2)
+      else cat.define(name, base)
+      cat.updateWhere(name, col("r_tag").startsWith("A"),
+        "r_name" -> concat(lit("UPD_"), col("r_name")))
+      cat.relvar(name).df.select(
+        lit(if (bucketed) "bucketed" else "plain").as("storage"),
+        col("r_regionkey"), col("r_name"), col("r_tag"))
+    }
+    val out = run("rn_plain", bucketed = false)
+      .unionByName(run("rn_bkt", bucketed = true))
+    lastUpdateNullCat.set(cat)
+    out
+  }
+
   /** Relvar VERSION HISTORY (snapshot-on-write + time travel): define,
     * insert, delete-by-predicate, and update each archive the previous
     * snapshot; every version then reads back AS-OF via
@@ -375,6 +405,8 @@ object Queries {
   private val lastBucketedInsCat =
     new java.util.concurrent.atomic.AtomicReference[Catalog](null)
   private val lastBucketedUpdCat =
+    new java.util.concurrent.atomic.AtomicReference[Catalog](null)
+  private val lastUpdateNullCat =
     new java.util.concurrent.atomic.AtomicReference[Catalog](null)
 
   private def closeStashed(
@@ -2577,7 +2609,7 @@ object Queries {
     "q_rank" -> qRank, "q_while" -> qWhile,
     "q_while_dist" -> ((s: SparkSession, d: String) => qWhileDist(s, d)),
     "q_update_insert" -> qUpdateInsert, "q_update_delete" -> qUpdateDelete,
-    "q_update_set" -> qUpdateSet,
+    "q_update_set" -> qUpdateSet, "q_update_null" -> qUpdateNull,
     "q_scalar_text" -> qScalarText, "q_scalar_math" -> qScalarMath,
     "q_scalar_date" -> qScalarDate, "q_if" -> qIf,
     "q_events_hour" -> qEventsHour,
@@ -2904,6 +2936,13 @@ object Queries {
     "q_update_insert" -> "SELECT r_regionkey, r_name FROM region UNION SELECT 99, 'NEWLAND'",
     "q_update_delete" -> "SELECT r_regionkey, r_name FROM region WHERE NOT (r_regionkey = 0)",
     "q_update_set" -> ("SELECT r_regionkey, CASE WHEN r_regionkey = 1 THEN 'REGION_' || r_name ELSE r_name END AS r_name FROM region"),
+    "q_update_null" -> ("WITH tagged AS (SELECT r_regionkey, r_name, " +
+      "CASE WHEN r_regionkey % 2 = 0 THEN r_name END AS r_tag FROM region), " +
+      "upd AS (SELECT r_regionkey, " +
+      "CASE WHEN r_tag LIKE 'A%' THEN 'UPD_' || r_name ELSE r_name END AS r_name, " +
+      "r_tag FROM tagged) " +
+      "SELECT 'plain' AS storage, * FROM upd " +
+      "UNION ALL SELECT 'bucketed' AS storage, * FROM upd"),
     "q_scalar_text" -> ("SELECT n_name, " +
       "CASE WHEN length(n_name) >= 3 THEN substr(n_name, 1, 3) ELSE rpad(n_name, 3, ' ') END AS left3, " +
       "CASE WHEN length(n_name) >= 12 THEN substr(n_name, length(n_name) - 11, 12) ELSE lpad(n_name, 12, ' ') END AS right12, " +

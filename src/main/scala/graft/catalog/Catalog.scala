@@ -79,6 +79,17 @@ final class Catalog(val spark: SparkSession) {
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
         .stripSuffix("/") + "/_graft_history")
 
+  /** Grace window for the layout-generation vacuum on ATTACH-LOADED
+    * bucketed relvars (`spark.graft.catalog.layoutKeepPrior`, default 1):
+    * beyond the generations this catalog's own retained versions pin,
+    * keep this many prior generations for readers outside the catalog
+    * (another session attached to the shared saved layout). Managed
+    * layouts are `__c<id>`-namespaced — no external reader can hold
+    * them, so they vacuum down to the pins alone. */
+  private def layoutKeepPrior: Int =
+    spark.conf.getOption("spark.graft.catalog.layoutKeepPrior")
+      .map(_.toInt).getOrElse(1)
+
   /** Archive the current snapshot and swap in the new one: EVERY write
     * goes through here, so the full version chain is retained
     * (snapshot-on-write — the Delta/Iceberg discipline minus the log).
@@ -132,6 +143,9 @@ final class Catalog(val spark: SparkSession) {
     history(name) = past.drop(excess)
     val t = trimmedV.getOrElse(name, 0) + excess
     trimmedV(name) = t
+    // evicted versions release their layout-generation pins — the next
+    // mutation's vacuum can then reclaim generations only they read
+    layoutGens.get(name).foreach(m => layoutGens(name) = m.filter(_._1 > t))
     val oldest = t + 1 // oldest still-addressable version
     val snaps = snapVers.getOrElse(name, Vector.empty)
     snaps.filter(_ <= oldest).maxOption.foreach { base =>
@@ -208,6 +222,14 @@ final class Catalog(val spark: SparkSession) {
   // like the original define). A plain write to the name clears it: the
   // new current is no longer the bucketed table.
   private val bucketSpec = TrieMap.empty[String, (Seq[String], Int)]
+  // which layout GENERATION each retained version's plan scans, for
+  // bucketed relvars: absolute version → generation. Every layout
+  // mutation archives the old attachment (pinned to the generation dir
+  // it captured) and attaches the new one — these pins are what keeps
+  // [[vacuumLayout]] from deleting a generation an as-of read can still
+  // reach. Reset whenever the layout identity changes (defineBucketed
+  // writes a fresh physical table; a plain write drops the spec).
+  private val layoutGens = TrieMap.empty[String, Map[Int, Int]]
 
   def defineBucketed(name: String, r: Rel, bucketCols: Seq[String],
                      buckets: Int): Unit = {
@@ -235,6 +257,7 @@ final class Catalog(val spark: SparkSession) {
     // the stored table is distinct by construction either way
     swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
+    layoutGens(name) = Map(version(name) -> 0) // fresh layout: flat gen 0
   }
   /** Attach a bucketed layout persisted by [[save]]: the stored bucket
     * files become the relvar's scan directly — zero shuffle, the
@@ -254,6 +277,8 @@ final class Catalog(val spark: SparkSession) {
     swap(name, Rel.distinct(df), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
     boundTo(name) = path
+    layoutGens(name) =
+      Map(version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
   }
 
   def relvar(name: String): Rel =
@@ -269,6 +294,7 @@ final class Catalog(val spark: SparkSession) {
     relvar(name) // throws for unknown names
     relvars.remove(name); history.remove(name); boundTo.remove(name)
     bucketSpec.remove(name); trimmedV.remove(name); snapVers.remove(name)
+    layoutGens.remove(name)
     // bucketGen intentionally stays: close() drops the physical tables
   }
 
@@ -299,21 +325,40 @@ final class Catalog(val spark: SparkSession) {
     * captured. Set semantics: the delta dedups internally and anti-joins
     * the current rows (null-safe on every attribute), so re-delivered
     * rows can't double-insert. Falls back to [[insert]] when the relvar
-    * carries no bucket spec. */
+    * carries no bucket spec.
+    *
+    * Runs under the layout's [[graft.sources.WriterLease]] — the same
+    * single-writer discipline every other persisted-layout writer
+    * (DocStream, Similarity) observes: a rival mutation on the same
+    * layout (two catalogs attach-loaded from one saved dir, or a
+    * mutation beside an index appender) fails LOUD instead of silently
+    * interleaving delta files with a concurrent fold's pointer flip.
+    *
+    * NOT crash-atomic: the delta's bucket files land directly in the
+    * live generation (a multi-file INSERT, no pointer flip or watermark
+    * gates their visibility), so a crash mid-append leaves a PARTIAL
+    * delta the next attach serves. The recovery contract is re-delivery:
+    * re-run the SAME insert whole — the null-safe anti-join drops the
+    * rows the crashed attempt already landed, so the retry is
+    * idempotent and completes the delta exactly. */
   def insertBucketed(name: String, rows: Rel): Unit =
     bucketSpec.get(name) match {
       case None => swap(name, relvar(name).union(rows))
       case Some((cols, k)) =>
         val cur = relvar(name)
-        val d = rows.df.dropDuplicates()
-        val cond = cur.df.columns.map(c => d(c) <=> cur.df(c))
-          .reduce(_ && _)
-        val fresh = d.join(cur.df, cond, "left_anti")
-        // schema rides along: a previous delete-all left an EMPTY current
-        // generation, where inference over the bare directory would throw
-        graft.sources.BucketedStore.append(spark, layoutPath(name),
-          fresh, cols, k, Some(cur.df.schema.toDDL))
-        reattach(name, cols, k, Some(cur.df.schema.toDDL))
+        val path = layoutPath(name)
+        graft.sources.WriterLease.withLease(spark, path,
+            s"catalog.insertBucketed($name)") {
+          val d = rows.df.dropDuplicates()
+          val cond = cur.df.columns.map(c => d(c) <=> cur.df(c))
+            .reduce(_ && _)
+          val fresh = d.join(cur.df, cond, "left_anti")
+          // schema rides along: a previous delete-all left an EMPTY current
+          // generation, where inference over the bare directory would throw
+          graft.sources.BucketedStore.append(spark, path,
+            fresh, cols, k, Some(cur.df.schema.toDDL))
+          reattach(name, cols, k, Some(cur.df.schema.toDDL))
+        }
     }
 
   /** The on-disk layout a bucketed relvar's plan scans: the attach-loaded
@@ -340,6 +385,28 @@ final class Catalog(val spark: SparkSession) {
     swap(name, Rel.distinct(df2), alreadyStored = true)
     bucketSpec(name) = (cols, k) // swap cleared it; the layout holds
     bound.foreach(boundTo(name) = _) // attach-loaded stay save-free
+    // the new current version pins the generation it just attached
+    layoutGens(name) = layoutGens.getOrElse(name, Map.empty) +
+      (version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
+  }
+
+  /** Reclaim layout generations no retained version can reach — the
+    * storage bound on mutation chains: every [[deleteWhere]]/
+    * [[updateWhere]] on a bucketed relvar supersedes a full generation,
+    * which without this grows disk by one relvar copy per mutation until
+    * [[close]]. The floor is the oldest generation any RETAINED version
+    * pins (as-of reads stay exact; with unbounded retention that pins
+    * everything, same as unbounded history), widened by
+    * [[layoutKeepPrior]] for attach-loaded layouts whose saved dir other
+    * sessions may have attached. Caller holds the writer lease. */
+  private def vacuumLayout(name: String): Unit = {
+    val path = layoutPath(name)
+    val gen = graft.sources.BucketedStore.currentGen(spark, path)
+    val minPinned =
+      (layoutGens.getOrElse(name, Map.empty).values ++ Seq(gen)).min
+    val grace = if (boundTo.contains(name)) layoutKeepPrior else 0
+    graft.sources.BucketedStore.vacuum(spark, path,
+      keepPrior = math.max(gen - minPinned, grace))
   }
 
   /** Layout-keeping mutation of a bucketed relvar: a generation-swapped
@@ -347,17 +414,29 @@ final class Catalog(val spark: SparkSession) {
     * (graft.sources.BucketedStore.rewrite — deletes are filter-rewrites
     * with ZERO exchange; the bucketing shuffle of the surviving rows is
     * never re-paid), then a re-attach that keeps the spec. Superseded
-    * generations stay on disk for versions that pinned them — managed
-    * layouts are reclaimed wholesale at [[close]]; attach-loaded layouts
-    * are the owner's to vacuum. */
+    * generations stay on disk while a retained version pins them;
+    * [[vacuumLayout]] reclaims the rest as the retention window rolls
+    * (and [[close]] takes whole managed layouts wholesale).
+    *
+    * Runs under the layout's [[graft.sources.WriterLease]], with the
+    * renew-as-`beforeFlip` fence every leased generation-swapper uses
+    * (DocStream.compactIndex, Similarity.compactIvfPq): a rewrite whose
+    * lease was TTL-broken mid-fold aborts BEFORE the pointer flip —
+    * orphan `_gen-(N+1)`, vacuumed later — never a flip over a
+    * generation a rival writer already claimed. */
   private def rewriteBucketed(name: String, cols: Seq[String], k: Int,
       transform: DataFrame => DataFrame): Unit = {
     // capture the schema BEFORE mutating: a transform that empties the
     // relvar leaves a generation with no parquet files to infer from
     val ddl = Some(relvar(name).df.schema.toDDL)
-    graft.sources.BucketedStore.rewrite(spark, layoutPath(name), cols, k,
-      transform)
-    reattach(name, cols, k, ddl)
+    val path = layoutPath(name)
+    val owner = s"catalog.rewriteBucketed($name)"
+    graft.sources.WriterLease.withLease(spark, path, owner) {
+      graft.sources.BucketedStore.rewrite(spark, path, cols, k, transform,
+        beforeFlip = () => graft.sources.WriterLease.renew(spark, path, owner))
+      reattach(name, cols, k, ddl)
+      vacuumLayout(name)
+    }
   }
 
   /** update R minus r — delete by value. A bucketed relvar rewrites its
@@ -377,36 +456,43 @@ final class Catalog(val spark: SparkSession) {
   /** update R .where(p) .{} — delete by predicate
     * (Builtin.cs:615-622, DataTableLocal.cs:834-857). A bucketed relvar
     * rewrites its layout with a filter — ZERO exchange, the surviving
-    * rows never re-pay their bucketing shuffle. */
-  def deleteWhere(name: String, pred: Column): Unit =
+    * rows never re-pay their bucketing shuffle. SQL-shaped NULL
+    * contract, same as [[updateWhere]]: only rows where `pred` is TRUE
+    * are deleted — a NULL predicate keeps the row (a bare `!pred`
+    * filter would silently delete it). */
+  def deleteWhere(name: String, pred: Column): Unit = {
+    val survives = !coalesce(pred, lit(false))
     bucketSpec.get(name) match {
       case Some((cols, k)) =>
-        rewriteBucketed(name, cols, k, _.filter(!pred))
-      case None => swap(name, relvar(name).where(!pred))
+        rewriteBucketed(name, cols, k, _.filter(survives))
+      case None => swap(name, relvar(name).where(survives))
     }
+  }
 
   /** update R .where(p) .{A:=e} — in-place update: rewrite matching rows,
-    * keep the rest (same three-way split the reference does). */
-  def updateWhere(name: String, pred: Column, sets: (String, Column)*): Unit =
+    * keep the rest (the reference's three-way split collapsed to ONE
+    * pass). Both storage paths use the same when/otherwise rewrite, so
+    * the NULL-predicate contract is storage-independent and SQL-shaped:
+    * a row where `pred` evaluates to NULL is kept UNCHANGED (the
+    * `otherwise` branch), exactly like SQL UPDATE ... WHERE — the old
+    * plain-path split (where(pred) ∪ where(!pred)) silently DROPPED
+    * such rows, and diverged from the bucketed path after
+    * defineBucketed. */
+  def updateWhere(name: String, pred: Column, sets: (String, Column)*): Unit = {
+    // single-pass when-otherwise rewrite; the dropDuplicates restores set
+    // semantics (two rows may collapse onto one tuple after the update) —
+    // that dedup is the one exchange an update pays, deletes pay none
+    def rewrite(df: DataFrame): DataFrame = df.select(df.columns.map { a =>
+      sets.find(_._1 == a) match {
+        case Some((_, c)) => when(pred, c).otherwise(col(a)).as(a)
+        case None => col(a)
+      }
+    }: _*).dropDuplicates()
     bucketSpec.get(name) match {
-      case Some((cols, k)) =>
-        // single-pass when-otherwise rewrite through the layout; the
-        // dropDuplicates restores set semantics (two rows may collapse
-        // onto one tuple after the update) — that dedup is the one
-        // exchange an update pays, deletes pay none
-        rewriteBucketed(name, cols, k, df => df.select(df.columns.map { a =>
-          sets.find(_._1 == a) match {
-            case Some((_, c)) => when(pred, c).otherwise(col(a)).as(a)
-            case None => col(a)
-          }
-        }: _*).dropDuplicates())
-      case None =>
-        val r = relvar(name)
-        val updated = r.where(pred).extend(sets.map { case (n, c) => (s"__new_$n", c) }: _*)
-          .transform(r.attrs.map(a =>
-            a -> (if (sets.exists(_._1 == a)) col(s"__new_$a") else col(a))): _*)
-        swap(name, r.where(!pred).union(updated))
+      case Some((cols, k)) => rewriteBucketed(name, cols, k, rewrite)
+      case None => swap(name, Rel.distinct(rewrite(relvar(name).df)))
     }
+  }
 
   // ------------------------------------------------------------- scalars
 
@@ -653,7 +739,7 @@ final class Catalog(val spark: SparkSession) {
     attachedTables.clear()
     relvars.clear(); history.clear(); boundTo.clear()
     bucketSpec.clear(); bucketGen.clear()
-    trimmedV.clear(); snapVers.clear()
+    trimmedV.clear(); snapVers.clear(); layoutGens.clear()
   }
 
   // --------------------------------------------------------- introspection

@@ -776,7 +776,17 @@ object Similarity {
     * the scan to the probed cells' directories — at a billion codes a
     * query batch reads nprobe/nlist of the index from storage instead of
     * all of it. This is how IVF shards at scale; PipelineSpec pins the
-    * `dynamicpruning` partition filter in the loaded index's search plan. */
+    * `dynamicpruning` partition filter in the loaded index's search plan.
+    *
+    * REBUILD-OVERWRITE HAS NO READER GRACE — the same contract as
+    * [[graft.sources.BucketedStore.write]]: centroids, codebooks and
+    * codes are replaced in place (gen reset to 0; superseded
+    * `codes_gen-*` dirs reclaimed once the fresh meta commits), so an
+    * index loaded just before the rebuild may lose its files mid-probe.
+    * [[vacuumIvfPq]]'s `keepPrior` grace window applies to the APPEND/
+    * COMPACT lifecycle only, where old generations stay readable through
+    * the flip. To rebuild under live serving, save to a fresh path and
+    * switch readers over, or rebuild in the serving maintenance window. */
   def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
     val spark = index.centroids.sparkSession
     graft.sources.WriterLease.withLease(spark, path, "saveIvfPq") {
@@ -927,13 +937,17 @@ object Similarity {
     * store — one recursive file listing, no data read. Every
     * [[appendIvfPqBatch]] adds up to one file per touched cell, and a
     * probe opens all of a probed cell's files: `maxFilesPerCell` is the
-    * serving-latency driver [[maintainIvfPq]] folds back down. */
+    * serving-latency driver [[maintainIvfPq]] folds back down.
+    * Superseded counts exactly what [[vacuumIvfPq]] at the same
+    * `keepPrior` would reclaim (shared floor arithmetic) — generations
+    * inside the grace window are live readers' snapshots, not
+    * reclaimable storage. */
   final case class IvfPqStats(codesGen: Int, files: Long, bytes: Long,
                               cells: Int, maxFilesPerCell: Int,
                               supersededGens: Int, supersededBytes: Long)
 
   def ivfPqStats(spark: org.apache.spark.sql.SparkSession,
-                 path: String): IvfPqStats = {
+                 path: String, keepPrior: Int = 1): IvfPqStats = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -954,6 +968,7 @@ object Similarity {
       }
     }
     var supGens = 0; var supBytes = 0L
+    val floor = gen - keepPrior
     fs.listStatus(hp(path)).foreach { st =>
       val n = st.getPath.getName
       val isGenDir = st.isDirectory &&
@@ -962,7 +977,7 @@ object Similarity {
               else if (n.startsWith("codes_gen-"))
                 n.stripPrefix("codes_gen-").toInt
               else -1
-      if (isGenDir && g != gen) {
+      if (isGenDir && g != gen && (g < floor || g > gen)) {
         supGens += 1
         supBytes += fs.getContentSummary(st.getPath).getLength
       }
@@ -1039,7 +1054,8 @@ object Similarity {
   def maintainIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
                     maxFilesPerCell: Int = 4, keepPrior: Int = 1): Boolean =
     graft.sources.WriterLease.withLease(spark, path, "maintainIvfPq") {
-      val fold = ivfPqStats(spark, path).maxFilesPerCell > maxFilesPerCell
+      val fold =
+        ivfPqStats(spark, path, keepPrior).maxFilesPerCell > maxFilesPerCell
       if (fold) compactIvfPq(spark, path)
       vacuumIvfPq(spark, path, keepPrior)
       fold

@@ -283,7 +283,8 @@ object BucketedStore {
     * [[maintain]]) needs to decide WHEN to compact and vacuum:
     * `maxFilesPerBucket` is the scan-latency driver each [[append]]
     * grows (a bucketed scan opens every file of a bucket in one task);
-    * `supersededBytes` is the storage [[vacuum]] would reclaim. */
+    * `supersededBytes` is the storage [[vacuum]] at the same `keepPrior`
+    * would reclaim. */
   final case class LayoutStats(gen: Int, files: Long, bytes: Long,
                                maxFilesPerBucket: Int,
                                supersededGens: Int, supersededBytes: Long)
@@ -291,12 +292,18 @@ object BucketedStore {
   private val bucketIdRe = "_(\\d{5})\\.".r
 
   /** One file listing of the layout root + current generation — no data
-    * read. Superseded = older `_gen-K` dirs, orphan above-current dirs,
-    * and (once a pointer exists) flat root files a migration left. */
-  def stats(spark: SparkSession, path: String): LayoutStats = {
+    * read. Superseded counts exactly what [[vacuum]] with the same
+    * `keepPrior` would delete (the floor arithmetic is shared): `_gen-K`
+    * dirs below `gen - keepPrior`, orphan above-current dirs, and — only
+    * once the floor passes generation 0 — the flat root files a migrated
+    * layout left. Generations inside the grace window are LIVE readers'
+    * snapshots, not reclaimable storage, so they are not counted. */
+  def stats(spark: SparkSession, path: String,
+            keepPrior: Int = 1): LayoutStats = {
     val fs = fsOf(spark, path)
     if (!fs.exists(hp(path))) return LayoutStats(0, 0, 0, 0, 0, 0)
     val gen = currentGen(spark, path)
+    val floor = gen - keepPrior
     val cur = dataDir(spark, path)
     val (files, bytes, perBucket) =
       if (!fs.exists(hp(cur))) (0L, 0L, Map.empty[String, Int])
@@ -314,11 +321,13 @@ object BucketedStore {
     var rootFlat = false // migrated layout's flat gen-0 files at the root
     fs.listStatus(hp(path)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("_gen-") &&
-          n.stripPrefix("_gen-").toInt != gen) {
-        supGens += 1
-        supBytes += fs.getContentSummary(st.getPath).getLength
-      } else if (st.isFile && n.startsWith("part-") && gen > 0) {
+      if (st.isDirectory && n.startsWith("_gen-")) {
+        val k = n.stripPrefix("_gen-").toInt
+        if (k < floor || k > gen) {
+          supGens += 1
+          supBytes += fs.getContentSummary(st.getPath).getLength
+        }
+      } else if (st.isFile && n.startsWith("part-") && 0 < floor) {
         rootFlat = true
         supBytes += st.getLen
       }
@@ -341,7 +350,7 @@ object BucketedStore {
                buckets: Int, maxFilesPerBucket: Int = 4,
                keepPrior: Int = 1,
                beforeFlip: () => Unit = () => ()): Boolean = {
-    val s = stats(spark, path)
+    val s = stats(spark, path, keepPrior)
     val fold = s.maxFilesPerBucket > maxFilesPerBucket
     if (fold) compact(spark, path, keys, buckets, beforeFlip)
     vacuum(spark, path, keepPrior)

@@ -539,6 +539,134 @@ class CatalogSpec extends SparkSpec {
     assert(cadenceDirs("DropMe").isEmpty,
       "dropped relvar's cadence dir leaked past close()")
   }
+
+  test("NULL-predicate mutations are SQL-shaped and storage-independent: " +
+    "updateWhere keeps a NULL-predicate row UNCHANGED, deleteWhere keeps " +
+    "it, and the plain and bucketed paths agree exactly") {
+    val rows = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),
+      (3L, "avocado"), (4L, "beta")).toDF("k", "tag")
+    def run(bucketed: Boolean): Set[(Long, String)] = {
+      val cat = new Catalog(spark)
+      if (bucketed) cat.defineBucketed("N", Rel.distinct(rows), Seq("k"), 2)
+      else cat.define("N", Rel.distinct(rows))
+      // pred is NULL on row 2 — it must survive BOTH mutations unchanged
+      cat.updateWhere("N", col("tag").startsWith("a"),
+        "tag" -> concat(lit("U_"), col("tag")))
+      val afterUpd = cat.relvar("N").df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(afterUpd === Set((1L, "U_alpha"), (2L, null),
+        (3L, "U_avocado"), (4L, "beta")),
+        s"updateWhere (bucketed=$bucketed) broke the NULL contract")
+      cat.deleteWhere("N", col("tag").startsWith("U"))
+      val afterDel = cat.relvar("N").df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(afterDel === Set((2L, null), (4L, "beta")),
+        s"deleteWhere (bucketed=$bucketed) broke the NULL contract")
+      cat.close()
+      afterDel
+    }
+    assert(run(bucketed = false) === run(bucketed = true))
+  }
+
+  test("bucketed mutations run under the layout's WriterLease: a rival " +
+    "writer's live lease makes insert, deleteWhere and updateWhere fail " +
+    "LOUD (no silent interleaving), and the same mutations succeed once " +
+    "the rival releases") {
+    import graft.sources.WriterLease
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-lease").toString
+    val cat = new Catalog(spark)
+    cat.defineBucketed("BL", Rel.distinct(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    cat.save(dir)
+    cat.close()
+    // attach-loaded: the shared saved layout is exactly the two-session
+    // scenario the lease exists for
+    val cat2 = Catalog.load(spark, dir)
+    val path = s"$dir/_bucketed/BL"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val rival = new Thread(() =>
+      WriterLease.withLease(spark, path, "rival-writer") {
+        started.countDown(); release.await()
+      })
+    rival.start()
+    assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      intercept[WriterLease.LeaseConflictException] {
+        cat2.deleteWhere("BL", col("k") === 1L)
+      }
+      intercept[WriterLease.LeaseConflictException] {
+        cat2.updateWhere("BL", col("k") === 2L, "v" -> lit("x"))
+      }
+      intercept[WriterLease.LeaseConflictException] {
+        cat2.insert("BL", Rel.distinct(Seq((99L, "z")).toDF("k", "v")))
+      }
+      // the refused mutations left the relvar untouched
+      assert(cat2.relvar("BL").count() === 20)
+    } finally { release.countDown(); rival.join() }
+    // rival gone: the same mutations go through
+    cat2.deleteWhere("BL", col("k") === 1L)
+    cat2.insert("BL", Rel.distinct(Seq((99L, "z")).toDF("k", "v")))
+    assert(cat2.relvar("BL").count() === 20)
+    assert(!new java.io.File(s"$path/_writer.lock").exists,
+      "mutation did not release the layout lease")
+    cat2.close()
+  }
+
+  test("layout-generation retention: with keepVersions set, each mutation " +
+    "vacuums the generations no retained version pins (disk bounded by " +
+    "the window, flat gen-0 included), every retained as-of read stays " +
+    "exact, and unbounded retention keeps every pinned generation") {
+    def genDirs(path: String): Set[String] =
+      new java.io.File(path).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
+        .map(_.getName).toSet
+    def rootFlat(path: String): Boolean =
+      new java.io.File(path).listFiles.toSeq
+        .exists(f => f.isFile && f.getName.startsWith("part-"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-ret").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("BR", Rel.distinct(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    val path = s"$dir/_bucketed/BR"
+    spark.conf.set("spark.graft.catalog.keepVersions", "2")
+    try {
+      val cat = Catalog.load(spark, dir) // v1 pins flat gen 0
+      (1 to 5).foreach(i => cat.deleteWhere("BR", col("k") === i.toLong))
+      // versions 1..6; window keeps v5 (gen 4) and v6 (gen 5) — the
+      // attach-loaded grace (layoutKeepPrior=1) is inside the pin span
+      assert(cat.version("BR") === 6)
+      assert(cat.relvar("BR").count() === 35)
+      assert(cat.relvarAt("BR", 5).count() === 36,
+        "retained as-of read lost its generation")
+      intercept[IllegalArgumentException] { cat.relvarAt("BR", 4) }
+      assert(genDirs(path) === Set("_gen-4", "_gen-5"),
+        s"mutation chain left unpinned generations: ${genDirs(path)}")
+      assert(!rootFlat(path),
+        "flat gen-0 files survived past the retention window")
+      cat.close()
+    } finally spark.conf.unset("spark.graft.catalog.keepVersions")
+    // unbounded retention (the default): every version stays addressable,
+    // so every generation stays pinned on disk
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cat-ret0").toString
+    val seed2 = new Catalog(spark)
+    seed2.defineBucketed("BU", Rel.distinct(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed2.save(dir2)
+    seed2.close()
+    val cat2 = Catalog.load(spark, dir2)
+    cat2.deleteWhere("BU", col("k") === 1L)
+    cat2.deleteWhere("BU", col("k") === 2L)
+    val p2 = s"$dir2/_bucketed/BU"
+    assert(genDirs(p2) === Set("_gen-1", "_gen-2") && rootFlat(p2),
+      "unbounded retention must keep every pinned generation")
+    assert(cat2.relvarAt("BU", 1).count() === 10)
+    assert(cat2.relvarAt("BU", 2).count() === 9)
+    assert(cat2.relvar("BU").count() === 8)
+    cat2.close()
+  }
 }
 
 /** Test-only Hadoop filesystem on a scheme Spark has no default binding
