@@ -439,6 +439,55 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
+  /** Observable storage health of a bucketed relvar's layout — the
+    * catalog face of [[graft.sources.BucketedStore.stats]], for deciding
+    * when ingest fragmentation warrants attention: generation, file and
+    * byte counts, `maxFilesPerBucket` (each [[insert]] delta adds up to
+    * one file per bucket; a bucketed scan opens all of a bucket's files
+    * in one task), and the superseded storage the next mutation's
+    * retention vacuum could reclaim. Throws for a relvar without a
+    * bucket spec. */
+  def layoutStats(name: String): graft.sources.BucketedStore.LayoutStats = {
+    require(bucketSpec.contains(name), s"relvar $name has no bucketed layout")
+    graft.sources.BucketedStore.stats(spark, layoutPath(name))
+  }
+
+  /** Policy-driven upkeep of a bucketed relvar's layout — the catalog
+    * face of [[graft.sources.BucketedStore.maintain]], run under the
+    * layout's writer lease with the renew fence: fold the bucket files
+    * back to one per bucket when ingest fragmentation exceeds
+    * `maxFilesPerBucket` (each [[insert]] delta adds up to one file per
+    * bucket), then reclaim the generations no retained version pins.
+    * A fold is PHYSICAL — row content is untouched — so the current
+    * version is re-bound to the compacted generation IN PLACE: no
+    * version bump, and archived versions keep serving their pinned
+    * generations until retention releases them. Cheap when healthy
+    * (one file listing). Returns whether it folded. */
+  def maintainLayout(name: String, maxFilesPerBucket: Int = 4): Boolean = {
+    val (cols, k) = bucketSpec.getOrElse(name,
+      throw new NoSuchElementException(s"relvar $name has no bucketed layout"))
+    val path = layoutPath(name)
+    val owner = s"catalog.maintainLayout($name)"
+    graft.sources.WriterLease.withLease(spark, path, owner) {
+      val fold = graft.sources.BucketedStore.stats(spark, path)
+        .maxFilesPerBucket > maxFilesPerBucket
+      if (fold) {
+        val ddl = Some(relvar(name).df.schema.toDDL)
+        graft.sources.BucketedStore.compact(spark, path, cols, k,
+          beforeFlip =
+            () => graft.sources.WriterLease.renew(spark, path, owner))
+        val (df2, tbl) = graft.sources.BucketedStore.attachNamed(
+          spark, path, cols, k, ddl)
+        attachedTables += tbl
+        relvars(name) = Rel.distinct(df2)
+        layoutGens(name) = layoutGens.getOrElse(name, Map.empty) +
+          (version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
+      }
+      vacuumLayout(name)
+      fold
+    }
+  }
+
   /** update R minus r — delete by value. A bucketed relvar rewrites its
     * layout (anti-join against the delete set — the planner broadcasts a
     * small set, keeping the rewrite exchange-free) instead of degrading
@@ -608,10 +657,11 @@ final class Catalog(val spark: SparkSession) {
     // bucket files land under $dir/_bucketed/<name> (tmp+rename — a
     // same-dir resave must not clobber files a loaded plan still reads),
     // and load() re-ATTACHES them without re-paying the shuffle. A
-    // bucketed relvar's plan is always exactly its stored-table scan
-    // (any mutation clears bucketSpec), so the write reads only the
-    // physical table. boundTo marks attach-loaded, unmutated relvars:
-    // re-saving those to the same dir is free.
+    // bucketed relvar's plan is always exactly its stored-layout scan
+    // (mutations keep the spec and re-attach the mutated layout), so
+    // the write reads only the physical files. boundTo marks
+    // attach-loaded relvars still bound to this dir's layout (mutations
+    // preserve the binding): re-saving those to the same dir is free.
     relvars.keys.toSeq.sorted.foreach { n =>
       bucketSpec.get(n).foreach { case (cols, k) =>
         val target = s"$dir/_bucketed/$n"

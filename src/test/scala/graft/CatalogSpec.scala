@@ -667,6 +667,44 @@ class CatalogSpec extends SparkSpec {
     assert(cat2.relvar("BU").count() === 8)
     cat2.close()
   }
+
+  test("layoutStats + maintainLayout: delta inserts fragment the layout, " +
+    "the policy fold brings it back to one file per bucket WITHOUT a " +
+    "version bump (physical fold, identical content), archived versions " +
+    "keep their pinned generations, and a healthy layout is left alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-mnt").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("BM", Rel.distinct(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    val cat = Catalog.load(spark, dir)
+    // three delta appends → up to 4 files per bucket
+    (1 to 3).foreach(i => cat.insert("BM", Rel.distinct(
+      Seq((100L + i, s"d$i")).toDF("k", "v"))))
+    val fragged = cat.layoutStats("BM")
+    assert(fragged.maxFilesPerBucket > 2,
+      s"test setup did not fragment: $fragged")
+    // healthy budget: nothing folds
+    assert(!cat.maintainLayout("BM", maxFilesPerBucket = 8))
+    val vBefore = cat.version("BM")
+    assert(cat.maintainLayout("BM", maxFilesPerBucket = 2))
+    assert(cat.version("BM") === vBefore,
+      "a physical fold must not bump the version")
+    val after = cat.layoutStats("BM")
+    assert(after.maxFilesPerBucket === 1 && after.gen === 1,
+      s"fold did not de-fragment: $after")
+    assert(cat.relvar("BM").count() === 23)
+    // archived pre-insert version still serves its pinned generation
+    assert(cat.relvarAt("BM", 1).count() === 20)
+    // the fold kept the zero-Exchange contract
+    val l = cat.relvar("BM").df.select(col("k"), col("v").as("v1"))
+    val r = cat.relvar("BM").df.select(col("k"), col("v").as("v2"))
+    val p = l.hint("merge").join(r, "k").queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"maintainLayout dropped the bucket spec:\n${p.take(2000)}")
+    cat.close()
+  }
 }
 
 /** Test-only Hadoop filesystem on a scheme Spark has no default binding
