@@ -391,6 +391,32 @@ object BenchScale {
       ndiFragment("1x"); ndiFragment("nx")
     }
     run("index_compact_vacuum", ndiCompact("1x"), ndiCompact("nx"))
+    // Catalog layout-mutation chain under retention (round 17): six
+    // generation-swapped rewrites (alternating predicate delete and
+    // in-place update) on a bucketed relvar with keepVersions=2. Each
+    // rewrite reads only the CURRENT generation through a pinned bucketed
+    // scan (deletes exchange nothing; updates pay only the set-semantics
+    // dedup), and the per-mutation retention vacuum holds the on-disk
+    // generation count at the window regardless of chain length — so the
+    // chain's cost tracks data volume (per_row ~1), never mutation-count ×
+    // corpus, and disk stays O(window · relvar) instead of O(chain).
+    def catChain(df: DataFrame): Long = {
+      spark.conf.set("spark.graft.catalog.keepVersions", "2")
+      val cat = new graft.catalog.Catalog(spark)
+      try {
+        cat.defineBucketed("mchain", graft.rel.Rel.distinct(
+          df.select("doc_id", "source", "n_chars")), Seq("doc_id"), 32)
+        (0 until 3).foreach { i =>
+          cat.deleteWhere("mchain", col("doc_id") % 97 === i)
+          cat.updateWhere("mchain", col("n_chars") > 500 + i,
+            "n_chars" -> (col("n_chars") + 1))
+        }
+        cat.relvar("mchain").count()
+      } finally {
+        cat.close(); spark.conf.unset("spark.graft.catalog.keepVersions")
+      }
+    }
+    run("catalog_mutation_chain", catChain(docs1), catChain(scaleDocs(mult)))
     // deliberately hot-keyed join (~20% of rows on ONE key, incompressible
     // text payload) under AQE skew handling: the skew split carves the hot
     // partition into parallel pieces, so per-row cost must stay flat as
