@@ -345,19 +345,33 @@ final class Catalog(val spark: SparkSession) {
     bucketSpec.get(name) match {
       case None => swap(name, relvar(name).union(rows))
       case Some((cols, k)) =>
-        val cur = relvar(name)
+        // schema rides along: a previous delete-all left an EMPTY current
+        // generation, where inference over the bare directory would throw
+        val ddl = Some(relvar(name).df.schema.toDDL)
         val path = layoutPath(name)
         graft.sources.WriterLease.withLease(spark, path,
             s"catalog.insertBucketed($name)") {
-          val d = rows.df.dropDuplicates()
-          val cond = cur.df.columns.map(c => d(c) <=> cur.df(c))
-            .reduce(_ && _)
-          val fresh = d.join(cur.df, cond, "left_anti")
-          // schema rides along: a previous delete-all left an EMPTY current
-          // generation, where inference over the bare directory would throw
-          graft.sources.BucketedStore.append(spark, path,
-            fresh, cols, k, Some(cur.df.schema.toDDL))
-          reattach(name, cols, k, Some(cur.df.schema.toDDL))
+          // dedup against the CURRENT ON-DISK listing, not this catalog's
+          // attached plan: the plan's file listing may predate a rival
+          // session's committed append (the lease serializes writers, it
+          // does not refresh snapshots), and an anti-join over the stale
+          // listing would re-insert a row the rival already landed —
+          // duplicate tuples in a layout every later attach trusts as
+          // distinct. A fresh attach under the lease sees every committed
+          // row, so alternating inserts from two sessions on one saved
+          // layout stay set-semantic. (The rewrite paths are immune:
+          // BucketedStore.rewrite attaches the current listing itself.)
+          val (curDf, tbl) = graft.sources.BucketedStore.attachNamed(
+            spark, path, cols, k, ddl)
+          try {
+            val d = rows.df.dropDuplicates()
+            val cond = curDf.columns.map(c => d(c) <=> curDf(c))
+              .reduce(_ && _)
+            val fresh = d.join(curDf, cond, "left_anti")
+            graft.sources.BucketedStore.append(spark, path,
+              fresh, cols, k, ddl)
+          } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          reattach(name, cols, k, ddl)
         }
     }
 

@@ -668,6 +668,32 @@ class CatalogSpec extends SparkSpec {
     cat2.close()
   }
 
+  test("shared-layout inserts from two catalogs stay set-semantic: the " +
+    "dedup anti-join runs against the current ON-DISK listing under the " +
+    "lease, so a row a rival session already landed is never re-inserted " +
+    "and every reader converges on the exact union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-share").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("SH", Rel.distinct(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    val a = Catalog.load(spark, dir)
+    val b = Catalog.load(spark, dir) // attached BEFORE a's insert commits
+    a.insert("SH", Rel.distinct(Seq((100L, "x"), (101L, "ya")).toDF("k", "v")))
+    // b's attached plan predates a's delta; its insert re-delivers (100,x)
+    b.insert("SH", Rel.distinct(Seq((100L, "x"), (102L, "zb")).toDF("k", "v")))
+    // b converged on the union with NO duplicate (100,x)
+    val bRows = b.relvar("SH").df.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(bRows.length === 13 && bRows.toSet.size === 13,
+      s"shared layout double-inserted: ${bRows.sorted.toSeq}")
+    // the next session's fresh attach sees exactly the union too
+    val c = Catalog.load(spark, dir)
+    assert(c.relvar("SH").count() === 13)
+    a.close(); b.close(); c.close()
+  }
+
   test("layoutStats + maintainLayout: delta inserts fragment the layout, " +
     "the policy fold brings it back to one file per bucket WITHOUT a " +
     "version bump (physical fold, identical content), archived versions " +
