@@ -625,7 +625,14 @@ final class Catalog(val spark: SparkSession) {
     * `_history/<name>/v<v>.parquet`, written ONCE (versions are
     * immutable, so a version already on disk from a previous save is
     * skipped; repeated saves of a long-lived relvar only pay for the
-    * versions added since the last save). */
+    * versions added since the last save).
+    *
+    * Replacing an existing `_bucketed/<name>` layout here is a
+    * REBUILD-OVERWRITE with no reader or writer grace (the same contract
+    * as [[graft.sources.BucketedStore.write]]): save assumes exclusive
+    * ownership of its own target dir. The leased mutation paths protect
+    * a SHARED attach-loaded layout; a layout other live sessions read
+    * should be re-saved to a fresh dir, not overwritten in place. */
   def save(dir: String): Unit = {
     val lines = Seq.newBuilder[String]
     val hfs = new org.apache.hadoop.fs.Path(dir)
