@@ -372,6 +372,11 @@ final class Catalog(val spark: SparkSession) {
               fresh, cols, k, ddl)
           } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
           reattach(name, cols, k, ddl)
+          // an append supersedes no generation, but the version it
+          // archives can push an OLDER version out of the retention
+          // window — reclaim its released pins now rather than deferring
+          // to the next rewrite
+          vacuumLayout(name)
         }
     }
 
@@ -412,7 +417,18 @@ final class Catalog(val spark: SparkSession) {
     * pins (as-of reads stay exact; with unbounded retention that pins
     * everything, same as unbounded history), widened by
     * [[layoutKeepPrior]] for attach-loaded layouts whose saved dir other
-    * sessions may have attached. Caller holds the writer lease. */
+    * sessions may have attached. Caller holds the writer lease.
+    *
+    * Cross-session contract: the pin set covers THIS catalog's retained
+    * versions only — another session's version history over the same
+    * shared layout is protected just by the [[layoutKeepPrior]] grace
+    * window, exactly like any vacuum under concurrent readers
+    * (BucketedStore.vacuum's keepPrior knob). Setting keepVersions while
+    * mutating a shared layout asserts bounded history for the LAYOUT,
+    * not merely this session; sessions needing long as-of chains over a
+    * layout others mutate should raise layoutKeepPrior, or leave
+    * retention unset (the default) — which never vacuums below this
+    * session's own pins. */
   private def vacuumLayout(name: String): Unit = {
     val path = layoutPath(name)
     val gen = graft.sources.BucketedStore.currentGen(spark, path)
