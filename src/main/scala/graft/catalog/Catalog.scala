@@ -365,9 +365,23 @@ final class Catalog(val spark: SparkSession) {
             spark, path, cols, k, ddl)
           try {
             val d = rows.df.dropDuplicates()
-            val cond = curDf.columns.map(c => d(c) <=> curDf(c))
+            // the dedup must compare ALL attributes, but a direct
+            // anti-join of the delta against the full history on every
+            // column would sort-merge — shuffling and sorting the WHOLE
+            // corpus per insert, exactly the cost this path exists to
+            // avoid. An exact duplicate necessarily shares the bucket
+            // keys, so first narrow history to the delta's keys with a
+            // null-safe BROADCAST semi-join (history side: bare bucketed
+            // scan, zero exchange, no sort — only the delta-sized key set
+            // moves), then anti-join the delta against that delta-scale
+            // candidate set on all attributes. Ingest cost stays
+            // O(delta · read), never O(corpus · shuffle).
+            val dk = d.select(cols.map(col): _*).dropDuplicates()
+            val kc = cols.map(c => curDf(c) <=> dk(c)).reduce(_ && _)
+            val cand = curDf.join(broadcast(dk), kc, "left_semi")
+            val cond = curDf.columns.map(c => d(c) <=> cand(c))
               .reduce(_ && _)
-            val fresh = d.join(curDf, cond, "left_anti")
+            val fresh = d.join(cand, cond, "left_anti")
             graft.sources.BucketedStore.append(spark, path,
               fresh, cols, k, ddl)
           } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
