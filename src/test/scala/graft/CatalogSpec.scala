@@ -736,6 +736,40 @@ class CatalogSpec extends SparkSpec {
     a.close(); b.close(); c.close()
   }
 
+  test("a mutated attach-loaded layout round-trips: a fresh load attaches " +
+    "the CURRENT generation (never the superseded flat gen-0 files), the " +
+    "zero-Exchange contract holds on it, and re-saving to a NEW dir " +
+    "rebuilds a standalone layout that loads back whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-rt").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("RT", Rel.distinct(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    val cat = Catalog.load(spark, dir)
+    cat.deleteWhere("RT", col("k") <= 5L)                     // _gen-1
+    cat.updateWhere("RT", col("k") === 6L, "v" -> lit("u6"))  // _gen-2
+    // a second session loading the same dir sees the mutated state
+    val cat2 = Catalog.load(spark, dir)
+    assert(cat2.relvar("RT").count() === 15)
+    assert(cat2.relvar("RT").df.where(col("v") === "u6").count() === 1)
+    assert(cat2.relvar("RT").df.where(col("k") <= 5L).count() === 0,
+      "fresh load served the superseded flat generation")
+    val l = cat2.relvar("RT").df.select(col("k"), col("v").as("v1"))
+    val r = cat2.relvar("RT").df.select(col("k"), col("v").as("v2"))
+    val p = l.hint("merge").join(r, "k").queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"fresh attach of the mutated generation lost the bucket spec:\n${p.take(2000)}")
+    // re-save to a DIFFERENT dir: the bound-path skip must not fire; the
+    // new dir gets a standalone layout that loads back whole
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cat-rt2").toString
+    cat2.save(dir2)
+    val cat3 = Catalog.load(spark, dir2)
+    assert(cat3.relvar("RT").count() === 15)
+    assert(cat3.relvar("RT").df.where(col("v") === "u6").count() === 1)
+    cat3.close(); cat2.close(); cat.close()
+  }
+
   test("layoutStats + maintainLayout: delta inserts fragment the layout, " +
     "the policy fold brings it back to one file per bucket WITHOUT a " +
     "version bump (physical fold, identical content), archived versions " +
