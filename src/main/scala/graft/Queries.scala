@@ -312,6 +312,30 @@ object Queries {
     out
   }
 
+  /** Composite recursive FLAGSHIP (while-closure feeding a grouped fold —
+    * the reference's other signature multi-operator pattern: a `while`
+    * transitive closure whose result is joined back and rolled up,
+    * Sample/recursive.andl:18-35 + Test/Suite/SuiteRelWhile.andl chain
+    * fixpoint → join → aggregate the same way): the q_while_dist
+    * reachability fixpoint (events reachable from any `error` event along
+    * each user's successor chain) is NATURAL-joined back to the events
+    * table to recover the reached rows' attributes, then folded per
+    * event_type — reach count, distinct reached users, exact value total.
+    * The closure runs WhileFix's distributed semi-naive loop (forced into
+    * the Spark tier by seed size, not configuration); the join back is
+    * key=key on event_id so no cartesian can appear (PlanSpec pins it);
+    * the decimal-cast sum keeps the double total order-independent. The
+    * DuckDB oracle replays the whole pipeline with a recursive CTE. */
+  def qWhileRollup(s: SparkSession, dir: String): DataFrame = {
+    val reach = Rel.distinct(qWhileDist(s, dir)) // fixpoint output is a set
+    val ev = t(s, dir, "events")
+    reach.join(ev)
+      .aggregate(Seq("event_type"),
+        "n_reach" -> count(lit(1)),
+        "n_users" -> count_distinct(col("user_id")),
+        "sum_value" -> sum(col("value").cast(dec184)).cast("double")).df
+  }
+
   // ======================================================== §2.6 updates
 
   def qUpdateInsert(s: SparkSession, dir: String): DataFrame = {
@@ -2608,6 +2632,7 @@ object Queries {
     "q_running" -> qRunning, "q_lag_lead" -> qLagLead, "q_nth" -> qNth,
     "q_rank" -> qRank, "q_while" -> qWhile,
     "q_while_dist" -> ((s: SparkSession, d: String) => qWhileDist(s, d)),
+    "q_while_rollup" -> qWhileRollup,
     "q_update_insert" -> qUpdateInsert, "q_update_delete" -> qUpdateDelete,
     "q_update_set" -> qUpdateSet, "q_update_null" -> qUpdateNull,
     "q_scalar_text" -> qScalarText, "q_scalar_math" -> qScalarMath,
@@ -2726,7 +2751,8 @@ object Queries {
     "q_schema", "q_semijoin", "q_sep", "q_seq", "q_shuffle_order",
     "q_skip", "q_sub", "q_subtotal", "q_sup", "q_symdiff", "q_take",
     "q_tuple", "q_udt", "q_union", "q_update_delete", "q_update_insert",
-    "q_update_set", "q_where", "q_while", "q_while_dist")
+    "q_update_set", "q_where", "q_while", "q_while_dist",
+    "q_while_rollup")
 
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
@@ -2933,6 +2959,13 @@ object Queries {
       "reach(event_id) AS (SELECT event_id FROM events WHERE event_type = 'error' " +
       "UNION SELECT e.dst FROM reach r JOIN edges e ON e.src = r.event_id WHERE e.dst IS NOT NULL) " +
       "SELECT event_id FROM reach"),
+    "q_while_rollup" -> ("WITH RECURSIVE edges AS (SELECT event_id AS src, " +
+      "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS dst FROM events), " +
+      "reach(event_id) AS (SELECT event_id FROM events WHERE event_type = 'error' " +
+      "UNION SELECT e.dst FROM reach r JOIN edges e ON e.src = r.event_id WHERE e.dst IS NOT NULL) " +
+      "SELECT event_type, count(*) AS n_reach, count(DISTINCT user_id) AS n_users, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+      "FROM reach JOIN events USING (event_id) GROUP BY 1"),
     "q_update_insert" -> "SELECT r_regionkey, r_name FROM region UNION SELECT 99, 'NEWLAND'",
     "q_update_delete" -> "SELECT r_regionkey, r_name FROM region WHERE NOT (r_regionkey = 0)",
     "q_update_set" -> ("SELECT r_regionkey, CASE WHEN r_regionkey = 1 THEN 'REGION_' || r_name ELSE r_name END AS r_name FROM region"),

@@ -72,6 +72,25 @@ class PlanSpec extends SparkSpec {
       s"lineitem scan over-reads:\n${liRead.getOrElse("<no lineitem scan>")}")
   }
 
+  test("composite flagship #2 (q_while_rollup): the closure joins back " +
+    "key-on-key (no cartesian), the rollup aggregates partially, and the " +
+    "events scan prunes to the joined+folded columns") {
+    val q = Queries.qWhileRollup(spark, sf)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"closure join-back degenerated to a cartesian:\n${p.take(4000)}")
+    val f = formatted(q)
+    assert(p.contains("partial_sum") || f.contains("partial_sum"),
+      s"rollup fold is not partial:\n${p.take(4000)}")
+    // the join-back + fold needs exactly event_id/user_id/event_type/value;
+    // props (the widest column) and ts must be pruned out of the scan
+    val evRead = f.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .find(_.contains("event_type"))
+    assert(evRead.exists(l => !l.contains("props") && !l.contains("ts")),
+      s"events scan over-reads:\n${evRead.getOrElse("<no events scan>")}")
+  }
+
   test("banded minhash dedup never plans a cartesian product") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.minhashPairs(docs)
