@@ -248,7 +248,12 @@ final class Catalog(val spark: SparkSession) {
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(loc)
     if (fs.exists(p)) fs.delete(p, true)
-    r.df.write.mode("overwrite")
+    // re-cluster by the bucket keys first — the bucketing shuffle, paid
+    // once: without it the bucketed writer emits a file per (input task ×
+    // bucket) and the layout is born fragmented (BucketedStore.write has
+    // the same guard; the full rationale lives on its doc)
+    r.df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
@@ -570,20 +575,40 @@ final class Catalog(val spark: SparkSession) {
     * `otherwise` branch), exactly like SQL UPDATE ... WHERE — the old
     * plain-path split (where(pred) ∪ where(!pred)) silently DROPPED
     * such rows, and diverged from the bucketed path after
-    * defineBucketed. */
+    * defineBucketed.
+    *
+    * Bucketed-storage cost model: an update that touches only NON-key
+    * columns preserves the stored hash-partitioning, so the set-semantics
+    * dedup clusters on the bucketed scan's own partitioning and the
+    * rewrite stays exchange-free end to end — one file per bucket out. An
+    * update that SETS A BUCKET-KEY column moves rows across buckets —
+    * semantically an exchange is unavoidable — so the rewrite re-clusters
+    * by the bucket keys ONCE (the dedup then piggybacks on that same
+    * partitioning) and the relocated rows land de-fragmented, one file
+    * per bucket. Without the explicit re-cluster, the bucketed writer
+    * would still be CORRECT (it hashes each row to its bucket for the
+    * file name) but would emit a file per (task × bucket) — the
+    * re-fragmentation BucketedStore.rewrite's doc warns about. */
   def updateWhere(name: String, pred: Column, sets: (String, Column)*): Unit = {
     // single-pass when-otherwise rewrite; the dropDuplicates restores set
     // semantics (two rows may collapse onto one tuple after the update) —
-    // that dedup is the one exchange an update pays, deletes pay none
-    def rewrite(df: DataFrame): DataFrame = df.select(df.columns.map { a =>
+    // a key-preserving update pays no exchange at all (the dedup clusters
+    // on the stored bucketing), a key-moving update pays exactly one
+    def sel(df: DataFrame): DataFrame = df.select(df.columns.map { a =>
       sets.find(_._1 == a) match {
         case Some((_, c)) => when(pred, c).otherwise(col(a)).as(a)
         case None => col(a)
       }
-    }: _*).dropDuplicates()
+    }: _*)
     bucketSpec.get(name) match {
-      case Some((cols, k)) => rewriteBucketed(name, cols, k, rewrite)
-      case None => swap(name, Rel.distinct(rewrite(relvar(name).df)))
+      case Some((cols, k)) =>
+        val movesBuckets = sets.exists(s => cols.contains(s._1))
+        if (movesBuckets)
+          rewriteBucketed(name, cols, k, df =>
+            sel(df).repartition(k, cols.map(col): _*).dropDuplicates())
+        else
+          rewriteBucketed(name, cols, k, df => sel(df).dropDuplicates())
+      case None => swap(name, Rel.distinct(sel(relvar(name).df).dropDuplicates()))
     }
   }
 

@@ -103,7 +103,19 @@ object BucketedStore {
     * generation-0 form; [[compact]] introduces generations later). An
     * existing layout at `path` — including any generation dirs — is
     * replaced; coordinating with live readers of a REWRITE is the
-    * caller's contract, as with any overwrite. */
+    * caller's contract, as with any overwrite.
+    *
+    * The input is RE-CLUSTERED by the bucket keys before the write —
+    * THE bucketing shuffle, paid exactly once here: Spark's bucketed
+    * writer otherwise emits a file per (input task × bucket), so a
+    * fresh layout written from a 1000-task frame would be born with
+    * 1000× the files every bucketed scan then has to open (and the
+    * first compaction would re-read and re-write the whole layout just
+    * to undo it). `repartition(buckets, keys)` uses the same Murmur3
+    * hash as the bucket spec, so each task holds exactly one bucket's
+    * rows and writes exactly one file. [[compact]]/[[rewrite]] bypass
+    * this on purpose (writeFlat): their input is already the bucketed
+    * scan's one-partition-per-bucket layout and must stay exchange-free. */
   def write(df: DataFrame, path: String, keys: Seq[String],
             buckets: Int): Unit = {
     val spark = df.sparkSession
@@ -112,7 +124,8 @@ object BucketedStore {
     // may have left _gen-* dirs a fresh flat write must not resurrect
     val fs = fsOf(spark, path)
     if (fs.exists(hp(path))) fs.delete(hp(path), true)
-    writeFlat(df, path, keys, buckets)
+    writeFlat(df.repartition(buckets,
+      keys.map(org.apache.spark.sql.functions.col): _*), path, keys, buckets)
   }
 
   /** The raw bucketed write into exactly `dir` — no generation handling.

@@ -807,6 +807,73 @@ class CatalogSpec extends SparkSpec {
       s"maintainLayout dropped the bucket spec:\n${p.take(2000)}")
     cat.close()
   }
+
+  test("bucket-key updates re-cluster ONCE and land de-fragmented: a " +
+    "non-key update rewrites exchange-free with one file per bucket; a " +
+    "key update moves rows across buckets, stays exact, and still lands " +
+    "one file per bucket instead of file-per-(task x bucket)") {
+    val cat = new Catalog(spark)
+    val base = Rel.distinct(
+      (1L to 40L).map(i => (i, i % 4, s"v$i")).toDF("k", "g", "v"))
+    cat.defineBucketed("BKey", base, Seq("k"), 4)
+    assert(cat.layoutStats("BKey").maxFilesPerBucket === 1)
+    // non-key update: the when/otherwise select keeps the bucket-key
+    // attribute, so the set-semantics dedup clusters on the stored
+    // hash-partitioning — zero shuffle-write records across the rewrite
+    @volatile var shuffleRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m =>
+          shuffleRecords += m.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      cat.updateWhere("BKey", col("g") === 1, "v" -> lit("nk"))
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords != last && spins < 40) {
+        last = shuffleRecords; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffleRecords === 0L,
+      s"non-key update shuffled $shuffleRecords records — the dedup " +
+      "stopped clustering on the stored bucketing")
+    val nonKey = cat.layoutStats("BKey")
+    assert(nonKey.maxFilesPerBucket === 1,
+      s"non-key update fragmented the layout: $nonKey")
+    // key update: rows 1..8 move to keys 101..108 — different buckets.
+    // The rewrite re-clusters by the bucket keys once, so the relocated
+    // rows land ONE file per bucket (the unguarded bucketed write would
+    // emit a file per task x bucket)
+    cat.updateWhere("BKey", col("k") <= 8L, "k" -> (col("k") + 100L))
+    val keyUpd = cat.layoutStats("BKey")
+    assert(keyUpd.maxFilesPerBucket === 1,
+      s"key update re-fragmented the layout: $keyUpd")
+    val got = cat.relvar("BKey").df.select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === ((9L to 40L) ++ (101L to 108L)).toSet,
+      s"key update lost or duplicated rows: ${got.toSeq.sorted}")
+    // k=1 (g=1) took the earlier non-key update, then moved to 101
+    assert(cat.relvar("BKey").where(col("k") === 101L)
+      .lift("v") === "nk", "moved row lost its non-key attributes")
+    assert(cat.relvar("BKey").where(col("k") === 102L)
+      .lift("v") === "v2", "moved row k=2 lost its value")
+    // the spec survived the cross-bucket move: merge self-join, no Exchange
+    val l = cat.relvar("BKey").df.select(col("k"), col("v").as("v1"))
+    val r = cat.relvar("BKey").df.select(col("k"), col("v").as("v2"))
+    val p = l.hint("merge").join(r, "k").queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"key update dropped the bucket spec:\n${p.take(2000)}")
+    // a key update that COLLAPSES tuples keeps set semantics through the
+    // re-cluster (dedup runs on the re-clustered rows)
+    cat.defineBucketed("BKey2", Rel.distinct(
+      Seq((1L, "a"), (2L, "a")).toDF("k", "v")), Seq("k"), 2)
+    cat.updateWhere("BKey2", lit(true), "k" -> lit(7L))
+    assert(cat.relvar("BKey2").count() === 1,
+      "collapsing key update violated set semantics")
+    cat.close()
+  }
 }
 
 /** Test-only Hadoop filesystem on a scheme Spark has no default binding
