@@ -158,6 +158,57 @@ class HttpGatewaySpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("concurrent relvar MUTATIONS over one database interleave without " +
+    "loss: parallel insert (update R union) and delete (update .where " +
+    ".select{}) verbs from many clients converge on the exact final set, " +
+    "duplicates stay set-semantic, and a failed script mutates nothing") {
+    val g = new HttpGateway(spark)
+    g.start()
+    try {
+      val b2 = s"http://127.0.0.1:${g.boundPort}/api"
+      def wire(method: String, path: String, body: String = ""): (Int, String) = {
+        val b = HttpRequest.newBuilder(URI.create(s"$b2$path"))
+        val req = (method match {
+          case "GET" => b.GET()
+          case m => b.method(m, BodyPublishers.ofString(body))
+        }).build()
+        val r = http.send(req, BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // seed rows 1..20 over the wire
+      val seed = (1 to 20).map(i => s"""{"k":$i,"v":"s$i"}""")
+        .mkString("[", ",", "]")
+      assert(wire("PUT", "/dbm/R", seed)._1 === 200)
+      // 8 inserters (distinct rows), 8 deleters (distinct seed rows), and
+      // TWO rivals inserting the SAME row — all in flight together
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val scripts =
+          (1 to 8).map(i => s"update R union {{ k:=${100 + i}, v:='n${100 + i}' }}") ++
+          (1 to 8).map(i => s"update R .where(k = $i) .select{}") ++
+          Seq("update R union {{ k:=500, v:='dup' }}",
+              "update R union {{ k:=500, v:='dup' }}")
+        val futures = scripts.map { s =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = wire("POST", "/dbm", s)._1
+          })
+        }
+        assert(futures.map(_.get()).forall(_ === 200), "a mutation verb failed")
+      } finally pool.shutdown()
+      // a FAILED script (unknown relvar) must not have torn anything
+      assert(wire("POST", "/dbm", "update NOPE union {{ k:=1, v:='x' }}")._1 === 400)
+      val (gc, gb) = wire("GET", "/dbm/R")
+      assert(gc === 200, gb)
+      val rows = mapper.readTree(gb)
+      val ks = (0 until rows.size).map(i => rows.get(i).get("k").asLong())
+      assert(ks.toSet === ((9 to 20).map(_.toLong) ++
+        (101 to 108).map(_.toLong) ++ Seq(500L)).toSet,
+        s"interleaved verbs lost or invented rows: ${ks.sorted}")
+      assert(ks.distinct.length === ks.length,
+        s"rival same-row inserts broke set semantics: ${ks.sorted}")
+    } finally g.stop()
+  }
+
   private def URIBuilder(s: String): URI = URI.create(s)
 
   override def withFixture(test: NoArgTest) = {

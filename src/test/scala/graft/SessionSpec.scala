@@ -118,4 +118,66 @@ class SessionSpec extends SparkSpec {
       s"bucketed layout lost across save/close/reopen:\n${p.take(3000)}")
     s2.close()
   }
+
+  test("two sessions mutate ONE bucketed relvar through the verb surface: " +
+    "interleaved insert/delete converge on the exact final set, a rival " +
+    "holding the layout lease makes the verb fail LOUD (never a silent " +
+    "interleave), and the refused mutation completes after release") {
+    import spark.implicits._
+    import graft.rel.Rel
+    import graft.sources.WriterLease
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_mut").toString
+    val seed = Session.open(spark)
+    seed.catalog.defineBucketed("R", Rel.distinct(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    // the SuiteUpdateCat1/2 shape, concurrent: two programs on one catalog
+    val a = Session.open(spark, dir)
+    val b = Session.open(spark, dir)
+    // interleaved verbs: a inserts, b deletes, a deletes, b inserts
+    a.catalog.insert("R", Rel.distinct(Seq((101L, "a1")).toDF("k", "v")))
+    b.catalog.deleteWhere("R", col("k") <= 5L)
+    a.catalog.deleteWhere("R", col("k") === 6L)
+    b.catalog.insert("R", Rel.distinct(Seq((102L, "b1")).toDF("k", "v")))
+    // a rival holding the layout's writer lease: the verb fails LOUD
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // the saved layout both sessions are bound to (Catalog.save's
+    // `_bucketed/<name>` convention — the path the mutation verbs lease)
+    val rivalPath = s"$dir/_bucketed/R"
+    assert(new java.io.File(rivalPath).isDirectory, s"no layout at $rivalPath")
+    val rival = new Thread(() =>
+      WriterLease.withLease(spark, rivalPath, "rival-program") {
+        holding.countDown(); release.await()
+      })
+    rival.start(); holding.await()
+    intercept[WriterLease.LeaseConflictException] {
+      a.catalog.insert("R", Rel.distinct(Seq((103L, "a2")).toDF("k", "v")))
+    }
+    intercept[WriterLease.LeaseConflictException] {
+      b.catalog.deleteWhere("R", col("k") === 7L)
+    }
+    release.countDown(); rival.join()
+    // the refused verbs complete after release
+    a.catalog.insert("R", Rel.distinct(Seq((103L, "a2")).toDF("k", "v")))
+    b.catalog.deleteWhere("R", col("k") === 7L)
+    // every mutation saw the rivals' committed state (lease + on-disk
+    // listing): b (re-attached by its own delete) and a FRESH session
+    // read the exact interleaved result …
+    val expect = ((8L to 20L) ++ Seq(101L, 102L, 103L)).toSet
+    val c = Session.open(spark, dir)
+    Seq("b" -> b, "c" -> c).foreach { case (who, s) =>
+      val got = s.getValue("R").df.select("k").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"session $who diverged: ${got.toSeq.sorted}")
+    }
+    // … while a serves its CONSISTENT SNAPSHOT: its attachment predates
+    // b's final delete (generation listings are pinned at attach — the
+    // same reader-snapshot contract every bucketed attachment has), so a
+    // sees exactly its own last re-attach: expect plus the still-undeleted 7
+    val aGot = a.getValue("R").df.select("k").collect().map(_.getLong(0)).toSet
+    assert(aGot === expect + 7L,
+      s"session a's snapshot tore: ${aGot.toSeq.sorted}")
+    a.close(); b.close(); c.close()
+  }
 }

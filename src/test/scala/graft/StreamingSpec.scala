@@ -666,6 +666,87 @@ class StreamingSpec extends SparkSpec {
     assert(!perBatch(3).exists(_._1 == 7001L), s"phantom: ${perBatch(3)}")
   }
 
+  test("MIXED-WRITER upkeep: a rival session's fold between batches is " +
+    "taken cleanly, a fold beside a held lease fails LOUD, a stream that " +
+    "loses a batch to a rival's lease fails loud (never silently " +
+    "interleaves), and re-delivery after the lost race is exactly-once") {
+    import graft.streaming.DocStream
+    import graft.sources.WriterLease
+    implicit val sq = spark.sqlContext
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20 && length(col("text")) >= 5)
+    val hist0 = history.filter(col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-rival").toString
+    DocStream.saveIndex(DocStream.buildIndex(history), dir, buckets = 4)
+    val freshA = "mixed writer era document about rival sessions and lease fences"
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String)]
+    val q = DocStream.startIncrementalPersisted(in.toDF.toDF("doc_id", "text"),
+      dir, b => perBatch.synchronized {
+        perBatch += b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      })
+    val rival = spark.newSession()
+    try {
+      in.addData((4000L, freshA), (4001L, hist0)) // batch 0
+      q.processAllAvailable()
+      assert(perBatch(0) === Set((4001L, 0L)), s"batch 0: ${perBatch(0)}")
+      // (1) the stream is idle between batches — a RIVAL SESSION's policy
+      // fold takes the free lease and folds the append fragmentation
+      assert(q.isActive)
+      val folded = DocStream.maintainIndex(rival, dir, maxFilesPerBucket = 1)
+      assert(folded.nonEmpty, "rival fold found nothing to compact (setup)")
+      assert(graft.sources.BucketedStore.currentGen(spark, s"$dir/band") >= 1,
+        "rival fold never advanced the band generation")
+      // (2) a fold attempted WHILE an appender holds the lease fails LOUD
+      // (the exact shape of a rival maintainIndex racing a mid-flight
+      // appendIndexBatch — the lease is what keeps the fold from flipping
+      // a generation the append is landing rows into)
+      val holding = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val appender = new Thread(() =>
+        WriterLease.withLease(spark, dir, "appendIndexBatch-mid-flight") {
+          holding.countDown(); release.await()
+        })
+      appender.start(); holding.await()
+      intercept[WriterLease.LeaseConflictException] {
+        DocStream.maintainIndex(rival, dir, maxFilesPerBucket = 1)
+      }
+      // (3) the STREAM loses its next batch to the held lease: the query
+      // fails LOUD (the batch append refuses to interleave) instead of
+      // silently landing rows beside the rival's write
+      in.addData((5000L, freshA + " with a trailing edit"), (5001L, hist0))
+      val streamErr = intercept[Throwable] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert((chain(streamErr) ++ q.exception.toList.flatMap(chain)).exists {
+        case _: WriterLease.LeaseConflictException => true
+        case t => t.getMessage != null && t.getMessage.contains("writer lease")
+      }, s"stream did not fail on the lease conflict: $streamErr")
+      // the refused batch advanced NOTHING: watermark still at batch 0
+      val meta = graft.sources.BucketedStore.readMeta(spark, dir, "index.meta.json")
+      assert(meta.get("lastBatch").asLong() === 0L,
+        "lost-race batch advanced the exactly-once watermark")
+      release.countDown(); appender.join()
+      // (4) re-delivery AFTER the lost race (what the restarted query's
+      // checkpoint replay performs) is exactly-once: the whole batch
+      // lands once, a second delivery of the same batchId is a no-op
+      val redeliver = Seq((5000L, freshA + " with a trailing edit"),
+        (5001L, hist0)).toDF("doc_id", "text")
+      assert(DocStream.appendIndexBatch(spark, dir, redeliver, batchId = 1L),
+        "re-delivered batch was refused")
+      assert(!DocStream.appendIndexBatch(spark, dir, redeliver, batchId = 1L),
+        "duplicate re-delivery was not skipped")
+      // the re-delivered rows serve through the rival's folded generation
+      val probe = Seq((9400L, freshA + " probing the mixed writer era"))
+        .toDF("doc_id", "text")
+      val got = DocStream.matchAgainst(probe, DocStream.loadIndex(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((9400L, 4000L)) || got.contains((9400L, 5000L)),
+        s"re-delivered corpus not served after the rival's fold: $got")
+    } finally q.stop()
+  }
+
   test("start-from-nothing stream: an EMPTY persisted index (no parquet " +
     "files at all — schemas come from the meta) accepts batches, and " +
     "batch 2 matches batch 1's planted dup through the appended layout") {
