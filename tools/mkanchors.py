@@ -8,11 +8,23 @@ anchor key is the first token. When a query is re-anchored in a later
 table, the LATEST occurrence in file order wins, matching the prose's
 "re-anchored this round" convention.
 
+Anchors are FLOORED at MIN_ANCHOR_S (0.25 s): a 0.1 s measured median is
+below single-run timing noise at sf0.1, so a raw ratio against it reports
+scheduler wobble as the sweep's "worst ratio" (q_pr_curve's 0.13 s anchor
+headlined two rounds at 1.27-1.55x on noise alone) and buries real
+regressions on substantive rows. The floor makes a sub-floor row's ratio
+read "within noise of instant" instead; rows at or above the floor are
+untouched. Bench's absolute +0.5 s adjudication band already protects
+these rows from false WEAK grades — the floor aligns the REPORTED ratios
+with that same judgment.
+
 Usage: python3 tools/mkanchors.py [BASELINE.md] [tools/anchors.json]
 """
 import json
 import re
 import sys
+
+MIN_ANCHOR_S = 0.25
 
 src = sys.argv[1] if len(sys.argv) > 1 else "BASELINE.md"
 dst = sys.argv[2] if len(sys.argv) > 2 else "tools/anchors.json"
@@ -34,7 +46,7 @@ for line in open(src, encoding="utf-8"):
                 med = float(cells[2])
             except (ValueError, IndexError):
                 continue
-            anchors[name] = med
+            anchors[name] = max(med, MIN_ANCHOR_S)
     else:
         in_anchor_table = False
 
