@@ -792,7 +792,14 @@ object Similarity {
     graft.sources.WriterLease.withLease(spark, path, "saveIvfPq") {
       index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
       index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-      index.codes.write.mode("overwrite")
+      // re-cluster by cell before the partitioned write (the same narrow
+      // m-byte-codes exchange compactIvfPq pays): a raw partitionBy from a
+      // wide frame writes a file per (task × cell) — the index would be
+      // BORN needing its first compaction, and every probe's cell scan
+      // would open task-count files instead of one
+      index.codes
+        .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+        .write.mode("overwrite")
         .partitionBy("centroid_id").parquet(s"$path/codes")
       // fence before the meta write makes the index loadable: three
       // corpus-sized writes can outlive the lease TTL
@@ -832,6 +839,10 @@ object Similarity {
       pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
           carry = Seq("centroid_id", "__ocn"))
         .drop("__cn")
+        // delta-sized cell re-cluster: bounds each append to ONE file per
+        // touched cell (a wide batch would otherwise land a file per
+        // task × cell and blow the maintainIvfPq fragmentation budget)
+        .repartition(org.apache.spark.sql.functions.col("centroid_id"))
         .write.mode("append").partitionBy("centroid_id")
         .parquet(s"$path/${codesDirName(codesGenOf(node))}")
     }

@@ -393,6 +393,12 @@ object BucketedStore {
     // column fails loud here instead of misassigning silently)
     val ordered = df.select(spark.table(tbl).schema.fieldNames
       .map(n => df(n)): _*)
+      // re-cluster the DELTA by the bucket keys (same guard as [[write]],
+      // delta-sized so the exchange is cheap): a wide delta frame would
+      // otherwise land file-per-(task × bucket), unbounding the "each
+      // append adds up to `buckets` files" fragmentation contract the
+      // maintain cadence is budgeted against
+      .repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
     ordered.createOrReplaceTempView(view)
     spark.sql(s"INSERT INTO `$tbl` SELECT * FROM `$view`")
     spark.catalog.dropTempView(view)

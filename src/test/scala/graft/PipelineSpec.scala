@@ -1288,6 +1288,34 @@ class PipelineSpec extends SparkSpec {
       "disk-appended vectors must be their own nearest neighbor")
   }
 
+  test("IVF-PQ index is BORN de-fragmented: saving from a WIDE codes frame " +
+    "lands one file per cell, and a wide append adds at most one file per " +
+    "touched cell — neither needs a first compaction to serve cheaply") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-born").toString
+    // 16 input tasks × 8 cells would be up to 128 files unguarded
+    val seed = emb.where(col("vec_id") < 400).repartition(16)
+    Similarity.saveIvfPq(Similarity.ivfPqBuild(seed, nlist = 8), dir)
+    val born = Similarity.ivfPqStats(spark, dir)
+    assert(born.maxFilesPerCell === 1,
+      s"saved index born fragmented: $born")
+    val delta = emb.where(col("vec_id") >= 400).repartition(16)
+    Similarity.appendIvfPq(spark, dir, delta)
+    val after = Similarity.ivfPqStats(spark, dir)
+    assert(after.maxFilesPerCell === 2,
+      s"wide append re-fragmented (expected ≤1 new file/cell): $after")
+    // the re-clustered store serves: an appended vector is its own top-1
+    val probe = delta.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb
+    val top = Similarity.ivfPqSearch(probe, Similarity.loadIvfPq(spark, dir),
+      corpus, k = 1, nprobe = 8).collect()(0)
+    assert(top.getAs[Long]("q_id") === top.getAs[Long]("vec_id"),
+      "appended vector not served as its own nearest neighbor")
+  }
+
   test("IVF-PQ maintenance: streamed appends fragment cells, maintainIvfPq " +
     "folds to one file per cell in a new generation, search results and " +
     "the exactly-once watermark survive, DPP still prunes the folded store") {

@@ -196,6 +196,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("layouts are BORN de-fragmented: write from a WIDE frame lands one " +
+    "file per bucket (the bucketing shuffle paid once at write), and a " +
+    "wide delta append adds at most one file per bucket") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstore-w").toString
+    // 16 input tasks × 4 buckets would be up to 64 files unguarded
+    val wide = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(16)
+    BucketedStore.write(wide, s"$dir/t", Seq("k"), 4)
+    val born = BucketedStore.stats(spark, s"$dir/t")
+    assert(born.maxFilesPerBucket === 1,
+      s"fresh layout born fragmented: $born")
+    // a wide DELTA: the append re-clusters delta-only, adding ≤1 file/bucket
+    val delta = (5000L to 6000L).map(i => (i, s"d$i")).toDF("k", "v")
+      .repartition(16)
+    BucketedStore.append(spark, s"$dir/t", delta, Seq("k"), 4,
+      Some("`k` BIGINT, `v` STRING"))
+    val after = BucketedStore.stats(spark, s"$dir/t")
+    assert(after.maxFilesPerBucket === 2,
+      s"wide append re-fragmented (expected +1 file/bucket): $after")
+    // the re-clustered layout still serves the full multiset
+    assert(BucketedStore.attach(spark, s"$dir/t", Seq("k"), 4).count() === 5001)
+  }
+
   test("compact is a GENERATION SWAP, safe under concurrent readers: an " +
     "attachment captured before the fold keeps serving its complete " +
     "superseded generation through and after the flip; vacuum honors the " +
