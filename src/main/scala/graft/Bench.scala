@@ -200,6 +200,11 @@ object Bench {
     // artifact's "subfloor" map (name -> ratio) so every >1.5x row
     // self-explains — previously a 0.3 s row at 1.9x could sit
     // un-adjudicated as the artifact's headline worst ratio.
+    // NOTE on floored anchors: mkanchors.py floors generated anchors at
+    // 0.25 s (sub-noise rows), so for those rows the relative-only
+    // trigger engages at 1.75 x 0.25 = ~0.44 s ABSOLUTE — a sub-noise
+    // query regressing within the noise band (0.10 -> 0.30 s) stays
+    // un-adjudicated BY DESIGN, and surfaces once it costs real time.
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val subfloor = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     timings.foreach { case (n, med) =>

@@ -248,18 +248,23 @@ final class Catalog(val spark: SparkSession) {
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(loc)
     if (fs.exists(p)) fs.delete(p, true)
-    // re-cluster by the bucket keys first — the bucketing shuffle, paid
-    // once: without it the bucketed writer emits a file per (input task ×
-    // bucket) and the layout is born fragmented (BucketedStore.write has
-    // the same guard; the full rationale lives on its doc)
-    r.df.repartition(buckets, bucketCols.map(col): _*)
-      .write.mode("overwrite")
+    // re-cluster by the bucket keys FIRST (BucketedStore.clusterByKeys —
+    // the bucketing shuffle, paid once; without it the bucketed writer
+    // emits a file per (input task × bucket) and the layout is born
+    // fragmented), THEN dedup a bag source: the set-semantics dropDuplicates
+    // clusters on the key partitioning (key subset satisfies its
+    // distribution), so a non-distinct source pays ONE exchange here, not
+    // a dedup exchange followed by a key exchange
+    val clustered = graft.sources.BucketedStore.clusterByKeys(
+      r.bagDF, bucketCols, buckets)
+    val toStore = if (r.knownDistinct) clustered else clustered.dropDuplicates()
+    toStore.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(phys)
-    // r.df deduplicates on write when the source wasn't known distinct, so
-    // the stored table is distinct by construction either way
+    // a bag source deduplicates on write, so the stored table is distinct
+    // by construction either way
     swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
     layoutGens(name) = Map(version(name) -> 0) // fresh layout: flat gen 0
@@ -590,22 +595,40 @@ final class Catalog(val spark: SparkSession) {
     * file name) but would emit a file per (task × bucket) — the
     * re-fragmentation BucketedStore.rewrite's doc warns about. */
   def updateWhere(name: String, pred: Column, sets: (String, Column)*): Unit = {
+    // Resolve every set-column name against the relvar's heading FIRST,
+    // Spark-style (exact match, else unique case-insensitive match), and
+    // fail LOUD on a miss: the positional select below would otherwise
+    // silently drop a typo'd or case-mismatched set — a full layout
+    // rewrite and version bump that changes nothing, with the bucket-key
+    // detection misclassified on top.
+    val heading = relvar(name).attrs
+    val resolved: Seq[(String, Column)] = sets.map { case (n, c) =>
+      val hit = heading.find(_ == n).orElse {
+        heading.filter(_.equalsIgnoreCase(n)) match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+      }
+      hit.getOrElse(throw new IllegalArgumentException(
+        s"updateWhere($name): no column '$n' in (${heading.mkString(", ")})")) -> c
+    }
     // single-pass when-otherwise rewrite; the dropDuplicates restores set
     // semantics (two rows may collapse onto one tuple after the update) —
     // a key-preserving update pays no exchange at all (the dedup clusters
     // on the stored bucketing), a key-moving update pays exactly one
     def sel(df: DataFrame): DataFrame = df.select(df.columns.map { a =>
-      sets.find(_._1 == a) match {
+      resolved.find(_._1 == a) match {
         case Some((_, c)) => when(pred, c).otherwise(col(a)).as(a)
         case None => col(a)
       }
     }: _*)
     bucketSpec.get(name) match {
       case Some((cols, k)) =>
-        val movesBuckets = sets.exists(s => cols.contains(s._1))
+        val movesBuckets = resolved.exists(s => cols.contains(s._1))
         if (movesBuckets)
           rewriteBucketed(name, cols, k, df =>
-            sel(df).repartition(k, cols.map(col): _*).dropDuplicates())
+            graft.sources.BucketedStore.clusterByKeys(sel(df), cols, k)
+              .dropDuplicates())
         else
           rewriteBucketed(name, cols, k, df => sel(df).dropDuplicates())
       case None => swap(name, Rel.distinct(sel(relvar(name).df).dropDuplicates()))
@@ -745,7 +768,12 @@ final class Catalog(val spark: SparkSession) {
           val tmp = s"$dir/.saving_bkt_$n"
           val tmpP = new org.apache.hadoop.fs.Path(tmp)
           if (hfs.exists(tmpP)) hfs.delete(tmpP, true)
-          graft.sources.BucketedStore.write(relvars(n).df, tmp, cols, k)
+          // exchange-free re-home (BucketedStore.copyLayout): the relvar's
+          // plan IS its stored-layout scan, so the copy reads one
+          // partition per bucket and never re-pays the bucketing shuffle
+          // a plain write's clusterByKeys would charge per save
+          graft.sources.BucketedStore.copyLayout(spark, layoutPath(n), tmp,
+            cols, k, Some(relvars(n).df.schema.toDDL))
           val tgt = new org.apache.hadoop.fs.Path(target)
           if (hfs.exists(tgt)) hfs.delete(tgt, true)
           require(hfs.rename(tmpP, tgt),

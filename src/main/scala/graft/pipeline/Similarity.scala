@@ -787,6 +787,15 @@ object Similarity {
     * COMPACT lifecycle only, where old generations stay readable through
     * the flip. To rebuild under live serving, save to a fresh path and
     * switch readers over, or rebuild in the serving maintenance window. */
+  /** Re-cluster codes by cell so the partitioned write emits exactly one
+    * file per cell — the cell-store sibling of
+    * [[graft.sources.BucketedStore.clusterByKeys]] (here partition DIRS,
+    * not bucket files, so plain hash-repartition by the cell id is the
+    * whole invariant). Shared by [[saveIvfPq]] (corpus-sized, once),
+    * [[appendIvfPq]] (delta-sized) and [[compactIvfPq]] (fold). */
+  private def clusterByCell(df: DataFrame): DataFrame =
+    df.repartition(org.apache.spark.sql.functions.col("centroid_id"))
+
   def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
     val spark = index.centroids.sparkSession
     graft.sources.WriterLease.withLease(spark, path, "saveIvfPq") {
@@ -797,8 +806,7 @@ object Similarity {
       // wide frame writes a file per (task × cell) — the index would be
       // BORN needing its first compaction, and every probe's cell scan
       // would open task-count files instead of one
-      index.codes
-        .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+      clusterByCell(index.codes)
         .write.mode("overwrite")
         .partitionBy("centroid_id").parquet(s"$path/codes")
       // fence before the meta write makes the index loadable: three
@@ -839,10 +847,10 @@ object Similarity {
       pqEncode(resid, idx.codebooks, idx.m, idx.cId, "__rvec",
           carry = Seq("centroid_id", "__ocn"))
         .drop("__cn")
-        // delta-sized cell re-cluster: bounds each append to ONE file per
-        // touched cell (a wide batch would otherwise land a file per
-        // task × cell and blow the maintainIvfPq fragmentation budget)
-        .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+        // delta-sized cell re-cluster (clusterByCell): bounds each append
+        // to ONE file per touched cell (a wide batch would otherwise land
+        // a file per task × cell and blow the maintain budget)
+        .transform(clusterByCell)
         .write.mode("append").partitionBy("centroid_id")
         .parquet(s"$path/${codesDirName(codesGenOf(node))}")
     }
@@ -1020,10 +1028,9 @@ object Similarity {
           .exists(_.getPath.getName.startsWith("centroid_id="))) {
         val next = new org.apache.hadoop.fs.Path(s"$path/${codesDirName(gen + 1)}")
         if (fs.exists(next)) fs.delete(next, true) // crashed prior attempt
-        // repartition by cell: each cell lands whole in one task, so the
+        // clusterByCell: each cell lands whole in one task, so the
         // partitioned write emits exactly one file per cell
-        spark.read.parquet(cur.toString)
-          .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+        clusterByCell(spark.read.parquet(cur.toString))
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(next.toString)
         graft.sources.WriterLease.renew(spark, path, "compactIvfPq")

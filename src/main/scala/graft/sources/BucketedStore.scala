@@ -124,9 +124,23 @@ object BucketedStore {
     // may have left _gen-* dirs a fresh flat write must not resurrect
     val fs = fsOf(spark, path)
     if (fs.exists(hp(path))) fs.delete(hp(path), true)
-    writeFlat(df.repartition(buckets,
-      keys.map(org.apache.spark.sql.functions.col): _*), path, keys, buckets)
+    writeFlat(clusterByKeys(df, keys, buckets), path, keys, buckets)
   }
+
+  /** THE bucketing shuffle, shared by every fresh-layout writer
+    * ([[write]], [[append]], Catalog.defineBucketed): re-cluster rows so
+    * each write task holds exactly one bucket's rows and emits exactly
+    * one file. The invariant this encodes: `repartition(n, cols)` hashes
+    * with the SAME Murmur3 `pmod` as Spark's bucket-id expression, so
+    * shuffle partition i IS bucket i when n == buckets. If either hash
+    * ever changes, every caller of this helper changes with it.
+    * [[compact]]/[[rewrite]] bypass it on purpose — their input is
+    * already the bucketed scan's one-partition-per-bucket layout and must
+    * stay exchange-free. */
+  def clusterByKeys(df: DataFrame, keys: Seq[String],
+                    buckets: Int): DataFrame =
+    df.repartition(buckets,
+      keys.map(org.apache.spark.sql.functions.col): _*)
 
   /** The raw bucketed write into exactly `dir` — no generation handling.
     * Shared by [[write]] (dir = layout root) and [[compact]] (dir = the
@@ -261,6 +275,30 @@ object BucketedStore {
     writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
   }
 
+  /** Copy a stored bucketed layout to a FRESH standalone layout dir
+    * WITHOUT re-paying the bucketing shuffle: the source's current
+    * generation is read through a pinned bucketed scan in a cloned
+    * session (one partition per bucket — the same trick [[rewrite]]
+    * uses) and written flat (gen 0, one file per bucket). This is the
+    * re-homing path — Catalog.save of a bucketed relvar — where
+    * [[write]]'s clusterByKeys exchange would re-pay, on EVERY save, the
+    * shuffle the source layout already embodies; at corpus scale that
+    * exchange would BE the save cost. Freshness contract: copies the
+    * layout's current on-disk generation (what a fresh attach would
+    * serve), not any one reader's pinned listing. */
+  def copyLayout(spark: SparkSession, srcPath: String, destDir: String,
+                 keys: Seq[String], buckets: Int,
+                 schemaDdl: Option[String] = None): Unit = {
+    val fs = fsOf(spark, destDir)
+    if (fs.exists(hp(destDir))) fs.delete(hp(destDir), true)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val (df, tbl) = attachNamed(s2, srcPath, keys, buckets, schemaDdl)
+    try writeFlat(df, destDir, keys, buckets)
+    finally s2.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   /** Reclaim superseded generations: delete every `_gen-K` below
     * `currentGen - keepPrior`, every ORPHAN `_gen-K` ABOVE the current
     * generation (a compaction that crashed after its rewrite but before
@@ -391,14 +429,14 @@ object BucketedStore {
     // TABLE's order by NAME, so a caller whose frame carries the same
     // columns in a different order appends correctly (and a missing
     // column fails loud here instead of misassigning silently)
-    val ordered = df.select(spark.table(tbl).schema.fieldNames
-      .map(n => df(n)): _*)
-      // re-cluster the DELTA by the bucket keys (same guard as [[write]],
-      // delta-sized so the exchange is cheap): a wide delta frame would
-      // otherwise land file-per-(task × bucket), unbounding the "each
-      // append adds up to `buckets` files" fragmentation contract the
-      // maintain cadence is budgeted against
-      .repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+    // re-cluster the DELTA by the bucket keys ([[clusterByKeys]],
+    // delta-sized so the exchange is cheap): a wide delta frame would
+    // otherwise land file-per-(task × bucket), unbounding the "each
+    // append adds up to `buckets` files" fragmentation contract the
+    // maintain cadence is budgeted against
+    val ordered = clusterByKeys(
+      df.select(spark.table(tbl).schema.fieldNames.map(n => df(n)): _*),
+      keys, buckets)
     ordered.createOrReplaceTempView(view)
     spark.sql(s"INSERT INTO `$tbl` SELECT * FROM `$view`")
     spark.catalog.dropTempView(view)

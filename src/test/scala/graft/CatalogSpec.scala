@@ -808,6 +808,69 @@ class CatalogSpec extends SparkSpec {
     cat.close()
   }
 
+  test("updateWhere resolves set-column names loud and Spark-style: a " +
+    "typo'd set fails instead of rewriting nothing, a case-mismatched " +
+    "set resolves (and a case-mismatched BUCKET-KEY set still re-clusters)") {
+    val cat = new Catalog(spark)
+    cat.defineBucketed("BRes", Rel.distinct(
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    val vBefore = cat.version("BRes")
+    // typo'd set column: LOUD refusal, no rewrite, no version bump
+    val e = intercept[IllegalArgumentException] {
+      cat.updateWhere("BRes", col("k") === 1L, "vv" -> lit("x"))
+    }
+    assert(e.getMessage.contains("no column 'vv'"), e.getMessage)
+    assert(cat.version("BRes") === vBefore,
+      "a refused update still bumped the version")
+    // case-mismatched non-key set resolves like Spark name resolution
+    cat.updateWhere("BRes", col("k") === 1L, "V" -> lit("upd"))
+    assert(cat.relvar("BRes").where(col("v") === "upd").count() === 1,
+      "case-insensitive set resolution lost the update")
+    // case-mismatched BUCKET-KEY set is detected as a key move: rows
+    // relocate correctly and the layout stays one file per bucket
+    cat.updateWhere("BRes", col("k") <= 2L, "K" -> (col("k") + 100L))
+    val got = cat.relvar("BRes").df.select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === ((3L to 8L) ++ Seq(101L, 102L)).toSet, got.toSeq.sorted)
+    assert(cat.layoutStats("BRes").maxFilesPerBucket === 1,
+      "case-mismatched key set skipped the re-cluster")
+    cat.close()
+  }
+
+  test("saving a bucketed relvar to a new dir is an exchange-free layout " +
+    "COPY (one partition per bucket in, one file per bucket out) — the " +
+    "bucketing shuffle is never re-paid per save") {
+    val cat = new Catalog(spark)
+    cat.defineBucketed("BSave", Rel.distinct(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-sv0").toString
+    @volatile var shuffleRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m =>
+          shuffleRecords += m.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      cat.save(dir)
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords != last && spins < 40) {
+        last = shuffleRecords; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffleRecords === 0L,
+      s"save shuffled $shuffleRecords records — the layout copy re-paid " +
+      "the bucketing shuffle")
+    val st = graft.sources.BucketedStore.stats(spark, s"$dir/_bucketed/BSave")
+    assert(st.maxFilesPerBucket === 1,
+      s"saved layout not one file per bucket: $st")
+    val back = Catalog.load(spark, dir)
+    assert(back.relvar("BSave").count() === 400)
+    back.close(); cat.close()
+  }
+
   test("two-session mutation STRESS over one shared layout: interleaved " +
     "inserts and deletes with retry-on-conflict converge on the exact " +
     "expected set — no lost update, no duplicate, no torn generation") {
