@@ -2751,7 +2751,7 @@ object Queries {
     "q_schema", "q_semijoin", "q_sep", "q_seq", "q_shuffle_order",
     "q_skip", "q_sub", "q_subtotal", "q_sup", "q_symdiff", "q_take",
     "q_tuple", "q_udt", "q_union", "q_update_delete", "q_update_insert",
-    "q_update_set", "q_where", "q_while", "q_while_dist",
+    "q_update_null", "q_update_set", "q_where", "q_while", "q_while_dist",
     "q_while_rollup")
 
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(

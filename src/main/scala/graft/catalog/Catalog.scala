@@ -453,14 +453,25 @@ final class Catalog(val spark: SparkSession) {
     * layout others mutate should raise layoutKeepPrior, or leave
     * retention unset (the default) — which never vacuums below this
     * session's own pins. */
-  private def vacuumLayout(name: String): Unit = {
-    val path = layoutPath(name)
-    val gen = graft.sources.BucketedStore.currentGen(spark, path)
+  /** The pin-driven grace window for `name`'s layout at current
+    * generation `gen`: how many generations below the current one must
+    * survive — the span down to the oldest generation a RETAINED version
+    * pins, widened by [[layoutKeepPrior]] on attach-loaded layouts other
+    * sessions may read. SHARED by [[vacuumLayout]] (what it keeps) and
+    * [[layoutStats]] (what it reports as reclaimable) so the two can
+    * never disagree. */
+  private def pinKeepPrior(name: String, gen: Int): Int = {
     val minPinned =
       (layoutGens.getOrElse(name, Map.empty).values ++ Seq(gen)).min
     val grace = if (boundTo.contains(name)) layoutKeepPrior else 0
+    math.max(gen - minPinned, grace)
+  }
+
+  private def vacuumLayout(name: String): Unit = {
+    val path = layoutPath(name)
+    val gen = graft.sources.BucketedStore.currentGen(spark, path)
     graft.sources.BucketedStore.vacuum(spark, path,
-      keepPrior = math.max(gen - minPinned, grace))
+      keepPrior = pinKeepPrior(name, gen))
   }
 
   /** Layout-keeping mutation of a bucketed relvar: a generation-swapped
@@ -500,10 +511,17 @@ final class Catalog(val spark: SparkSession) {
     * one file per bucket; a bucketed scan opens all of a bucket's files
     * in one task), and the superseded storage the next mutation's
     * retention vacuum could reclaim. Throws for a relvar without a
-    * bucket spec. */
+    * bucket spec. Superseded storage is computed with the SAME pin-driven
+    * grace window [[vacuumLayout]] uses ([[pinKeepPrior]]), so the report
+    * is exactly what the next mutation's retention vacuum reclaims —
+    * under unbounded retention (every generation pinned) it reads zero,
+    * never phantom reclaimable bytes. */
   def layoutStats(name: String): graft.sources.BucketedStore.LayoutStats = {
     require(bucketSpec.contains(name), s"relvar $name has no bucketed layout")
-    graft.sources.BucketedStore.stats(spark, layoutPath(name))
+    val path = layoutPath(name)
+    val gen = graft.sources.BucketedStore.currentGen(spark, path)
+    graft.sources.BucketedStore.stats(spark, path,
+      keepPrior = pinKeepPrior(name, gen))
   }
 
   /** Policy-driven upkeep of a bucketed relvar's layout — the catalog
@@ -612,6 +630,12 @@ final class Catalog(val spark: SparkSession) {
       hit.getOrElse(throw new IllegalArgumentException(
         s"updateWhere($name): no column '$n' in (${heading.mkString(", ")})")) -> c
     }
+    // two bindings landing on one column (exact duplicate, or a case
+    // variant) would silently apply only the first — refuse, like SQL
+    // UPDATE refuses duplicate assignments
+    resolved.groupBy(_._1).collectFirst { case (c, xs) if xs.size > 1 => c }
+      .foreach(c => throw new IllegalArgumentException(
+        s"updateWhere($name): column '$c' assigned more than once"))
     // single-pass when-otherwise rewrite; the dropDuplicates restores set
     // semantics (two rows may collapse onto one tuple after the update) —
     // a key-preserving update pays no exchange at all (the dedup clusters
@@ -771,9 +795,17 @@ final class Catalog(val spark: SparkSession) {
           // exchange-free re-home (BucketedStore.copyLayout): the relvar's
           // plan IS its stored-layout scan, so the copy reads one
           // partition per bucket and never re-pays the bucketing shuffle
-          // a plain write's clusterByKeys would charge per save
-          graft.sources.BucketedStore.copyLayout(spark, layoutPath(n), tmp,
-            cols, k, Some(relvars(n).df.schema.toDDL))
+          // a plain write's clusterByKeys would charge per save. The copy
+          // holds the SOURCE layout's writer lease: a rival session's
+          // mutation chain could otherwise flip generations and vacuum
+          // the one this corpus-sized read is mid-scan on (the 1-gen
+          // grace only masks a single rival mutation)
+          val src = layoutPath(n)
+          val owner = s"catalog.save($n)"
+          graft.sources.WriterLease.withLease(spark, src, owner) {
+            graft.sources.BucketedStore.copyLayout(spark, src, tmp,
+              cols, k, Some(relvars(n).df.schema.toDDL))
+          }
           val tgt = new org.apache.hadoop.fs.Path(target)
           if (hfs.exists(tgt)) hfs.delete(tgt, true)
           require(hfs.rename(tmpP, tgt),
@@ -1035,6 +1067,16 @@ object Catalog {
       cat.history(n) = byV.values.toVector
       if (ks.head > 1 && !cat.trimmedV.contains(n))
         cat.trimmedV(n) = ks.head - 1
+    }
+    // Re-key each bucketed attach pin to the attachment's TRUE version:
+    // the defines above ran BEFORE the history/floor install, so their
+    // layoutGens pins were keyed version 1 — on a save WITH archived
+    // history, retention would release that pin keepVersions too early
+    // and vacuumLayout could reclaim the generation the loaded attachment
+    // (still addressable through as-of) reads.
+    cat.layoutGens.keys.toSeq.foreach { n =>
+      cat.layoutGens(n) =
+        cat.layoutGens(n).map { case (_, g) => cat.version(n) -> g }
     }
     cat
   }

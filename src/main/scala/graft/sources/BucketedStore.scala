@@ -260,19 +260,33 @@ object BucketedStore {
     // bucketing shuffle the original write paid is never paid again. The
     // old repartition-based fold shuffled the whole layout every
     // compaction; at 100 TB that exchange WAS the compaction cost.
-    // the pin is scoped to a CLONED session (shared metastore + context,
-    // private conf): a set/restore on the caller's session would race
-    // concurrent compactions (two interleaved finallys can leak the
-    // setting permanently) and alter the plans of every query the
-    // session runs during the fold window
+    // pinned bucketed scan in a cloned session — see withPinnedBucketedScan
+    withPinnedBucketedScan(spark, path, keys, buckets) { df =>
+      writeFlat(transform(df), next, keys, buckets)
+    }
+    beforeFlip()
+    writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
+  }
+
+  /** Run `body` over the layout's CURRENT generation read through a
+    * PINNED bucketed scan — one partition per bucket, never file-split.
+    * The pin is scoped to a CLONED session (shared metastore + context,
+    * private conf): DisableUnnecessaryBucketedScan would demote a bare
+    * scan→write to a file-split plain scan (and the write would emit a
+    * file per task × bucket — re-fragmentation), while a set/restore on
+    * the caller's session would race concurrent folds (two interleaved
+    * finallys can leak the setting permanently) and alter every query the
+    * session runs during the window. Shared by [[rewrite]] and
+    * [[copyLayout]] — the invariant lives here once. */
+  private def withPinnedBucketedScan[A](spark: SparkSession, path: String,
+      keys: Seq[String], buckets: Int, schemaDdl: Option[String] = None)
+      (body: DataFrame => A): A = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
       "false")
-    val (df, tbl) = attachNamed(s2, path, keys, buckets)
-    try writeFlat(transform(df), next, keys, buckets)
+    val (df, tbl) = attachNamed(s2, path, keys, buckets, schemaDdl)
+    try body(df)
     finally s2.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    beforeFlip()
-    writeMeta(spark, path, "_gen.json", s"""{"gen":${gen + 1}}""")
   }
 
   /** Copy a stored bucketed layout to a FRESH standalone layout dir
@@ -291,12 +305,9 @@ object BucketedStore {
                  schemaDdl: Option[String] = None): Unit = {
     val fs = fsOf(spark, destDir)
     if (fs.exists(hp(destDir))) fs.delete(hp(destDir), true)
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
-    val (df, tbl) = attachNamed(s2, srcPath, keys, buckets, schemaDdl)
-    try writeFlat(df, destDir, keys, buckets)
-    finally s2.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    withPinnedBucketedScan(spark, srcPath, keys, buckets, schemaDdl) { df =>
+      writeFlat(df, destDir, keys, buckets)
+    }
   }
 
   /** Reclaim superseded generations: delete every `_gen-K` below

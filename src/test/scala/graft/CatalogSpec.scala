@@ -665,7 +665,47 @@ class CatalogSpec extends SparkSpec {
     assert(cat2.relvarAt("BU", 1).count() === 10)
     assert(cat2.relvarAt("BU", 2).count() === 9)
     assert(cat2.relvar("BU").count() === 8)
+    // layoutStats shares the vacuum's pin arithmetic: with every
+    // generation pinned, NOTHING is reported reclaimable (a raw
+    // keepPrior=1 listing would claim gen-0 as superseded bytes the
+    // retention vacuum will never touch)
+    val st2 = cat2.layoutStats("BU")
+    assert(st2.supersededGens === 0 && st2.supersededBytes === 0L,
+      s"layoutStats reported phantom reclaimable storage: $st2")
     cat2.close()
+  }
+
+  test("loading a save WITH archived history keys the attach pin to the " +
+    "attachment's TRUE version: retention releases it on the real window, " +
+    "so an in-window as-of read never loses its generation to the vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-ldpin").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("BH", Rel.distinct(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.deleteWhere("BH", col("k") === 1L) // archives v1 → save carries history
+    seed.save(dir)
+    seed.close()
+    spark.conf.set("spark.graft.catalog.keepVersions", "3")
+    try {
+      val cat = Catalog.load(spark, dir)
+      // floor 0 + history [v1] + current ⇒ the loaded attachment is v2
+      assert(cat.version("BH") === 2)
+      cat.deleteWhere("BH", col("k") === 2L) // v3
+      cat.deleteWhere("BH", col("k") === 3L) // v4
+      // window keeps v2..v4; v2 is the LOADED attachment reading the
+      // saved gen-0 — a pin keyed to the pre-history placeholder version
+      // would be released here and the vacuum would delete gen-0 under it
+      assert(cat.relvarAt("BH", 2).count() === 39,
+        "in-window as-of read lost the loaded attachment's generation")
+      assert(cat.relvarAt("BH", 3).count() === 38)
+      assert(cat.relvar("BH").count() === 37)
+      // one more mutation rolls v2 out of the window: NOW gen-0 may go
+      cat.deleteWhere("BH", col("k") === 4L) // v5; retained v3..v5
+      intercept[IllegalArgumentException] { cat.relvarAt("BH", 2) }
+      assert(cat.relvarAt("BH", 3).count() === 38,
+        "the rolled window lost a still-retained generation")
+      cat.close()
+    } finally spark.conf.unset("spark.graft.catalog.keepVersions")
   }
 
   test("insertBucketed never shuffles the history: the set-semantics " +
@@ -822,6 +862,14 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no column 'vv'"), e.getMessage)
     assert(cat.version("BRes") === vBefore,
       "a refused update still bumped the version")
+    // two bindings landing on one column (here via a case variant) refuse
+    // like SQL UPDATE, instead of silently applying only the first
+    val e2 = intercept[IllegalArgumentException] {
+      cat.updateWhere("BRes", col("k") === 1L,
+        "v" -> lit("a"), "V" -> lit("b"))
+    }
+    assert(e2.getMessage.contains("assigned more than once"), e2.getMessage)
+    assert(cat.version("BRes") === vBefore)
     // case-mismatched non-key set resolves like Spark name resolution
     cat.updateWhere("BRes", col("k") === 1L, "V" -> lit("upd"))
     assert(cat.relvar("BRes").where(col("v") === "upd").count() === 1,
