@@ -143,7 +143,10 @@ final class HttpGateway(spark: SparkSession, port: Int = 0,
 
   /** JSON row array (or JSON lines) → DataFrame via the SQL JSON codec —
     * the same parse [[Session.setValueJson]] uses: an existing relvar's
-    * schema drives it (exact round trip incl. timestamps), else inferred. */
+    * schema drives it (exact round trip incl. timestamps), else inferred.
+    * Missing/null fields coalesce to type defaults like the CSV reader —
+    * JSON is the one inlet whose codec emits real NULLs, and the language
+    * engine behind this edge is no-NULL. */
   private def parseRows(json: String,
                         schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     import spark.implicits._
@@ -152,7 +155,11 @@ final class HttpGateway(spark: SparkSession, port: Int = 0,
       else json.linesIterator.filter(_.trim.nonEmpty).toSeq
     val ds = spark.createDataset(records)
     val reader = spark.read.option("mode", "FAILFAST")
-    schema.map(reader.schema(_).json(ds)).getOrElse(reader.json(ds))
+    val parsed = schema.map(reader.schema(_).json(ds)).getOrElse(reader.json(ds))
+    parsed.select(parsed.schema.fields.map { f =>
+      org.apache.spark.sql.functions
+        .coalesce(parsed(f.name), graft.rel.Rel.defaultCol(f.dataType)).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** A JSON array of scalar args → Andl literal syntax ("x" → 'x', numbers

@@ -43,7 +43,14 @@ final class Session private (val spark: SparkSession, val catalog: Catalog) {
     * a JSON array (or JSON-lines) payload with the DataFrame JSON codec.
     * If the relvar already exists, its schema drives the parse — exact
     * round-trip with [[getValueJson]] including timestamp/decimal columns;
-    * otherwise the schema is inferred from the payload. */
+    * otherwise the schema is inferred from the payload.
+    *
+    * No-NULL discipline at the edge: a MISSING or explicitly-null field
+    * coalesces to the column type's default, exactly like the CSV reader
+    * (Sources.csv — `coalesce(cast, default)`). Without this, JSON — the
+    * one source whose codec emits real NULLs — would smuggle NULLs into a
+    * no-NULL engine, where a later `update .where(p)` predicate evaluates
+    * to NULL and every mutation surface has to re-defend against it. */
   def setValueJson(name: String, json: String): Unit = {
     import spark.implicits._
     // a top-level array is ONE record (the codec unrolls it; embedded
@@ -53,10 +60,14 @@ final class Session private (val spark: SparkSession, val catalog: Catalog) {
       else json.linesIterator.filter(_.trim.nonEmpty).toSeq
     val ds = spark.createDataset(records)
     val reader = spark.read.option("mode", "FAILFAST") // malformed = loud
-    val df =
+    val parsed =
       if (catalog.names.contains(name))
         reader.schema(catalog.relvar(name).df.schema).json(ds)
       else reader.json(ds)
+    val df = parsed.select(parsed.schema.fields.map { f =>
+      org.apache.spark.sql.functions
+        .coalesce(parsed(f.name), Rel.defaultCol(f.dataType)).as(f.name)
+    }.toIndexedSeq: _*)
     // a wire payload can carry duplicate rows — wrap as a bag so the Rel
     // layer dedupes to set semantics (Rel.distinct only MARKS, never dedupes)
     setValue(name, Rel.bag(df))

@@ -624,7 +624,12 @@ final class Catalog(val spark: SparkSession) {
       val hit = heading.find(_ == n).orElse {
         heading.filter(_.equalsIgnoreCase(n)) match {
           case Seq(one) => Some(one)
-          case _ => None
+          case Seq() => None
+          case many => throw new IllegalArgumentException(
+            // Spark-style resolution reports ambiguity DISTINCTLY from a
+            // miss: two case-variant columns both match, neither exactly
+            s"updateWhere($name): column '$n' is ambiguous — matches " +
+              s"(${many.mkString(", ")}); use the exact case")
         }
       }
       hit.getOrElse(throw new IllegalArgumentException(

@@ -205,7 +205,16 @@ final class AndlInterp(val spark: SparkSession, val sourceDir: String,
       case UpWhere(predOpt, termsOpt) =>
         val r = toSparkRel(cur)
         val ctx = cols.Ctx(r.heading.toMap, Map.empty, env, None, cols.NoFold)
-        val pred = predOpt.map(p => cols.compile(p, ctx).col).getOrElse(F.lit(true))
+        // SQL-shaped NULL contract, SAME as Catalog.updateWhere/deleteWhere
+        // (Catalog.scala): a row where the predicate evaluates to NULL is
+        // kept UNCHANGED on update and NEVER deleted. The coalesce makes
+        // the two-branch split below EXHAUSTIVE — a bare pred/!pred pair
+        // both reject a NULL row, silently dropping it (the r17 Catalog
+        // fix; the language's own csv source can't produce NULLs, but the
+        // JSON gateway edge can hand this interpreter a relvar that does).
+        val pred = F.coalesce(
+          predOpt.map(p => cols.compile(p, ctx).col).getOrElse(F.lit(true)),
+          F.lit(false))
         termsOpt match {
           case None | Some((_, Seq())) => // delete matching rows
             env.assign(name, RelV(r.heading, r.rel.where(!pred)))

@@ -870,6 +870,18 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("assigned more than once"), e2.getMessage)
     assert(cat.version("BRes") === vBefore)
+    // a set name with NO exact hit but TWO case-insensitive matches is
+    // reported as AMBIGUOUS (Spark-style), distinctly from a plain miss
+    val cat2 = new Catalog(spark)
+    cat2.define("Amb", Rel.distinct(
+      Seq((1L, "a", "b")).toDF("k", "val", "VAL")))
+    val e3 = intercept[IllegalArgumentException] {
+      cat2.updateWhere("Amb", col("k") === 1L, "Val" -> lit("x"))
+    }
+    assert(e3.getMessage.contains("ambiguous") &&
+      e3.getMessage.contains("val") && e3.getMessage.contains("VAL"),
+      e3.getMessage)
+    cat2.close()
     // case-mismatched non-key set resolves like Spark name resolution
     cat.updateWhere("BRes", col("k") === 1L, "V" -> lit("upd"))
     assert(cat.relvar("BRes").where(col("v") === "upd").count() === 1,

@@ -209,6 +209,84 @@ class HttpGatewaySpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("JSON edge no-NULL discipline: PUT with null/missing fields lands " +
+    "type defaults (never NULL), and script update-set / delete over the " +
+    "wire keep the q_update_null contract — no silent row loss") {
+    val g = new HttpGateway(spark)
+    g.start()
+    try {
+      val b2 = s"http://127.0.0.1:${g.boundPort}/api"
+      def wire(method: String, path: String, body: String = ""): (Int, String) = {
+        val b = HttpRequest.newBuilder(URI.create(s"$b2$path"))
+        val req = (method match {
+          case "GET" => b.GET()
+          case m => b.method(m, BodyPublishers.ofString(body))
+        }).build()
+        val r = http.send(req, BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // k=2 carries an EXPLICIT null, k=3 is MISSING the field entirely —
+      // the two inlet shapes the SQL JSON codec turns into real NULLs
+      val put = """[{"k":1,"v":10.5,"tag":"a"},
+                   |{"k":2,"v":null,"tag":"b"},
+                   |{"k":3,"tag":"c"}]""".stripMargin
+      assert(wire("PUT", "/dbn/R", put)._1 === 200)
+      val rows = mapper.readTree(wire("GET", "/dbn/R")._2)
+      assert(rows.size === 3)
+      val byK = (0 until rows.size).map(i => rows.get(i))
+        .map(r => r.get("k").asLong() -> r).toMap
+      byK.values.foreach { r =>
+        assert(r.has("v") && !r.get("v").isNull,
+          s"NULL leaked through the JSON edge: $r")
+      }
+      assert(byK(2L).get("v").asDouble() === 0.0, "explicit null -> type default")
+      assert(byK(3L).get("v").asDouble() === 0.0, "missing field -> type default")
+      assert(byK(1L).get("v").asDouble() === 10.5)
+      // update-set over the wire: only v>5 rows change; NOTHING is lost
+      assert(wire("POST", "/dbn",
+        "update R .where(v > 5) .select{ tag := 'hit' }")._1 === 200)
+      val after = mapper.readTree(wire("GET", "/dbn/R")._2)
+      assert(after.size === 3, "update-set dropped rows at the gateway edge")
+      val tags = (0 until after.size).map(i =>
+        after.get(i).get("k").asLong() -> after.get(i).get("tag").asText()).toMap
+      assert(tags === Map(1L -> "hit", 2L -> "b", 3L -> "c"))
+      // delete over the wire: only v>5 rows go; the defaulted rows survive
+      assert(wire("POST", "/dbn",
+        "update R .where(v > 5) .select{}")._1 === 200)
+      val left = mapper.readTree(wire("GET", "/dbn/R")._2)
+      val leftK = (0 until left.size).map(i => left.get(i).get("k").asLong()).toSet
+      assert(leftK === Set(2L, 3L), s"delete over the wire diverged: $leftK")
+    } finally g.stop()
+  }
+
+  test("interpreter NULL-predicate defense (inlet bypassed): a relvar " +
+    "holding real NULLs updates/deletes with the SQL contract — NULL-pred " +
+    "rows kept unchanged on update, never deleted on delete") {
+    import graft.lang.AndlInterp
+    import org.apache.spark.sql.functions._
+    // inject NULLs BELOW the gateway edge (defineRelvar takes any engine
+    // DataFrame) — the interpreter must defend on its own, same contract
+    // as Catalog.updateWhere/deleteWhere (q_update_null)
+    val df = {
+      import spark.implicits._
+      Seq((1.0, Some(10.0), "a"), (2.0, None, "b"), (3.0, Some(2.0), "c"))
+        .toDF("k", "v", "tag")
+    }
+    val upd = new AndlInterp(spark, ".")
+    upd.defineRelvar("R", df)
+    upd.run("update R .where(v > 5) .select{ tag := 'hit' }", "nulltest")
+    val afterUpd = upd.relvar("R").collect()
+      .map(r => r.getDouble(r.fieldIndex("k")) -> r.getString(r.fieldIndex("tag"))).toMap
+    assert(afterUpd === Map(1.0 -> "hit", 2.0 -> "b", 3.0 -> "c"),
+      s"NULL-predicate row lost or changed on update: $afterUpd")
+    val del = new AndlInterp(spark, ".")
+    del.defineRelvar("R", df)
+    del.run("update R .where(v > 5) .select{}", "nulltest")
+    val afterDel = del.relvar("R").select("k").collect().map(_.getDouble(0)).toSet
+    assert(afterDel === Set(2.0, 3.0),
+      s"NULL-predicate row deleted (or survivor dropped): $afterDel")
+  }
+
   private def URIBuilder(s: String): URI = URI.create(s)
 
   override def withFixture(test: NoArgTest) = {

@@ -63,6 +63,33 @@ class SessionSpec extends SparkSpec {
     assert(ex.getMessage.contains("page"), ex.getMessage)
   }
 
+  test("setValueJson round-trips to NULL-FREE relvars: explicit null and " +
+    "missing fields coalesce to type defaults like the CSV reader " +
+    "(no-NULL discipline at the one inlet whose codec emits real NULLs)") {
+    val ses = Session.open(spark)
+    // schema-driven parse: the existing relvar's types decide defaults
+    ses.setValue("Q", graft.rel.Rel.distinct {
+      import spark.implicits._
+      Seq((1L, "seed", 1.5, true)).toDF("id", "name", "price", "live")
+    })
+    ses.setValueJson("Q", """[{"id":1,"name":"bolt","price":2.5,"live":true},
+      {"id":2,"name":null,"price":null},
+      {"id":3}]""")
+    val q = ses.getValue("Q").df
+    val nullCount = q.columns.map(c =>
+      q.where(col(c).isNull).count()).sum
+    assert(nullCount === 0, s"NULLs leaked through setValueJson:\n${q.collect().mkString("\n")}")
+    val r3 = q.where(col("id") === 3).collect()(0)
+    assert(r3.getString(r3.fieldIndex("name")) === "")
+    assert(r3.getDouble(r3.fieldIndex("price")) === 0.0)
+    assert(r3.getBoolean(r3.fieldIndex("live")) === false)
+    // inferred-schema parse coalesces too
+    ses.setValueJson("Q2", """[{"a":1,"b":"x"},{"a":null,"b":null}]""")
+    val q2 = ses.getValue("Q2").df
+    assert(q2.columns.map(c => q2.where(col(c).isNull).count()).sum === 0,
+      "inferred-schema parse leaked NULLs")
+  }
+
   test("two-session persistence: relvars, scalars, functions, types reload (SuiteUpdateCat1/2.andl)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     // SESSION 1: define everything, mutate a relvar, save
