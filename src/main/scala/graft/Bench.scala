@@ -181,14 +181,23 @@ object Bench {
     // the artifact itself now says whether a breach is the query or the
     // suite context around it. No anchors file = no adjudication.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "tools/anchors.json")
-    val anchors: Map[String, Double] =
+    def loadAnchorMap(p: String): Map[String, Double] =
       try {
         val n = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(Files.readString(Paths.get(anchorPath)))
+          .readTree(Files.readString(Paths.get(p)))
         val b = Map.newBuilder[String, Double]
         n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
         b.result()
       } catch { case _: Throwable => Map.empty }
+    val anchors: Map[String, Double] = loadAnchorMap(anchorPath)
+    // RAW (unfloored) medians, written by mkanchors.py beside the floored
+    // anchors: lets a sub-floor row's large RELATIVE jump surface as an
+    // informational tag (below) even while the floored ratio gate
+    // rightly ignores it
+    val rawAnchors: Map[String, Double] = loadAnchorMap(
+      if (anchorPath.endsWith(".json"))
+        anchorPath.stripSuffix(".json") + "_raw.json"
+      else anchorPath + "_raw")
     // breach = 1.5x the anchor AND at least +0.5 s over it: sub-second
     // rows wobble past any ratio on scheduler noise alone (and at a
     // smaller SF than the anchors'), and no row that small is ever graded
@@ -207,6 +216,16 @@ object Bench {
     // un-adjudicated BY DESIGN, and surfaces once it costs real time.
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val subfloor = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // INFORMATIONAL only (no gate): a row whose raw recorded median was
+    // below the anchor floor but whose in-suite median jumped >= 3x the
+    // raw value — invisible to the floored ratio gate until ~0.44 s
+    // absolute, but worth a line in the artifact (name -> ratio vs raw)
+    val subnoise = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    timings.foreach { case (n, med) =>
+      for (a <- anchors.get(n); r <- rawAnchors.get(n)
+           if r > 0 && r < a && med >= r * 3 && med <= a * 1.5)
+        subnoise(n) = med / r
+    }
     timings.foreach { case (n, med) =>
       anchors.get(n).filter(a => a > 0 && med > a * 1.5 &&
           med <= a + 0.5 && med < a * 1.75)
@@ -249,8 +268,10 @@ object Bench {
       .mkString("{", ",", "}")
     val sf2 = subfloor.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }
       .mkString("{", ",", "}")
+    val sn = subnoise.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }
+      .mkString("{", ",", "}")
     val core =
-      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"isolated":$iso,"subfloor":$sf2,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sweeps":$sw,"quiet_sweeps":$quietList,"loaded_medians":$lm,"isolated":$iso,"subfloor":$sf2,"subnoise":$sn,"runs":$runs,"contended":$contended,"n_ok":${timings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}"""
     // a FILTERED iteration run must not clobber the committed full-sweep
     // artifact (bench_out.json is BASELINE.md's evidence record)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

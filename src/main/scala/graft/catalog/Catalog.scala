@@ -187,6 +187,11 @@ final class Catalog(val spark: SparkSession) {
       s"(kept: ${t + 1}..$hi; spark.graft.catalog.keepVersions=" +
       s"$keepVersions) — raise the window before the write that evicts, " +
       "or disable retention")
+    // long-lived readers over a SHARED layout refresh their durable pin's
+    // staleness epoch on every as-of read, so a rival session's vacuum
+    // keeps honoring them past the pin TTL ([[syncPin]] is a no-op for
+    // managed/non-bucketed relvars)
+    syncPin(name)
     if (v == hi) cur else past(v - t - 1)
   }
 
@@ -289,6 +294,7 @@ final class Catalog(val spark: SparkSession) {
     boundTo(name) = path
     layoutGens(name) =
       Map(version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
+    syncPin(name)
   }
 
   def relvar(name: String): Rel =
@@ -302,6 +308,10 @@ final class Catalog(val spark: SparkSession) {
     * close never leaks them. */
   def drop(name: String): Unit = {
     relvar(name) // throws for unknown names
+    // release the durable cross-session pin: nothing of this session
+    // reads the shared layout once the relvar (and its history) is gone
+    boundTo.get(name).foreach(p =>
+      graft.sources.GenPins.clear(spark, p, sessionPinId))
     relvars.remove(name); history.remove(name); boundTo.remove(name)
     bucketSpec.remove(name); trimmedV.remove(name); snapVers.remove(name)
     layoutGens.remove(name)
@@ -344,13 +354,17 @@ final class Catalog(val spark: SparkSession) {
     * mutation beside an index appender) fails LOUD instead of silently
     * interleaving delta files with a concurrent fold's pointer flip.
     *
-    * NOT crash-atomic: the delta's bucket files land directly in the
-    * live generation (a multi-file INSERT, no pointer flip or watermark
-    * gates their visibility), so a crash mid-append leaves a PARTIAL
-    * delta the next attach serves. The recovery contract is re-delivery:
-    * re-run the SAME insert whole — the null-safe anti-join drops the
-    * rows the crashed attempt already landed, so the retry is
-    * idempotent and completes the delta exactly. */
+    * CRASH-ATOMIC: the delta stages in an invisible `_stage-<token>`
+    * dir, an intent marker records the staged names, the files move into
+    * the live generation, and deleting the marker is the single-file
+    * atomic commit (BucketedStore.append's stage→commit protocol). A
+    * crash anywhere before the commit is rolled back whole by the next
+    * leased writer op or a fresh attach (BucketedStore.healAppend) — a
+    * fresh attach sees the pre-insert set EXACTLY, never a partial
+    * delta. Recovery is re-delivery: re-run the SAME insert whole — the
+    * healed layout holds none of the crashed attempt's rows, and the
+    * null-safe anti-join keeps an already-committed retry idempotent —
+    * so the delta commits exactly once. */
   def insertBucketed(name: String, rows: Rel): Unit =
     bucketSpec.get(name) match {
       case None => swap(name, relvar(name).union(rows))
@@ -388,7 +402,29 @@ final class Catalog(val spark: SparkSession) {
             // O(delta · read), never O(corpus · shuffle).
             val dk = d.select(cols.map(col): _*).dropDuplicates()
             val kc = cols.map(c => curDf(c) <=> dk(c)).reduce(_ && _)
-            val cand = curDf.join(broadcast(dk), kc, "left_semi")
+            // broadcast the delta's key set ONLY while it plausibly fits
+            // driver/executor memory (Catalyst plan-stats estimate vs
+            // `spark.graft.catalog.insertBroadcastBytes`, default the
+            // session's autoBroadcastJoinThreshold floored at 10 MB —
+            // the Contract.refJoin pattern): a streaming-scale delta
+            // takes the zero-exchange broadcast semi-join; a bulk
+            // backfill DEGRADES to a shuffled — still delta-bounded —
+            // semi-join instead of a corpus-sized broadcast incident.
+            val bcLimit =
+              spark.conf.getOption("spark.graft.catalog.insertBroadcastBytes")
+                .map(_.toLong)
+                .getOrElse(math.max(
+                  spark.sessionState.conf.autoBroadcastJoinThreshold,
+                  10L << 20))
+            val dkEst = {
+              val s = spark.sessionState
+                .executePlan(dk.queryExecution.logical)
+                .optimizedPlan.stats.sizeInBytes
+              if (s.isValidLong) s.toLong else Long.MaxValue
+            }
+            val cand = curDf.join(
+              if (bcLimit > 0 && dkEst <= bcLimit) broadcast(dk) else dk,
+              kc, "left_semi")
             val cond = curDf.columns.map(c => d(c) <=> cand(c))
               .reduce(_ && _)
             val fresh = d.join(cand, cond, "left_anti")
@@ -431,6 +467,7 @@ final class Catalog(val spark: SparkSession) {
     // the new current version pins the generation it just attached
     layoutGens(name) = layoutGens.getOrElse(name, Map.empty) +
       (version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
+    syncPin(name)
   }
 
   /** Reclaim layout generations no retained version can reach — the
@@ -443,16 +480,14 @@ final class Catalog(val spark: SparkSession) {
     * [[layoutKeepPrior]] for attach-loaded layouts whose saved dir other
     * sessions may have attached. Caller holds the writer lease.
     *
-    * Cross-session contract: the pin set covers THIS catalog's retained
-    * versions only — another session's version history over the same
-    * shared layout is protected just by the [[layoutKeepPrior]] grace
-    * window, exactly like any vacuum under concurrent readers
-    * (BucketedStore.vacuum's keepPrior knob). Setting keepVersions while
-    * mutating a shared layout asserts bounded history for the LAYOUT,
-    * not merely this session; sessions needing long as-of chains over a
-    * layout others mutate should raise layoutKeepPrior, or leave
-    * retention unset (the default) — which never vacuums below this
-    * session's own pins. */
+    * Cross-session contract: pins are DURABLE — every session holding
+    * retained versions over a shared layout stamps a pin file beside it
+    * ([[graft.sources.GenPins]], written on attach/reattach/maintain and
+    * refreshed on every as-of read), and the vacuum floor honors the
+    * union of all sessions' fresh pins. [[layoutKeepPrior]] remains only
+    * as a BACKSTOP for sessions whose pins went stale (crashed without
+    * close; `spark.graft.catalog.pinTtlMs` ages them out so a dead
+    * reader can never leak superseded generations forever). */
   /** The pin-driven grace window for `name`'s layout at current
     * generation `gen`: how many generations below the current one must
     * survive — the span down to the oldest generation a RETAINED version
@@ -461,11 +496,46 @@ final class Catalog(val spark: SparkSession) {
     * [[layoutStats]] (what it reports as reclaimable) so the two can
     * never disagree. */
   private def pinKeepPrior(name: String, gen: Int): Int = {
-    val minPinned =
+    val ownMin =
       (layoutGens.getOrElse(name, Map.empty).values ++ Seq(gen)).min
-    val grace = if (boundTo.contains(name)) layoutKeepPrior else 0
+    val shared = boundTo.contains(name)
+    // DURABLE cross-session pins: rival sessions holding version history
+    // over this shared layout stamp pin files beside it
+    // ([[graft.sources.GenPins]]); the vacuum floor honors the union of
+    // all sessions' fresh pins, so keepVersions on one session can no
+    // longer reclaim a generation another session's in-window as-of read
+    // still serves. layoutKeepPrior demotes to a BACKSTOP for sessions
+    // whose pins went stale (crashed before clearing; TTL'd out) or that
+    // predate the pin protocol.
+    val otherMin =
+      if (shared)
+        graft.sources.GenPins.minPinnedByOthers(spark, layoutPath(name),
+          sessionPinId)
+      else None
+    val minPinned = math.min(ownMin, otherMin.getOrElse(gen))
+    val grace = if (shared) layoutKeepPrior else 0
     math.max(gen - minPinned, grace)
   }
+
+  /** Globally unique pin identity for this catalog instance: catalogId
+    * alone is a per-JVM counter — two processes sharing a saved layout
+    * would collide on pin file names without the random component. */
+  private val sessionPinId = s"c$catalogId-" + java.lang.Long.toUnsignedString(
+    new java.security.SecureRandom().nextLong(), 36)
+
+  /** (Re-)stamp this session's durable pin file for `name`'s layout with
+    * the oldest generation its retained versions scan — only for
+    * attach-loaded (shared) layouts; managed `__c<id>` layouts have no
+    * external readers by construction. Called wherever the pin set
+    * changes (attach, reattach, maintain) and on every as-of read (which
+    * refreshes the staleness epoch for long-lived readers). */
+  private def syncPin(name: String): Unit =
+    boundTo.get(name).foreach { path =>
+      layoutGens.getOrElse(name, Map.empty).values.minOption match {
+        case Some(m) => graft.sources.GenPins.write(spark, path, sessionPinId, m)
+        case None => graft.sources.GenPins.clear(spark, path, sessionPinId)
+      }
+    }
 
   private def vacuumLayout(name: String): Unit = {
     val path = layoutPath(name)
@@ -554,6 +624,7 @@ final class Catalog(val spark: SparkSession) {
         relvars(name) = Rel.distinct(df2)
         layoutGens(name) = layoutGens.getOrElse(name, Map.empty) +
           (version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
+        syncPin(name)
       }
       vacuumLayout(name)
       fold
@@ -739,7 +810,20 @@ final class Catalog(val spark: SparkSession) {
     * as [[graft.sources.BucketedStore.write]]): save assumes exclusive
     * ownership of its own target dir. The leased mutation paths protect
     * a SHARED attach-loaded layout; a layout other live sessions read
-    * should be re-saved to a fresh dir, not overwritten in place. */
+    * should be re-saved to a fresh dir, not overwritten in place.
+    *
+    * FRESHNESS contract for bucketed relvars: the layout copy persists
+    * the SOURCE layout's current on-disk generation — "what a fresh
+    * attach would serve" (BucketedStore.copyLayout) — not this session's
+    * pinned reader snapshot. The two coincide except when a RIVAL
+    * session mutated the shared layout after this session's last
+    * (re)attach; then the save carries the rival's newer state while
+    * `relvar(n)` in-session still serves the older pinned generation.
+    * That divergence is DETECTED below and logged loudly (with the two
+    * generation numbers) so a caller who needs snapshot-exact
+    * persistence can re-read through a fresh attach first — silently
+    * saving either generation would be wrong for somebody; the current
+    * on-disk one at least matches what every FUTURE load serves. */
   def save(dir: String): Unit = {
     val lines = Seq.newBuilder[String]
     val hfs = new org.apache.hadoop.fs.Path(dir)
@@ -808,6 +892,21 @@ final class Catalog(val spark: SparkSession) {
           val src = layoutPath(n)
           val owner = s"catalog.save($n)"
           graft.sources.WriterLease.withLease(spark, src, owner) {
+            // freshness divergence detection (see the method doc): a
+            // rival session may have advanced the shared layout past the
+            // generation this session's relvar(n) is pinned on — the
+            // save then persists the CURRENT on-disk state, loudly
+            val onDisk = graft.sources.BucketedStore.currentGen(spark, src)
+            layoutGens.getOrElse(n, Map.empty).get(version(n))
+              .filter(_ != onDisk).foreach { pinned =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"catalog.save($n): the shared layout at $src is at " +
+                  s"generation $onDisk but this session's relvar is " +
+                  s"pinned to generation $pinned (a rival session " +
+                  "mutated it since the last attach) — the save carries " +
+                  "the CURRENT on-disk generation; re-attach first if " +
+                  "you need this session's snapshot persisted")
+              }
             graft.sources.BucketedStore.copyLayout(spark, src, tmp,
               cols, k, Some(relvars(n).df.schema.toDDL))
           }
@@ -928,6 +1027,10 @@ final class Catalog(val spark: SparkSession) {
     // saved dirs — drop the session metadata, never the files
     attachedTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     attachedTables.clear()
+    // release every durable cross-session pin this session stamped —
+    // a clean close must not make rival sessions wait out the pin TTL
+    boundTo.values.toSet[String].foreach(p =>
+      graft.sources.GenPins.clear(spark, p, sessionPinId))
     relvars.clear(); history.clear(); boundTo.clear()
     bucketSpec.clear(); bucketGen.clear()
     trimmedV.clear(); snapVers.clear(); layoutGens.clear()

@@ -190,6 +190,17 @@ object BucketedStore {
                   buckets: Int,
                   schemaDdl: Option[String] = None): (DataFrame, String) = {
     heal(spark, path)
+    // a CRASHED append's partially-moved delta must be invisible to a
+    // fresh attach. Healing is a write, so it runs under the lease —
+    // taken opportunistically: a LIVE writer holding it means the debris
+    // is its in-flight state (skip; that writer heals-or-commits), while
+    // a crashed writer's lease is free or TTL-breakable. Zero cost on a
+    // healthy layout (one root listing).
+    if (appendDebris(spark, path)) {
+      try WriterLease.withLease(spark, path, "bstore.healAppend(attach)") {
+        healAppend(spark, path)
+      } catch { case _: WriterLease.LeaseConflictException => () }
+    }
     val dir = dataDir(spark, path)
     val tbl = freshName("a")
     val ddl = schemaDdl.getOrElse(spark.read.parquet(dir).schema.toDDL)
@@ -240,6 +251,7 @@ object BucketedStore {
               buckets: Int, transform: DataFrame => DataFrame,
               beforeFlip: () => Unit = () => ()): Unit = {
     heal(spark, path) // a legacy-crashed previous compaction leaves only `.old`
+    healAppend(spark, path) // a crashed append's partial delta must not fold in
     val fs = fsOf(spark, path)
     val gen = currentGen(spark, path)
     val cur = if (gen == 0) path else s"$path/_gen-$gen"
@@ -428,30 +440,102 @@ object BucketedStore {
   def append(spark: SparkSession, path: String, df: DataFrame,
              keys: Seq[String], buckets: Int,
              schemaDdl: Option[String] = None): Unit = {
+    val fs = fsOf(spark, path)
+    // a crashed prior append's debris must not mix with this delta:
+    // roll it back first (the caller holds the writer lease — class doc)
+    healAppend(spark, path)
     val dir = dataDir(spark, path)
-    val tbl = freshName("i")
     val ddl = schemaDdl.getOrElse(spark.read.parquet(dir).schema.toDDL)
-    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    spark.sql(s"CREATE TABLE `$tbl` ($ddl) USING parquet " +
-      s"CLUSTERED BY (${quoted(keys)}) SORTED BY (${quoted(keys)}) " +
-      s"INTO $buckets BUCKETS LOCATION '$dir'")
-    val view = s"${tbl}_delta"
-    // INSERT binds by POSITION — select the delta's columns in the
-    // TABLE's order by NAME, so a caller whose frame carries the same
-    // columns in a different order appends correctly (and a missing
-    // column fails loud here instead of misassigning silently)
+    // select the delta's columns in the TABLE's order by NAME, so a
+    // caller whose frame carries the same columns in a different order
+    // appends correctly (and a missing column fails loud here instead of
+    // misassigning silently);
     // re-cluster the DELTA by the bucket keys ([[clusterByKeys]],
     // delta-sized so the exchange is cheap): a wide delta frame would
     // otherwise land file-per-(task × bucket), unbounding the "each
     // append adds up to `buckets` files" fragmentation contract the
     // maintain cadence is budgeted against
+    val order = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
     val ordered = clusterByKeys(
-      df.select(spark.table(tbl).schema.fieldNames.map(n => df(n)): _*),
-      keys, buckets)
-    ordered.createOrReplaceTempView(view)
-    spark.sql(s"INSERT INTO `$tbl` SELECT * FROM `$view`")
-    spark.catalog.dropTempView(view)
-    spark.sql(s"DROP TABLE `$tbl`")
+      df.select(order.map(n => df(n)).toIndexedSeq: _*), keys, buckets)
+    // CRASH-ATOMIC stage→commit (the generation pointer's little sibling):
+    //   1. the delta's bucket files land in an invisible `_stage-<token>`
+    //      dir — a crash here leaves debris no reader lists;
+    //   2. an intent marker `_append-<token>.json` records the staged
+    //      file names and target generation (atomic tmp+rename);
+    //   3. the files move into the live generation dir (names carry the
+    //      job uuid — collision-free, and the `_NNNNN` bucket suffix the
+    //      bucketed scan maps files by survives the move);
+    //   4. the marker is DELETED — the single-file atomic COMMIT point.
+    // A crash anywhere before step 4 is rolled back whole by
+    // [[healAppend]] (next leased writer op, or a fresh attach when the
+    // crashed writer's lease is free/expired): a fresh attach sees the
+    // pre-insert set EXACTLY, and re-delivering the same insert commits
+    // it exactly once — never the partially-visible delta the old
+    // in-place INSERT left behind.
+    val token = java.lang.Long.toUnsignedString(
+      new java.security.SecureRandom().nextLong(), 36)
+    val stage = s"$path/_stage-$token"
+    writeFlat(ordered, stage, keys, buckets)
+    val staged = fs.listStatus(hp(stage))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSeq.sorted
+    writeMeta(spark, path, s"_append-$token.json",
+      s"""{"gen":${currentGen(spark, path)},"files":[""" +
+        staged.map(graft.types.Json.str).mkString(",") + "]}")
+    staged.foreach { n =>
+      require(fs.rename(hp(s"$stage/$n"), hp(s"$dir/$n")),
+        s"append($path): commit rename of $n failed")
+    }
+    fs.delete(hp(stage), true)
+    fs.delete(hp(s"$path/_append-$token.json"), false) // COMMIT
+  }
+
+  /** Crash debris of [[append]]'s stage→commit protocol under `path`?
+    * One root listing, no data read. */
+  private def appendDebris(spark: SparkSession, path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    fs.exists(hp(path)) && fs.listStatus(hp(path)).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("_stage-") ||
+        (n.startsWith("_append-") && n.endsWith(".json"))
+    }
+  }
+
+  /** Roll back a crashed [[append]]: for every intent marker, delete the
+    * listed file names from their recorded generation (the moves that
+    * happened before the crash), the staging dir, then the marker; plain
+    * `_stage-*` leftovers without a marker (crash before the intent
+    * landed) just drop. After healing, the layout reads exactly as it
+    * did before the crashed insert started — re-delivery then commits it
+    * exactly once. MUST run serialized with writers (callers hold the
+    * writer lease): a live append's staging is indistinguishable from a
+    * crashed one's. */
+  def healAppend(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(hp(path))) return
+    val entries = fs.listStatus(hp(path))
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("_append-") && n.endsWith(".json")) {
+        val token = n.stripPrefix("_append-").stripSuffix(".json")
+        val meta = readMeta(spark, path, n)
+        val gen = meta.get("gen").asInt()
+        val genDir = if (gen == 0) path else s"$path/_gen-$gen"
+        val files = meta.get("files")
+        (0 until files.size).foreach { i =>
+          fs.delete(hp(s"$genDir/${files.get(i).asText()}"), false)
+        }
+        fs.delete(hp(s"$path/_stage-$token"), true)
+        fs.delete(st.getPath, false)
+      }
+    }
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_stage-") &&
+          !fs.exists(hp(s"$path/_append-${n.stripPrefix("_stage-")}.json")))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Tiny JSON meta beside the data, through `dir`'s own Hadoop FS with

@@ -297,6 +297,10 @@ class CatalogSpec extends SparkSpec {
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          // _pins/ holds SESSION metadata (durable cross-session
+          // generation pins, stamped at attach and released at close) —
+          // not layout data; its lifecycle is close()'s to manage
+          .filterNot(_.toString.contains("/_pins/"))
           .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
       } finally s.close()
     }
@@ -708,6 +712,70 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.catalog.keepVersions")
   }
 
+  test("durable CROSS-SESSION layout pins: a rival's keepVersions vacuum " +
+    "honors this session's pin file past the layoutKeepPrior grace, its " +
+    "in-window as-of read keeps serving, a clean close releases the pin, " +
+    "and a crashed session's stale pin TTLs out") {
+    import spark.implicits._
+    def genDirs(path: String): Set[String] =
+      new java.io.File(path).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
+        .map(_.getName).toSet
+    def rootFlat(path: String): Boolean =
+      new java.io.File(path).listFiles.toSeq
+        .exists(f => f.isFile && f.getName.startsWith("part-"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-xpin").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("BP", Rel.distinct(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    val path = s"$dir/_bucketed/BP"
+    // session B: pure reader, attached to the saved flat generation 0 —
+    // its attach stamps a durable pin file beside the layout
+    val b = Catalog.load(spark, dir)
+    assert(new java.io.File(s"$path/_pins").listFiles.count(
+      _.getName.endsWith(".pin")) === 1, "attach did not stamp a pin file")
+    spark.conf.set("spark.graft.catalog.keepVersions", "1")
+    try {
+      // session A mutates THREE generations past B's attachment — two
+      // beyond what the layoutKeepPrior=1 grace alone would keep
+      val a = Catalog.load(spark, dir)
+      (1 to 3).foreach(i => a.deleteWhere("BP", col("k") === i.toLong))
+      assert(rootFlat(path),
+        "rival vacuum deleted the generation B's durable pin holds")
+      assert(b.relvar("BP").count() === 30,
+        "B's attached read lost rows to the rival's vacuum")
+      assert(b.relvarAt("BP", 1).count() === 30,
+        "B's in-window as-of read lost its pinned generation")
+      a.close()
+      // B closes CLEANLY: its pin releases, and the next rival mutation's
+      // vacuum reclaims everything below its own window
+      b.close()
+      val a2 = Catalog.load(spark, dir)
+      a2.deleteWhere("BP", col("k") === 4L)
+      assert(!rootFlat(path),
+        "a cleanly released pin kept holding the superseded generation")
+      // crashed-session story: a THIRD reader attaches (pin stamped),
+      // then vanishes without close; its pin ages out after pinTtlMs and
+      // stops holding generations
+      val ghost = Catalog.load(spark, dir)
+      assert(ghost.relvar("BP").count() === 26)
+      // no ghost.close() — simulate a crash; make its pin stale
+      spark.conf.set("spark.graft.catalog.pinTtlMs", "1")
+      Thread.sleep(50)
+      a2.deleteWhere("BP", col("k") === 5L)
+      a2.deleteWhere("BP", col("k") === 6L)
+      val gens = genDirs(path).map(_.stripPrefix("_gen-").toInt)
+      assert(gens.max - gens.min <= 1,
+        s"a STALE pin kept holding generations past its TTL: $gens")
+      a2.close()
+    } finally {
+      spark.conf.unset("spark.graft.catalog.keepVersions")
+      spark.conf.unset("spark.graft.catalog.pinTtlMs")
+    }
+  }
+
   test("insertBucketed never shuffles the history: the set-semantics " +
     "dedup narrows history to the delta's bucket keys with a broadcast " +
     "semi-join (bare bucketed scan, zero exchange) before the " +
@@ -747,6 +815,113 @@ class CatalogSpec extends SparkSpec {
       s"insertBucketed shuffled $shuffleRecords records on a $n-row " +
       "relvar — the history side re-entered an exchange")
     assert(cat.relvar("BIG").count() === n + 2)
+    cat.close()
+  }
+
+  test("crash-atomic bucketed ingest: an insert killed between file " +
+    "lands is INVISIBLE — a fresh attach serves the pre-insert set " +
+    "exactly — and re-delivering the same insert commits exactly once") {
+    import graft.sources.BucketedStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-crash").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("CA", Rel.distinct(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 4)
+    seed.save(dir)
+    seed.close()
+    val lay = s"$dir/_bucketed/CA"
+    val fs = new org.apache.hadoop.fs.Path(lay)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rootNames: Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(lay))
+        .map(_.getPath.getName).toSet
+    val delta = Seq((21L, "a"), (22L, "b"), (23L, "c")).toDF("k", "v")
+
+    // CRASH WINDOW 1: killed after staging, BEFORE the intent marker —
+    // the staged files were never visible; heal just drops them
+    BucketedStore.write(delta, s"$lay/_stage-crash0", Seq("k"), 4)
+    val c1 = Catalog.load(spark, dir)
+    assert(c1.relvar("CA").count() === 20)
+    assert(!rootNames.exists(_.startsWith("_stage-")),
+      "attach left the pre-marker staging debris")
+    c1.close()
+
+    // CRASH WINDOW 2: killed BETWEEN file lands — stage written, intent
+    // marker committed, ONE of the delta's files already moved into the
+    // live generation (this is the window the old in-place INSERT served
+    // as a partial delta forever)
+    BucketedStore.write(delta, s"$lay/_stage-crash1", Seq("k"), 4)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$lay/_stage-crash1"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(staged.size >= 2, s"need a multi-file delta to crash between lands: $staged")
+    BucketedStore.writeMeta(spark, lay, "_append-crash1.json",
+      s"""{"gen":0,"files":[${staged.map(graft.types.Json.str).mkString(",")}]}""")
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$lay/_stage-crash1/${staged.head}"),
+      new org.apache.hadoop.fs.Path(s"$lay/${staged.head}")),
+      "test setup: partial move failed")
+    // a fresh attach sees the PRE-INSERT set exactly, not the partial delta
+    val c2 = Catalog.load(spark, dir)
+    assert(c2.relvar("CA").count() === 20,
+      "fresh attach served a crashed insert's partial delta")
+    assert(!rootNames.exists(n =>
+      n.startsWith("_stage-") || n.startsWith("_append-")),
+      s"heal left crash debris: $rootNames")
+    // RE-DELIVERY of the same insert commits exactly once
+    c2.insert("CA", Rel.distinct(delta))
+    assert(c2.relvar("CA").count() === 23)
+    assert(c2.relvar("CA").where(col("k") >= 21L).count() === 3)
+    // and a second re-delivery is idempotent (set semantics)
+    c2.insert("CA", Rel.distinct(delta))
+    assert(c2.relvar("CA").count() === 23,
+      "re-delivered insert double-committed")
+    c2.close()
+  }
+
+  test("insertBucketed BOUNDS the delta-key broadcast: past " +
+    "spark.graft.catalog.insertBroadcastBytes the hint drops and the " +
+    "dedup degrades to a shuffled semi-join — identical results, never " +
+    "a corpus-sized driver broadcast on a bulk backfill") {
+    val cat = new Catalog(spark)
+    val n = 20000L
+    cat.defineBucketed("BIGF", Rel.distinct(
+      (1L to n).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 4)
+    @volatile var shuffleRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m =>
+          shuffleRecords += m.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // force EVERY delta over the bound: the explicit broadcast(dk) hint
+    // must drop, leaving the planner's shuffled semi-join
+    spark.conf.set("spark.graft.catalog.insertBroadcastBytes", "1")
+    try {
+      cat.insert("BIGF", Rel.distinct(
+        Seq((n + 1, "a"), (n + 2, "b"), (5L, "v5")).toDF("k", "v")))
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords != last && spins < 40) {
+        last = shuffleRecords; spins += 1; Thread.sleep(100)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.catalog.insertBroadcastBytes")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // the fallback PLAN is observable as the history keys re-entering an
+    // exchange (the broadcast path's pinned contract is ≤100 records)
+    assert(shuffleRecords > 1000L,
+      s"only $shuffleRecords records shuffled — the forced-low bound did " +
+      "not drop the broadcast hint")
+    // and the RESULTS are identical to the broadcast path's
+    assert(cat.relvar("BIGF").count() === n + 2)
+    assert(cat.relvar("BIGF").where(col("k") === (n + 1)).count() === 1)
+    assert(cat.relvar("BIGF").where(col("k") === 5L).count() === 1,
+      "re-delivered row double-inserted on the fallback path")
     cat.close()
   }
 

@@ -542,6 +542,18 @@ class PlanSpec extends SparkSpec {
       s"bucketed join/agg shuffled — bucket co-location lost:\n${p.take(4000)}")
   }
 
+  test("q_catalog_lifecycle: the POST-LOAD join over the reopened " +
+    "catalog is Exchange-free — the bucketed layout's metadata (and the " +
+    "zero-shuffle contract) survives insert, update, save and load") {
+    val q = graft.Queries.qCatalogLifecycle(spark, sf)
+    val p = plan(q)
+    assert(p.contains("SortMergeJoin"),
+      s"post-load join did not sort-merge:\n${p.take(4000)}")
+    assert(!p.contains("Exchange"),
+      s"post-load join/agg shuffled — the attach lost the bucket " +
+        s"co-location across the save/load boundary:\n${p.take(4000)}")
+  }
+
   test("repetition signals are ONE narrow scan: no explode, no join, " +
     "no shuffle — the in-row sorted-run pass, not a gram blow-up") {
     val p = plan(graft.Queries.qRepetition(spark, sf))

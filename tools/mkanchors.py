@@ -18,6 +18,13 @@ untouched. Bench's absolute +0.5 s adjudication band already protects
 these rows from false WEAK grades — the floor aligns the REPORTED ratios
 with that same judgment.
 
+The RAW (unfloored) medians land beside the floored anchors in
+<dst>_raw.json (tools/anchors_raw.json): a sub-floor query that genuinely
+regresses several-fold (0.10 s -> 0.40 s) is invisible to the floored
+ratio gate until it crosses ~0.44 s absolute — Bench reads the raw file
+to TAG such rows informationally ("subnoise" in the artifact) without
+changing any gate.
+
 Usage: python3 tools/mkanchors.py [BASELINE.md] [tools/anchors.json]
 """
 import json
@@ -30,6 +37,7 @@ src = sys.argv[1] if len(sys.argv) > 1 else "BASELINE.md"
 dst = sys.argv[2] if len(sys.argv) > 2 else "tools/anchors.json"
 
 anchors = {}
+raw = {}
 in_anchor_table = False
 for line in open(src, encoding="utf-8"):
     line = line.rstrip()
@@ -47,10 +55,15 @@ for line in open(src, encoding="utf-8"):
             except (ValueError, IndexError):
                 continue
             anchors[name] = max(med, MIN_ANCHOR_S)
+            raw[name] = med
     else:
         in_anchor_table = False
 
 with open(dst, "w", encoding="utf-8") as f:
     json.dump(dict(sorted(anchors.items())), f, indent=1)
     f.write("\n")
-print(f"{len(anchors)} anchors -> {dst}")
+raw_dst = dst[:-5] + "_raw.json" if dst.endswith(".json") else dst + "_raw"
+with open(raw_dst, "w", encoding="utf-8") as f:
+    json.dump(dict(sorted(raw.items())), f, indent=1)
+    f.write("\n")
+print(f"{len(anchors)} anchors -> {dst} (+ raw medians -> {raw_dst})")
