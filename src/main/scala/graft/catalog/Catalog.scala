@@ -272,6 +272,11 @@ final class Catalog(val spark: SparkSession) {
     // by construction either way
     swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
+    // layout identity changed to a fresh MANAGED table: release any pin
+    // this session held on a previously-attached shared layout under the
+    // name — its archived versions were reset with the history
+    pinPaths.remove(name).foreach(p =>
+      graft.sources.GenPins.clear(spark, p, sessionPinId))
     layoutGens(name) = Map(version(name) -> 0) // fresh layout: flat gen 0
   }
   /** Attach a bucketed layout persisted by [[save]]: the stored bucket
@@ -292,6 +297,7 @@ final class Catalog(val spark: SparkSession) {
     swap(name, Rel.distinct(df), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
     boundTo(name) = path
+    pinPaths(name) = path
     layoutGens(name) =
       Map(version(name) -> graft.sources.BucketedStore.currentGen(spark, path))
     syncPin(name)
@@ -310,7 +316,7 @@ final class Catalog(val spark: SparkSession) {
     relvar(name) // throws for unknown names
     // release the durable cross-session pin: nothing of this session
     // reads the shared layout once the relvar (and its history) is gone
-    boundTo.get(name).foreach(p =>
+    pinPaths.remove(name).foreach(p =>
       graft.sources.GenPins.clear(spark, p, sessionPinId))
     relvars.remove(name); history.remove(name); boundTo.remove(name)
     bucketSpec.remove(name); trimmedV.remove(name); snapVers.remove(name)
@@ -523,6 +529,16 @@ final class Catalog(val spark: SparkSession) {
   private val sessionPinId = s"c$catalogId-" + java.lang.Long.toUnsignedString(
     new java.security.SecureRandom().nextLong(), 36)
 
+  /** The shared-layout path each relvar's pins protect. Unlike
+    * [[boundTo]] this SURVIVES a plain write (which drops the binding):
+    * the relvar's ARCHIVED versions still scan the attach-loaded files,
+    * so the pin must keep re-stamping (via [[relvarAt]]) until the
+    * relvar is dropped or the catalog closes — otherwise a rival's
+    * vacuum reclaims the generation under the archive once the pin
+    * TTLs out. Reset when the layout identity changes (defineBucketed
+    * writes a fresh managed table nobody else reads). */
+  private val pinPaths = TrieMap.empty[String, String]
+
   /** (Re-)stamp this session's durable pin file for `name`'s layout with
     * the oldest generation its retained versions scan — only for
     * attach-loaded (shared) layouts; managed `__c<id>` layouts have no
@@ -530,7 +546,7 @@ final class Catalog(val spark: SparkSession) {
     * changes (attach, reattach, maintain) and on every as-of read (which
     * refreshes the staleness epoch for long-lived readers). */
   private def syncPin(name: String): Unit =
-    boundTo.get(name).foreach { path =>
+    pinPaths.get(name).foreach { path =>
       layoutGens.getOrElse(name, Map.empty).values.minOption match {
         case Some(m) => graft.sources.GenPins.write(spark, path, sessionPinId, m)
         case None => graft.sources.GenPins.clear(spark, path, sessionPinId)
@@ -1029,8 +1045,9 @@ final class Catalog(val spark: SparkSession) {
     attachedTables.clear()
     // release every durable cross-session pin this session stamped —
     // a clean close must not make rival sessions wait out the pin TTL
-    boundTo.values.toSet[String].foreach(p =>
+    pinPaths.values.toSet[String].foreach(p =>
       graft.sources.GenPins.clear(spark, p, sessionPinId))
+    pinPaths.clear()
     relvars.clear(); history.clear(); boundTo.clear()
     bucketSpec.clear(); bucketGen.clear()
     trimmedV.clear(); snapVers.clear(); layoutGens.clear()

@@ -818,6 +818,42 @@ class CatalogSpec extends SparkSpec {
     cat.close()
   }
 
+  test("a plain write that drops the bucket binding does NOT orphan the " +
+    "pin: archived attach versions keep re-stamping it on as-of reads, " +
+    "so a rival's vacuum still honors them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-pinsurv").toString
+    val seed = new Catalog(spark)
+    seed.defineBucketed("PS", Rel.distinct(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v")), Seq("k"), 2)
+    seed.save(dir)
+    seed.close()
+    val path = s"$dir/_bucketed/PS"
+    def rootFlat: Boolean =
+      new java.io.File(path).listFiles.toSeq
+        .exists(f => f.isFile && f.getName.startsWith("part-"))
+    val b = Catalog.load(spark, dir)
+    // plain write: binding and bucket spec drop, but v1 (the attachment)
+    // is ARCHIVED and still scans the shared layout's files
+    b.define("PS", Rel.distinct(Seq((99L, "plain")).toDF("k", "v")))
+    assert(b.relvarAt("PS", 1).count() === 30) // re-stamps the pin
+    spark.conf.set("spark.graft.catalog.keepVersions", "1")
+    try {
+      val a = Catalog.load(spark, dir)
+      (1 to 3).foreach(i => a.deleteWhere("PS", col("k") === i.toLong))
+      assert(rootFlat,
+        "rival vacuum reclaimed the generation an archived version reads")
+      assert(b.relvarAt("PS", 1).count() === 30,
+        "archived attach version lost its files after the binding dropped")
+      a.close()
+    } finally spark.conf.unset("spark.graft.catalog.keepVersions")
+    b.close()
+    assert(!new java.io.File(s"$path/_pins").exists() ||
+      new java.io.File(s"$path/_pins").listFiles.count(
+        _.getName.endsWith(".pin")) === 0,
+      "close left a pin file behind after the binding dropped")
+  }
+
   test("crash-atomic bucketed ingest: an insert killed between file " +
     "lands is INVISIBLE — a fresh attach serves the pre-insert set " +
     "exactly — and re-delivering the same insert commits exactly once") {
