@@ -442,6 +442,64 @@ class StreamingSpec extends SparkSpec {
     assert(java.nio.file.Files.isDirectory(fs), "self-heal did not restore the dir")
   }
 
+  test("a CRASHED index append's partial delta is invisible: stage→commit " +
+    "debris (marker + one file already moved) heals on the next attach, " +
+    "matches equal the pre-crash index, and the re-delivered batch " +
+    "commits exactly once through the batchId guard") {
+    import graft.streaming.DocStream
+    import graft.sources.BucketedStore
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) >= 5)
+    val hist = docs.filter(col("doc_id") < 20)
+    val delta = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-crash").toString
+    DocStream.saveIndex(DocStream.buildIndex(hist), dir, buckets = 4)
+    // simulate the kill between file lands INSIDE the band append: the
+    // delta's bucket files staged, the intent marker committed, one file
+    // already moved into the live (flat gen-0) layout
+    val bandDir = s"$dir/band"
+    val deltaBand = DocStream.buildIndex(delta).bandIndex
+    BucketedStore.write(deltaBand, s"$bandDir/_stage-crash1", Seq("band", "bh"), 4)
+    val fsys = new org.apache.hadoop.fs.Path(bandDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$bandDir/_stage-crash1"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(staged.size >= 2, s"need a multi-file delta: $staged")
+    BucketedStore.writeMeta(spark, bandDir, "_append-crash1.json",
+      s"""{"gen":0,"files":[${staged.map(graft.types.Json.str).mkString(",")}]}""")
+    assert(fsys.rename(
+      new org.apache.hadoop.fs.Path(s"$bandDir/_stage-crash1/${staged.head}"),
+      new org.apache.hadoop.fs.Path(s"$bandDir/${staged.head}")))
+    // batch: one planted dup of a HIST doc, one of a DELTA doc, one noise
+    val hitHist = hist.filter(col("doc_id") === 5L).collect()(0).getAs[String]("text")
+    val hitDelta = delta.filter(col("doc_id") === 20L).collect()(0).getAs[String]("text")
+    val batch = Seq((9100L, hitHist), (9101L, hitDelta),
+      (9102L, "noise that matches nothing at all")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    // the reader path heals: results equal the PRE-crash (hist-only) index
+    val memHist = norm(DocStream.matchAgainst(batch, DocStream.buildIndex(hist)))
+    assert(memHist.exists(_._2 == 5L) && !memHist.exists(_._2 == 20L), memHist.toString)
+    assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
+      === memHist, "a crashed append's partial delta leaked into matches")
+    assert(!fsys.listStatus(new org.apache.hadoop.fs.Path(bandDir)).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("_stage-") || n.startsWith("_append-")
+    }, "attach left the crash debris")
+    // re-delivery commits EXACTLY once: the append runs, the replay no-ops
+    assert(DocStream.appendIndexBatch(spark, dir, delta, batchId = 1L))
+    assert(!DocStream.appendIndexBatch(spark, dir, delta, batchId = 1L),
+      "replayed batch re-appended past the watermark")
+    val memAll = norm(DocStream.matchAgainst(batch,
+      DocStream.buildIndex(hist.unionByName(delta))))
+    assert(memAll.exists(_._2 == 20L), memAll.toString)
+    assert(norm(DocStream.matchAgainst(batch, DocStream.loadIndex(spark, dir)))
+      === memAll, "re-delivered index diverged from the from-scratch union")
+  }
+
   test("maintainIndex is policy-driven upkeep: healthy layouts are left " +
     "alone, fragmentation past the budget triggers a renew-fenced fold + " +
     "vacuum, results are unchanged, and stats report the recovery") {
