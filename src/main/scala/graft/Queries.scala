@@ -2558,8 +2558,11 @@ object Queries {
     // suite's perennial IO-contention tail (1.8–3.2 s isolated spread on
     // loaded machines against a 1.76 s anchor, five rounds running)
     val shm = java.nio.file.Paths.get("/dev/shm")
+    // capacity-guarded: container /dev/shm often defaults to 64 MB —
+    // falling back to the disk temp beats an ENOSPC-failed bench row
     val tmp = (if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.isWritable(shm) &&
+        shm.toFile.getUsableSpace > (2L << 30))
       java.nio.file.Files.createTempDirectory(shm, "graft-compact")
     else java.nio.file.Files.createTempDirectory("graft-compact")).toString
     docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/in")

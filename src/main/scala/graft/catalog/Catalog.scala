@@ -188,10 +188,10 @@ final class Catalog(val spark: SparkSession) {
       s"$keepVersions) — raise the window before the write that evicts, " +
       "or disable retention")
     // long-lived readers over a SHARED layout refresh their durable pin's
-    // staleness epoch on every as-of read, so a rival session's vacuum
-    // keeps honoring them past the pin TTL ([[syncPin]] is a no-op for
-    // managed/non-bucketed relvars)
-    syncPin(name)
+    // staleness epoch on as-of reads (rate-limited to TTL/4), so a rival
+    // session's vacuum keeps honoring them past the pin TTL ([[syncPin]]
+    // is a no-op for managed/non-bucketed relvars)
+    syncPin(name, refreshOnly = true)
     if (v == hi) cur else past(v - t - 1)
   }
 
@@ -539,17 +539,48 @@ final class Catalog(val spark: SparkSession) {
     * writes a fresh managed table nobody else reads). */
   private val pinPaths = TrieMap.empty[String, String]
 
+  // last successful pin stamp per relvar (epoch ms): refresh-only calls
+  // (as-of reads) skip the filesystem write while the stamp is younger
+  // than a quarter of the TTL — versionDiff-style read loops must not
+  // pay a PUT per read on an object store
+  private val pinStamped = TrieMap.empty[String, Long]
+
   /** (Re-)stamp this session's durable pin file for `name`'s layout with
     * the oldest generation its retained versions scan — only for
     * attach-loaded (shared) layouts; managed `__c<id>` layouts have no
     * external readers by construction. Called wherever the pin set
     * changes (attach, reattach, maintain) and on every as-of read (which
-    * refreshes the staleness epoch for long-lived readers). */
-  private def syncPin(name: String): Unit =
+    * refreshes the staleness epoch for long-lived readers;
+    * `refreshOnly = true` rate-limits those to TTL/4). BEST-EFFORT on
+    * read-only storage: a reader that cannot write beside the layout
+    * keeps working — it just can't pin, so it falls under the rival
+    * writers' layoutKeepPrior grace like a pre-pin-protocol session
+    * (logged loud once per relvar). */
+  private val pinWarned = TrieMap.empty[String, Unit]
+
+  private def syncPin(name: String, refreshOnly: Boolean = false): Unit =
     pinPaths.get(name).foreach { path =>
-      layoutGens.getOrElse(name, Map.empty).values.minOption match {
-        case Some(m) => graft.sources.GenPins.write(spark, path, sessionPinId, m)
-        case None => graft.sources.GenPins.clear(spark, path, sessionPinId)
+      val now = System.currentTimeMillis()
+      val recent = pinStamped.get(name).exists(t =>
+        now - t < graft.sources.GenPins.ttlMs(spark) / 4)
+      if (!(refreshOnly && recent)) {
+        try {
+          layoutGens.getOrElse(name, Map.empty).values.minOption match {
+            case Some(m) =>
+              graft.sources.GenPins.write(spark, path, sessionPinId, m)
+            case None =>
+              graft.sources.GenPins.clear(spark, path, sessionPinId)
+          }
+          pinStamped(name) = now
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            if (pinWarned.putIfAbsent(name, ()).isEmpty)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"catalog: cannot stamp the generation pin for $name " +
+                s"beside $path (read-only storage?) — this session's " +
+                "as-of reads over the shared layout are protected only " +
+                s"by rival writers' layoutKeepPrior grace: $e")
+        }
       }
     }
 

@@ -284,7 +284,11 @@ object Rel {
     case _                => null
   }
 
-  /** Column form of [[defaultValue]]. */
+  /** Column form of [[defaultValue]]. Complex types default STRUCTURALLY
+    * (empty array/map, struct of component defaults) so the no-NULL
+    * discipline holds for the JSON edge's nested payloads too — a
+    * `lit(null).cast` fallback would make the edge's coalesce a silent
+    * no-op for exactly the column kinds RVAs use. */
   def defaultCol(dt: DataType): Column = dt match {
     case _: NumericType   => lit(0).cast(dt)
     case _: StringType    => lit("")
@@ -292,6 +296,11 @@ object Rel {
     case _: DateType      => lit(java.sql.Date.valueOf("0001-01-01"))
     case _: TimestampType => lit(java.sql.Timestamp.valueOf("0001-01-01 00:00:00"))
     case _: BinaryType    => lit(Array.empty[Byte])
+    case a: ArrayType     => array().cast(a)
+    case m: MapType       => map().cast(m)
+    case s: StructType    =>
+      struct(s.fields.toIndexedSeq.map(f =>
+        defaultCol(f.dataType).as(f.name)): _*)
     case dt               => lit(null).cast(dt)
   }
 

@@ -249,7 +249,10 @@ object BucketedStore {
     * surviving rows. Same crash/reader safety as [[compact]]. */
   def rewrite(spark: SparkSession, path: String, keys: Seq[String],
               buckets: Int, transform: DataFrame => DataFrame,
-              beforeFlip: () => Unit = () => ()): Unit = {
+              beforeFlip: () => Unit = () => ()): Unit =
+   // self-lease on the exact layout path, for the same reason as
+   // [[append]] (re-entrant under callers that already hold it)
+   WriterLease.withLease(spark, path, s"bstore.rewrite($path)") {
     heal(spark, path) // a legacy-crashed previous compaction leaves only `.old`
     healAppend(spark, path) // a crashed append's partial delta must not fold in
     val fs = fsOf(spark, path)
@@ -439,25 +442,36 @@ object BucketedStore {
     * generation mid-fold would be lost at the pointer flip. */
   def append(spark: SparkSession, path: String, df: DataFrame,
              keys: Seq[String], buckets: Int,
-             schemaDdl: Option[String] = None): Unit = {
+             schemaDdl: Option[String] = None): Unit =
+   // SELF-LEASE on the layout path (re-entrant under a caller already
+   // holding it, e.g. Catalog's mutation verbs): index-level writers
+   // lease their INDEX ROOT while appending into sub-layouts
+   // (DocStream leases $dir, appends $dir/band) — without the exact-path
+   // lease here, a concurrent reader's opportunistic healAppend on the
+   // sub-layout would find its lease FREE during a live append and roll
+   // the in-flight delta back mid-move.
+   WriterLease.withLease(spark, path, s"bstore.append($path)") {
     val fs = fsOf(spark, path)
     // a crashed prior append's debris must not mix with this delta:
-    // roll it back first (the caller holds the writer lease — class doc)
+    // roll it back first (we hold the layout's writer lease)
     healAppend(spark, path)
     val dir = dataDir(spark, path)
     val ddl = schemaDdl.getOrElse(spark.read.parquet(dir).schema.toDDL)
-    // select the delta's columns in the TABLE's order by NAME, so a
-    // caller whose frame carries the same columns in a different order
-    // appends correctly (and a missing column fails loud here instead of
-    // misassigning silently);
+    // select the delta's columns in the TABLE's order by NAME and CAST
+    // each to the layout's recorded type (the old INSERT INTO coerced by
+    // table schema; writing the delta's own types would poison the
+    // layout — an int32 delta file in a bigint layout throws on every
+    // later scan), failing loud on a missing column;
     // re-cluster the DELTA by the bucket keys ([[clusterByKeys]],
     // delta-sized so the exchange is cheap): a wide delta frame would
     // otherwise land file-per-(task × bucket), unbounding the "each
     // append adds up to `buckets` files" fragmentation contract the
     // maintain cadence is budgeted against
-    val order = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
+    val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
     val ordered = clusterByKeys(
-      df.select(order.map(n => df(n)).toIndexedSeq: _*), keys, buckets)
+      df.select(fields.map(f =>
+        df(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*),
+      keys, buckets)
     // CRASH-ATOMIC stage→commit (the generation pointer's little sibling):
     //   1. the delta's bucket files land in an invisible `_stage-<token>`
     //      dir — a crash here leaves debris no reader lists;
@@ -488,8 +502,16 @@ object BucketedStore {
         s"append($path): commit rename of $n failed")
     }
     fs.delete(hp(stage), true)
-    fs.delete(hp(s"$path/_append-$token.json"), false) // COMMIT
-  }
+    // fence before the visibility commit: if this append outlived the
+    // lease TTL and a breaker (possibly a healer) claimed the layout,
+    // our moved files may already be rolled back — abort LOUD instead of
+    // committing a marker-delete over a healed layout (the caller's
+    // exactly-once watermark must not advance past a lost delta)
+    WriterLease.renew(spark, path, s"bstore.append($path)")
+    require(fs.delete(hp(s"$path/_append-$token.json"), false), // COMMIT
+      s"append($path): intent marker vanished before commit — a healer " +
+        "rolled this append back; re-deliver the delta")
+   }
 
   /** Crash debris of [[append]]'s stage→commit protocol under `path`?
     * One root listing, no data read. */

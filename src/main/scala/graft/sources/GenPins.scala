@@ -53,8 +53,11 @@ object GenPins {
       .map(_.toLong).getOrElse(60L * 60 * 1000)
 
   /** Stamp (or re-stamp) this session's pin: `minGen` is the oldest
-    * generation any of its retained versions scans. Overwrite is safe —
-    * the session is the file's only writer. */
+    * generation any of its retained versions scans. The session is the
+    * file's only writer, but a RIVAL may read mid-restamp — so the write
+    * is tmp+delete+rename (the writeMeta pattern), and readers fall back
+    * to the tmp when the main file is momentarily absent: a torn or
+    * missing pin must never read as "no pin" to a vacuum. */
   def write(spark: SparkSession, dir: String, sessionId: String,
             minGen: Int): Unit = {
     val fs = fsOf(spark, dir)
@@ -63,24 +66,32 @@ object GenPins {
       (s"""{"session":${graft.types.Json.str(sessionId)},""" +
         s""""minGen":$minGen,"epochMs":${System.currentTimeMillis()}}""")
         .getBytes(UTF_8)
-    val out = fs.create(pinPath(dir, sessionId), true)
+    val main = pinPath(dir, sessionId)
+    val tmp = new Path(s"$dir/_pins/$sessionId.pin.tmp")
+    val out = fs.create(tmp, true)
     try out.write(payload) finally out.close()
+    if (fs.exists(main)) fs.delete(main, false)
+    require(fs.rename(tmp, main), s"GenPins: rename $tmp -> $main failed")
   }
 
   /** Remove this session's pin (retention released everything, the
     * relvar was dropped, or the session closed). Idempotent. */
   def clear(spark: SparkSession, dir: String, sessionId: String): Unit = {
     val fs = fsOf(spark, dir)
-    try fs.delete(pinPath(dir, sessionId), false)
-    catch { case _: java.io.IOException => () }
+    try {
+      fs.delete(pinPath(dir, sessionId), false)
+      fs.delete(new Path(s"$dir/_pins/$sessionId.pin.tmp"), false)
+    } catch { case _: java.io.IOException => () }
   }
 
   private val minGenRe = """"minGen"\s*:\s*(-?\d+)""".r
   private val epochRe = """"epochMs"\s*:\s*(\d+)""".r
 
   /** The minimum generation pinned by OTHER sessions' FRESH pin files
-    * (None when no such pin exists). Unreadable or stale pins are
-    * skipped — the TTL is the crashed-session backstop. */
+    * (None when no such pin exists). A session mid-restamp may have only
+    * its `.pin.tmp` on disk for an instant — the tmp counts (main wins
+    * when both parse). Unreadable or stale pins are skipped — the TTL is
+    * the crashed-session backstop. */
   def minPinnedByOthers(spark: SparkSession, dir: String,
                         selfSessionId: String): Option[Int] = {
     val fs = fsOf(spark, dir)
@@ -88,19 +99,25 @@ object GenPins {
     if (!fs.exists(pd)) return None
     val now = System.currentTimeMillis()
     val ttl = ttlMs(spark)
+    def freshMin(st: org.apache.hadoop.fs.FileStatus): Option[Int] =
+      try {
+        val in = fs.open(st.getPath)
+        val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        val epoch = epochRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+          .getOrElse(st.getModificationTime)
+        if (now - epoch <= ttl)
+          minGenRe.findFirstMatchIn(txt).map(_.group(1).toInt)
+        else None
+      } catch { case _: Exception => None }
     fs.listStatus(pd).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".pin"))
-      .filterNot(_.getPath.getName == s"$selfSessionId.pin")
-      .flatMap { st =>
-        try {
-          val in = fs.open(st.getPath)
-          val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-          val epoch = epochRe.findFirstMatchIn(txt).map(_.group(1).toLong)
-            .getOrElse(st.getModificationTime)
-          if (now - epoch <= ttl)
-            minGenRe.findFirstMatchIn(txt).map(_.group(1).toInt)
-          else None
-        } catch { case _: Exception => None }
-      }.minOption
+      .filter(st => st.isFile &&
+        (st.getPath.getName.endsWith(".pin") ||
+          st.getPath.getName.endsWith(".pin.tmp")))
+      .groupBy(_.getPath.getName.stripSuffix(".tmp"))
+      .collect { case (name, sts) if name != s"$selfSessionId.pin" =>
+        // main preferred; the tmp covers the delete→rename restamp window
+        val (mains, tmps) = sts.partition(_.getPath.getName == name)
+        (mains ++ tmps).flatMap(freshMin(_)).headOption
+      }.flatten.minOption
   }
 }

@@ -88,6 +88,22 @@ class SessionSpec extends SparkSpec {
     val q2 = ses.getValue("Q2").df
     assert(q2.columns.map(c => q2.where(col(c).isNull).count()).sum === 0,
       "inferred-schema parse leaked NULLs")
+    // COMPLEX-typed columns default structurally (empty array, struct of
+    // component defaults) — a null-cast fallback would silently re-admit
+    // NULLs for exactly the shapes RVAs use
+    ses.setValueJson("Q3",
+      """[{"id":1,"tags":["x","y"],"pt":{"x":1.5,"y":2.5}},
+        |{"id":2,"tags":null},
+        |{"id":3}]""".stripMargin)
+    val q3 = ses.getValue("Q3").df
+    assert(q3.columns.map(c => q3.where(col(c).isNull).count()).sum === 0,
+      s"complex-typed NULLs leaked:\n${q3.collect().mkString("\n")}")
+    val r2 = q3.where(col("id") === 2).collect()(0)
+    assert(r2.getSeq[String](r2.fieldIndex("tags")) === Seq.empty,
+      "null array did not default to empty")
+    val r3pt = q3.where(col("id") === 3).select("pt.x", "pt.y").collect()(0)
+    assert(r3pt.getDouble(0) === 0.0 && r3pt.getDouble(1) === 0.0,
+      "missing struct did not default to component defaults")
   }
 
   test("two-session persistence: relvars, scalars, functions, types reload (SuiteUpdateCat1/2.andl)") {
