@@ -577,4 +577,60 @@ class SourcesSpec extends SparkSpec {
         Seq((3L, "c")).toDF("k", "v"), Seq("k"), 2)
     }
   }
+
+  test("BucketedStore.append COERCES the delta to the layout's recorded " +
+    "types: an int delta into a bigint layout reads back clean (the " +
+    "delta's own narrower type would poison every later scan)") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstore-co").toString
+    BucketedStore.write(Seq((1L, 1.5)).toDF("k", "x"), s"$dir/t", Seq("k"), 2)
+    // ints where the layout holds bigint/double
+    BucketedStore.append(spark, s"$dir/t",
+      Seq((2, 2)).toDF("k", "x"), Seq("k"), 2)
+    val got = BucketedStore.attach(spark, s"$dir/t", Seq("k"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 1.5), (2L, 2.0)),
+      "appended delta types did not coerce to the layout schema")
+  }
+
+  test("GenPins: restamp is torn-read-proof (tmp fallback), other " +
+    "sessions' fresh pins aggregate to the min, stale pins TTL out, and " +
+    "clear is idempotent") {
+    import graft.sources.GenPins
+    val dir = java.nio.file.Files.createTempDirectory("graft-pins").toString
+    GenPins.write(spark, dir, "sesA", 3)
+    GenPins.write(spark, dir, "sesB", 5)
+    // a rival excludes itself and takes the min over the others
+    assert(GenPins.minPinnedByOthers(spark, dir, "sesC") === Some(3))
+    assert(GenPins.minPinnedByOthers(spark, dir, "sesA") === Some(5))
+    // mid-restamp window: main deleted, only the tmp on disk — the pin
+    // must still count (a torn restamp must never read as "no pin")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(s"$dir/_pins/sesA.pin")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_pins/sesA.pin.tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, main, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(main, false)
+    assert(GenPins.minPinnedByOthers(spark, dir, "sesC") === Some(3),
+      "the tmp-only restamp window dropped the pin")
+    GenPins.write(spark, dir, "sesA", 3) // restamp completes
+    // stale pins age out (the crashed-session backstop)
+    spark.conf.set("spark.graft.catalog.pinTtlMs", "1")
+    try {
+      Thread.sleep(30)
+      assert(GenPins.minPinnedByOthers(spark, dir, "sesC") === None,
+        "a stale pin kept counting past its TTL")
+    } finally spark.conf.unset("spark.graft.catalog.pinTtlMs")
+    assert(GenPins.minPinnedByOthers(spark, dir, "sesC") === Some(3))
+    // a garbage pin file is skipped, not fatal
+    val bad = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_pins/bad.pin"), true)
+    try bad.write("not json".getBytes) finally bad.close()
+    assert(GenPins.minPinnedByOthers(spark, dir, "sesC") === Some(3))
+    GenPins.clear(spark, dir, "sesA")
+    GenPins.clear(spark, dir, "sesA") // idempotent
+    GenPins.clear(spark, dir, "sesB")
+    assert(GenPins.minPinnedByOthers(spark, dir, "sesC") === None)
+  }
 }
