@@ -2558,11 +2558,19 @@ object Queries {
     // suite's perennial IO-contention tail (1.8–3.2 s isolated spread on
     // loaded machines against a 1.76 s anchor, five rounds running)
     val shm = java.nio.file.Paths.get("/dev/shm")
-    // capacity-guarded: container /dev/shm often defaults to 64 MB —
-    // falling back to the disk temp beats an ENOSPC-failed bench row
+    // capacity-guarded AGAINST THE DATASET, not a constant: container
+    // /dev/shm often defaults to 64 MB, and at a large SF the 64
+    // fragments + the compacted copy can outgrow any fixed floor —
+    // falling back to the disk temp beats an ENOSPC-failed bench row.
+    // Budget = 4x the source parquet (fragments + fold + codec slack).
+    val srcBytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 8 }
     val tmp = (if (java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm) &&
-        shm.toFile.getUsableSpace > (2L << 30))
+        shm.toFile.getUsableSpace > math.max(2L << 30, 4 * srcBytes))
       java.nio.file.Files.createTempDirectory(shm, "graft-compact")
     else java.nio.file.Files.createTempDirectory("graft-compact")).toString
     docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/in")

@@ -141,26 +141,14 @@ final class HttpGateway(spark: SparkSession, port: Int = 0,
 
   // ------------------------------------------------------------- codecs
 
-  /** JSON row array (or JSON lines) → DataFrame via the SQL JSON codec —
-    * the same parse [[Session.setValueJson]] uses: an existing relvar's
-    * schema drives it (exact round trip incl. timestamps), else inferred.
-    * Missing/null fields coalesce to type defaults like the CSV reader —
-    * JSON is the one inlet whose codec emits real NULLs, and the language
-    * engine behind this edge is no-NULL. */
+  /** JSON row array (or JSON lines) → DataFrame: THE shared no-NULL
+    * boundary parse ([[graft.sources.Sources.jsonEdge]] — literally the
+    * same code path [[Session.setValueJson]] uses, so the two inlets can
+    * never diverge): schema-driven when the relvar exists, inferred
+    * otherwise, missing/null fields defaulted at every nesting level. */
   private def parseRows(json: String,
-                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    import spark.implicits._
-    val records =
-      if (json.trim.startsWith("[")) Seq(json)
-      else json.linesIterator.filter(_.trim.nonEmpty).toSeq
-    val ds = spark.createDataset(records)
-    val reader = spark.read.option("mode", "FAILFAST")
-    val parsed = schema.map(reader.schema(_).json(ds)).getOrElse(reader.json(ds))
-    parsed.select(parsed.schema.fields.map { f =>
-      org.apache.spark.sql.functions
-        .coalesce(parsed(f.name), graft.rel.Rel.defaultCol(f.dataType)).as(f.name)
-    }.toIndexedSeq: _*)
-  }
+                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    graft.sources.Sources.jsonEdge(spark, json, schema)
 
   /** A JSON array of scalar args → Andl literal syntax ("x" → 'x', numbers
     * and booleans verbatim). Scalars only, matching the reference's

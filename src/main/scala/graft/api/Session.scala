@@ -46,28 +46,17 @@ final class Session private (val spark: SparkSession, val catalog: Catalog) {
     * otherwise the schema is inferred from the payload.
     *
     * No-NULL discipline at the edge: a MISSING or explicitly-null field
-    * coalesces to the column type's default, exactly like the CSV reader
-    * (Sources.csv — `coalesce(cast, default)`). Without this, JSON — the
+    * coalesces to the column type's default AT EVERY NESTING LEVEL
+    * (struct fields, array elements, map values included), exactly like
+    * the CSV reader's `coalesce(cast, default)` — the shared
+    * [[graft.sources.Sources.jsonEdge]] parse. Without this, JSON — the
     * one source whose codec emits real NULLs — would smuggle NULLs into a
     * no-NULL engine, where a later `update .where(p)` predicate evaluates
     * to NULL and every mutation surface has to re-defend against it. */
   def setValueJson(name: String, json: String): Unit = {
-    import spark.implicits._
-    // a top-level array is ONE record (the codec unrolls it; embedded
-    // newlines are fine) — only JSON-lines payloads split per line
-    val records =
-      if (json.trim.startsWith("[")) Seq(json)
-      else json.linesIterator.filter(_.trim.nonEmpty).toSeq
-    val ds = spark.createDataset(records)
-    val reader = spark.read.option("mode", "FAILFAST") // malformed = loud
-    val parsed =
+    val df = graft.sources.Sources.jsonEdge(spark, json,
       if (catalog.names.contains(name))
-        reader.schema(catalog.relvar(name).df.schema).json(ds)
-      else reader.json(ds)
-    val df = parsed.select(parsed.schema.fields.map { f =>
-      org.apache.spark.sql.functions
-        .coalesce(parsed(f.name), Rel.defaultCol(f.dataType)).as(f.name)
-    }.toIndexedSeq: _*)
+        Some(catalog.relvar(name).df.schema) else None)
     // a wire payload can carry duplicate rows — wrap as a bag so the Rel
     // layer dedupes to set semantics (Rel.distinct only MARKS, never dedupes)
     setValue(name, Rel.bag(df))

@@ -272,11 +272,15 @@ final class Catalog(val spark: SparkSession) {
     // by construction either way
     swap(name, Rel.distinct(spark.table(phys)), alreadyStored = true)
     bucketSpec(name) = (bucketCols, buckets)
-    // layout identity changed to a fresh MANAGED table: release any pin
-    // this session held on a previously-attached shared layout under the
-    // name — its archived versions were reset with the history
-    pinPaths.remove(name).foreach(p =>
-      graft.sources.GenPins.clear(spark, p, sessionPinId))
+    // layout identity changed to a fresh MANAGED table: stop re-stamping
+    // the pin this session held on a previously-attached shared layout —
+    // but do NOT clear the file: swap() ARCHIVED the old attachment into
+    // history, so retained as-of versions still scan the shared layout's
+    // files. The orphaned pin protects them until it TTLs out (the
+    // crashed-session story); past that they fall under rival writers'
+    // layoutKeepPrior grace, loudly documented here rather than silently
+    // released while an archive still reads.
+    pinPaths.remove(name)
     layoutGens(name) = Map(version(name) -> 0) // fresh layout: flat gen 0
   }
   /** Attach a bucketed layout persisted by [[save]]: the stored bucket
@@ -303,8 +307,16 @@ final class Catalog(val spark: SparkSession) {
     syncPin(name)
   }
 
-  def relvar(name: String): Rel =
-    relvars.getOrElse(name, throw new NoSuchElementException(s"relvar $name"))
+  def relvar(name: String): Rel = {
+    val r = relvars.getOrElse(name,
+      throw new NoSuchElementException(s"relvar $name"))
+    // a busy CURRENT-version reader over a shared layout must not let its
+    // durable pin TTL out either — refresh here too, rate-limited to
+    // TTL/4 so the hot path pays a map lookup, not a filesystem write
+    // (no-op for managed/non-bucketed relvars)
+    syncPin(name, refreshOnly = true)
+    r
+  }
   def names: Seq[String] = relvars.keys.toSeq.sorted
 
   /** Forget a relvar: current plan, version history and retention state

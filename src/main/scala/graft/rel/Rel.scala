@@ -304,6 +304,29 @@ object Rel {
     case dt               => lit(null).cast(dt)
   }
 
+  /** NULL→default fill AT EVERY NESTING LEVEL: top-level NULLs coalesce
+    * to [[defaultCol]], and NULLs inside struct fields, array elements
+    * and map values fill recursively (a struct rebuild covers both the
+    * null-struct and the nested-null case in one expression; Spark map
+    * keys cannot be null). This is the JSON edge's no-NULL enforcement —
+    * shared by Session.setValueJson and HttpGateway.parseRows so the two
+    * inlets can never diverge. */
+  def fillDefaults(df: DataFrame): DataFrame = {
+    def fill(c: Column, dt: DataType): Column = dt match {
+      case s: StructType =>
+        struct(s.fields.toIndexedSeq.map(f =>
+          fill(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case a: ArrayType =>
+        coalesce(transform(c, x => fill(x, a.elementType)), defaultCol(a))
+      case m: MapType =>
+        coalesce(transform_values(c, (_, v) => fill(v, m.valueType)),
+          defaultCol(m))
+      case other => coalesce(c, defaultCol(other))
+    }
+    df.select(df.schema.fields.toIndexedSeq.map(f =>
+      fill(df(f.name), f.dataType).as(f.name)): _*)
+  }
+
   /** DEE: no attributes, one (empty) tuple. count=1 (SuiteBasic.andl:40-49). */
   def dee(spark: SparkSession): Rel =
     distinct(spark.range(1).toDF().select())

@@ -197,9 +197,20 @@ object BucketedStore {
     // a crashed writer's lease is free or TTL-breakable. Zero cost on a
     // healthy layout (one root listing).
     if (appendDebris(spark, path)) {
+      // best-effort on the reader path: a live writer's lease (conflict),
+      // or read-only storage where even the lock create throws, must
+      // never fail the ATTACH — the un-healed debris is then at worst a
+      // live writer's in-flight state or a crashed writer's partial
+      // delta that the next leased writer rolls back
       try WriterLease.withLease(spark, path, "bstore.healAppend(attach)") {
         healAppend(spark, path)
-      } catch { case _: WriterLease.LeaseConflictException => () }
+      } catch {
+        case _: WriterLease.LeaseConflictException => ()
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"attach($path): could not heal crashed-append debris " +
+              s"(read-only storage?): $e")
+      }
     }
     val dir = dataDir(spark, path)
     val tbl = freshName("a")
@@ -497,6 +508,13 @@ object BucketedStore {
     writeMeta(spark, path, s"_append-$token.json",
       s"""{"gen":${currentGen(spark, path)},"files":[""" +
         staged.map(graft.types.Json.str).mkString(",") + "]}")
+    // fence BEFORE the first move: the staging write above is a full
+    // Spark job that can outlive the lease TTL — if a breaker (healer)
+    // claimed the layout meanwhile, renew throws and we abort with zero
+    // files moved (the orphan staging is invisible and reclaimed later).
+    // The moves themselves are sub-second metadata renames, so a freshly
+    // renewed lease cannot expire under them.
+    WriterLease.renew(spark, path, s"bstore.append($path)")
     staged.foreach { n =>
       require(fs.rename(hp(s"$stage/$n"), hp(s"$dir/$n")),
         s"append($path): commit rename of $n failed")

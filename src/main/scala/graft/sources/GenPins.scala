@@ -99,12 +99,19 @@ object GenPins {
     if (!fs.exists(pd)) return None
     val now = System.currentTimeMillis()
     val ttl = ttlMs(spark)
-    def freshMin(st: org.apache.hadoop.fs.FileStatus): Option[Int] =
+    def freshMin(p: Path): Option[Int] =
       try {
-        val in = fs.open(st.getPath)
+        val mtime = fs.getFileStatus(p).getModificationTime
+        val in = fs.open(p)
         val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-        val epoch = epochRe.findFirstMatchIn(txt).map(_.group(1).toLong)
-          .getOrElse(st.getModificationTime)
+        // staleness = the NEWER of payload epoch and filesystem mtime,
+        // BOTH clamped to `now`: a pinner whose clock runs behind must
+        // not read as instantly stale (the mtime is the shared FS's
+        // authority), and a pinner whose clock runs AHEAD must not mint
+        // a pin that outlives the TTL backstop by its skew
+        val payload =
+          epochRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+        val epoch = math.min(now, math.max(math.min(payload, now), mtime))
         if (now - epoch <= ttl)
           minGenRe.findFirstMatchIn(txt).map(_.group(1).toInt)
         else None
@@ -114,10 +121,14 @@ object GenPins {
         (st.getPath.getName.endsWith(".pin") ||
           st.getPath.getName.endsWith(".pin.tmp")))
       .groupBy(_.getPath.getName.stripSuffix(".tmp"))
-      .collect { case (name, sts) if name != s"$selfSessionId.pin" =>
-        // main preferred; the tmp covers the delete→rename restamp window
-        val (mains, tmps) = sts.partition(_.getPath.getName == name)
-        (mains ++ tmps).flatMap(freshMin(_)).headOption
+      .collect { case (name, _) if name != s"$selfSessionId.pin" =>
+        // main preferred; the tmp covers the delete→rename restamp
+        // window; the SECOND main read covers the instant where the
+        // rename completed between our two opens — a live session's
+        // restamp must never read as "no pin" to a vacuum
+        val main = new Path(s"$pd/$name")
+        val tmp = new Path(s"$pd/$name.tmp")
+        freshMin(main).orElse(freshMin(tmp)).orElse(freshMin(main))
       }.flatten.minOption
   }
 }

@@ -118,6 +118,26 @@ object Sources {
     Rel.bag(schema.fold(r)(s => r.schema(s)).json(path))
   }
 
+  /** THE JSON boundary parse, shared by Session.setValueJson and
+    * HttpGateway's PUT so the two inlets can never diverge: a top-level
+    * array is ONE record (the SQL JSON codec unrolls it; embedded
+    * newlines are fine), JSON-lines split per line, malformed rows are
+    * LOUD (FAILFAST), an existing relvar's schema drives the parse when
+    * given (exact round trip incl. timestamps) else it is inferred — and
+    * the result is NULL-FREE at every nesting level
+    * ([[graft.rel.Rel.fillDefaults]]): JSON is the one inlet whose codec
+    * emits real NULLs, and the engine behind it is no-NULL. */
+  def jsonEdge(spark: SparkSession, json: String,
+               schema: Option[StructType] = None): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val records =
+      if (json.trim.startsWith("[")) Seq(json)
+      else json.linesIterator.filter(_.trim.nonEmpty).toSeq
+    val ds = spark.createDataset(records)
+    val reader = spark.read.option("mode", "FAILFAST")
+    Rel.fillDefaults(schema.fold(reader.json(ds))(s => reader.schema(s).json(ds)))
+  }
+
   /** JDBC import (DataSourceSql, Andl.Runtime/DataSourceSql.cs:29-80):
     * the full source surface includes sql/odbc/oledb connections; on Spark
     * this is the built-in JDBC reader (exercised in SourcesSpec against an

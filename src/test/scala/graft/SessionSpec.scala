@@ -104,6 +104,33 @@ class SessionSpec extends SparkSpec {
     val r3pt = q3.where(col("id") === 3).select("pt.x", "pt.y").collect()(0)
     assert(r3pt.getDouble(0) === 0.0 && r3pt.getDouble(1) === 0.0,
       "missing struct did not default to component defaults")
+    // NULLs NESTED INSIDE non-null containers fill too: a null struct
+    // FIELD, a null array ELEMENT, a null map VALUE — the top-level
+    // coalesce alone would pass all three through
+    ses.setValueJson("Q4",
+      """[{"id":1,"pt":{"x":1.5,"y":2.5},"tags":["a","b"],"kv":{"k1":"v1"}},
+        |{"id":2,"pt":{"x":null,"y":3.5},"tags":["a",null],"kv":{"k1":null}}]"""
+        .stripMargin)
+    val q4 = ses.getValue("Q4").df
+    val r4 = q4.where(col("id") === 2).collect()(0)
+    val pt = r4.getStruct(r4.fieldIndex("pt"))
+    assert(!pt.isNullAt(pt.fieldIndex("x")) &&
+      pt.getDouble(pt.fieldIndex("x")) === 0.0, "null struct FIELD leaked")
+    assert(r4.getSeq[String](r4.fieldIndex("tags")) === Seq("a", ""),
+      "null array ELEMENT leaked")
+    // JSON objects infer as structs, so kv.k1 rides the struct fill
+    val kv = r4.getStruct(r4.fieldIndex("kv"))
+    assert(kv.getString(kv.fieldIndex("k1")) === "", "nested object value leaked")
+    // MAP values only arrive via a schema-driven parse — pin the fill
+    // directly on a MapType frame
+    val mdf = {
+      import spark.implicits._
+      Seq((1L, Map("a" -> Some(2.5), "b" -> Option.empty[Double])))
+        .toDF("id", "kv")
+    }
+    val filled = graft.rel.Rel.fillDefaults(mdf).collect()(0)
+    assert(filled.getMap[String, Double](1).get("b").contains(0.0),
+      "null map VALUE leaked through fillDefaults")
   }
 
   test("two-session persistence: relvars, scalars, functions, types reload (SuiteUpdateCat1/2.andl)") {
