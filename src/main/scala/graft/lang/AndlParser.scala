@@ -303,10 +303,11 @@ final class AndlParser(toks: Vector[Tok]) {
     * named ops like `and`/`union` are identifiers). */
   private def opSymbol(): Option[String] = peek() match {
     case TOp(s) if AndlParser.precedence.contains(s) => Some(s)
-    case TIdent(n) if AndlParser.precedence.contains(n) && !(peek(1) match {
-      case TOp("(") => n == "minus" // `minus(` would be a call — none exist
-      case _ => false
-    }) => Some(n)
+    // named ops stay dyadic even before `(`: `S minus (SP join P)` is the
+    // reference's ordinary dyadic-op-with-parenthesized-operand form
+    // (SymbolTable.cs:539 AddDyadic "minus"); no call named like a dyadic
+    // op exists in the reference surface, so there is no ambiguity
+    case TIdent(n) if AndlParser.precedence.contains(n) => Some(n)
     case _ => None
   }
 

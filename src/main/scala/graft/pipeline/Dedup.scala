@@ -424,13 +424,17 @@ object Dedup {
     val chunks = docs
       .select(col(idCol), posexplode(chunkArr).as(Seq("__i", "chunk")))
       .select(col(idCol), (col("__i") + 1).as("chunk_idx"), col("chunk"),
-        md5(col("chunk")).as("__fp"),
-        // packed global position; chunk_idx < 1e6 for any sane chunk size
-        (col(idCol) * 1000000L + col("__i") + 1).as("__pos"))
-    val owners = chunks.groupBy("__fp").agg(min(col("__pos")).as("__first"))
+        md5(col("chunk")).as("__fp"))
+    // owner election as min(struct(doc_id, chunk_idx)) — lexicographic on
+    // the REAL key (the dropArrays discipline): ids of any orderable type
+    // work and no packed-arithmetic ceiling exists (the previous
+    // doc_id·10⁶+idx packing let a >10⁶-chunk document overflow into a
+    // neighboring doc's range)
+    val owners = chunks.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
     chunks.join(owners, "__fp")
       .select(col(idCol), col("chunk_idx"), col("chunk"),
-        (col("__pos") === col("__first")).as("kept"))
+        (struct(col(idCol), col("chunk_idx")) === col("__first")).as("kept"))
   }
 
   /** Content-defined chunk hashes ([[graft.functions.GearChunks]]) —
@@ -456,14 +460,15 @@ object Dedup {
     val chunks = docs.select(col(idCol),
         posexplode(cdcChunks(col(textCol), minLen, avgBits, maxLen))
           .as(Seq("__i", "c")))
-      .select(col(idCol), col("c.pos").as("pos"), col("c.len").as("len"),
-        col("c.hash").as("hash"),
-        // packed global position; chunk index < 1e6 for any sane sizing
-        (col(idCol) * 1000000L + col("__i")).as("__gpos"))
-    val owners = chunks.groupBy("hash").agg(min(col("__gpos")).as("__first"))
+      .select(col(idCol), col("__i"), col("c.pos").as("pos"),
+        col("c.len").as("len"), col("c.hash").as("hash"))
+    // struct owner election on the real (doc_id, chunk-index) key — see
+    // chunkDedup: no packed ceiling, any orderable id type
+    val owners = chunks.groupBy("hash")
+      .agg(min(struct(col(idCol), col("__i"))).as("__first"))
     chunks.join(owners, "hash")
       .select(col(idCol), col("pos"), col("len"), col("hash"),
-        (col("__gpos") === col("__first")).as("kept"))
+        (struct(col(idCol), col("__i")) === col("__first")).as("kept"))
   }
 
   /** INTRA-document repetition removal: within each document, only the

@@ -149,6 +149,50 @@ class AlgebraPropSpec extends SparkSpec {
     }
   }
 
+  test("nest/unnest round-trip is identity on random relations") {
+    import graft.rel.Nest
+    forAll(tupleGen) { xs =>
+      val r = rel(xs)
+      val nested = Nest.nest(r, "rva", Seq("v"))
+      assert(Nest.unnest(nested, "rva").relEquals(r), s"input $xs")
+      // nest groups exactly the distinct keys
+      assert(nested.count() === set(xs).map(_._1).size)
+    }
+  }
+
+  test("transformOrdered %k subtotal collapse equals Scala groupBy-sum") {
+    import graft.rel.{Ordered, OrderSpec}
+    forAll(tupleGen) { xs =>
+      if (xs.nonEmpty) {
+        // distinct (k, v) pairs: v is then a total order within each k group
+        val r = rel(xs)
+        val spec = OrderSpec(Seq("k"), Seq(col("v")))
+        val out = Ordered.transformOrdered(r, spec,
+          nonFold = Seq("k" -> col("k")),
+          folds = Seq(("s", "+", col("v"))))
+        val got = out.df.collect().map(t => (t.getInt(0), t.getLong(1))).toMap
+        val want = set(xs).groupBy(_._1)
+          .map { case (k, ts) => k -> ts.map(_._2.toLong).sum }
+        assert(got === want, s"input $xs")
+      }
+    }
+  }
+
+  test("withGlobalOrdinal numbers 1..n consistently with the total order") {
+    import graft.rel.Ordered
+    forAll(tupleGen) { xs =>
+      if (xs.nonEmpty) {
+        val df = rel(xs).df // distinct (k, v): (k, v) is a total order
+        val got = Ordered.withGlobalOrdinal(df, Seq(col("k"), col("v")), "i")
+          .collect().map(t => ((t.getInt(0), t.getInt(1)), t.getLong(2)))
+        val want = set(xs).toSeq.sorted.zipWithIndex
+          .map { case (kv, i) => (kv, (i + 1).toLong) }.toMap
+        assert(got.toMap === want, s"input $xs")
+        assert(got.map(_._2).sorted.toSeq === (1L to set(xs).size).toSeq)
+      }
+    }
+  }
+
   test("while-fixpoint equals naive iterate-to-fixpoint on random successor graphs") {
     // step: k -> (k + d) mod 7 for a random d per relation; fixpoint =
     // closure of repeated application, computed naively in Scala
@@ -163,6 +207,52 @@ class AlgebraPropSpec extends SparkSpec {
         want = next
       }
       assert(out.df.collect().map(_.getInt(0)).toSet === want)
+    }
+  }
+
+  test("random language scripts (join/union/minus/fold) agree with set algebra") {
+    import graft.lang.AndlInterp
+    import graft.lang.AndlValues._
+    // read a language result as a set of (attr -> int) maps, either tier
+    def relSet(i: AndlInterp, name: String): Set[Map[String, Int]] =
+      i.global.lookup(name) match {
+        case Some(RelV(_, rel)) =>
+          val cols = rel.attrs
+          rel.df.collect().map(r => cols.map(c =>
+            c -> r.getAs[Any](c).asInstanceOf[Number].intValue).toMap).toSet
+        case Some(LRelV(_, rows)) => rows.map(_.fields.toMap.map {
+          case (k, NumV(d)) => k -> d.toInt
+          case (k, other) => fail(s"$name.$k is $other")
+        }).toSet
+        case other => fail(s"$name is $other")
+      }
+    forAll(tupleGen, tupleGen) { (xs, ys) =>
+      if (xs.nonEmpty && ys.nonEmpty) {
+        val rl = xs.map { case (k, v) => s"{k := $k, v := $v}" }.mkString(",")
+        val sl = ys.map { case (k, w) => s"{k := $k, w := $w}" }.mkString(",")
+        val i = new AndlInterp(spark, ".")
+        i.run(
+          s"""r := {$rl}
+             |s := {$sl}
+             |j := r join s
+             |u := (r .where(k < 3)) union (r .where(k >= 2))
+             |m := r minus (r .where(v = 1))
+             |a := r .select{ k, t := fold(+, v) }""".stripMargin, "prop2")
+        val (rs, ss) = (set(xs), set(ys))
+        val wantJ = for ((k, v) <- rs; (k2, w) <- ss if k == k2)
+          yield Map("k" -> k, "v" -> v, "w" -> w)
+        assert(relSet(i, "j") === wantJ, s"join: $xs $ys")
+        assert(relSet(i, "u") ===
+          rs.filter(t => t._1 < 3 || t._1 >= 2).map(t => Map("k" -> t._1, "v" -> t._2)),
+          s"union: $xs")
+        assert(relSet(i, "m") ===
+          rs.filterNot(_._2 == 1).map(t => Map("k" -> t._1, "v" -> t._2)),
+          s"minus: $xs")
+        assert(relSet(i, "a") ===
+          rs.groupBy(_._1).map { case (k, ts) =>
+            Map("k" -> k, "t" -> ts.map(_._2).sum) }.toSet,
+          s"fold: $xs")
+      }
     }
   }
 

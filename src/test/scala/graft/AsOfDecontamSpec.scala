@@ -145,6 +145,24 @@ class AsOfDecontamSpec extends SparkSpec {
     assert(out((3L, 1)) == ("k l", false))                 // dup of (1,2)
   }
 
+  test("chunkDedup/cdcDedup: struct owner election works on STRING doc ids") {
+    // the packed doc_id·10⁶+idx election required numeric ids (and had an
+    // overflow ceiling); the struct election must handle any orderable id
+    val docs = Seq(
+      ("b", "a b c d e f g h i j"),
+      ("a", "a b c d e f g h i j")   // same chunk — smaller id owns it
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, chunkTokens = 10)
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(out("a") && !out("b"))
+    val cdc = Dedup.cdcDedup(docs)
+    val keptBy = cdc.collect().groupBy(_.getString(0))
+      .view.mapValues(_.forall(_.getBoolean(4))).toMap
+    assert(keptBy("a"), "lexicographically smallest id must own its chunks")
+    assert(cdc.filter(col("doc_id") === "b" && col("kept")).count() === 0,
+      "identical text under a larger id must fully deduplicate")
+  }
+
   test("chunkDedup reconstruction law: chunks reassemble the normalized text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val rebuilt = Dedup.chunkDedup(docs)

@@ -53,6 +53,16 @@ class ParserFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("named dyadic ops bind before a parenthesized right operand") {
+    // the reference's ordinary dyadic form `S minus (expr)` — a round-3
+    // carve-out mis-parsed `minus (` as a (nonexistent) function call
+    Seq("minus", "rminus", "union", "intersect", "symdiff", "join").foreach { op =>
+      val stmts = AndlParser.parse(
+        s"a := {{k := 1}} $op ({{k := 2}} .where(k > 1))", "dyadic.andl")
+      assert(stmts.length === 1, s"$op with parenthesized operand must parse")
+    }
+  }
+
   test("moderate expression nesting parses without stack overflow") {
     val deep = "var x := " + ("(" * 100) + "1" + (")" * 100) + "\n"
     parses(deep) match {
