@@ -210,22 +210,46 @@ class AlgebraPropSpec extends SparkSpec {
     }
   }
 
+  // read a language result as a set of (attr -> int) maps, either tier
+  private def relSet(i: graft.lang.AndlInterp, name: String): Set[Map[String, Int]] = {
+    import graft.lang.AndlValues._
+    i.global.lookup(name) match {
+      case Some(RelV(_, rel)) =>
+        val cols = rel.attrs
+        rel.df.collect().map(r => cols.map(c =>
+          c -> r.getAs[Any](c).asInstanceOf[Number].intValue).toMap).toSet
+      case Some(LRelV(_, rows)) => rows.map(_.fields.toMap.map {
+        case (k, NumV(d)) => k -> d.toInt
+        case (k, other) => fail(s"$name.$k is $other")
+      }).toSet
+      case other => fail(s"$name is $other")
+    }
+  }
+
+  test("random update verbs (insert/delete/set) agree with a Scala replay") {
+    import graft.lang.AndlInterp
+    forAll(tupleGen, Gen.choose(0, 5)) { (xs, c) =>
+      if (xs.nonEmpty) {
+        val rl = xs.map { case (k, v) => s"{k := $k, v := $v}" }.mkString(",")
+        val i = new AndlInterp(spark, ".")
+        i.run(
+          s"""r := {$rl}
+             |update r union {{k := 9, v := 9}}
+             |update r .where(k = $c) .select{}
+             |update r .where(v >= 2) .select{ *v := v + 10 }""".stripMargin,
+          "prop3")
+        var want = set(xs) + ((9, 9))
+        want = want.filterNot(_._1 == c)
+        want = want.map { case (k, v) => if (v >= 2) (k, v + 10) else (k, v) }
+        assert(relSet(i, "r") ===
+          want.map(t => Map("k" -> t._1, "v" -> t._2)),
+          s"input $xs delete-key $c")
+      }
+    }
+  }
+
   test("random language scripts (join/union/minus/fold) agree with set algebra") {
     import graft.lang.AndlInterp
-    import graft.lang.AndlValues._
-    // read a language result as a set of (attr -> int) maps, either tier
-    def relSet(i: AndlInterp, name: String): Set[Map[String, Int]] =
-      i.global.lookup(name) match {
-        case Some(RelV(_, rel)) =>
-          val cols = rel.attrs
-          rel.df.collect().map(r => cols.map(c =>
-            c -> r.getAs[Any](c).asInstanceOf[Number].intValue).toMap).toSet
-        case Some(LRelV(_, rows)) => rows.map(_.fields.toMap.map {
-          case (k, NumV(d)) => k -> d.toInt
-          case (k, other) => fail(s"$name.$k is $other")
-        }).toSet
-        case other => fail(s"$name is $other")
-      }
     forAll(tupleGen, tupleGen) { (xs, ys) =>
       if (xs.nonEmpty && ys.nonEmpty) {
         val rl = xs.map { case (k, v) => s"{k := $k, v := $v}" }.mkString(",")
