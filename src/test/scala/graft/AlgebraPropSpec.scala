@@ -261,21 +261,37 @@ class AlgebraPropSpec extends SparkSpec {
              |j := r join s
              |u := (r .where(k < 3)) union (r .where(k >= 2))
              |m := r minus (r .where(v = 1))
-             |a := r .select{ k, t := fold(+, v) }""".stripMargin, "prop2")
+             |a := r .select{ k, t := fold(+, v) }
+             |sj := r semijoin s
+             |aj := r ajoin s
+             |co := r compose s
+             |dv := r divide s""".stripMargin, "prop2")
         val (rs, ss) = (set(xs), set(ys))
+        val sKeys = ss.map(_._1)
+        def rm(t: (Int, Int)) = Map("k" -> t._1, "v" -> t._2)
         val wantJ = for ((k, v) <- rs; (k2, w) <- ss if k == k2)
           yield Map("k" -> k, "v" -> v, "w" -> w)
         assert(relSet(i, "j") === wantJ, s"join: $xs $ys")
         assert(relSet(i, "u") ===
-          rs.filter(t => t._1 < 3 || t._1 >= 2).map(t => Map("k" -> t._1, "v" -> t._2)),
+          rs.filter(t => t._1 < 3 || t._1 >= 2).map(rm),
           s"union: $xs")
-        assert(relSet(i, "m") ===
-          rs.filterNot(_._2 == 1).map(t => Map("k" -> t._1, "v" -> t._2)),
+        assert(relSet(i, "m") === rs.filterNot(_._2 == 1).map(rm),
           s"minus: $xs")
         assert(relSet(i, "a") ===
           rs.groupBy(_._1).map { case (k, ts) =>
             Map("k" -> k, "t" -> ts.map(_._2).sum) }.toSet,
           s"fold: $xs")
+        assert(relSet(i, "sj") === rs.filter(t => sKeys(t._1)).map(rm),
+          s"semijoin: $xs $ys")
+        assert(relSet(i, "aj") === rs.filterNot(t => sKeys(t._1)).map(rm),
+          s"ajoin: $xs $ys")
+        assert(relSet(i, "co") ===
+          (for ((k, v) <- rs; (k2, w) <- ss if k == k2)
+            yield Map("v" -> v, "w" -> w)),
+          s"compose: $xs $ys")
+        assert(relSet(i, "dv") ===
+          rs.collect { case (k, v) if sKeys(k) => Map("v" -> v) },
+          s"divide: $xs $ys")
       }
     }
   }
