@@ -67,7 +67,7 @@ object Classifier {
         slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b)))
     array_sort(array_distinct(transform(grams,
-      g => Sampling.hashBucket(g, buckets))))
+      g => Sampling.hashBucketMemo(g, buckets))))
   }
 
   /** A model's dense micro-unit weight vector: w6[b] = round6(w_b)·10⁶ as

@@ -528,9 +528,7 @@ object Dedup {
     val wins = toks
       .where(size(col("__t")) >= st)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("__t")) - (st - 1)),
-          i => md5(array_join(slice(col("__t"), i, lit(st)), " "))))
+        posexplode(graft.functions.WindowMd5Hex(col("__t"), st))
           .as(Seq("__j", "__fp")))
       .select(col("doc_id"), (col("__j") + 1).as("win_idx"), col("__fp"))
     val owners = wins.groupBy("__fp")
@@ -651,9 +649,7 @@ object Dedup {
         split(lower(trim(col(textCol))), "\\s+").as("__t"))
       .where(size(col("__t")) >= spanTokens)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("__t")) - (spanTokens - 1)),
-          i => md5(array_join(slice(col("__t"), i, lit(spanTokens)), " "))))
+        explode(graft.functions.WindowMd5Hex(col("__t"), spanTokens))
           .as("__fp"))
       .distinct()
     val perFp = pairs.groupBy("__fp").agg(count(lit(1)).as("__docs"))

@@ -26,24 +26,42 @@ import org.apache.spark.sql.functions._
 object Embed {
 
   /** The gram's ±1 sign for one dimension: md5("<gram>|<dim>") first 4
-    * hex chars' parity — content-addressed, engine-portable. */
-  private def sign(g: Column, dim: Int): Column =
+    * hex chars' parity — content-addressed, engine-portable. Kept as the
+    * differential oracle for [[graft.functions.SignedGramSums]], which
+    * evaluates the identical md5 parity fused over the in-row gram array
+    * (HashExprsSpec pins bit-equality against this formulation). */
+  private[graft] def sign(g: Column, dim: Int): Column =
     (conv(substring(md5(concat_ws("|", g, lit(dim))), 1, 4), 16, 10)
       .cast("int") % 2 * 2 - 1).cast("long")
+
+  /** Unigram+bigram OCCURRENCE array, in-row — the array form of
+    * [[Selection.grams]]'s exploded stream (same tokenizer, same
+    * concat_ws(" ") bigrams, same multiset of grams per doc). */
+  private[graft] def gramArray(textCol: String): Column = {
+    val ts = filter(split(lower(trim(col(textCol))), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    concat(ts,
+      zip_with(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+  }
 
   /** Long form: (doc_id, dim, v) with v = round(component/‖·‖₂, 6) —
     * the oracle-friendly shape. */
   def docEmbedLong(docs: DataFrame, dims: Int = 16,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dims >= 2 && dims <= 256, s"docEmbed: dims=$dims")
-    val g = Selection.grams(docs, idCol, textCol)
-    // one ±1 per dimension as `dims` columns of the SAME row — the sum
-    // aggregate below combines map-side, so no row ever multiplies
-    val comp = g.groupBy("doc_id")
-      .agg(sum(sign(col("g"), 0)).as("c0"),
-        (1 until dims).map(d => sum(sign(col("g"), d)).as(s"c$d")): _*)
-      .select(col("doc_id"),
-        array((0 until dims).map(d => col(s"c$d")): _*).as("cs"))
+    // component sums fused IN-ROW over the gram array
+    // ([[graft.functions.SignedGramSums]]): the previous shape exploded
+    // every gram occurrence and hash-aggregated dims sum slots back to one
+    // row per doc — a corpus-of-grams-sized aggregation (plus one md5 PER
+    // (occurrence, dim)) for sums each row can compute locally. Now the
+    // scan stays narrow (zero shuffle) and the md5 runs once per DISTINCT
+    // gram per dim. Gram-less docs yield a zero vector, dropped by the
+    // same n > 0 guard that dropped their absent rows before.
+    val comp = docs.select(col(idCol).as("doc_id"),
+      graft.functions.SignedGramSums(gramArray(textCol), dims).as("cs"))
     comp
       .select(col("doc_id"),
         sqrt(aggregate(col("cs"), lit(0L), (a, x) => a + x * x).cast("double"))

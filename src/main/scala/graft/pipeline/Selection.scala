@@ -34,7 +34,7 @@ object Selection {
     filter(split(lower(trim(c)), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Unigram + bigram stream: one row per gram OCCURRENCE. */
-  private[pipeline] def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ts = toks(col(textCol))
     df.select(col(idCol).as("doc_id"), ts.as("__t"))
       .select(col("doc_id"), explode(concat(col("__t"),
@@ -51,7 +51,7 @@ object Selection {
   private[graft] def docBucketCounts(df: DataFrame, buckets: Int,
                                         idCol: String, textCol: String): DataFrame =
     grams(df, idCol, textCol)
-      .select(col("doc_id"), Sampling.hashBucket(col("g"), buckets).as("bucket"))
+      .select(col("doc_id"), Sampling.hashBucketMemo(col("g"), buckets).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
 
   /** DSIR importance log-weights for every raw doc with ≥ 1 gram:
@@ -81,7 +81,7 @@ object Selection {
 
     // target model: one gram pass, ≤ B rows collected; total in driver
     val tcRows = grams(target, idCol, textCol)
-      .select(Sampling.hashBucket(col("g"), buckets).as("bucket"))
+      .select(Sampling.hashBucketMemo(col("g"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val tTot = tcRows.map(_._2).sum

@@ -195,9 +195,11 @@ object TextAnalysis {
     * no shuffle, stays in codegen. Returns the DISTINCT selected hashes. */
   def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
     val sel = bind(bind(split(lower(trim(text)), "[^a-z0-9]+")) { toks =>
-      transform(
-        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-        i => md5(array_join(slice(toks, i, lit(k)), " ")))
+      // fused window fingerprints (graft.functions.WindowMd5Hex): same
+      // md5 hex per window as transform(sequence(...), i =>
+      // md5(array_join(slice(toks, i, k), " "))), one pass, no per-window
+      // slice/join allocations (HashExprsSpec pins the differential)
+      graft.functions.WindowMd5Hex(toks, k)
     }) { fps =>
       array_distinct(transform(
         sequence(lit(1), greatest(size(fps) - (w - 1), lit(1))),
