@@ -13,11 +13,16 @@ import graft.rel.Checkpoint.PinOps
   *
   * Scale shape per iteration: one join of the rank vector with the edge
   * list on `src` and one map-side-combinable aggregation on `dst` — the
-  * classic two-exchange step. The edge list is the REUSED side: it is
-  * repartitioned on `src` once up front and pinned, so every iteration's
-  * join co-locates against the same layout instead of reshuffling edges
-  * (at 100 TB: bucket the edge table on src and the join is exchange-free
-  * on that side; ranks — one double per node — are the only moving data).
+  * classic two-exchange step. The edge list is the REUSED side, pinned
+  * once up front; in the tiny-rank regime (see below) the rank vector
+  * broadcasts into it, so the pinned edges are scanned in place and the
+  * only per-iteration exchange carries the narrow (dst, long)
+  * contributions (a pin does NOT preserve partitioning — LogicalRDD
+  * reports UnknownPartitioning — so the pre-r18 shuffled join re-sorted
+  * the edge pin every iteration). At 100 TB, where ranks outgrow a
+  * broadcast, bucket the edge table on src: the join is then
+  * exchange-free on that side and ranks — one double per node — are the
+  * only moving data.
   *
   * Determinism: per-edge contributions are 12dp-rounded then summed as
   * exact ×10¹² LONG integers (total rank mass is 1, so every sum stays
@@ -27,6 +32,19 @@ import graft.rel.Checkpoint.PinOps
   * bit-for-bit with plain decimal sums.
   */
 object Graph {
+
+  /** Plan telemetry for one pageRank run (the [[WhileFix.Probe]]
+    * pattern): collects the formatted plan of the edge setup and of each
+    * iteration's UNPINNED rank rebuild — the plans the eager pins execute,
+    * which no listener sees (localCheckpoint materializes through an RDD
+    * job, not a tracked SQL action). Zero cost when absent; used by the
+    * optimization-evidence dumps and the join-strategy regression test. */
+  final class PlanProbe {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private[Graph] def add(label: String, df: DataFrame): Unit =
+      plans += label -> df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
 
   /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`
     * string columns; duplicate edges are collapsed). Simple variant
@@ -51,15 +69,22 @@ object Graph {
     * Returns (node, pr) with pr rounded to 6dp. */
   def pageRank(edges0: DataFrame, iters: Int = 3,
                damping: Double = 0.85, dangling: Boolean = false,
-               tol: Double = 0.0): DataFrame = {
+               tol: Double = 0.0, planProbe: PlanProbe = null): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
     val edgesRaw = edges0.select(col("src"), col("dst")).distinct()
     val outdeg = edgesRaw.groupBy("src").agg(count(lit(1)).as("deg"))
     // fold the out-degree INTO the pinned edge layout up front — one join
-    // per iteration instead of two, against an unchanging src-partitioned
-    // artifact
-    val edges = edgesRaw.join(outdeg, "src")
-      .repartition(col("src")).pin()
+    // per iteration instead of two, against an unchanging artifact. The
+    // src repartition rides before the join (same physical plan either
+    // side of it — the planner elides the redundant exchange: the r18
+    // capture pinned identical setup plans for both orders). NOTE the pin
+    // does NOT preserve partitioning (LogicalRDD comes back
+    // UnknownPartitioning — see plans/r18/q_pagerank_before.txt), which is
+    // why the tiny-rank broadcast regime below matters: without it every
+    // iteration re-shuffled AND re-sorted this edge-sized pin.
+    val edgesPre = edgesRaw.repartition(col("src")).join(outdeg, "src")
+    if (planProbe != null) planProbe.add("edges_setup", edgesPre)
+    val edges = edgesPre.pin()
     val nodes0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
     // mark the dangling set once (no out-edges = never appears as src);
@@ -71,6 +96,22 @@ object Graph {
         .withColumn("dang", lit(false)))
       .pin()
     val n = nodes.count().toDouble
+    // TINY-RANK regime (r18): while the rank vector — one (id, bool,
+    // double) row per node — fits a broadcast comfortably, broadcast it
+    // into the edge join (the pinned edge layout then never re-sorts or
+    // re-shuffles: the per-iteration exchange carries only the narrow
+    // (dst, long) contributions into the aggregation) and broadcast the
+    // node-sized contribution table into the rank rebuild (the nodes side
+    // stays narrow over its pin). Past the bound the joins fall back to
+    // the shuffled plans — identical totals either way: every sum is an
+    // order-invariant exact-long sum, so join strategy cannot move a
+    // rank. At web scale (10⁹ nodes) the fallback is the operating
+    // regime and the edge table is bucketed by src instead.
+    val bcBytes = edges0.sparkSession.conf
+      .getOption("spark.graft.graph.broadcastBytes").map(_.toLong)
+      .getOrElse(32L << 20)
+    val tinyRanks = n * 64 < bcBytes
+    def bc(df: DataFrame): DataFrame = if (tinyRanks) broadcast(df) else df
 
     var pr = nodes.withColumn("pr", round(lit(1.0) / n, 12)).pin()
     var i = 0
@@ -81,16 +122,23 @@ object Graph {
       // long sums add the identical totals order-invariantly on the
       // codegen primitive fast path, where the previous DecimalType(28,12)
       // aggregation paid decimal arithmetic on every edge row
+      //
+      // dangling mass rides IN-PLAN (r18): the one-row D aggregate over
+      // the previous pinned ranks attaches by crossJoin (the 1-row
+      // scalar-agg idiom) instead of a collect() — one driver round trip
+      // per iteration removed; the arithmetic is the identical double
+      // sequence ((Σlong → double)/1e12, /n, round 12dp) the driver path
+      // evaluated, so every rank replays bit-for-bit.
       val base =
         if (!dangling) lit((1.0 - damping) / n)
-        else {
-          val d = pr.where(col("dang"))
-            .agg(coalesce(sum(round(round(col("pr"), 12) * 1e12).cast("long")),
-              lit(0L)))
-            .collect()(0).getLong(0) / 1e12
-          lit((1.0 - damping) / n) + lit(damping) * round(lit(d / n), 12)
-        }
-      val contrib = pr.join(edges, pr("node") === edges("src"))
+        else lit((1.0 - damping) / n) +
+          lit(damping) * round(col("__d") / lit(n), 12)
+      val dAgg =
+        if (!dangling) null
+        else pr.where(col("dang"))
+          .agg((coalesce(sum(round(round(col("pr"), 12) * 1e12).cast("long")),
+            lit(0L)).cast("double") / 1e12).as("__d"))
+      val contrib = bc(pr).join(edges, pr("node") === edges("src"))
         .select(col("dst"),
           round(round(col("pr") / col("deg"), 12) * 1e12).cast("long").as("c"))
         .groupBy("dst").agg((sum(col("c")).cast("double") / 1e12).as("m"))
@@ -98,14 +146,16 @@ object Graph {
       // rank vector is node-sized — tiny — while an unpinned tree makes
       // every AQE stage re-optimize the whole accumulated plan)
       val prev = pr
-      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      val joined = nodes.join(bc(contrib), nodes("node") === contrib("dst"), "left")
+      val prNext = (if (dangling) joined.crossJoin(broadcast(dAgg)) else joined)
         .select(col("node"), col("dang"),
           round(base + lit(damping) * coalesce(col("m"), lit(0.0)), 12)
             .as("pr"))
-        .pin()
+      if (planProbe != null) planProbe.add(s"iteration_${i + 1}", prNext)
+      pr = prNext.pin()
       if (tol > 0.0) {
         val delta = pr.select(col("node"), col("pr"))
-          .join(prev.select(col("node"), col("pr").as("pp")), "node")
+          .join(bc(prev.select(col("node"), col("pr").as("pp"))), "node")
           .agg(sum(round(abs(col("pr") - col("pp")) * 1e12).cast("long")))
           .collect()(0).getLong(0) / 1e12
         converged = delta < tol

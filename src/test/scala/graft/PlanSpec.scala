@@ -615,4 +615,32 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("pageRank tiny-rank regime (r18): every iteration's rank rebuild " +
+    "broadcasts the node-sized sides — the pinned edge layout is never " +
+    "re-sorted or re-shuffled — and the forced shuffled fallback returns " +
+    "bit-identical ranks") {
+    import spark.implicits._
+    val e = (0 until 2000).map(i => (s"s${i % 50}", s"c${i % 211}"))
+      .toDF("src", "dst")
+    val probe = new graft.rel.Graph.PlanProbe
+    val tiny = graft.rel.Graph.pageRank(e, iters = 2, dangling = true,
+      planProbe = probe)
+    val iterPlans = probe.plans.filter(_._1.startsWith("iteration")).map(_._2)
+    assert(iterPlans.size === 2)
+    iterPlans.foreach { p =>
+      assert(p.contains("BroadcastHashJoin"),
+        s"iteration rank rebuild lost its broadcast:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"iteration re-sorts the pinned edge layout:\n${p.take(3000)}")
+    }
+    // above the broadcast bound the joins degrade to the shuffled plans;
+    // ranks are exact-long sums, so the result must not move by one bit
+    spark.conf.set("spark.graft.graph.broadcastBytes", "1")
+    try {
+      val full = graft.rel.Graph.pageRank(e, iters = 2, dangling = true)
+      assert(tiny.exceptAll(full).count() === 0)
+      assert(full.exceptAll(tiny).count() === 0)
+    } finally spark.conf.unset("spark.graft.graph.broadcastBytes")
+  }
 }
