@@ -2467,23 +2467,28 @@ object Queries {
       val (m, l) = Classifier.trainPrepared(feats, buckets = 4096, iters = 8,
         init = model)
       model = Some(m); losses = losses ++ l; rounds += 1
-      // one aggregate over the pinned frame: separate count() jobs would
-      // each replay a scoring pass
-      val a = Classifier.predictOn(feats, m)
-        .join(feats.select(col("doc_id"), col("y")), "doc_id")
-        .agg(sum(when(col("pred") === (col("y") >= 0.5), 1L).otherwise(0L))
-          .as("hit"), count(lit(1)).as("n")).collect()(0)
-      acc = a.getLong(0).toDouble / math.max(a.getLong(1), 1L)
+      // one NARROW aggregate over the pinned frame (accuracyOn): y sits in
+      // the same row as the bucket set, so no predictOn ⋈ feats self-join
+      // and no second scoring pass (r18 — same hit/total counters)
+      acc = Classifier.accuracyOn(feats, m)
     }
     graft.rel.Checkpoint.PinOps(feats).unpin()
     val monotone = losses.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-9)
     // partitioning-invariance on a content-hash sample with a short run —
     // the property is per-step, so two steps witness it at any sf; the
-    // full-corpus version is unit-locked (CurationSpec)
+    // full-corpus version is unit-locked (CurationSpec). The two trains
+    // are INDEPENDENT jobs over the same sample — submitted from two
+    // driver threads (guide §2.6 overlap) so the second fills the first's
+    // stage tails; each thread's GD is sequential and deterministic, and
+    // the equality check compares the joined results exactly as before.
     val sample = graft.pipeline.Sampling.hashSample(docs, col("doc_id"), 0.4)
-    val (m1, _) = Classifier.trainLogistic(sample, label, iters = 2, buckets = 4096)
+    val fut1 = scala.concurrent.Future(
+      Classifier.trainLogistic(sample, label, iters = 2, buckets = 4096))(
+      scala.concurrent.ExecutionContext.global)
     val (m2, _) = Classifier.trainLogistic(sample.repartition(13), label,
       iters = 2, buckets = 4096)
+    val (m1, _) = scala.concurrent.Await.result(
+      fut1, scala.concurrent.duration.Duration.Inf)
     Seq((acc >= 0.9, monotone, m1 == m2))
       .toDF("ok_acc", "ok_loss_monotone", "ok_deterministic")
   }

@@ -246,6 +246,28 @@ object Classifier {
       (p >= threshold).as("pred"))
   }
 
+  /** Training accuracy of `model` over a [[prepare]]d frame in ONE narrow
+    * scan: the label `y` lives in the same row as the bucket set, so
+    * hit-counting needs no join — the previous predictOn ⋈ feats shape
+    * paid a shuffle join of the pinned frame against itself (r18: the
+    * join was an identity self-join on doc_id). Same per-doc pred/label
+    * pairs, same unrounded threshold compare as [[predictOn]]. */
+  def accuracyOn(feats: DataFrame, model: Model,
+                 threshold: Double = 0.5): Double = {
+    import graft.functions.BucketDotSums
+    val (ms, bc) = BucketDotSums.tracked(feats.sparkSession, col("bs"),
+      Array(toW6(model)))
+    val m = element_at(ms, 1).cast("double") / 1e6 + lit(model.bias)
+    val p = lit(1.0) / (exp(-m) + 1.0)
+    val row =
+      try feats.select((p >= threshold).as("pred"), col("y"))
+        .agg(sum(when(col("pred") === (col("y") >= 0.5), 1L).otherwise(0L))
+          .as("hit"), count(lit(1)).as("n"))
+        .collect()(0)
+      finally bc.destroy()
+    row.getLong(0).toDouble / math.max(row.getLong(1), 1L)
+  }
+
   /** Score docs with a trained model: (doc_id, p, pred) — one narrow
     * pass (in-row bucket set → fixed-point dot → sigmoid), no join, no
     * shuffle. Zero-gram docs have an empty bucket set, so they score at

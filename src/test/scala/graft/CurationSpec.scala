@@ -305,6 +305,20 @@ class CurationSpec extends SparkSpec {
     val (m2, l2) = Classifier.trainLogistic(docs.repartition(7),
       col("label") === 1, iters = 12)
     assert(m2 === model && l2 === losses)
+    // accuracyOn (r18's no-join accuracy scan) === the predictOn ⋈ labels
+    // formulation it replaced, on a frame with zero-gram docs mixed in
+    val withEmpty = docs.unionByName(
+      Seq((25L, "", 1), (26L, "  ", 0)).toDF("doc_id", "text", "label"))
+    val feats = Classifier.prepare(withEmpty, col("label") === 1, buckets = 512)
+    try {
+      val fast = Classifier.accuracyOn(feats, model)
+      val joined = Classifier.predictOn(feats, model)
+        .join(feats.select(col("doc_id"), col("y")), "doc_id")
+        .agg(sum(when(col("pred") === (col("y") >= 0.5), 1L).otherwise(0L))
+          .as("hit"), count(lit(1)).as("n")).collect()(0)
+      val ref = joined.getLong(0).toDouble / math.max(joined.getLong(1), 1L)
+      assert(fast === ref)
+    } finally graft.rel.Checkpoint.PinOps(feats).unpin()
   }
 
   test("logistic classifier: zero-gram docs train the bias and appear in " +
