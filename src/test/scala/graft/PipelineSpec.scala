@@ -131,8 +131,11 @@ class PipelineSpec extends SparkSpec {
     assert(txt.filter(!(
       TextAnalysis.hashedCharNgrams(col("text")) <=>
         TextAnalysis.hashedCharNgramsReference(col("text")))).count() === 0)
-    // degenerate inputs: shorter than k/n, empty string
-    val edge = Seq("", "ab", "one two", "   ").toDF("text")
+    // degenerate inputs: shorter than k/n, empty string, multi-byte chars
+    // (the r18 offset-walk rewrite must place windows on CHAR boundaries)
+    val edge = Seq("", "ab", "one two", "   ", "héllo wörld",
+      "日本語のテキストです", "mixed ascii と 日本語 and émoji 🎯🎯 tail",
+      "🎯🎯🎯", "a🎯b🎯c").toDF("text")
     assert(edge.filter(!(
       TextAnalysis.hashedShingles(col("text")) <=>
         TextAnalysis.hashedShinglesReference(col("text")))).count() === 0)
