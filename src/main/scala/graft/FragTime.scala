@@ -53,6 +53,17 @@ object FragTime {
     time("q_dedup_ngram charNgrams side")(
       docs.select(col("doc_id"),
         graft.pipeline.TextAnalysis.charNgrams(col("text"), 5).as("g")))
+
+    // minhash path decomposition
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val filt = docs.where(length(col("text")) >= 5)
+    time("hashedShingles only")(
+      filt.select(col("doc_id"), TextAnalysis.hashedShingles(col("text")).as("g")))
+    time("shingles + minhashSignature")(
+      filt.select(col("doc_id"), TextAnalysis.hashedShingles(col("text")).as("g"))
+        .where(size(col("g")) > 0)
+        .select(col("doc_id"), Dedup.minhashSignature(col("g"), 64).as("sig")))
+    time("full minhashPairs")(Dedup.minhashPairs(filt, threshold = 0.5))
     spark.stop()
   }
 }
