@@ -267,6 +267,45 @@ object BenchScale {
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))),
         iters = 3).count()
     run("pagerank", pr(prEdges(1)), pr(prEdges(mult)))
+    // PageRank SHUFFLED-FALLBACK regime (r19): broadcastBytes=1 forces the
+    // 100 TB regime — edge and node layouts re-homed into bucketed scratch
+    // tables, per-iteration joins Exchange-free and Sort-free on those
+    // sides, only the node-sized rank vector moving. N disjoint copies of
+    // the same graph through the same 3 iterations: per-row must stay flat
+    // (the one-time bucketing write is linear; per-iteration work is one
+    // node-sized exchange + one narrow aggregation).
+    def prFb(e: DataFrame): Long = {
+      spark.conf.set("spark.graft.graph.broadcastBytes", "1")
+      try pr(e)
+      finally spark.conf.unset("spark.graft.graph.broadcastBytes")
+    }
+    run("pagerank_fallback", prFb(prEdges(1)), prFb(prEdges(mult)))
+    // connected components, DISTRIBUTED tier (r19): pointer-doubling
+    // min-label loop over the per-user event successor chains (path
+    // graphs — maximal diameter), driverEdgeCap=0 keeps the driver
+    // union-find shortcut out. Replication adds DISJOINT chains (shifted
+    // event and user ids): same number of doubling rounds, N× the edge
+    // layout — per-round work is one co-located bucketed join + label
+    // aggregates, so per-row must stay flat.
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    val maxEv = ev1.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = ev1.agg(max("user_id")).head.getLong(0) + 1
+    def scaleEv(n: Int): DataFrame =
+      (0 until n).map(i => ev1.select(
+        (col("event_id") + lit(i * maxEv)).as("event_id"),
+        (col("user_id") + lit(i * maxUser)).as("user_id")))
+        .reduce(_ unionByName _)
+    def ccDist(ev: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val pairs = ev.withColumn("dst", lead(col("event_id"), 1).over(w))
+        .where(col("dst") > col("event_id"))
+        .select(col("event_id"), col("dst"))
+      Cluster.connectedComponents(pairs, "event_id", "dst",
+        driverEdgeCap = 0).count()
+    }
+    run("cc_dist", ccDist(scaleEv(1)), ccDist(scaleEv(mult)))
     // span removal: replication makes EVERY window a cross-doc duplicate,
     // so the drop-position explode (the ×spanTokens stage that normally
     // touches only the dup mass) sees its absolute worst case — the whole

@@ -294,21 +294,36 @@ object Queries {
     // so the planner would sort-merge EVERY layer): while the slim
     // (src,dst) list fits a broadcast (16B/row), one build per round
     // replaces an edge-side shuffle per LAYER — measured 1.4x on the
-    // sf0.1 closure. Past the cap the join shuffles; at corpus scale the
-    // edge list is bucketed by src instead (Catalog.defineBucketed).
-    val edges =
-      if (edgesDf.count() * 16L < (32L << 20)) broadcast(edgesDf) else edgesDf
+    // sf0.1 closure. Past the cap (the corpus-scale regime) the edge list
+    // is re-homed ONCE into a bucketed-by-src scratch layout
+    // (ScratchBuckets, r19): every layer's frontier⋈edges join then reads
+    // a HashPartitioning(src) sorted bucketed scan — Exchange-free and
+    // Sort-free on the edge side — instead of re-shuffling + re-sorting
+    // the UnknownPartitioning pin per LAYER (8 layers/round).
+    val (edges, edgeLayout) =
+      if (edgesDf.count() * 16L < (32L << 20)) (broadcast(edgesDf), null)
+      else {
+        val l = graft.sources.ScratchBuckets.create(edgesDf, Seq("src"))
+        (l.df, l)
+      }
     val seed = ev.where(col("event_type") === "error").project("event_id")
     // string-qualified aliases: the frontier itself derives from `edges`
     // after round 1, so df-reference column equality would be an
     // ambiguous self-join
-    val out = WhileFix(seed.df,
+    def fix(): DataFrame = WhileFix(seed.df,
       fr => fr.alias("f").join(edges.alias("e"), col("f.event_id") === col("e.src"))
         .select(col("e.dst").as("event_id")),
       tinyRows = 1000L, probe = probe)
+    // fallback regime: plan the per-layer joins with the layout's sort
+    // order visible, so the edge side is Sort-free as well as Exchange-free
+    val out =
+      if (edgeLayout == null) fix()
+      else graft.sources.ScratchBuckets.withSortedScans(s)(fix())
     // the fixpoint's legs are checkpoint-truncated — the result never
-    // reads the edge table again; its pin (edge-sized) is dead
+    // reads the edge table again; its pin (edge-sized) is dead, and so is
+    // the fallback regime's scratch bucketed layout
     edgesDf.unpin()
+    if (edgeLayout != null) edgeLayout.close(s)
     out
   }
 
@@ -880,6 +895,29 @@ object Queries {
       threshold = 0.5).select("id_a", "id_b")
     graft.pipeline.Cluster.assign(pairs)
       .select(col("id").as("doc_id"), col("rep"), col("csize"))
+  }
+
+  /** DISTRIBUTED-tier connected components, oracle-gated (r19): the
+    * pointer-doubling min-label loop run for real (driverEdgeCap = 0 keeps
+    * the driver union-find shortcut out), over the per-user event
+    * successor chains — path graphs, the WORST case for label propagation
+    * (maximal diameter), so the O(log diameter) doubling rounds are
+    * genuinely exercised. Each user's chain is one component and the
+    * representative is the user's minimum event_id, which the oracle
+    * states directly with window functions — certifying the distributed
+    * loop (bucketed-by-src edge layout, per-round joins, convergence
+    * detection) against a closed form. The bench rows before this one ran
+    * the DRIVER tier only; the 100 TB regime had no gated row. */
+  def qCcDist(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val chain = OrderSpec(Seq("user_id"), Seq(col("event_id")))
+    val pairs = ev
+      .extend("dst" -> Ordered.leadD(col("event_id"), 1, LongType, chain))
+      .where(col("dst") > col("event_id"))
+      .project("event_id", "dst").df
+    graft.pipeline.Cluster
+      .connectedComponents(pairs, "event_id", "dst", driverEdgeCap = 0)
+      .select(col("id").as("event_id"), col("rep"))
   }
 
   /** Survivor selection, oracle-gated end to end: the corpus minus every
@@ -2485,10 +2523,16 @@ object Queries {
     val fut1 = scala.concurrent.Future(
       Classifier.trainLogistic(sample, label, iters = 2, buckets = 4096))(
       scala.concurrent.ExecutionContext.global)
-    val (m2, _) = Classifier.trainLogistic(sample.repartition(13), label,
-      iters = 2, buckets = 4096)
-    val (m1, _) = scala.concurrent.Await.result(
-      fut1, scala.concurrent.duration.Duration.Inf)
+    // the background train is ALWAYS joined (bounded, in a finally): if
+    // the inline train throws, its Spark jobs must not keep running
+    // unobserved, and a hang in either train surfaces as a loud timeout
+    // instead of blocking the bench forever
+    val joinBudget = scala.concurrent.duration.Duration(600, "s")
+    val (m2, _) =
+      try Classifier.trainLogistic(sample.repartition(13), label,
+        iters = 2, buckets = 4096)
+      finally scala.concurrent.Await.ready(fut1, joinBudget)
+    val (m1, _) = scala.concurrent.Await.result(fut1, joinBudget)
     Seq((acc >= 0.9, monotone, m1 == m2))
       .toDF("ok_acc", "ok_loss_monotone", "ok_deterministic")
   }
@@ -2760,7 +2804,8 @@ object Queries {
     "q_lang_basic" -> qLangBasic, "q_lang_join" -> qLangJoin,
     "q_lang_fold" -> qLangFold, "q_lang_order" -> qLangOrder,
     "q_lang_while" -> qLangWhile,
-    "q_dedup_cluster" -> qDedupCluster, "q_sketch_check" -> qSketchCheck,
+    "q_dedup_cluster" -> qDedupCluster, "q_cc_dist" -> qCcDist,
+    "q_sketch_check" -> qSketchCheck,
     "q_pipeline_clean" -> qPipelineClean, "q_stream_window" -> qStreamWindow,
     "q_sample_strat" -> qSampleStrat, "q_tfidf" -> qTfidf,
     "q_sessionize" -> qSessionize,
@@ -3336,6 +3381,16 @@ object Queries {
       "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a), " +
       "comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a) " +
       "SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM comp"),
+    // Distributed-tier CC over per-user event successor chains: each
+    // user's chain is one path-graph component, so the component map has a
+    // CLOSED FORM — every event of a ≥2-event user, represented by the
+    // user's minimum event_id. The engine side computes it with the real
+    // pointer-doubling loop (driverEdgeCap = 0); the oracle states the
+    // closed form.
+    "q_cc_dist" -> ("SELECT event_id, rep FROM (SELECT event_id, " +
+      "count(*) OVER (PARTITION BY user_id) AS n, " +
+      "min(event_id) OVER (PARTITION BY user_id) AS rep FROM events) " +
+      "WHERE n >= 2"),
     "q_dedup_survivors" -> ("WITH RECURSIVE g AS (SELECT doc_id, " +
       "list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-3, 0)+2)]) AS gr " +
       "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks " +

@@ -22,6 +22,18 @@ import graft.rel.Checkpoint.PinOps
   */
 object Cluster {
 
+  /** Plan telemetry for one connectedComponents run (the Graph.PlanProbe
+    * pattern): collects the formatted plan of each distributed round's
+    * UNPINNED next-labels frame — the plan the lazy pin's count executes.
+    * Zero cost when absent; used by the optimization-evidence dumps and
+    * the join-strategy regression test. */
+  final class PlanProbe {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private[Cluster] def add(label: String, df: DataFrame): Unit =
+      plans += label -> df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
   /** Connected components of the undirected graph given by `pairs`
     * (columns `aCol`, `bCol`). Returns one row per node: (id, rep) where
     * rep = min node id in the component — deterministic, engine-agnostic.
@@ -37,19 +49,22 @@ object Cluster {
 
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50,
-                          driverEdgeCap: Long = defaultDriverEdgeCap): DataFrame = {
+                          driverEdgeCap: Long = defaultDriverEdgeCap,
+                          planProbe: PlanProbe = null): DataFrame = {
     // Pin the pair set FIRST: it appears on both sides of the symmetrizing
     // union, and as a live plan the (possibly expensive — LSH verify) pair
     // computation would run once per branch.
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).pin()
     // symmetrized edge list; each undirected pair appears in both
-    // directions. Pre-partitioned on the per-round join key (src) ONCE, so
-    // every round's big join reuses the pinned partitioning instead of
-    // re-shuffling the edge set (the dominant cost at scale).
+    // directions. NOTE: no repartition before the pin — a pin does NOT
+    // preserve partitioning (LogicalRDD reports UnknownPartitioning, the
+    // r18 PageRank probe finding), so the old repartition(src) here was a
+    // pure extra exchange that co-located nothing. The distributed tier
+    // below re-homes the edge set into a bucketed-by-src scratch layout
+    // instead — a REAL cross-round partitioning.
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .repartition(col("src"))
       .pin()
 
     // tiny regime: the pinned edge set fits on the driver — union-find is
@@ -66,7 +81,18 @@ object Cluster {
       edges.unpin(); p.unpin()
       return out
     }
-    var labels = edges.select(col("src").as("id")).distinct()
+    // DISTRIBUTED tier — the corpus-scale regime. The edge set is joined
+    // on src EVERY round; as a pin it reports UnknownPartitioning and
+    // would re-shuffle + re-sort per round. Re-home it ONCE into a scratch
+    // layout bucketed+sorted by src (one bucketing exchange total): each
+    // round's neighbor-min join is then Exchange-free and Sort-free on the
+    // edge side — only the node-sized label vector moves (guide §2.4/§3.2,
+    // same fix as Graph.pageRank's fallback regime).
+    val spark = pairs.sparkSession
+    val edgeLayout = graft.sources.ScratchBuckets.create(edges, Seq("src"))
+    val e = edgeLayout.df
+    edges.unpin(); p.unpin() // superseded by the bucketed layout
+    var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .pin()
     // Min-label propagation is MONOTONE: a node's label never increases.
@@ -79,10 +105,14 @@ object Cluster {
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
+    // withSortedScans: the sorted bucketed edge scan reports its order, so
+    // each round's neighbor-min join plans Sort-free on the edge side too
+    graft.sources.ScratchBuckets.withSortedScans(spark) {
     while (!converged && iter < maxIter) {
       // (a) neighbor-min: the smallest label adjacent to each node. The
-      // groupBy is map-side combinable; the join key is the node id.
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      // groupBy is map-side combinable; the join key is the node id (the
+      // bucketed layout's key — no exchange, no sort on the edge side).
+      val nbrMin = e.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
@@ -92,6 +122,7 @@ object Cluster {
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")).alias("y"),
           Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      if (planProbe != null) planProbe.add(s"round_${iter + 1}", jump)
       val next = jump.pinLazy()
       val s = lblSum(next) // scans next: the lazy pin materializes here
       converged = s.compareTo(prevSum) == 0
@@ -100,10 +131,12 @@ object Cluster {
       labels = next
       iter += 1
     }
+    }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // the final label pin is the result's storage; the pair set and the
-    // src-partitioned edge layout (pair-set-sized) are dead once it exists
-    edges.unpin(); p.unpin()
+    // the final label pin (eager-materialized by its round's lblSum scan)
+    // is the result's storage; the bucketed edge layout is dead once the
+    // loop converges — delete the scratch files now
+    edgeLayout.close(spark)
     labels.select(col("id"), col("lbl").as("rep"))
   }
 

@@ -103,17 +103,41 @@ object Graph {
     // (dst, long) contributions into the aggregation) and broadcast the
     // node-sized contribution table into the rank rebuild (the nodes side
     // stays narrow over its pin). Past the bound the joins fall back to
-    // the shuffled plans — identical totals either way: every sum is an
-    // order-invariant exact-long sum, so join strategy cannot move a
-    // rank. At web scale (10⁹ nodes) the fallback is the operating
-    // regime and the edge table is bucketed by src instead.
-    val bcBytes = edges0.sparkSession.conf
+    // shuffled plans — identical totals either way: every sum is an
+    // order-invariant exact-long sum, so join strategy cannot move a rank.
+    val spark = edges0.sparkSession
+    val bcBytes = spark.conf
       .getOption("spark.graft.graph.broadcastBytes").map(_.toLong)
       .getOrElse(32L << 20)
     val tinyRanks = n * 64 < bcBytes
     def bc(df: DataFrame): DataFrame = if (tinyRanks) broadcast(df) else df
+    // SHUFFLED-FALLBACK regime (r19) — the 100 TB operating regime (10⁹
+    // nodes outgrow any broadcast): re-home the edge layout ONCE into a
+    // scratch table bucketed+sorted by src (one bucketing exchange — the
+    // same shuffle a SINGLE iteration's edge join used to pay, because the
+    // pin reports UnknownPartitioning), so every iteration's rank⋈edges
+    // reads a HashPartitioning(src)-reporting sorted bucketed scan:
+    // Exchange-free AND Sort-free on the edge side across all iterations;
+    // only the node-sized rank vector and the narrow (dst, long)
+    // contributions move per iteration (guide §2.4/§3.2). The node set is
+    // re-homed the same way (bucketed by node) for the per-iteration rank
+    // rebuild join. Both layouts are scratch artifacts of THIS run —
+    // written, read by the loop, deleted before returning.
+    val edgeLayout =
+      if (tinyRanks) null
+      else graft.sources.ScratchBuckets.create(edges, Seq("src"))
+    val nodeLayout =
+      if (tinyRanks) null
+      else graft.sources.ScratchBuckets.create(nodes, Seq("node"))
+    if (!tinyRanks) { edges.unpin(); nodes.unpin() } // superseded by layouts
+    val edgesIter = if (tinyRanks) edges else edgeLayout.df
+    val nodesIter = if (tinyRanks) nodes else nodeLayout.df
 
-    var pr = nodes.withColumn("pr", round(lit(1.0) / n, 12)).pin()
+    // The loop body, shared by both regimes; in the fallback regime it
+    // runs under withSortedScans so the sorted bucketed scans report their
+    // order and the per-iteration joins plan Sort-free on the layout sides.
+    def iterate(): DataFrame = {
+    var pr = nodesIter.withColumn("pr", round(lit(1.0) / n, 12)).pin()
     var i = 0
     var converged = false
     while (i < iters && !converged) {
@@ -138,7 +162,7 @@ object Graph {
         else pr.where(col("dang"))
           .agg((coalesce(sum(round(round(col("pr"), 12) * 1e12).cast("long")),
             lit(0L)).cast("double") / 1e12).as("__d"))
-      val contrib = bc(pr).join(edges, pr("node") === edges("src"))
+      val contrib = bc(pr).join(edgesIter, pr("node") === edgesIter("src"))
         .select(col("dst"),
           round(round(col("pr") / col("deg"), 12) * 1e12).cast("long").as("c"))
         .groupBy("dst").agg((sum(col("c")).cast("double") / 1e12).as("m"))
@@ -146,7 +170,8 @@ object Graph {
       // rank vector is node-sized — tiny — while an unpinned tree makes
       // every AQE stage re-optimize the whole accumulated plan)
       val prev = pr
-      val joined = nodes.join(bc(contrib), nodes("node") === contrib("dst"), "left")
+      val joined = nodesIter.join(bc(contrib),
+        nodesIter("node") === contrib("dst"), "left")
       val prNext = (if (dangling) joined.crossJoin(broadcast(dAgg)) else joined)
         .select(col("node"), col("dang"),
           round(base + lit(damping) * coalesce(col("m"), lit(0.0)), 12)
@@ -163,12 +188,17 @@ object Graph {
       prev.unpin()
       i += 1
     }
-    // the final `pr` pin (node-sized) is the bounded result pin; the
-    // EDGE-sized layout and the node-set pin are dead once it exists —
-    // leaving them resident is corpus-scale executor storage held until
-    // the ContextCleaner (PinLedgerSpec)
-    edges.unpin()
-    nodes.unpin()
+    pr
+    }
+    val pr =
+      if (tinyRanks) iterate()
+      else graft.sources.ScratchBuckets.withSortedScans(spark)(iterate())
+    // the final `pr` pin (node-sized, eager — already materialized) is the
+    // bounded result pin; the EDGE-sized layout and the node-set artifacts
+    // are dead once it exists — leaving them resident is corpus-scale
+    // executor storage / scratch disk held until cleanup (PinLedgerSpec)
+    if (tinyRanks) { edges.unpin(); nodes.unpin() }
+    else { edgeLayout.close(spark); nodeLayout.close(spark) }
     val out = pr.select(col("node"), round(col("pr"), 6).as("pr"))
     out
   }

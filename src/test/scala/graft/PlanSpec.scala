@@ -643,4 +643,132 @@ class PlanSpec extends SparkSpec {
       assert(full.exceptAll(tiny).count() === 0)
     } finally spark.conf.unset("spark.graft.graph.broadcastBytes")
   }
+
+  test("pageRank shuffled fallback (r19): the edge and node layouts are " +
+    "re-homed into bucketed scratch tables, so every iteration is " +
+    "Exchange-free and Sort-free on those sides — only the node-sized " +
+    "rank vector and the narrow contributions move") {
+    import spark.implicits._
+    val e = (0 until 2000).map(i => (s"s${i % 50}", s"c${i % 211}"))
+      .toDF("src", "dst")
+    // force the fallback regime AND the at-scale join strategy: at test
+    // sizes the planner would auto-broadcast the 2 KB edge table and hide
+    // the shuffle shape under test (a 100 TB edge table cannot broadcast)
+    val saved = Seq("spark.graft.graph.broadcastBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.graft.graph.broadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = new graft.rel.Graph.PlanProbe
+      graft.rel.Graph.pageRank(e, iters = 2, planProbe = probe).count()
+      val iterPlans = probe.plans.filter(_._1.startsWith("iteration")).map(_._2)
+      assert(iterPlans.size === 2)
+      def occurrences(s: String, sub: String): Int =
+        s.sliding(sub.length).count(_ == sub)
+      iterPlans.foreach { p =>
+        // both reused sides read bucketed scans...
+        assert(occurrences(p, "SelectedBucketsCount") === 2,
+          s"iteration does not read both bucketed layouts:\n${p.take(3000)}")
+        // ...and the only exchanges/sorts left are the rank-vector shuffle
+        // into the edge join and the contribution aggregation (both
+        // node-sized): 2 Exchange + 2 Sort, vs 4 + 4 against the old pins
+        assert(occurrences(p, "Exchange (") === 2,
+          s"unexpected exchange count (want 2):\n${p.take(3000)}")
+        assert(occurrences(p, "Sort (") === 2,
+          s"unexpected sort count (want 2 — the bucketed sides must be " +
+            s"sort-free):\n${p.take(3000)}")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("fused per-row expressions stay inside whole-stage codegen (r19): " +
+    "none of the native kernels demotes its containing operator, and the " +
+    "generated calls compile (codegen fallback disabled) and match the " +
+    "interpreted values") {
+    import graft.functions._
+    val base = spark.range(0, 200).selectExpr("id",
+      "concat('doc ', id, ' café 🎯 text body ', id % 7) as s",
+      "array(cast(id as string), 'a', 'b', concat('t', id % 5)) as toks",
+      "array(cast(id as bigint), id % 13, 42L) as hashes",
+      "array(cast(id as float), cast(id % 3 as float)) as vec")
+    val bloom = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (0L until 100L).foreach(bf.putLong)
+      BloomContains.serialize(bf)
+    }
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      CharNgramHashes(NfcNormalize(col("s")), 4).as("g"),
+      ShingleHashes(col("toks"), 2).as("sh"),
+      WindowMd5Hex(col("toks"), 2).as("w"),
+      Md5Bucket(col("s"), 512).as("b"),
+      SignedGramSums(col("toks"), 8).as("sg"),
+      HyperplaneSig(col("vec"), 8, 42L).as("hp"),
+      DeflateRatio(col("s")).as("dr"),
+      GearChunks(col("s"), 4, 3, 64).as("gc"),
+      BloomContains(bloom, col("id")).as("bc"))
+    // 1. the Project sits INSIDE a WholeStageCodegen span — rendered with
+    // the `*(n)` codegen star; a single CodegenFallback expression would
+    // demote it to a bare (unstarred) Project
+    val exec = proj(base).queryExecution.executedPlan.toString
+    val demoted = exec.linesIterator
+      .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
+      .filter(_.startsWith("Project "))
+    assert(demoted.isEmpty,
+      s"fused-expression Project fell out of whole-stage codegen:\n$exec")
+    // 2. the generated code COMPILES — fallback off turns a codegen
+    // compile error into a test failure instead of a silent interpreted
+    // re-run — and produces the interpreted values bit-for-bit
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val gen = proj(base).collect()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = try proj(base).collect()
+      finally spark.conf.unset("spark.sql.codegen.wholeStage")
+      assert(gen.toSeq === interp.toSeq)
+    } finally saved.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+      spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+
+  test("connectedComponents distributed tier (r19): every label round's " +
+    "neighbor-min join reads the bucketed-by-src edge layout — " +
+    "Exchange-free and Sort-free on the edge side") {
+    import spark.implicits._
+    // a 4000-node chain: worst-case diameter, several doubling rounds
+    val pairs = (0L until 4000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = new graft.pipeline.Cluster.PlanProbe
+      val out = graft.pipeline.Cluster
+        .connectedComponents(pairs, driverEdgeCap = 0, planProbe = probe)
+      assert(out.where(col("rep") =!= 0L).count() === 0) // one chain, rep 0
+      assert(probe.plans.nonEmpty)
+      def occurrences(s: String, sub: String): Int =
+        s.sliding(sub.length).count(_ == sub)
+      probe.plans.foreach { case (label, p) =>
+        // the edge side appears twice in the round's formatted tree (the
+        // jump self-joins the stepped frame, duplicating the subtree
+        // textually; execution reuses the exchanges) — both reads must
+        // come from the bucketed layout
+        assert(occurrences(p, "SelectedBucketsCount") === 2,
+          s"$label does not read the bucketed edge layout on both " +
+            s"branches:\n${p.take(3000)}")
+        // remaining exchanges all sit on label-vector (node-sized) sides:
+        // ≤ 7 textual Exchange nodes per round vs 9 with the old pinned
+        // edge set (whose edge-sized exchange+sort appeared on both
+        // branches) — plans/r19/q_cc_dist_{before,after}.txt
+        assert(occurrences(p, "Exchange (") <= 7,
+          s"$label re-shuffles the edge side:\n${p.take(3000)}")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
