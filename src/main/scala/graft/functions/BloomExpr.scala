@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.GraftExprBridge
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
@@ -18,7 +18,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * positives — callers must exact-verify survivors when they need
   * exactness. */
 case class BloomContains(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -39,9 +39,19 @@ case class BloomContains(left: Expression, right: Expression)
     cachedFilter
   }
 
+  /** The per-row kernel, shared by interpreted eval and generated code
+    * (keeps the surrounding operator inside whole-stage codegen — the r18
+    * CodegenFallback form demoted the whole filter stage). */
+  def probe(filterBytes: Array[Byte], value: Long): Boolean =
+    filterFor(filterBytes).mightContainLong(value)
+
   override def nullSafeEval(filterBytes: Any, value: Any): Any =
-    filterFor(filterBytes.asInstanceOf[Array[Byte]])
-      .mightContainLong(value.asInstanceOf[Long])
+    probe(filterBytes.asInstanceOf[Array[Byte]], value.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", this, classOf[BloomContains].getName)
+    nullSafeCodeGen(ctx, ev, (f, v) => s"${ev.value} = $ref.probe($f, $v);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomContains =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.GraftExprBridge
 import org.apache.spark.sql.types._
@@ -26,11 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns array<struct<pos:int, len:int, hash:bigint>> tiling the string
   * exactly (empty array for the empty string); `hash` is 64-bit FNV-1a
   * over the chunk's chars. Per-row byte crunching no Column combinator
-  * expresses — [[CodegenFallback]] tier like [[DeflateRatio]], the
-  * surrounding projection stays codegen'd. Gear table: SplitMix64 of the
-  * byte value — deterministic public constants, no stored state. */
+  * expresses; the generated code calls the instance directly
+  * (addReferenceObj) so the containing operator stays inside whole-stage
+  * codegen — the r18 CodegenFallback form demoted the whole projection.
+  * Gear table: SplitMix64 of the byte value — deterministic public
+  * constants, no stored state. */
 case class GearChunks(child: Expression, minLen: Int, avgBits: Int, maxLen: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(minLen >= 1 && maxLen >= minLen && avgBits >= 1 && avgBits <= 32,
     s"gear_chunks: need 1 <= minLen <= maxLen and avgBits in [1,32]")
 
@@ -47,8 +49,9 @@ case class GearChunks(child: Expression, minLen: Int, avgBits: Int, maxLen: Int)
 
   override def prettyName: String = "gear_chunks"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def chunksOf(u: UTF8String): GenericArrayData = {
+    val s = u.toString
     val n = s.length
     val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
     val mask = (1L << avgBits) - 1
@@ -69,6 +72,14 @@ case class GearChunks(child: Expression, minLen: Int, avgBits: Int, maxLen: Int)
       i += 1
     }
     new GenericArrayData(rows.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    chunksOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gear", this, classOf[GearChunks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.chunksOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): GearChunks =

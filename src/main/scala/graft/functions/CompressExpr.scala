@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.GraftExprBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,14 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A native expression because the work is per-row byte crunching no
   * Column combinator can express without a UDF (which would break the
-  * repo's zero-UDF / codegen-path policy — [[CodegenFallback]] keeps the
-  * surrounding projection in codegen and makes one interpreted call per
-  * row, the same tier as the fused hashers). Deterministic: fixed level,
+  * repo's zero-UDF / codegen-path policy). The generated code calls the
+  * instance directly (addReferenceObj) so the containing operator stays
+  * inside whole-stage codegen — the r18 CodegenFallback form demoted the
+  * whole projection to the interpreted path. Deterministic: fixed level,
   * default strategy, no preset dictionary; only the deflated LENGTH is
   * used, never the byte stream. Empty strings report 1.0 (nothing to
   * compress); null propagates. */
 case class DeflateRatio(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -32,8 +33,9 @@ case class DeflateRatio(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "deflate_ratio"
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def ratioOf(u: UTF8String): Double = {
+    val bytes = u.getBytes
     if (bytes.isEmpty) 1.0
     else {
       val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
@@ -46,6 +48,14 @@ case class DeflateRatio(child: Expression)
         total.toDouble / bytes.length
       } finally d.end()
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ratioOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dr", this, classOf[DeflateRatio].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.ratioOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =

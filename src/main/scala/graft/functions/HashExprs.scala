@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftExprBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -19,20 +19,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * straight from the digest bytes, and MEMOIZE per distinct key: gram
   * streams are Zipf-distributed, so a bounded per-task cache turns the
   * md5 of the corpus's gram OCCURRENCES (~N·avg_len) into one md5 per
-  * DISTINCT gram actually seen. Eval-only ([[CodegenFallback]]), like the
-  * other fused hashers in this package: the win is fusion + memoization,
-  * not codegen of one call. */
+  * DISTINCT gram actually seen.
+  *
+  * CODEGEN (r19): these were CodegenFallback in r18, and a single
+  * fallback expression demotes its whole operator out of whole-stage
+  * codegen (CollapseCodegenStages bails on the Project/Filter/Generate
+  * containing it), so every OTHER expression in the projection paid the
+  * interpreted path too. Each now emits a one-line generated call to its
+  * own (task-deserialized) instance via `ctx.addReferenceObj` — the loop
+  * body and the memo are unchanged and instance-local exactly as before,
+  * but the surrounding operator stays inside the codegen span. */
 private[functions] object Md5Util {
   private val tl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  /** The calling thread's reusable digest, reset — one JCA provider
+    * lookup per thread, never per row. */
+  def digest(): java.security.MessageDigest = {
+    val md = tl.get()
+    md.reset()
+    md
+  }
   /** First two md5 bytes of `bytes` as an unsigned 16-bit int — exactly
     * the value `conv(substring(md5(s),1,4),16,10)` parses back out of the
     * hex rendering (4 hex chars = the first 2 digest bytes). */
   def first16(bytes: Array[Byte]): Int = {
-    val md = tl.get()
-    md.reset()
+    val md = digest()
     md.update(bytes)
     val d = md.digest()
     ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
@@ -41,32 +54,30 @@ private[functions] object Md5Util {
 
 /** Bounded content-keyed memo (power-of-two direct-mapped slots; a
   * colliding key simply overwrites — no eviction bookkeeping, no growth).
-  * Values are immutable; slot updates are benign races (worst case a
-  * recompute). Keys are cloned on store so no slot ever aliases a
-  * transient row buffer. */
+  * Each slot holds one immutable (key, value) ENTRY behind a single
+  * volatile reference, so a read is always self-consistent even if an
+  * expression instance is ever shared across threads — the previous
+  * two-array form could pair an old key with a new value under a
+  * concurrent overwrite. Keys are cloned on store so no slot ever aliases
+  * a transient row buffer. */
 private[functions] final class Utf8Memo[V <: AnyRef](bits: Int) {
+  private final class Entry(val key: UTF8String, val value: V)
   private final val mask = (1 << bits) - 1
-  private val keys = new java.util.concurrent.atomic.AtomicReferenceArray[UTF8String](mask + 1)
-  private val vals = new java.util.concurrent.atomic.AtomicReferenceArray[V](mask + 1)
+  private val slots =
+    new java.util.concurrent.atomic.AtomicReferenceArray[Entry](mask + 1)
   def get(k: UTF8String): V = {
-    val i = k.hashCode & mask
-    val kk = keys.get(i)
-    if (kk != null && kk.equals(k)) vals.get(i) else null.asInstanceOf[V]
+    val e = slots.get(k.hashCode & mask)
+    if (e != null && e.key.equals(k)) e.value else null.asInstanceOf[V]
   }
-  def put(k: UTF8String, v: V): Unit = {
-    val i = k.hashCode & mask
-    // value first, then key: a reader that sees the new key sees the new
-    // value (both slots are volatile via the atomic arrays)
-    vals.set(i, v)
-    keys.set(i, k.clone())
-  }
+  def put(k: UTF8String, v: V): Unit =
+    slots.set(k.hashCode & mask, new Entry(k.clone(), v))
 }
 
 /** `conv(substring(md5(cast(key as string)), 1, 4), 16, 10).cast("int")
   * % buckets`, fused and memoized — the [[graft.pipeline.Sampling
   * .hashBucket]] content-hash. Null in → null out. */
 case class Md5Bucket(child: Expression, buckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(buckets > 0, s"md5_bucket: buckets=$buckets")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -79,8 +90,8 @@ case class Md5Bucket(child: Expression, buckets: Int)
 
   @transient private lazy val memo = new Utf8Memo[java.lang.Integer](16)
 
-  override def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def bucketOf(u: UTF8String): Int = {
     val hit = memo.get(u)
     if (hit != null) hit.intValue()
     else {
@@ -88,6 +99,14 @@ case class Md5Bucket(child: Expression, buckets: Int)
       memo.put(u, java.lang.Integer.valueOf(v))
       v
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bucketOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Bucket", this, classOf[Md5Bucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bucketOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5Bucket =
@@ -109,7 +128,7 @@ object Md5Bucket {
   * cannot occur (the gram builder never yields them) but are skipped
   * defensively, matching an explode that drops nothing non-null. */
 case class SignedGramSums(child: Expression, dims: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(dims >= 1 && dims <= 256, s"signed_gram_sums: dims=$dims")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -143,8 +162,8 @@ case class SignedGramSums(child: Expression, dims: Int)
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val grams = input.asInstanceOf[ArrayData]
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def sumsOf(grams: ArrayData): GenericArrayData = {
     val n = grams.numElements()
     val sums = new Array[Long](dims)
     var i = 0
@@ -157,6 +176,14 @@ case class SignedGramSums(child: Expression, dims: Int)
       i += 1
     }
     new GenericArrayData(sums)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sumsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sgs", this, classOf[SignedGramSums].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sumsOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignedGramSums =
@@ -179,7 +206,7 @@ object SignedGramSums {
   * owner election, winnow minima and every oracle replay are unchanged.
   * Null tokens are skipped exactly like array_join. */
 case class WindowMd5Hex(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, s"window_md5_hex: k=$k")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -192,11 +219,13 @@ case class WindowMd5Hex(child: Expression, k: Int)
 
   private val hexDigits = "0123456789abcdef".getBytes
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** The per-row kernel, shared by interpreted eval and generated code.
+    * Uses the thread's reusable digest (Md5Util) — the r18 form did a JCA
+    * provider lookup + digest allocation per ROW on its own hot path. */
+  def windowsOf(toks: ArrayData): GenericArrayData = {
     val n = toks.numElements()
     val last = math.max(n - k + 1, 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Util.digest()
     val space = Array[Byte](' ')
     val out = new Array[UTF8String](last)
     var i = 0
@@ -226,6 +255,14 @@ case class WindowMd5Hex(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    windowsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wmh", this, classOf[WindowMd5Hex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.windowsOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WindowMd5Hex =

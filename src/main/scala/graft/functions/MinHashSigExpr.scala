@@ -101,3 +101,71 @@ object MinHashSig {
     GraftExprBridge.column(
       MinHashSig(GraftExprBridge.expression(hashedShingles), numHashes, seed))
 }
+
+/** Native codegen'd signature-agreement count: the number of positions
+  * where two minhash signatures hold the same value — the banded-LSH
+  * in-join Jaccard ESTIMATE evaluated once per banding collision.
+  * Replaces `aggregate(zip_with(a, b, (x, y) => when(x === y, 1)
+  * .otherwise(0)), 0, _+_)`: two interpreted higher-order passes plus an
+  * intermediate array per collision, which also demoted the join's filter
+  * out of whole-stage codegen. Semantics match the combinator exactly:
+  * positions beyond the shorter signature (zip_with's null padding) and
+  * null elements count 0; the result is an exact int. */
+case class SigAgree(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agree needs two array<bigint>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        agree += 1
+      i += 1
+    }
+    agree
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val agree = ctx.freshName("agree")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $agree = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i) &&
+         |      $x.getLong($i) == $y.getLong($i)) $agree++;
+         |}
+         |${ev.value} = $agree;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgree {
+  def apply(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      SigAgree(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+}

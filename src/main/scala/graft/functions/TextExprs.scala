@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftExprBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -13,17 +13,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`array_distinct(transform(sequence(...), i => xxhash64(array_join(
   * slice(...)))))`) evaluate four nested higher-order/collection expressions
   * PER SHINGLE, allocating an intermediate array each; these do one pass per
-  * row. Eval-only ([[CodegenFallback]]): the win is per-element fusion, and
-  * a single interpreted call per row costs nothing next to it. Hashes are
-  * bit-identical to `xxhash64` (XXH64, seed 42) so all planted-pair tests
-  * and recall measurements are unchanged. */
+  * row. Hashes are bit-identical to `xxhash64` (XXH64, seed 42) so all
+  * planted-pair tests and recall measurements are unchanged.
+  *
+  * CODEGEN (r19): formerly CodegenFallback — which demoted the WHOLE
+  * containing operator (Project/Filter/Generate) out of whole-stage
+  * codegen, making every sibling expression pay the interpreted path.
+  * Each now emits a one-line generated call to its task-local instance
+  * (`ctx.addReferenceObj`), keeping the codegen span intact; the per-row
+  * loop is the same JVM method either way. */
 
 /** Word k-shingles from a token array → distinct xxhash64 values, in first-
   * occurrence order. Matches: shingle_i = tokens[i..i+k-1] joined by " "
   * for i in 0..max(size-k, 0) (short arrays yield one whole-array shingle,
   * like slice's clamping). */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -35,8 +40,8 @@ case class ShingleHashes(child: Expression, k: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def shinglesOf(toks: ArrayData): GenericArrayData = {
     val n = toks.numElements()
     val last = math.max(n - k, 0)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -59,6 +64,14 @@ case class ShingleHashes(child: Expression, k: Int)
     new GenericArrayData(arr)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    shinglesOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sh", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.shinglesOf($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
@@ -73,7 +86,7 @@ object ShingleHashes {
   * clamped) for i in 1..max(len-n+1, 1) — one whole-string gram for short
   * strings. */
 case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -83,8 +96,8 @@ case class CharNgramHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_ngram_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def gramsOf(s: UTF8String): GenericArrayData = {
     // One forward pass records each char's start BYTE offset, then every
     // window hashes its byte range in place. The previous substringSQL
     // call re-scanned the string from byte 0 to find char i's position
@@ -120,6 +133,14 @@ case class CharNgramHashes(child: Expression, n: Int)
     new GenericArrayData(arr)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    gramsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cnh", this, classOf[CharNgramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.gramsOf($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
     copy(child = newChild)
 }
@@ -133,13 +154,14 @@ object CharNgramHashes {
   * identical strings — "e" + COMBINING ACUTE ACCENT vs precomposed "é" —
   * become byte-identical, so fingerprints, exact dedup and shingle hashes
   * stop treating encoding variants of the same document as distinct.
-  * Per-row JVM library call no Column combinator expresses, so it sits in
-  * the [[CodegenFallback]] tier like [[graft.functions.DeflateRatio]]
-  * (surrounding projection stays codegen'd). Fast path: already-normalized
-  * input (all-ASCII web text is) returns the input UTF8String untouched —
-  * no decode, no allocation. */
+  * Per-row JVM library call no Column combinator expresses; the generated
+  * code calls the instance directly (keeping the containing operator
+  * inside whole-stage codegen — as a CodegenFallback it demoted the whole
+  * projection). Fast path: already-normalized input (all-ASCII web text
+  * is) returns the input UTF8String untouched — no decode, no
+  * allocation. */
 case class NfcNormalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -149,12 +171,20 @@ case class NfcNormalize(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"
 
-  override def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def normalize(u: UTF8String): UTF8String = {
     val s = u.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.normalize($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =

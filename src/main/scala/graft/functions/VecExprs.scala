@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftExprBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native codegen'd float-vector dot product (accumulated in double).
   * Replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — two interpreted
@@ -78,6 +78,216 @@ object FloatVecDot {
   def apply(a: Column, b: Column): Column =
     GraftExprBridge.column(
       FloatVecDot(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+}
+
+/** Native codegen'd squared-L2 distance between two float arrays
+  * (accumulated in double). Replaces `aggregate(zip_with(a, b, (x, y) =>
+  * (xd - yd)²), 0.0, _+_)` — two interpreted higher-order passes plus an
+  * intermediate array per call, in the INNER loop of PQ codebook
+  * training/encoding (every (subvector × code) pair scores one l2sq:
+  * O(corpus · m · codes) calls per build). Same left-fold accumulation
+  * order → bit-identical doubles; NULL semantics match the combinator
+  * (mismatched lengths or a null element yield NULL). */
+case class FloatVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_l2sq needs two array<float>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FloatVecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecL2Sq {
+  def apply(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      FloatVecL2Sq(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+}
+
+/** Native codegen'd ADC lookup-table sum: Σ_i lut[i·nCodes + (codes_i &
+  * 0xff)] over an m-byte PQ code array and a query's flattened
+  * (sub_id × unsigned code)-ordered LUT. Replaces
+  * `aggregate(transform(codes, (c, i) => element_at(lut, i·nCodes +
+  * (c & 255) + 1)), 0.0, _+_)` — two interpreted higher-order passes and
+  * an intermediate array PER (corpus row × query), the inner loop of every
+  * PQ/IVF-PQ search and serve path. Index-order left-fold accumulation →
+  * bit-identical doubles. NULL semantics: a null code element or a null
+  * LUT slot yields NULL (as element_at + null-poisoned fold did). */
+case class AdcLutSum(left: Expression, right: Expression, nCodes: Int)
+    extends BinaryExpression {
+  require(nCodes >= 1 && nCodes <= 256, s"adc_lut_sum: nCodes=$nCodes")
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_lut_sum needs (array<tinyint>, array<double>), got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lut_sum"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      val idx = i * nCodes + (codes.getByte(i) & 0xff)
+      if (lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $codes.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($codes.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  int $idx = $i * $nCodes + ($codes.getByte($i) & 0xff);
+         |  if ($lut.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $acc += $lut.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): AdcLutSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcLutSum {
+  def apply(codes: Column, lut: Column, nCodes: Int): Column =
+    GraftExprBridge.column(AdcLutSum(
+      GraftExprBridge.expression(codes), GraftExprBridge.expression(lut), nCodes))
+}
+
+/** Native codegen'd int8 dot product: Σ qa_i·qb_i over two byte arrays,
+  * accumulated in int (dim·127² ≪ 2³¹, exact). Replaces the
+  * `aggregate(zip_with(qa, qb, (x, y) => int(x)·int(y)), 0, _+_)` inner
+  * loop of quantized scoring. Same fold order (trivially — int adds are
+  * associative and exact); NULL semantics match zip_with (length mismatch
+  * or null element → NULL). */
+case class I8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"i8_dot needs two array<tinyint>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "i8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getByte(i).toInt * y.getByte(i).toInt
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (int) $x.getByte($i) * (int) $y.getByte($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): I8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
+object I8Dot {
+  def apply(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      I8Dot(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
 }
 
 /** Native codegen'd 64-bit SimHash from an array of token hashes
@@ -158,10 +368,11 @@ object SimHash64 {
   * position, not the data — the combinator version rehashed every component
   * for every row). Bit-identical to the combinator formulation: component =
   * pmod(xxhash64(i, a_p), 2000001)/1e6 - 1, accumulated in index order.
-  * Eval-only ([[CodegenFallback]]): per-element fusion is the win. */
+  * Generated code calls the instance directly (addReferenceObj) so the
+  * containing operator stays inside whole-stage codegen — the r18
+  * CodegenFallback form demoted the whole projection. */
 case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -207,8 +418,8 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
     buf(i)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def sigOf(vec: ArrayData): Long = {
     val n = vec.numElements()
     // combinator edge semantics: an empty vector or any null element makes
     // every plane's projection NULL, and `when(null >= 0, bit)` takes the
@@ -233,6 +444,14 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
       p += 1
     }
     sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sigOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hps", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sigOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =

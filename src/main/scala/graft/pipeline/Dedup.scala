@@ -120,10 +120,12 @@ object Dedup {
       col("sig").as("sig_a"), saltOwn(col("id")).as("__i"), saltAll.as("__j"))
     val b = split.select(col("band"), col("bh"), col("id").as("id_b"),
       col("sig").as("sig_b"), saltAll.as("__i"), saltOwn(col("id")).as("__j"))
+    // sig_agree (r19): the fused codegen'd agreement count replaces the
+    // two interpreted HOF passes per banding collision (same int, same
+    // cast/divide — PipelineSpec pins the differential)
     a.join(b, Seq("band", "bh", "__i", "__j")).filter(col("id_a") < col("id_b"))
-      .filter((aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= threshold - margin)
+      .filter((graft.functions.SigAgree(col("sig_a"), col("sig_b"))
+        .cast("double") / numHashes) >= threshold - margin)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
 

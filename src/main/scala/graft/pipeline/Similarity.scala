@@ -424,8 +424,18 @@ object Similarity {
 
   /** Approximate dot product of two quantized vectors:
     * (Σ qa_i·qb_i) · scale_a · scale_b — integer multiply-adds over byte
-    * arrays; the int accumulator is exact (dim·127² ≪ 2³¹). */
+    * arrays; the int accumulator is exact (dim·127² ≪ 2³¹). Fused native
+    * expression ([[graft.functions.I8Dot]], r19): the combinator form ran
+    * two interpreted higher-order passes per pair AND demoted its
+    * operator out of whole-stage codegen. Exact int sum — value
+    * unchanged. */
   def dotI8(a: Column, b: Column): Column =
+    graft.functions.I8Dot(a.getField("q"), b.getField("q"))
+      .cast("double") * a.getField("scale") * b.getField("scale")
+
+  /** Pre-fusion combinator formulation of [[dotI8]] — differential oracle
+    * for the native expression. */
+  def dotI8Reference(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.getField("q"), b.getField("q"),
         (x, y) => x.cast("int") * y.cast("int")),
@@ -448,6 +458,16 @@ object Similarity {
       element_at(col("__lut"),
         i * nCodes + c.cast("int").bitwiseAND(lit(255)) + 1))
 
+  /** The full ADC sum Σ_i lut[i·nCodes + code_i] as ONE fused codegen'd
+    * pass ([[graft.functions.AdcLutSum]], r19) — replaces
+    * `aggregate(adcHits(n), 0.0, _+_)`, which ran two interpreted
+    * higher-order passes and an intermediate array per (corpus row ×
+    * query) AND demoted its operator out of whole-stage codegen.
+    * Index-order left-fold → bit-identical doubles ([[adcHits]] stays as
+    * the differential reference). */
+  private def adcSum(nCodes: Int): Column =
+    graft.functions.AdcLutSum(col("codes"), col("__lut"), nCodes)
+
   /** Flatten a per-(sub_id, code) LUT to the per-query array [[adcHits]]
     * indexes: ordered by (sub_id, unsigned code). */
   private def lutFlat: Column =
@@ -456,7 +476,15 @@ object Similarity {
         col("lutdot")))),
       x => x.getField("lutdot"))
 
+  /** Fused codegen'd squared L2 ([[graft.functions.FloatVecL2Sq]], r19) —
+    * the inner loop of PQ training and encoding (one call per
+    * subvector × code). Same left-fold double accumulation as the
+    * combinator form it replaces ([[l2sqReference]], kept as the
+    * differential oracle) → bit-identical distances. */
   private def l2sq(a: Column, b: Column): Column =
+    graft.functions.FloatVecL2Sq(a, b)
+
+  private[graft] def l2sqReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
@@ -682,7 +710,7 @@ object Similarity {
       .agg(first(col("__qn")).as("__qn"), lutFlat.as("__lut"))
     val approx = enc.crossJoin(broadcast(lutArr))
       .select(col(qId), col(cId),
-        (aggregate(adcHits(nCodes), lit(0.0), (a, x) => a + x) /
+        (adcSum(nCodes) /
           (col("__qn") * col("__cn"))).as("cosine"))
     val cand = topK(approx, k * overFetch, qId, cId).select(col(qId), col(cId))
     val c = Dedup.widen(corpus).select(col(cId), col(cVec), norm(col(cVec)).as("__cn"))
@@ -1137,8 +1165,7 @@ object Similarity {
     val approx = enc.join(broadcast(probed), Seq("centroid_id"))
       .join(broadcast(lutArr), Seq(qId))
       .select(col(qId), col(cId),
-        cosinePre(col("qcdot") + aggregate(adcHits(index.nCodes),
-            lit(0.0), (a, x) => a + x),
+        cosinePre(col("qcdot") + adcSum(index.nCodes),
           col("__qn"), col("__ocn")).as("cosine"))
     // candidate-level dedup BEFORE the ADC top-k: a clean index makes
     // this a no-op (one code row per vector), but an index holding

@@ -75,9 +75,8 @@ object DocStream {
     val cands = nb.join(index.bandIndex.withColumnRenamed("id", "dup_id")
         .withColumnRenamed("sig", "sig_hist"), Seq("band", "bh"))
       .filter(col("new_id") =!= col("dup_id"))
-      .filter((aggregate(zip_with(col("sig_new"), col("sig_hist"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / index.numHashes)
+      .filter((graft.functions.SigAgree(col("sig_new"), col("sig_hist"))
+        .cast("double") / index.numHashes)
         >= threshold - margin)
       .select(col("new_id"), col("g_new"), col("dup_id"))
       .dropDuplicates("new_id", "dup_id")

@@ -223,6 +223,48 @@ class PipelineSpec extends SparkSpec {
     ).count() === 0)
   }
 
+  test("r19 fused kernels (vec_l2sq, adc_lut_sum, i8_dot, sig_agree) are " +
+    "bit-identical to the combinator formulas they replaced") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("a"))
+      .withColumn("b", reverse(col("a")))
+    // squared L2: same left-fold double accumulation
+    assert(emb.filter(
+      !(graft.functions.FloatVecL2Sq(col("a"), col("b")) <=>
+        Similarity.l2sqReference(col("a"), col("b")))).count() === 0)
+    // int8 dot through the quantized struct
+    val q = emb.select(Similarity.quantizeI8(col("a")).as("qa"),
+      Similarity.quantizeI8(col("b")).as("qb"))
+    assert(q.filter(
+      !(Similarity.dotI8(col("qa"), col("qb")) <=>
+        Similarity.dotI8Reference(col("qa"), col("qb")))).count() === 0)
+    // ADC lookup-table sum: codes spanning the SIGNED byte range
+    // (production codes=256 stores 128..255 as negatives), lut of
+    // m·nCodes doubles; combinator replicated verbatim from adcHits
+    val nCodes = 4
+    val adc = spark.range(0, 200).selectExpr(
+      s"transform(sequence(0, 7), i -> cast((id * 7 + i * 3) % $nCodes + " +
+        s"if((id + i) % 2 = 0, 124, -128) as byte)) as codes",
+      s"transform(sequence(0, ${8 * 256 - 1}), i -> cast(i as double) / 7.0) as lut")
+    val combinator = aggregate(
+      transform(col("codes"), (c, i) =>
+        element_at(col("lut"), i * 256 + c.cast("int").bitwiseAND(lit(255)) + 1)),
+      lit(0.0), (a, x) => a + x)
+    assert(adc.filter(
+      !(graft.functions.AdcLutSum(col("codes"), col("lut"), 256) <=> combinator))
+      .count() === 0)
+    // signature agreement, including MISMATCHED lengths (zip_with pads the
+    // tail with nulls, which the when().otherwise(0) counts as 0)
+    val sigs = spark.range(0, 300).selectExpr(
+      "transform(sequence(0, cast(id % 5 as int) + 2), i -> xxhash64(id, i) % 7) as sa",
+      "transform(sequence(0, cast(id % 3 as int) + 3), i -> xxhash64(id + 1, i) % 7) as sb")
+    val agreeRef = aggregate(zip_with(col("sa"), col("sb"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    assert(sigs.filter(
+      !(graft.functions.SigAgree(col("sa"), col("sb")) <=> agreeRef))
+      .count() === 0)
+  }
+
   test("cosine and dot on float arrays") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
                  (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
