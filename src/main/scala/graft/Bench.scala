@@ -278,7 +278,15 @@ object Bench {
       if (only.nonEmpty) "bench_out.filtered.json" else "bench_out.json")
     Files.writeString(Paths.get(outPath),
       s"""{$core,"spread":$sp,"errors":$es}""" + "\n")
+    // stdout stays EXACTLY one JSON line (the driver contract); a mirror
+    // copy goes to stderr (r19, additive insurance): a runner that keeps
+    // only a bounded tail window of stdout can truncate the 6 KB line
+    // mid-way — the r17→r18 driver comparison died exactly this way
+    // (PERF_r18 `prev_bench_ok:false`, the r17 line lost its head in a
+    // 2 KB tail capture) — and a separately-captured stderr stream gives
+    // one more complete copy, beside the byte-identical bench_out.json.
     println(s"{$core}")
+    System.err.println(s"{$core}")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
