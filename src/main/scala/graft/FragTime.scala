@@ -64,6 +64,45 @@ object FragTime {
         .where(size(col("g")) > 0)
         .select(col("doc_id"), Dedup.minhashSignature(col("g"), 64).as("sig")))
     time("full minhashPairs")(Dedup.minhashPairs(filt, threshold = 0.5))
+
+    // r19: banded-candidate/verify decomposition (replicates the private
+    // bandedCandidateIds + verifyJaccard pipeline verbatim, minus the
+    // estimate filter / plus it / plus the exact verify) so the 1.6 s the
+    // r18 FragTime lumped as "banding machinery" is attributed
+    {
+      import graft.rel.Checkpoint.PinOps
+      val grams = filt.select(col("doc_id").as("id"),
+          TextAnalysis.hashedShingles(col("text"), 3).as("g"))
+        .filter(size(col("g")) > 0).pin()
+      val sig = grams.select(col("id"),
+        Dedup.minhashSignature(col("g"), 64).as("sig")).pin()
+      val bands = 16; val rows = 4
+      val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b)))
+          .as(Seq("band", "bh")))
+      time("banding explode only")(banded)
+      val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      val bb = banded.select(col("band"), col("bh"), col("id").as("id_b"),
+        col("sig").as("sig_b"))
+      val coll = a.join(bb, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      time("+ band self-join (collisions)")(coll)
+      val est = coll.filter((graft.functions.SigAgree(col("sig_a"), col("sig_b"))
+        .cast("double") / 64) >= 0.5 - 0.15)
+      time("+ sig_agree estimate filter")(est)
+      val cands = est.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      time("+ dropDuplicates")(cands)
+      val ga = grams.select(col("id").as("id_a"), col("g").as("g_a"))
+      val gb = grams.select(col("id").as("id_b"), col("g").as("g_b"))
+      val ver = cands.join(ga, "id_a").join(gb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+           size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      time("+ exact Jaccard verify")(ver)
+      sig.unpin(); grams.unpin()
+    }
     spark.stop()
   }
 }
